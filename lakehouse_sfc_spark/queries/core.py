@@ -1,0 +1,413 @@
+"""Core query surface: the reference's demo queries and every predicate /
+aggregation shape its workload generator emits (SURVEY.md §2.2, §2.4, §2.6,
+§2.8), expressed DataFrame-first so Catalyst gets full pushdown visibility.
+
+Reference parity (file:line cited per query):
+- demo q1-q4        -> /root/reference/workloads/demo/*.sql
+- predicate shapes  -> workload_spec/spec_tpch_Q1..Q7.yaml, spec_amazon_*.yaml
+- TPC-H Q1/Q6 style -> RQ6 dbgen streams (tpch_all_runner.py:168-169)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from lakehouse_sfc_spark.queries.registry import (
+    davg,
+    dsum,
+    register,
+    sql_davg,
+    sql_dsum,
+)
+from lakehouse_sfc_spark.sources.loader import load_table
+
+
+def _ts(s: str):
+    return F.to_timestamp(F.lit(s))
+
+
+# --- demo queries (workloads/demo/*.sql) ------------------------------------
+
+
+@register(
+    "q1_filter",
+    oracle="""
+    SELECT l_returnflag, l_linestatus, COUNT(*) AS cnt
+    FROM lineitem
+    WHERE l_returnflag = 'R' AND l_linestatus = 'O'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+    headline=True,
+)
+def q1_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-predicate filter + group-by (workloads/demo/q1_filter.sql)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.filter((F.col("l_returnflag") == "R") & (F.col("l_linestatus") == "O"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+@register(
+    "q2_date_range",
+    oracle="""
+    SELECT COUNT(*) AS cnt
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l_shipdate <  TIMESTAMP '1997-01-01'
+    """,
+    headline=True,
+)
+def q2_date_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-dim date range (workloads/demo/q2_date_range.sql); the shape every
+    RQ1 'range' spec generates (spec_tpch_Q2.yaml:6-7)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.filter(
+        (F.col("l_shipdate") >= _ts("1996-01-01"))
+        & (F.col("l_shipdate") < _ts("1997-01-01"))
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+
+
+@register(
+    "q3_group_by",
+    oracle=f"""
+    SELECT l_returnflag, l_linestatus,
+           {sql_dsum("l_quantity", "sum_qty")},
+           {sql_davg("l_extendedprice", "avg_price")}
+    FROM lineitem
+    GROUP BY l_returnflag, l_linestatus
+    """,
+    headline=True,
+)
+def q3_group_by(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full-scan aggregation (workloads/demo/q3_group_by.sql)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        dsum("l_quantity", "sum_qty"),
+        davg("l_extendedprice", "avg_price"),
+    )
+
+
+@register(
+    "q4_order_limit",
+    oracle="""
+    SELECT l_orderkey, l_shipdate, l_extendedprice
+    FROM lineitem
+    ORDER BY l_shipdate DESC, l_orderkey, l_extendedprice
+    LIMIT 1000
+    """,
+    headline=True,
+)
+def q4_order_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k: ORDER BY + LIMIT compiles to TakeOrderedAndProject — per
+    partition heap + single reduce, no global sort shuffle at any scale
+    (workloads/demo/q4_order_limit.sql).  The extra l_extendedprice sort key
+    makes the top-1000 deterministic on ties."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.select("l_orderkey", "l_shipdate", "l_extendedprice")
+        .orderBy(F.desc("l_shipdate"), F.asc("l_orderkey"), F.asc("l_extendedprice"))
+        .limit(1000)
+    )
+
+
+# --- predicate shapes (§2.2) -------------------------------------------------
+
+
+@register(
+    "p_in_list",
+    oracle="""
+    SELECT COUNT(*) AS cnt
+    FROM lineitem
+    WHERE l_shipdate IN (TIMESTAMP '1996-03-01', TIMESTAMP '1997-07-15',
+                         TIMESTAMP '1998-01-02', TIMESTAMP '1999-11-30')
+    """,
+)
+def p_in_list(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IN-list fan-out (spec_tpch_Q4.yaml:5-13, K up to 16)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    dates = ["1996-03-01", "1997-07-15", "1998-01-02", "1999-11-30"]
+    return li.filter(
+        F.col("l_shipdate").isin([F.to_timestamp(F.lit(d)) for d in dates])
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+
+
+@register(
+    "p_multidim_box",
+    oracle="""
+    SELECT COUNT(*) AS cnt
+    FROM lineitem
+    WHERE l_shipdate BETWEEN TIMESTAMP '1996-01-01' AND TIMESTAMP '1997-06-30'
+      AND l_quantity BETWEEN 10 AND 30
+      AND l_discount BETWEEN 0.02 AND 0.06
+    """,
+)
+def p_multidim_box(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conjunctive 3-dim box — the core SFC-layout workload shape
+    (spec_tpch_Q5.yaml:5-9; generate_tpch_rq2_specs.py:44-61)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.filter(
+        F.col("l_shipdate").between(_ts("1996-01-01"), _ts("1997-06-30"))
+        & F.col("l_quantity").between(10, 30)
+        & F.col("l_discount").between(0.02, 0.06)
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+
+
+@register(
+    "p_disjunction",
+    oracle="""
+    SELECT COUNT(*) AS cnt
+    FROM lineitem
+    WHERE (l_quantity <= 5 OR l_quantity >= 45)
+      AND l_returnflag = 'N'
+    """,
+)
+def p_disjunction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OR of range predicates (spec_amazon_Q3.yaml:13)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.filter(
+        ((F.col("l_quantity") <= 5) | (F.col("l_quantity") >= 45))
+        & (F.col("l_returnflag") == "N")
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+
+
+@register(
+    "p_like_null",
+    oracle="""
+    SELECT COUNT(*) AS cnt_like,
+           COUNT(CASE WHEN o_orderpriority IS NULL THEN 1 END) AS cnt_null
+    FROM orders
+    WHERE o_orderpriority LIKE '%HIGH%'
+       OR o_orderpriority IS NULL
+    """,
+)
+def p_like_null(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LIKE / IS NULL predicate taxonomy (sql_layout_toolkit.py:414-431)."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.filter(
+        F.col("o_orderpriority").like("%HIGH%") | F.col("o_orderpriority").isNull()
+    ).agg(
+        F.count(F.lit(1)).alias("cnt_like"),
+        F.count(F.when(F.col("o_orderpriority").isNull(), 1)).alias("cnt_null"),
+    )
+
+
+# --- aggregation shapes (§2.4) ------------------------------------------------
+
+
+@register(
+    "a_having",
+    oracle=f"""
+    SELECT l_orderkey,
+           {sql_dsum("l_extendedprice", "sum_price")},
+           COUNT(*) AS cnt
+    FROM lineitem
+    GROUP BY l_orderkey
+    HAVING COUNT(*) >= 5 AND SUM(CAST(l_extendedprice AS DECIMAL(18,2))) >= 200000
+    """,
+)
+def a_having(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HAVING on count+sum (spec_tpch_Q7.yaml:11)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_orderkey")
+        .agg(
+            dsum("l_extendedprice", "sum_price"),
+            F.count(F.lit(1)).alias("cnt"),
+        )
+        .filter((F.col("cnt") >= 5) & (F.col("sum_price") >= 200000))
+    )
+
+
+@register(
+    "a_group_year",
+    oracle=f"""
+    SELECT CAST(YEAR(l_shipdate) AS INT) AS ship_year,
+           COUNT(*) AS cnt,
+           {sql_dsum("l_quantity", "sum_qty")}
+    FROM lineitem
+    GROUP BY 1
+    """,
+)
+def a_group_year(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUP BY year(expr) (spec_tpch_Q7.yaml:10)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy(
+        F.year("l_shipdate").cast("int").alias("ship_year")
+    ).agg(F.count(F.lit(1)).alias("cnt"), dsum("l_quantity", "sum_qty"))
+
+
+@register(
+    "a_month_trunc",
+    oracle=f"""
+    SELECT CAST(DATE_TRUNC('month', ts) AS DATE) AS event_month,
+           COUNT(*) AS cnt,
+           {sql_dsum("value", "sum_value", 4)}
+    FROM events
+    GROUP BY 1
+    """,
+)
+def a_month_trunc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUP BY DATE_TRUNC('month', ts) (spec_amazon_Q2.yaml:6,14)."""
+    ev = load_table(spark, sf_dir, "events")
+    # cast to DATE: DuckDB's date_trunc returns DATE; match the type exactly
+    return ev.groupBy(
+        F.date_trunc("month", "ts").cast("date").alias("event_month")
+    ).agg(F.count(F.lit(1)).alias("cnt"), dsum("value", "sum_value", 4))
+
+
+@register(
+    "a_conditional",
+    oracle="""
+    SELECT event_type,
+           SUM(CASE WHEN value > 50 THEN 1 ELSE 0 END) AS hits,
+           COUNT(*) AS cnt
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def a_conditional(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional aggregate SUM(CASE WHEN ...) (spec_amazon_Q4.yaml:7)."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.sum(F.when(F.col("value") > 50, 1).otherwise(0)).alias("hits"),
+        F.count(F.lit(1)).alias("cnt"),
+    )
+
+
+@register(
+    "tpch_q1",
+    oracle=f"""
+    SELECT l_returnflag, l_linestatus,
+           {sql_dsum("l_quantity", "sum_qty")},
+           {sql_dsum("l_extendedprice", "sum_base_price")},
+           {sql_dsum("l_extendedprice * (1 - l_discount)", "sum_disc_price", 6)},
+           {sql_dsum("l_extendedprice * (1 - l_discount) * (1 + l_tax)",
+                     "sum_charge", 6)},
+           {sql_davg("l_quantity", "avg_qty")},
+           {sql_davg("l_extendedprice", "avg_price")},
+           {sql_davg("l_discount", "avg_disc", 4)},
+           COUNT(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '2001-09-02'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+    headline=True,
+)
+def tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 pricing summary — the flagship query.  Single scan, map-side
+    partial aggregation, 6-group final agg; no joins, no wide shuffle.
+    (RQ6 dbgen stream query; tpch_all_runner.py:168-169)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc_price * (1 + F.col("l_tax"))
+    return (
+        li.filter(F.col("l_shipdate") <= _ts("2001-09-02"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            dsum("l_quantity", "sum_qty"),
+            dsum("l_extendedprice", "sum_base_price"),
+            dsum(disc_price, "sum_disc_price", 6),
+            dsum(charge, "sum_charge", 6),
+            davg("l_quantity", "avg_qty"),
+            davg("l_extendedprice", "avg_price"),
+            davg("l_discount", "avg_disc", 4),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+@register(
+    "tpch_q6",
+    oracle=f"""
+    SELECT {sql_dsum("l_extendedprice * l_discount", "revenue", 6)}
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l_shipdate < TIMESTAMP '1997-01-01'
+      AND l_discount BETWEEN 0.03 AND 0.07
+      AND l_quantity < 24
+    """,
+    headline=True,
+)
+def tpch_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 forecasting revenue change — selective 3-dim box + global
+    aggregate; the shape SFC layouts accelerate most."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.filter(
+        (F.col("l_shipdate") >= _ts("1996-01-01"))
+        & (F.col("l_shipdate") < _ts("1997-01-01"))
+        & F.col("l_discount").between(0.03, 0.07)
+        & (F.col("l_quantity") < 24)
+    ).agg(dsum(F.col("l_extendedprice") * F.col("l_discount"), "revenue", 6))
+
+
+@register(
+    "profile_minmax",
+    oracle="""
+    SELECT 'l_quantity' AS col_name,
+           CAST(MIN(l_quantity) AS DOUBLE) AS min_val,
+           CAST(MAX(l_quantity) AS DOUBLE) AS max_val,
+           COUNT(l_quantity) AS non_null,
+           COUNT(DISTINCT l_quantity) AS n_distinct
+    FROM lineitem
+    UNION ALL
+    SELECT 'l_discount',
+           CAST(MIN(l_discount) AS DOUBLE), CAST(MAX(l_discount) AS DOUBLE),
+           COUNT(l_discount), COUNT(DISTINCT l_discount)
+    FROM lineitem
+    UNION ALL
+    SELECT 'l_extendedprice',
+           CAST(MIN(l_extendedprice) AS DOUBLE), CAST(MAX(l_extendedprice) AS DOUBLE),
+           COUNT(l_extendedprice), COUNT(DISTINCT l_extendedprice)
+    FROM lineitem
+    """,
+)
+def profile_minmax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Profiler statistics pass (wlg/profiler/stats.py:137-148) as ONE scan:
+    all per-column aggregates computed together, then unpivoted — no
+    one-job-per-column loop at scale."""
+    li = load_table(spark, sf_dir, "lineitem")
+    cols = ["l_quantity", "l_discount", "l_extendedprice"]
+    aggs = []
+    for c in cols:
+        aggs += [
+            F.min(c).cast("double").alias(f"min__{c}"),
+            F.max(c).cast("double").alias(f"max__{c}"),
+            F.count(c).alias(f"cnt__{c}"),
+            F.countDistinct(c).alias(f"nd__{c}"),
+        ]
+    wide = li.agg(*aggs)
+    stacked = wide.select(
+        F.expr(
+            "stack({n}, {args}) AS (col_name, min_val, max_val, non_null, n_distinct)".format(
+                n=len(cols),
+                args=", ".join(
+                    f"'{c}', min__{c}, max__{c}, cnt__{c}, nd__{c}" for c in cols
+                ),
+            )
+        )
+    )
+    return stacked
+
+
+@register(
+    "profile_topk",
+    oracle="""
+    SELECT o_orderpriority AS value, COUNT(*) AS freq
+    FROM orders
+    GROUP BY o_orderpriority
+    ORDER BY freq DESC, value
+    LIMIT 3
+    """,
+)
+def profile_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Profiler top-k frequent values (wlg/profiler/stats.py:97-98,181-182)."""
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.groupBy(F.col("o_orderpriority").alias("value"))
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .orderBy(F.desc("freq"), F.asc("value"))
+        .limit(3)
+    )

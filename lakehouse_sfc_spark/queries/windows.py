@@ -1,0 +1,124 @@
+"""Window-function surface (SURVEY.md §2.5): ntile batch splitting, keyed
+latest-wins dedup (Hudi precombine semantics), per-group top-k.
+
+Reference parity:
+- W1 ntile batch split -> build_tpch_update_batches.py:62-64
+- W2 latest-wins per record key -> hudi_upsert.py:259 precombine semantics
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from lakehouse_sfc_spark.queries.registry import register
+from lakehouse_sfc_spark.sources.loader import load_table
+
+
+@register(
+    "w_ntile_batches",
+    oracle="""
+    SELECT batch_id, COUNT(*) AS cnt, MIN(o_orderkey) AS min_key
+    FROM (
+      SELECT o_orderkey, NTILE(10) OVER (ORDER BY o_orderkey) AS batch_id
+      FROM orders
+    )
+    GROUP BY batch_id
+    """,
+)
+def w_ntile_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NTILE(10) batch split (build_tpch_update_batches.py:62-64 uses
+    ORDER BY rand(seed); here a deterministic key order so the oracle can
+    reproduce it — the operator is identical)."""
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.orderBy("o_orderkey")
+    return (
+        o.select("o_orderkey", F.ntile(10).over(w).alias("batch_id"))
+        .groupBy("batch_id")
+        .agg(F.count(F.lit(1)).alias("cnt"), F.min("o_orderkey").alias("min_key"))
+    )
+
+
+@register(
+    "w_dedup_latest",
+    oracle="""
+    SELECT user_id, event_id AS latest_event, event_type, value
+    FROM (
+      SELECT user_id, event_id, event_type, value,
+             ROW_NUMBER() OVER (PARTITION BY user_id
+                                ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events
+    )
+    WHERE rn = 1
+    """,
+)
+def w_dedup_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyed latest-wins dedup — Hudi precombine/OverwriteWithLatest payload
+    semantics (hudi_upsert.py:259) as a window: one shuffle on the record
+    key, no driver involvement."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "user_id",
+            F.col("event_id").alias("latest_event"),
+            "event_type",
+            "value",
+        )
+    )
+
+
+@register(
+    "w_topk_per_group",
+    oracle="""
+    SELECT o_orderpriority, o_orderkey, o_totalprice
+    FROM (
+      SELECT o_orderpriority, o_orderkey, o_totalprice,
+             ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+                                ORDER BY o_totalprice DESC, o_orderkey) AS rn
+      FROM orders
+    )
+    WHERE rn <= 3
+    """,
+)
+def w_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group top-k via row_number — Spark 3.5+/4.x rewrites rn<=k into a
+    WindowGroupLimit (per-partition heap) so only k rows per group shuffle."""
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey")
+    )
+    return (
+        o.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("o_orderpriority", "o_orderkey", "o_totalprice")
+    )
+
+
+@register(
+    "w_running_agg",
+    oracle="""
+    SELECT user_id, event_id,
+           SUM(CAST(value AS DECIMAL(18,4))) OVER (
+             PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS running_value
+    FROM events
+    """,
+)
+def w_running_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running per-key cumulative sum (exact decimal so the prefix sums match
+    the oracle bit-for-bit)."""
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return ev.select(
+        "user_id",
+        "event_id",
+        F.sum(F.col("value").cast("decimal(18,4)")).over(w).alias("running_value"),
+    )

@@ -1,0 +1,160 @@
+"""Sources: format-sniffing loader, TPC-H pipe-delimited CSV ingest, and the
+test-table registry.
+
+Reference parity:
+- S1 format sniffing  -> ``lakehouse_op/io_loader.py:67-148``
+- S2 TPC-H CSV ingest -> ``lakehouse_op/tpch_all_loader.py:77-91``
+- S3 table reader + temp view -> ``lakehouse_op/run_queries.py:86-125``
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from lakehouse_sfc_spark import TABLES
+
+_FORMAT_BY_SUFFIX = {
+    ".parquet": "parquet",
+    ".csv": "csv",
+    ".tsv": "csv",
+    ".json": "json",
+    ".jsonl": "json",
+}
+
+_DEFAULT_OPTIONS = {
+    "csv": {"header": "true", "inferSchema": "true"},
+    "json": {},
+    "parquet": {},
+}
+
+
+def sniff_format(path: str) -> tuple[str, dict[str, str]]:
+    """Detect csv/tsv/parquet/json by file suffix with a 1-level directory
+    peek, falling back to parquet (reference: io_loader.py:67-112)."""
+
+    def _suffix_of(p: str) -> str | None:
+        _, ext = os.path.splitext(p)
+        return ext.lower() or None
+
+    suffix = _suffix_of(path)
+    if suffix not in _FORMAT_BY_SUFFIX and os.path.isdir(path):
+        for entry in sorted(os.listdir(path)):
+            if entry.startswith((".", "_")):
+                continue
+            s = _suffix_of(entry)
+            if s in _FORMAT_BY_SUFFIX:
+                suffix = s
+                break
+    fmt = _FORMAT_BY_SUFFIX.get(suffix or "", "parquet")
+    options = dict(_DEFAULT_OPTIONS.get(fmt, {}))
+    if suffix == ".tsv":
+        options["sep"] = "\t"
+    return fmt, options
+
+
+def load_input_df(
+    spark: SparkSession,
+    path: str,
+    fmt: str | None = None,
+    options: dict[str, str] | None = None,
+) -> DataFrame:
+    """Load any supported input; sniffed format unless given explicitly."""
+    sniffed_fmt, sniffed_opts = sniff_format(path)
+    fmt = fmt or sniffed_fmt
+    opts = {**sniffed_opts, **(options or {})}
+    return spark.read.format(fmt).options(**opts).load(path)
+
+
+# --- TPC-H dbgen CSV ingest (pipe-delimited, headerless, trailing '|') -----
+
+TPCH_SCHEMAS: dict[str, T.StructType] = {
+    "region": T.StructType(
+        [
+            T.StructField("r_regionkey", T.IntegerType()),
+            T.StructField("r_name", T.StringType()),
+            T.StructField("r_comment", T.StringType()),
+        ]
+    ),
+    "nation": T.StructType(
+        [
+            T.StructField("n_nationkey", T.IntegerType()),
+            T.StructField("n_name", T.StringType()),
+            T.StructField("n_regionkey", T.IntegerType()),
+            T.StructField("n_comment", T.StringType()),
+        ]
+    ),
+    "lineitem": T.StructType(
+        [
+            T.StructField("l_orderkey", T.LongType()),
+            T.StructField("l_partkey", T.LongType()),
+            T.StructField("l_suppkey", T.LongType()),
+            T.StructField("l_linenumber", T.IntegerType()),
+            T.StructField("l_quantity", T.DoubleType()),
+            T.StructField("l_extendedprice", T.DoubleType()),
+            T.StructField("l_discount", T.DoubleType()),
+            T.StructField("l_tax", T.DoubleType()),
+            T.StructField("l_returnflag", T.StringType()),
+            T.StructField("l_linestatus", T.StringType()),
+            T.StructField("l_shipdate", T.DateType()),
+            T.StructField("l_commitdate", T.DateType()),
+            T.StructField("l_receiptdate", T.DateType()),
+            T.StructField("l_shipinstruct", T.StringType()),
+            T.StructField("l_shipmode", T.StringType()),
+            T.StructField("l_comment", T.StringType()),
+        ]
+    ),
+}
+
+
+def tpch_csv_reader(spark: SparkSession, path: str, table: str) -> DataFrame:
+    """dbgen ``.tbl`` ingest: pipe-delimited, headerless, explicit schema,
+    trailing ``_dummy`` column dropped (reference: tpch_all_loader.py:77-91)."""
+    schema = TPCH_SCHEMAS[table]
+    schema_with_dummy = T.StructType(
+        list(schema.fields) + [T.StructField("_dummy", T.StringType())]
+    )
+    df = (
+        spark.read.option("sep", "|")
+        .option("dateFormat", "yyyy-MM-dd")
+        .schema(schema_with_dummy)
+        .csv(path)
+    )
+    return df.drop("_dummy")
+
+
+# --- Test-table registry ----------------------------------------------------
+
+
+# Parquet TIMESTAMP(NANOS) columns (written by pandas datetime64[ns]) are
+# illegal for Spark's reader; read them as raw long nanos and truncate to
+# microsecond timestamps (matching DuckDB's ns->us coercion).
+_NANOS_TS_COLS: dict[str, tuple[str, ...]] = {"events": ("ts",)}
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    nanos_cols = _NANOS_TS_COLS.get(name, ())
+    if nanos_cols:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(path)
+    for c in nanos_cols:
+        if isinstance(df.schema[c].dataType, T.LongType):
+            df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
+    return df
+
+
+def register_tables(
+    spark: SparkSession, sf_dir: str, tables: tuple[str, ...] = TABLES
+) -> dict[str, DataFrame]:
+    """Register each test parquet as a temp view (reference semantics of
+    ``prepare_table_view``, one engine: ours)."""
+    out: dict[str, DataFrame] = {}
+    for name in tables:
+        df = load_table(spark, sf_dir, name)
+        df.createOrReplaceTempView(name)
+        out[name] = df
+    return out

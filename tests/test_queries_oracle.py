@@ -1,0 +1,42 @@
+"""Every registered query with an oracle must match DuckDB exactly — the same
+check the driver runs at sf0.01.  Run at sf0.001 for speed; the nightly /
+pre-commit pass can set LAKEHOUSE_TEST_SF=/root/testdata/sf0.01."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from lakehouse_sfc_spark.queries import QUERIES
+from tests._compare import compare_query
+
+SF_DIR = os.environ.get("LAKEHOUSE_TEST_SF", "/root/testdata/sf0.001")
+
+_WITH_ORACLE = sorted(n for n, s in QUERIES.items() if s.oracle is not None)
+_ROWS_ONLY = sorted(n for n, s in QUERIES.items() if s.oracle is None)
+
+
+@pytest.mark.parametrize("name", _WITH_ORACLE)
+def test_oracle_match(spark, name):
+    spec = QUERIES[name]
+    compare_query(spark, SF_DIR, spec.fn, spec.oracle)
+
+
+@pytest.mark.parametrize("name", _ROWS_ONLY)
+def test_rows_only_runs(spark, name):
+    spec = QUERIES[name]
+    df = spec.fn(spark, SF_DIR)
+    assert df.count() >= 0
+    assert len(df.schema.fields) > 0
+
+
+def test_entry_contract(spark):
+    import __spark_entry__ as e
+
+    df = e.entry(spark)
+    assert df.count() > 0
+    qs = e.queries()
+    os_ = e.oracle_sql()
+    assert set(os_) <= set(qs)
+    assert len(qs) >= 10
