@@ -1,0 +1,62 @@
+"""Benchmark runner: headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
+
+Prints ONE JSON line:
+  {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Per-query protocol mirrors the reference runner (run_queries.py:597-705):
+clear cache, warmup run discarded, then a timed run driven to completion with
+a count-style action.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+from pathlib import Path
+
+_REPO = Path(__file__).resolve().parent
+if str(_REPO) not in sys.path:
+    sys.path.insert(0, str(_REPO))
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = float(Path(sf_dir).name.replace("sf", "") or 0.1)
+
+    from lakehouse_sfc_spark.queries.registry import QUERIES
+    import lakehouse_sfc_spark.queries  # noqa: F401  (register all)
+    from lakehouse_sfc_spark.session import get_spark
+
+    spark = get_spark(app_name="lakehouse_sfc_spark-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    headline = [n for n, s in sorted(QUERIES.items()) if s.headline]
+    timings: dict[str, float] = {}
+    for name in headline:
+        fn = QUERIES[name].fn
+        spark.catalog.clearCache()
+        fn(spark, sf_dir).count()  # warmup run, discarded
+        t0 = time.perf_counter()
+        fn(spark, sf_dir).count()
+        timings[name] = round(time.perf_counter() - t0, 4)
+
+    total = round(sum(timings.values()), 4)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
