@@ -1,0 +1,94 @@
+"""Per-file min/max/count stats sidecar — the piece vanilla Spark lacks for
+Delta/Hudi/Iceberg-style file skipping (SURVEY.md §4: Spark prunes row
+groups inside a file and hive partitions, but has no file-stats index for
+plain parquet).
+
+Collection is ONE distributed Spark job: scan only the stats columns,
+group by ``input_file_name()``, aggregate min/max/count/null-count per file.
+At 100 TB this is a column-pruned scan with a cheap (files-count-sized)
+shuffle; no driver-side footer loop.
+
+Sidecar format: ``<table>/_sfc_stats.json`` —
+``{"columns": [...], "files": {file_uri: {"count": n, "cols":
+{col: {"min": v, "max": v, "nulls": n}}}}}`` with dates/timestamps stored as
+ISO strings (ISO order == chronological order, so string comparison prunes
+correctly).
+"""
+
+from __future__ import annotations
+
+import datetime
+import json
+import os
+from urllib.parse import urlparse
+
+from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
+
+SIDECAR_NAME = "_sfc_stats.json"
+
+
+def _jsonable(v):
+    if isinstance(v, datetime.datetime):
+        return v.isoformat(sep=" ")
+    if isinstance(v, datetime.date):
+        return v.isoformat()
+    return v
+
+
+def collect_file_stats(
+    spark: SparkSession, path: str, stats_cols: list[str]
+) -> str:
+    """Aggregate per-file stats for ``stats_cols`` over the parquet files at
+    ``path`` and write the sidecar next to them.  Returns the sidecar path."""
+    df = spark.read.parquet(path)
+    aggs = [F.count(F.lit(1)).alias("__count")]
+    for c in stats_cols:
+        aggs += [
+            F.min(c).alias(f"__min_{c}"),
+            F.max(c).alias(f"__max_{c}"),
+            F.count(F.when(F.col(c).isNull(), 1)).alias(f"__nulls_{c}"),
+        ]
+    rows = (
+        df.select(F.input_file_name().alias("__file"), *stats_cols)
+        .groupBy("__file")
+        .agg(*aggs)
+        .collect()
+    )
+    files = {}
+    for r in rows:
+        files[r["__file"]] = {
+            "count": r["__count"],
+            "cols": {
+                c: {
+                    "min": _jsonable(r[f"__min_{c}"]),
+                    "max": _jsonable(r[f"__max_{c}"]),
+                    "nulls": r[f"__nulls_{c}"],
+                }
+                for c in stats_cols
+            },
+        }
+    sidecar = {"columns": stats_cols, "files": files}
+    out_path = os.path.join(path, SIDECAR_NAME)
+    with open(out_path, "w") as f:
+        json.dump(sidecar, f, default=str)
+    return out_path
+
+
+def read_sidecar(path: str) -> dict | None:
+    p = os.path.join(path, SIDECAR_NAME)
+    if not os.path.exists(p):
+        return None
+    with open(p) as f:
+        return json.load(f)
+
+
+def file_size(file_uri: str) -> int:
+    p = urlparse(file_uri)
+    local = p.path if p.scheme in ("file", "") else None
+    if local is None:
+        return 0
+    try:
+        return os.path.getsize(local)
+    except OSError:
+        return 0

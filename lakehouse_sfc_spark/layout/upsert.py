@@ -1,0 +1,97 @@
+"""Keyed upsert (Hudi COW semantics, natively) + incremental batch builder.
+
+- ``keyed_upsert``: base ∪ batch → latest-wins per record key by precombine
+  field → rewrite.  Mirrors Hudi ``OverwriteWithLatestAvroPayload``
+  (hudi_upsert.py:169-283; precombine dedup at :259) as a window dedup —
+  one shuffle on the record key.  Incoming batches are schema-aligned the
+  same way (cast / add-null / reorder, hudi_upsert.py:114-147).
+- ``build_update_batches``: shuffle a dataset into N parquet batches for
+  incremental-ingest experiments (build_tpch_update_batches.py:61-74).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from lakehouse_sfc_spark.layout.writer import layout_write
+
+
+def align_schema(batch: DataFrame, target: DataFrame) -> DataFrame:
+    """Cast/reorder batch columns to the target schema; missing columns are
+    null-filled; extra columns dropped (hudi_upsert.py:114-147)."""
+    target_fields = {f.name: f.dataType for f in target.schema.fields}
+    cols = []
+    batch_cols = set(batch.columns)
+    for f in target.schema.fields:
+        if f.name in batch_cols:
+            cols.append(F.col(f.name).cast(f.dataType).alias(f.name))
+        else:
+            cols.append(F.lit(None).cast(f.dataType).alias(f.name))
+    return batch.select(*cols)
+
+
+def dedup_latest(
+    df: DataFrame, record_keys: list[str], precombine: str
+) -> DataFrame:
+    """Keep the row with max(precombine) per record key (ties broken
+    deterministically by all columns)."""
+    order = [F.desc(precombine)] + [
+        F.desc(c) for c in df.columns if c != precombine
+    ]
+    w = Window.partitionBy(*record_keys).orderBy(*order)
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
+def keyed_upsert(
+    base_path: str,
+    batch: DataFrame,
+    record_keys: list[str],
+    precombine: str,
+    layout: str = "baseline",
+    layout_cols: list[str] | None = None,
+    **write_kwargs,
+) -> dict:
+    """COW upsert: read base, union the aligned batch, window-dedup, rewrite
+    with the table's layout.  v1 rewrites the whole table (the reference's
+    WHERE-scoped OPTIMIZE maps to partition-scoped rewrite later)."""
+    spark = batch.sparkSession
+    base = spark.read.parquet(base_path)
+    aligned = align_schema(batch, base)
+    merged = dedup_latest(base.unionByName(aligned), record_keys, precombine)
+    # Rewrite to a sibling temp dir, then swap — parquet sources cannot
+    # overwrite a path they are reading.
+    tmp = base_path.rstrip("/") + ".__upsert_tmp"
+    result = layout_write(
+        merged, tmp, layout=layout, layout_cols=layout_cols, **write_kwargs
+    )
+    import shutil
+
+    shutil.rmtree(base_path)
+    os.rename(tmp, base_path)
+    result["path"] = base_path
+    return result
+
+
+def build_update_batches(
+    df: DataFrame, out_dir: str, n_batches: int, seed: int = 42
+) -> list[str]:
+    """Shuffle into N equal batches batch_01..batch_NN
+    (build_tpch_update_batches.py:61-74, verbatim semantics: ntile over
+    rand(seed))."""
+    w = Window.orderBy(F.rand(seed))
+    batched = df.withColumn("__batch", F.ntile(n_batches).over(w))
+    paths = []
+    for i in range(1, n_batches + 1):
+        p = os.path.join(out_dir, f"batch_{i:02d}")
+        batched.filter(F.col("__batch") == i).drop("__batch").write.mode(
+            "overwrite"
+        ).parquet(p)
+        paths.append(p)
+    return paths

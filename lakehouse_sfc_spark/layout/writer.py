@@ -1,0 +1,127 @@
+"""Layout writer: baseline | linear | zorder | hilbert parquet writes with
+target-file-size control and a per-file min/max stats sidecar.
+
+This collapses the reference's three engine-specific write paths into one
+deterministic DataFrame transform (SURVEY.md §1.4):
+- Delta:   delta_write_layout.py:165-219 (repartitionByRange + sort, then
+           OPTIMIZE ZORDER)
+- Iceberg: iceberg_write_layout.py:184-265 (CTAS + rewrite_data_files zorder)
+- Hudi:    hudi_write_layout.py:157-228 (bulk_insert + clustering strategy)
+
+Spark-first shape: ``repartitionByRange`` on the curve key gives
+range-disjoint files (each file owns a contiguous key span — exactly what
+min/max file skipping needs), ``sortWithinPartitions`` tightens per-file
+column ranges, and the file count is sized from input bytes / target file
+size so output files land near the 128 MB clustering target the reference
+uses (hudi_write_layout.py:118-121).
+"""
+
+from __future__ import annotations
+
+import math
+import os
+from urllib.parse import urlparse
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from lakehouse_sfc_spark.layout.stats import collect_file_stats
+from lakehouse_sfc_spark.sfc.keys import add_sfc_key
+
+LAYOUTS = ("baseline", "linear", "zorder", "hilbert")
+
+_LAYOUT_ALIASES = {
+    # Hudi spelling normalization (tpch_all_loader.py:117-122)
+    "no_layout": "baseline",
+    "z-order": "zorder",
+}
+
+
+def estimate_bytes(df: DataFrame) -> int | None:
+    """Input size from the scan's files; None when the plan has no file
+    source (e.g. in-memory ranges)."""
+    total = 0
+    files = df.inputFiles()
+    if not files:
+        return None
+    for f in files:
+        p = urlparse(f)
+        path = p.path if p.scheme in ("file", "") else None
+        if path is None:
+            return None  # non-local FS: caller should pass num_files
+        try:
+            total += os.path.getsize(path)
+        except OSError:
+            return None
+    return total
+
+
+def plan_num_files(df: DataFrame, target_file_mb: int) -> int:
+    nbytes = estimate_bytes(df)
+    if nbytes is None:
+        return df.sparkSession.sparkContext.defaultParallelism
+    return max(1, math.ceil(nbytes / (target_file_mb * 1024 * 1024)))
+
+
+def layout_write(
+    df: DataFrame,
+    path: str,
+    layout: str = "baseline",
+    layout_cols: list[str] | None = None,
+    partition_by: list[str] | None = None,
+    target_file_mb: int = 128,
+    num_files: int | None = None,
+    stats_cols: list[str] | None = None,
+    bits: int | None = None,
+    cell_mode: str = "minmax",
+    mode: str = "overwrite",
+) -> dict:
+    """Write ``df`` to ``path`` with the requested physical layout and collect
+    the stats sidecar.  Returns a summary dict (layout, files, stats path)."""
+    layout = _LAYOUT_ALIASES.get(layout, layout)
+    if layout not in LAYOUTS:
+        raise ValueError(f"layout must be one of {LAYOUTS}, got {layout!r}")
+    if layout != "baseline" and not layout_cols:
+        raise ValueError(f"layout {layout!r} requires layout_cols")
+    if partition_by and layout in ("zorder", "hilbert"):
+        # Z-order cols must exclude partition cols (delta_write_layout.py:267-272)
+        overlap = set(partition_by) & set(layout_cols or [])
+        if overlap:
+            raise ValueError(f"layout cols {overlap} cannot also be partition cols")
+
+    n = num_files or plan_num_files(df, target_file_mb)
+
+    if layout == "baseline":
+        out = df.repartition(n)
+    elif layout == "linear":
+        # lexicographic clustering: range partition + in-partition sort on the
+        # raw columns (delta_write_layout.py:165-181)
+        out = df.repartitionByRange(n, *layout_cols).sortWithinPartitions(
+            *layout_cols
+        )
+    else:
+        keyed = add_sfc_key(
+            df, layout_cols, curve=layout, bits=bits, mode=cell_mode
+        )
+        out = (
+            keyed.repartitionByRange(n, F.col("_sfc"))
+            .sortWithinPartitions("_sfc")
+            .drop("_sfc")
+        )
+
+    writer = out.write.mode(mode)
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(path)
+
+    stats_cols = stats_cols or layout_cols or []
+    sidecar = None
+    if stats_cols:
+        sidecar = collect_file_stats(df.sparkSession, path, stats_cols)
+    return {
+        "layout": layout,
+        "path": path,
+        "planned_files": n,
+        "stats_cols": stats_cols,
+        "sidecar": sidecar,
+    }

@@ -1,2 +1,89 @@
-"""Layout-invariance queries (SFC write + pruned scan == full scan) — filled
-in once the layout writer and pruner land."""
+"""Layout-invariance queries: write an SFC layout of lineitem, run a
+file-pruned scan over it, and aggregate — the result must match the oracle's
+plain filter over the raw table (the reference's correctness-by-invariance
+strategy, SURVEY.md §5, as an explicit driver-checked query).
+
+The layout copy is cached under .scratch/layout_cache/<sf>/<layout> and
+rebuilt when absent (keyed by a version tag so stale layouts from older
+kernel revisions never leak into results).
+"""
+
+from __future__ import annotations
+
+import datetime
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from lakehouse_sfc_spark.queries.registry import dsum, register, sql_dsum
+from lakehouse_sfc_spark.sources.loader import load_table
+from lakehouse_sfc_spark.table import Pred, SfcTable
+
+_VERSION = "v1"  # bump when key/layout semantics change
+_LAYOUT_COLS = ["l_shipdate", "l_quantity"]
+_PREDS = [
+    Pred(
+        "l_shipdate",
+        "between",
+        (datetime.datetime(1996, 1, 1), datetime.datetime(1997, 6, 30)),
+    ),
+    Pred("l_quantity", "between", (10.0, 30.0)),
+]
+_ORACLE = f"""
+    SELECT COUNT(*) AS cnt, {sql_dsum("l_quantity", "sum_qty")}
+    FROM lineitem
+    WHERE l_shipdate BETWEEN TIMESTAMP '1996-01-01' AND TIMESTAMP '1997-06-30'
+      AND l_quantity BETWEEN 10 AND 30
+    """
+
+
+def _scratch_root() -> str:
+    repo = os.path.dirname(os.path.dirname(os.path.dirname(__file__)))
+    return os.path.join(repo, ".scratch", "layout_cache", _VERSION)
+
+
+def _layout_table(spark: SparkSession, sf_dir: str, layout: str) -> SfcTable:
+    sf_name = os.path.basename(os.path.normpath(sf_dir))
+    path = os.path.join(_scratch_root(), sf_name, layout)
+    from lakehouse_sfc_spark.layout.stats import read_sidecar
+
+    if read_sidecar(path) is None:
+        li = load_table(spark, sf_dir, "lineitem")
+        return SfcTable.write(
+            li,
+            path,
+            layout=layout,
+            layout_cols=_LAYOUT_COLS,
+            stats_cols=_LAYOUT_COLS,
+            num_files=16,
+        )
+    return SfcTable(spark, path)
+
+
+def _pruned_box_agg(spark: SparkSession, sf_dir: str, layout: str) -> DataFrame:
+    tbl = _layout_table(spark, sf_dir, layout)
+    return tbl.scan(_PREDS).agg(
+        F.count(F.lit(1)).alias("cnt"), dsum("l_quantity", "sum_qty")
+    )
+
+
+@register("layout_zorder_scan", oracle=_ORACLE, headline=True)
+def layout_zorder_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order clustered write + min/max file-pruned scan (native analog of
+    Delta OPTIMIZE ZORDER + data skipping, delta_write_layout.py:195-219)."""
+    return _pruned_box_agg(spark, sf_dir, "zorder")
+
+
+@register("layout_hilbert_scan", oracle=_ORACLE)
+def layout_hilbert_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hilbert clustered write + pruned scan (Hudi hilbert clustering,
+    hudi_write_layout.py:111-115)."""
+    return _pruned_box_agg(spark, sf_dir, "hilbert")
+
+
+@register("layout_linear_scan", oracle=_ORACLE)
+def layout_linear_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear (lexicographic) clustered write + pruned scan
+    (delta_write_layout.py:165-181)."""
+    return _pruned_box_agg(spark, sf_dir, "linear")

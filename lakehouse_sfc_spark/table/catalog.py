@@ -1,0 +1,51 @@
+"""Path-based table abstraction: a parquet directory + its layout metadata +
+stats sidecar, with a pruned ``scan`` (the engine's replacement for the
+lakehouse table formats the reference drives; run_queries.py:86-125)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from lakehouse_sfc_spark.layout.stats import read_sidecar
+from lakehouse_sfc_spark.layout.writer import layout_write
+from lakehouse_sfc_spark.table.pruning import Pred, read_pruned
+
+
+class SfcTable:
+    """A layout-managed parquet table."""
+
+    def __init__(self, spark: SparkSession, path: str):
+        self.spark = spark
+        self.path = path
+        self.last_scan_metrics: dict | None = None
+
+    # -- write ---------------------------------------------------------------
+
+    @classmethod
+    def write(
+        cls,
+        df: DataFrame,
+        path: str,
+        layout: str = "baseline",
+        layout_cols: list[str] | None = None,
+        **kwargs,
+    ) -> "SfcTable":
+        layout_write(df, path, layout=layout, layout_cols=layout_cols, **kwargs)
+        return cls(df.sparkSession, path)
+
+    # -- read ----------------------------------------------------------------
+
+    def read(self) -> DataFrame:
+        return self.spark.read.parquet(self.path)
+
+    def scan(self, predicates: list[Pred]) -> DataFrame:
+        """File-pruned scan; per-scan metrics land in ``last_scan_metrics``
+        (files_scanned / bytes_scanned — the reference's headline measurement,
+        run_queries.py:737-742)."""
+        df, metrics = read_pruned(self.spark, self.path, predicates)
+        self.last_scan_metrics = metrics
+        return df
+
+    @property
+    def sidecar(self) -> dict | None:
+        return read_sidecar(self.path)

@@ -1,0 +1,172 @@
+"""Layout + pruning: the reference's correctness-by-invariance strategy made
+explicit (SURVEY.md §5): the same query over every layout of the same data
+returns identical results, and selective predicates scan fewer files on
+SFC layouts than baseline."""
+
+from __future__ import annotations
+
+import datetime
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from lakehouse_sfc_spark.layout import (
+    build_update_batches,
+    keyed_upsert,
+    layout_write,
+)
+from lakehouse_sfc_spark.sources.loader import load_table
+from lakehouse_sfc_spark.table import Pred, SfcTable
+
+SF = "/root/testdata/sf0.001"
+LAYOUT_COLS = ["l_shipdate", "l_quantity"]
+PREDS = [
+    Pred("l_shipdate", "between",
+         (datetime.datetime(1996, 1, 1), datetime.datetime(1996, 6, 30))),
+    Pred("l_quantity", "between", (10.0, 20.0)),
+]
+
+
+@pytest.fixture(scope="module")
+def layout_tables(spark, tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("layouts"))
+    li = load_table(spark, SF, "lineitem")
+    tables = {}
+    for layout in ("baseline", "linear", "zorder", "hilbert"):
+        path = os.path.join(root, layout)
+        tables[layout] = SfcTable.write(
+            li, path, layout=layout,
+            layout_cols=None if layout == "baseline" else LAYOUT_COLS,
+            stats_cols=LAYOUT_COLS, num_files=16,
+        )
+    return tables
+
+
+def _result_hash(df):
+    rows = sorted(tuple(str(x) for x in r) for r in df.collect())
+    return hash(tuple(rows))
+
+
+def test_layout_invariance(spark, layout_tables):
+    """Same data, same query, every layout -> identical results."""
+    hashes = {}
+    counts = {}
+    for layout, tbl in layout_tables.items():
+        df = tbl.scan(PREDS)
+        hashes[layout] = _result_hash(df)
+        counts[layout] = df.count()
+    assert len(set(hashes.values())) == 1, f"result divergence: {counts}"
+
+
+def test_pruned_equals_unpruned(spark, layout_tables):
+    from lakehouse_sfc_spark.table.pruning import preds_to_column
+
+    tbl = layout_tables["zorder"]
+    pruned = tbl.scan(PREDS).count()
+    unpruned = tbl.read().filter(preds_to_column(PREDS)).count()
+    assert pruned == unpruned > 0
+
+
+def test_sfc_layouts_skip_files(spark, layout_tables):
+    scanned = {}
+    for layout, tbl in layout_tables.items():
+        tbl.scan(PREDS).count()
+        m = tbl.last_scan_metrics
+        assert m["files_total"] == 16
+        scanned[layout] = m["files_scanned"]
+    # selective 2-dim box: clustered layouts must skip files; baseline won't
+    assert scanned["zorder"] < scanned["baseline"]
+    assert scanned["hilbert"] < scanned["baseline"]
+    assert scanned["linear"] <= scanned["baseline"]
+    assert scanned["baseline"] == 16  # random layout: every file may match
+
+
+def test_empty_pruning_result(spark, layout_tables):
+    tbl = layout_tables["zorder"]
+    far_future = [Pred("l_shipdate", ">=", datetime.datetime(2050, 1, 1))]
+    df = tbl.scan(far_future)
+    assert df.count() == 0
+    assert tbl.last_scan_metrics["files_scanned"] == 0
+
+
+def test_eq_and_in_pruning(spark, layout_tables):
+    tbl = layout_tables["zorder"]
+    df = tbl.scan([Pred("l_quantity", "==", 25.0)])
+    assert df.count() > 0
+    assert df.filter(F.col("l_quantity") != 25.0).count() == 0
+    df2 = tbl.scan([Pred("l_quantity", "in", [1.0, 50.0])])
+    assert df2.count() > 0
+
+
+def test_target_file_size_sizing(spark, tmp_path_factory):
+    li = load_table(spark, SF, "lineitem")
+    out = str(tmp_path_factory.mktemp("sizing") / "t")
+    res = layout_write(li, out, layout="zorder", layout_cols=["l_quantity"],
+                       target_file_mb=1)
+    n_files = len([f for f in os.listdir(out) if f.endswith(".parquet")])
+    # sf0.001 lineitem is < 1 MB -> one file
+    assert res["planned_files"] == n_files == 1
+
+
+def test_keyed_upsert_latest_wins(spark, tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("upsert"))
+    base_path = os.path.join(root, "t")
+    ev = load_table(spark, SF, "events")
+    layout_write(ev, base_path, layout="baseline", stats_cols=["ts"])
+
+    # batch: bump value for 10 known event_ids + 5 brand-new rows
+    upd = (
+        ev.limit(10)
+        .withColumn("value", F.lit(9999.0))
+        .withColumn("ts", F.col("ts") + F.expr("INTERVAL 1000 DAYS"))
+    )
+    new = (
+        ev.limit(5)
+        .withColumn("event_id", F.col("event_id") + 10_000_000)
+    )
+    batch = upd.unionByName(new)
+    before = ev.count()
+
+    keyed_upsert(base_path, batch, ["event_id"], "ts")
+    after = spark.read.parquet(base_path)
+    assert after.count() == before + 5
+    assert after.filter(F.col("value") == 9999.0).count() == 10
+
+
+def test_upsert_schema_alignment(spark, tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("align"))
+    base_path = os.path.join(root, "t")
+    ev = load_table(spark, SF, "events")
+    layout_write(ev, base_path, layout="baseline", stats_cols=["ts"])
+    # batch missing columns + an extra one + int-typed value
+    batch = (
+        ev.limit(3)
+        .select(
+            (F.col("event_id") + 20_000_000).alias("event_id"),
+            "ts",
+            "user_id",
+            F.lit(7).alias("value"),          # int -> must cast to double
+            F.lit("x").alias("extra_col"),    # must be dropped
+        )
+    )
+    keyed_upsert(base_path, batch, ["event_id"], "ts")
+    after = spark.read.parquet(base_path)
+    assert "extra_col" not in after.columns
+    added = after.filter(F.col("event_id") >= 20_000_000)
+    assert added.count() == 3
+    assert added.filter(F.col("event_type").isNull()).count() == 3
+
+
+def test_build_update_batches(spark, tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("batches"))
+    o = load_table(spark, SF, "orders")
+    paths = build_update_batches(o, out, 4)
+    sizes = [spark.read.parquet(p).count() for p in paths]
+    assert sum(sizes) == o.count()
+    assert max(sizes) - min(sizes) <= 1  # ntile equal split
+    # batches are disjoint
+    total_distinct = (
+        spark.read.parquet(*paths).select("o_orderkey").distinct().count()
+    )
+    assert total_distinct == o.count()
