@@ -1,0 +1,300 @@
+"""Text-analysis and multimodal operators over ``documents`` — the
+quality/filtering stages of a training-data pipeline (language ID, quality
+scoring, token counting, fingerprinting, multimodal decode plumbing).
+
+Everything except the multimodal decode is pure built-in expressions
+(JVM-side, codegen-friendly); the decode stage demonstrates the Arrow
+``mapInPandas`` path with a deterministic fake codec
+(see operators/multimodal.py).
+
+Cross-engine notes: token counts cast to BIGINT on both sides (Spark ``size``
+is INT, DuckDB ``len`` is BIGINT); ratios are computed with the identical
+expression tree in both engines so doubles are bit-equal; regex patterns stay
+within the ASCII subset where Java regex and RE2 agree.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from lakehouse_sfc_spark.operators.multimodal import (
+    DECODED_SCHEMA,
+    decode_stub_batches,
+)
+from lakehouse_sfc_spark.queries.registry import register
+from lakehouse_sfc_spark.sources.loader import load_table
+
+# shared normalized tokenization (same as datapipe)
+_SQL_TOKENS = (
+    "string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')"
+)
+
+
+def _tokens(c: Column) -> Column:
+    return F.split(F.trim(F.regexp_replace(F.lower(c), r"\s+", " ")), " ")
+
+
+# --- T1: token counting -----------------------------------------------------
+
+_BPE_RE = "[a-z]+|[0-9]+|[^a-z0-9 ]"
+
+
+@register(
+    "text_token_count",
+    oracle=f"""
+    SELECT doc_id,
+           len({_SQL_TOKENS})::BIGINT AS ws_tokens,
+           len(regexp_extract_all(
+                 trim(regexp_replace(lower(text), '\\s+', ' ', 'g')),
+                 '{_BPE_RE}'))::BIGINT AS bpe_tokens,
+           strlen(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))::BIGINT
+             AS n_bytes_norm
+    FROM documents
+    """,
+)
+def text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whitespace token count plus a BPE-ish subword proxy (letter runs, digit
+    runs, single punctuation — the standard pre-tokenizer split) counted with
+    ``regexp_count`` so the whole thing stays in codegen."""
+    d = load_table(spark, sf_dir, "documents")
+    norm = F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " "))
+    return d.select(
+        "doc_id",
+        F.size(F.split(norm, " ")).cast("bigint").alias("ws_tokens"),
+        F.regexp_count(norm, F.lit(_BPE_RE)).cast("bigint").alias("bpe_tokens"),
+        F.octet_length(norm).cast("bigint").alias("n_bytes_norm"),
+    )
+
+
+# --- T2: quality scoring ----------------------------------------------------
+
+_EN_STOP = ["the", "a", "of", "and", "to", "in", "is", "for", "on", "with"]
+
+
+@register(
+    "text_quality_score",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, {_SQL_TOKENS} AS w FROM documents
+    ), m AS (
+      SELECT doc_id,
+             len(w)::BIGINT AS n_words,
+             list_sum(list_transform(w, x -> strlen(x)))::DOUBLE / len(w)
+               AS mean_wlen,
+             len(list_intersect(list_distinct(w),
+                 ['the','a','of','and','to','in','is','for','on','with']
+               ))::DOUBLE / len(list_distinct(w)) AS stop_ratio
+      FROM t WHERE len(w) > 0
+    )
+    SELECT doc_id, n_words,
+           floor(mean_wlen * 10000) / 10000 AS mean_wlen,
+           floor(stop_ratio * 10000) / 10000 AS stop_ratio,
+           floor((0.5 * stop_ratio
+                  + 0.5 * (least(n_words, 200) / 200.0)) * 10000) / 10000
+             AS quality
+    FROM m
+    """,
+)
+def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic document quality: length credit + stopword-density credit
+    (the classic Gopher/C4-style cheap filters).  Pure rational arithmetic in
+    an identical expression tree on both engines ⇒ bit-equal doubles."""
+    d = load_table(spark, sf_dir, "documents")
+    w = _tokens(F.col("text"))
+    t = d.select("doc_id", w.alias("w")).filter(F.size("w") > 0)
+    n_words = F.size("w").cast("bigint")
+    sum_len = F.aggregate(
+        F.transform(F.col("w"), lambda x: F.octet_length(x)),
+        F.lit(0),
+        lambda acc, x: acc + x,
+    )
+    mean_wlen = sum_len.cast("double") / F.size("w")
+    distinct_w = F.array_distinct(F.col("w"))
+    stop_ratio = (
+        F.size(
+            F.array_intersect(distinct_w, F.array(*[F.lit(s) for s in _EN_STOP]))
+        ).cast("double")
+        / F.size(distinct_w)
+    )
+    m = t.select(
+        "doc_id",
+        n_words.alias("n_words"),
+        mean_wlen.alias("mean_wlen"),
+        stop_ratio.alias("stop_ratio"),
+    )
+    def fl4(c: Column) -> Column:
+        # floor-truncation instead of round(): Spark rounds the decimal
+        # rendering HALF_UP while DuckDB rounds the binary double, so values
+        # landing on a .5 boundary (easy with /200-style rationals) diverge.
+        return F.floor(c * 10000) / 10000
+
+    return m.select(
+        "doc_id",
+        "n_words",
+        fl4(F.col("mean_wlen")).alias("mean_wlen"),
+        fl4(F.col("stop_ratio")).alias("stop_ratio"),
+        fl4(
+            F.lit(0.5) * F.col("stop_ratio")
+            + F.lit(0.5) * (F.least(F.col("n_words"), F.lit(200)) / F.lit(200.0))
+        ).alias("quality"),
+    )
+
+
+# --- T3: language ID --------------------------------------------------------
+
+_LANG_STOPS = {
+    "en": ["the", "and", "of", "to", "is"],
+    "es": ["el", "la", "de", "y", "que"],
+    "de": ["der", "die", "und", "das", "ist"],
+    "fr": ["le", "la", "et", "les", "est"],
+}
+
+
+def _sql_hits(lang: str) -> str:
+    lst = ", ".join(f"'{s}'" for s in _LANG_STOPS[lang])
+    return f"len(list_intersect(dw, [{lst}]))"
+
+
+@register(
+    "text_lang_id",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, lang, list_distinct({_SQL_TOKENS}) AS dw FROM documents
+    ), p AS (
+      SELECT lang,
+             CASE
+               WHEN {_sql_hits("en")} >= {_sql_hits("es")}
+                AND {_sql_hits("en")} >= {_sql_hits("de")}
+                AND {_sql_hits("en")} >= {_sql_hits("fr")} THEN 'en'
+               WHEN {_sql_hits("es")} >= {_sql_hits("de")}
+                AND {_sql_hits("es")} >= {_sql_hits("fr")} THEN 'es'
+               WHEN {_sql_hits("de")} >= {_sql_hits("fr")} THEN 'de'
+               ELSE 'fr'
+             END AS pred_lang
+      FROM t
+    )
+    SELECT lang, pred_lang, COUNT(*) AS n_docs
+    FROM p GROUP BY lang, pred_lang
+    """,
+)
+def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-profile language ID (n-gram-heuristic family) with a fixed
+    tie-break priority en>es>de>fr, reported as a truth×prediction confusion
+    table.  One narrow projection + one small groupBy — scales as a scan."""
+    d = load_table(spark, sf_dir, "documents")
+    dw = F.array_distinct(_tokens(F.col("text")))
+    t = d.select("doc_id", "lang", dw.alias("dw"))
+
+    def hits(lang: str) -> Column:
+        return F.size(
+            F.array_intersect(
+                F.col("dw"), F.array(*[F.lit(s) for s in _LANG_STOPS[lang]])
+            )
+        )
+
+    en, es, de, fr = (hits(x) for x in ("en", "es", "de", "fr"))
+    pred = (
+        F.when((en >= es) & (en >= de) & (en >= fr), "en")
+        .when((es >= de) & (es >= fr), "es")
+        .when(de >= fr, "de")
+        .otherwise("fr")
+    )
+    return (
+        t.select("lang", pred.alias("pred_lang"))
+        .groupBy("lang", "pred_lang")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+
+
+# --- T4: fingerprinting -----------------------------------------------------
+
+
+@register(
+    "text_fingerprint",
+    oracle=f"""
+    WITH f AS (
+      SELECT doc_id,
+             md5(array_to_string(list_sort(list_distinct({_SQL_TOKENS})), ' '))
+               AS fp
+      FROM documents
+    )
+    SELECT fp, COUNT(*) AS n_docs, MIN(doc_id) AS keep_id
+    FROM f GROUP BY fp HAVING COUNT(*) >= 2
+    """,
+)
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bag-of-words fingerprint (md5 of the sorted distinct vocabulary):
+    groups word-set-identical documents regardless of word order — the cheap
+    middle ground between exact dedup and MinHash.  Shuffles 32-byte
+    fingerprints only."""
+    d = load_table(spark, sf_dir, "documents")
+    fp = F.md5(F.concat_ws(" ", F.array_sort(F.array_distinct(_tokens(F.col("text"))))))
+    return (
+        d.select("doc_id", fp.alias("fp"))
+        .groupBy("fp")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.min("doc_id").alias("keep_id"))
+        .filter(F.col("n_docs") >= 2)
+    )
+
+
+# --- T5/T6: multimodal decode plumbing --------------------------------------
+
+
+def _with_payload(d: DataFrame) -> DataFrame:
+    """Attach the opaque binary payload + typed metadata a multimodal table
+    carries (here a deterministic fake derived from the text bytes)."""
+    return d.select(
+        "doc_id",
+        F.encode(F.col("text"), "UTF-8").alias("payload"),
+        (F.pmod(F.col("doc_id") * 37, F.lit(640)) + 16).cast("int").alias("width"),
+        (F.pmod(F.col("doc_id") * 53, F.lit(480)) + 16).cast("int").alias("height"),
+    )
+
+
+@register(
+    "multimodal_decode",
+    oracle="""
+    SELECT doc_id,
+           strlen(text)::BIGINT AS n_bytes,
+           md5(text) AS checksum,
+           ((doc_id * 37) % 640 + 16)::INTEGER AS width,
+           ((doc_id * 53) % 480 + 16)::INTEGER AS height,
+           (strlen(text) % 7 + 1)::INTEGER AS frames
+    FROM documents
+    """,
+)
+def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-column decode via Arrow ``mapInPandas`` (deterministic stub
+    codec — see operators/multimodal.py for the real-decode seam).  Exercises
+    the full multimodal plumbing: binary payload column, typed metadata,
+    Python batch iteration, stable output schema."""
+    d = load_table(spark, sf_dir, "documents")
+    return _with_payload(d).mapInPandas(decode_stub_batches, DECODED_SCHEMA)
+
+
+@register(
+    "multimodal_frame_sample",
+    oracle="""
+    SELECT doc_id, f.frame_idx::INTEGER AS frame_idx
+    FROM (SELECT doc_id, (strlen(text) % 7 + 1) AS frames FROM documents),
+         LATERAL (SELECT unnest(range(0, frames)) AS frame_idx) f
+    WHERE f.frame_idx % 2 = 0
+    """,
+)
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame sampling over decoded video metadata: explode per-doc frame
+    indices, keep every 2nd frame.  Explode-then-filter is collapsed by
+    Catalyst into a single generate; no shuffle."""
+    d = load_table(spark, sf_dir, "documents")
+    decoded = _with_payload(d).mapInPandas(decode_stub_batches, DECODED_SCHEMA)
+    return (
+        decoded.select(
+            "doc_id",
+            F.explode(
+                F.sequence(F.lit(0), F.col("frames") - 1)
+            ).alias("frame_idx"),
+        )
+        .filter(F.col("frame_idx") % 2 == 0)
+        .select("doc_id", F.col("frame_idx").cast("int").alias("frame_idx"))
+    )
