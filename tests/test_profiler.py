@@ -1,0 +1,145 @@
+"""profile_df correctness against DuckDB-computed ground truth, plus
+ColumnStats/UniDist round-trips (reference shape: wlg/profiler/)."""
+
+from __future__ import annotations
+
+import math
+
+import duckdb
+import pytest
+
+from lakehouse_sfc_spark.profiler import (
+    ColumnStats,
+    UniDist,
+    build_uni_dists,
+    load_yaml,
+    profile_df,
+    save_yaml,
+)
+from lakehouse_sfc_spark.sources.loader import load_table
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def profiled(spark):
+    df = load_table(spark, SF, "orders")
+    return profile_df(df, corr_cap=10_000)
+
+
+def _duck(sql: str):
+    return duckdb.sql(
+        sql.replace("FROM orders", f"FROM '{SF}/orders.parquet'")
+    ).fetchone()
+
+
+def test_counts_and_minmax(profiled):
+    stats, meta = profiled
+    total, nd = _duck("SELECT COUNT(*), COUNT(DISTINCT o_custkey) FROM orders")
+    assert stats["o_custkey"].count == total
+    assert stats["o_custkey"].cardinality == nd
+    lo, hi = _duck("SELECT MIN(o_totalprice), MAX(o_totalprice) FROM orders")
+    assert stats["o_totalprice"].min == pytest.approx(lo)
+    assert stats["o_totalprice"].max == pytest.approx(hi)
+    assert stats["o_totalprice"].kind == "numeric"
+    assert stats["o_orderstatus"].kind == "categorical"
+
+
+def test_datetime_epoch_ms(profiled):
+    stats, _ = profiled
+    st = stats["o_orderdate"]
+    assert st.kind == "datetime"
+    (lo_ms,) = _duck(
+        "SELECT epoch_ms(MIN(o_orderdate)::TIMESTAMP) FROM orders"
+    )
+    assert st.min == pytest.approx(float(lo_ms))
+
+
+def test_histogram_sums_to_nonnull(profiled):
+    stats, _ = profiled
+    st = stats["o_totalprice"]
+    assert st.hist is not None
+    counts, edges = st.hist
+    assert len(edges) == len(counts) + 1
+    assert sum(counts) == st.count - st.nulls
+    assert all(c >= 0 for c in counts)
+
+
+def test_quantiles_monotone_and_median(profiled):
+    stats, _ = profiled
+    st = stats["o_totalprice"]
+    qs = sorted(st.quantiles)
+    vals = [st.quantiles[q] for q in qs]
+    assert vals == sorted(vals)
+    (med,) = _duck(
+        "SELECT quantile_cont(o_totalprice, 0.5) FROM orders"
+    )
+    assert st.quantiles[0.5] == pytest.approx(float(med), rel=1e-9)
+
+
+def test_topk_is_sorted_desc(profiled):
+    stats, _ = profiled
+    tk = stats["o_orderstatus"].topk
+    assert tk, "expected top-k for categorical column"
+    counts = [c for _, c in tk]
+    assert counts == sorted(counts, reverse=True)
+    (nd,) = _duck("SELECT COUNT(DISTINCT o_orderstatus) FROM orders")
+    assert len(tk) == min(50, nd)
+
+
+def test_correlations_shape(profiled):
+    _, meta = profiled
+    corr = meta["correlations"]
+    assert set(corr) == {"pearson", "spearman", "top_pairs"}
+    p = corr["pearson"]
+    cols = list(p)
+    a, b = cols[0], cols[1]
+    assert p[a][b] == p[b][a]
+    assert all(-1.0 - 1e-9 <= p[x][y] <= 1.0 + 1e-9 for x in p for y in p[x])
+    assert corr["top_pairs"] == sorted(
+        corr["top_pairs"], key=lambda d: d["score"], reverse=True
+    )
+
+
+def test_yaml_roundtrip(tmp_path, profiled):
+    stats, meta = profiled
+    path = tmp_path / "stats.yaml"
+    save_yaml(stats, path, metadata={"schema": meta["schema"]})
+    stats2, meta2 = load_yaml(path)
+    assert set(stats2) == set(stats)
+    st, st2 = stats["o_totalprice"], stats2["o_totalprice"]
+    assert st2.count == st.count and st2.cardinality == st.cardinality
+    assert st2.hist[0] == st.hist[0]
+    assert meta2["schema"] == meta["schema"]
+
+
+def test_unidist_inverse_cdf(profiled):
+    stats, _ = profiled
+    dists = build_uni_dists(stats)
+    d = dists["o_totalprice"]
+    assert d.inv_cdf(0.0) == pytest.approx(d.edges[0])
+    assert d.inv_cdf(1.0) == pytest.approx(d.edges[-1])
+    xs = [d.inv_cdf(p / 10) for p in range(11)]
+    assert xs == sorted(xs)
+    med = d.inv_cdf(0.5)
+    st = stats["o_totalprice"]
+    assert abs(med - st.quantiles[0.5]) < (st.max - st.min) * 0.05
+
+
+def test_columnstats_roundtrip():
+    st = ColumnStats(
+        count=10, nulls=1, kind="numeric", min=0.0, max=9.0,
+        quantiles={0.5: 4.5}, hist=([5, 4], [0.0, 4.5, 9.0]),
+        cardinality=9, topk=[],
+    )
+    assert ColumnStats.from_dict(st.to_dict()) == st
+
+
+def test_unidist_validates():
+    with pytest.raises(ValueError):
+        UniDist([1, 2], [0.0, 1.0])
+    d = UniDist([0, 0], [0.0, 1.0, 2.0])
+    assert d.inv_cdf(0.7) == 0.0
+    with pytest.raises(ValueError):
+        d.inv_cdf(1.5)
+    assert not math.isnan(d.inv_cdf(0.3))
