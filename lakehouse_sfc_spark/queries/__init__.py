@@ -8,6 +8,7 @@ from lakehouse_sfc_spark.queries import setops  # noqa: E402,F401
 from lakehouse_sfc_spark.queries import datapipe  # noqa: E402,F401
 from lakehouse_sfc_spark.queries import textops  # noqa: E402,F401
 from lakehouse_sfc_spark.queries import profilerq  # noqa: E402,F401
+from lakehouse_sfc_spark.queries import streamq  # noqa: E402,F401
 from lakehouse_sfc_spark.queries import layouts  # noqa: E402,F401
 
 __all__ = ["QUERIES", "queries", "oracles"]

@@ -1,0 +1,103 @@
+"""Streaming + sessionization queries over ``events``.
+
+``stream_tumbling_agg`` actually runs Structured Streaming
+(Trigger.AvailableNow → memory sink) and is still oracle-checked: with the
+full backlog processed, the windowed result equals the batch aggregation,
+which DuckDB expresses with time_bucket.
+
+``sessionize_events`` is the batch twin of the stateful streaming
+sessionizer (streaming/pipeline.py): 30-minute-gap sessions via lag +
+cumulative sum — one shuffle on user_id, windows within partition.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from lakehouse_sfc_spark.queries.registry import register
+from lakehouse_sfc_spark.sources.loader import load_table
+
+
+@register(
+    "stream_tumbling_agg",
+    oracle="""
+    SELECT time_bucket(INTERVAL 1 HOUR, ts) AS ws,
+           event_type,
+           COUNT(*) AS cnt,
+           CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def stream_tumbling_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-hour window aggregation executed as a real Structured
+    Streaming job (watermark + state-store agg + AvailableNow); the final
+    memory-sink table must equal the batch/oracle result."""
+    from lakehouse_sfc_spark.streaming import run_tumbling_agg
+
+    return run_tumbling_agg(spark, sf_dir)
+
+
+_GAP_MIN = 30
+
+
+@register(
+    "sessionize_events",
+    oracle=f"""
+    WITH o AS (
+      SELECT user_id, ts, value,
+             lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+      FROM events
+    ), marked AS (
+      SELECT user_id, ts, value,
+             CASE WHEN prev_ts IS NULL
+                       OR ts - prev_ts > INTERVAL {_GAP_MIN} MINUTES
+                  THEN 1 ELSE 0 END AS is_start
+      FROM o
+    ), sess AS (
+      SELECT user_id, ts, value,
+             SUM(is_start) OVER (PARTITION BY user_id ORDER BY ts
+                                 ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM marked
+    )
+    SELECT user_id, session_id::BIGINT AS session_id,
+           MIN(ts) AS session_start, MAX(ts) AS session_end,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+    FROM sess
+    GROUP BY user_id, session_id
+    """,
+)
+def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (30-min timeout) as lag + running sum of
+    session starts — the batch semantics the stateful streaming operator
+    (streaming/pipeline.py::sessionize_stateful) implements incrementally."""
+    ev = load_table(spark, sf_dir, "events")
+    order = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    run = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    prev = F.lag("ts").over(order)
+    is_start = F.when(
+        prev.isNull()
+        | (F.col("ts").cast("long") - prev.cast("long") > _GAP_MIN * 60),
+        1,
+    ).otherwise(0)
+    sess = ev.select(
+        "user_id",
+        "ts",
+        "value",
+        F.sum(is_start).over(run).alias("session_id"),
+    )
+    return sess.groupBy("user_id", "session_id").agg(
+        F.min("ts").alias("session_start"),
+        F.max("ts").alias("session_end"),
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.col("value").cast("decimal(18,4)"))
+        .cast("double")
+        .alias("sum_value"),
+    )

@@ -1,0 +1,11 @@
+"""Structured Streaming surface: tumbling-window aggregation with watermark
+and a custom stateful sessionizer (beyond the reference, which has no
+streaming — SURVEY.md §2.9)."""
+
+from lakehouse_sfc_spark.streaming.pipeline import (
+    read_events_stream,
+    run_tumbling_agg,
+    sessionize_stateful,
+)
+
+__all__ = ["read_events_stream", "run_tumbling_agg", "sessionize_stateful"]

@@ -1,0 +1,209 @@
+"""Structured Streaming pipelines over the ``events`` table.
+
+The reference is batch-only ("incremental" = upsert loops,
+scripts/run_RQ_7_matrix.sh); this module is the Spark-native streaming
+surface a lakehouse engine should expose:
+
+- ``run_tumbling_agg``: file source → watermark → tumbling window agg →
+  memory sink, Trigger.AvailableNow (processes the backlog then stops — the
+  batch-parity mode, so results are deterministic and oracle-checkable).
+- ``sessionize_stateful``: applyInPandasWithState session windows (gap
+  timeout) — the custom-stateful-operator escape hatch for semantics the
+  built-in window functions can't express incrementally.
+
+Scale notes: the file source lists incrementally (maxFilesPerTrigger
+controls batch size at 100 TB backfills); the window agg is an ordinary
+streaming state-store aggregation keyed by (window, event_type); the
+watermark bounds state size.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+import uuid
+from collections.abc import Iterable
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+_EVENTS_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.LongType()),  # TIMESTAMP(NANOS) read as long
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
+
+
+def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming read of the events table (nanos ts → microsecond
+    timestamps, same coercion as the batch loader)."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    src = (
+        spark.readStream.schema(_EVENTS_SCHEMA)
+        # the file source wants a directory; select just the events file
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    return src.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+def run_tumbling_agg(
+    spark: SparkSession,
+    sf_dir: str,
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+    timeout_s: int = 300,
+) -> DataFrame:
+    """Run the windowed aggregation over the full backlog with
+    Trigger.AvailableNow and return the final result table.
+
+    Output: (ws, event_type, cnt, sum_value) — sum through DECIMAL for
+    cross-engine determinism (see queries/registry.dsum).
+    """
+    name = f"tumbling_{uuid.uuid4().hex[:8]}"
+    agg = (
+        read_events_stream(spark, sf_dir)
+        .withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("w"), F.col("event_type"))
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.sum(F.col("value").cast("decimal(18,4)"))
+            .cast("double")
+            .alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").alias("ws"),
+            "event_type",
+            "cnt",
+            "sum_value",
+        )
+    )
+    checkpoint = tempfile.mkdtemp(prefix="lakehouse-sfc-stream-")
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.awaitTermination(timeout_s)
+    finally:
+        if q.isActive:
+            q.stop()
+    return spark.table(name)
+
+
+# --- custom stateful operator: session windows ------------------------------
+
+_SESSION_OUT_SCHEMA = (
+    "user_id bigint, session_start timestamp, session_end timestamp, "
+    "n_events int, sum_value double"
+)
+_SESSION_STATE_SCHEMA = (
+    "start_us long, last_us long, n int, sum_value double"
+)
+
+
+def _session_fn(
+    key: tuple,
+    pdfs: Iterable[pd.DataFrame],
+    state: GroupState,
+):
+    """Gap-based sessionizer: events for one user arrive (within a batch) in
+    any order; state carries the open session; a processing-time timeout
+    flushes it."""
+    gap_us = 30 * 60 * 1_000_000
+
+    if state.hasTimedOut:
+        start_us, last_us, n, sv = state.get
+        state.remove()
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "session_start": [pd.Timestamp(start_us, unit="us")],
+                "session_end": [pd.Timestamp(last_us, unit="us")],
+                "n_events": [n],
+                "sum_value": [sv],
+            }
+        )
+        return
+
+    rows = pd.concat(list(pdfs)).sort_values("ts")
+    ts_us = (rows["ts"].astype("int64") // 1000).tolist()
+    vals = rows["value"].tolist()
+
+    if state.exists:
+        start_us, last_us, n, sv = state.get
+    else:
+        start_us, last_us, n, sv = None, None, 0, 0.0
+
+    out = []
+    for t, v in zip(ts_us, vals):
+        if last_us is not None and t - last_us > gap_us and n > 0:
+            out.append((key[0], start_us, last_us, n, sv))
+            start_us, n, sv = t, 0, 0.0
+        if n == 0:
+            start_us = t
+        last_us = t
+        n += 1
+        sv += v
+    state.update((start_us, last_us, n, sv))
+    # event-time timeout: the open session flushes once the watermark passes
+    # its gap deadline (deterministic, unlike wall-clock timeouts)
+    state.setTimeoutTimestamp(last_us // 1000 + gap_us // 1000)
+    if out:
+        yield pd.DataFrame(
+            {
+                "user_id": [r[0] for r in out],
+                "session_start": [pd.Timestamp(r[1], unit="us") for r in out],
+                "session_end": [pd.Timestamp(r[2], unit="us") for r in out],
+                "n_events": [r[3] for r in out],
+                "sum_value": [r[4] for r in out],
+            }
+        )
+
+
+def sessionize_stateful(
+    spark: SparkSession, sf_dir: str, timeout_s: int = 300
+) -> DataFrame:
+    """Streaming sessionization via applyInPandasWithState (30-min gap).
+    Returns the sessions closed during the AvailableNow run; the open tail
+    session per user stays in state (flushed by timeout in a live stream)."""
+    name = f"sessions_{uuid.uuid4().hex[:8]}"
+    src = (
+        read_events_stream(spark, sf_dir)
+        .select("user_id", "ts", "value")
+        .withWatermark("ts", "30 minutes")
+    )
+    sessions = src.groupBy("user_id").applyInPandasWithState(
+        _session_fn,
+        outputStructType=_SESSION_OUT_SCHEMA,
+        stateStructType=_SESSION_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    )
+    checkpoint = tempfile.mkdtemp(prefix="lakehouse-sfc-sessions-")
+    q = (
+        sessions.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.awaitTermination(timeout_s)
+    finally:
+        if q.isActive:
+            q.stop()
+    return spark.table(name)

@@ -1,0 +1,61 @@
+"""Structured Streaming tests: AvailableNow tumbling agg equals the batch
+aggregation; the stateful sessionizer's closed sessions agree with the batch
+sessionization (its open tail session per user stays in state)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from lakehouse_sfc_spark.queries.registry import QUERIES
+from lakehouse_sfc_spark.sources.loader import load_table
+from lakehouse_sfc_spark.streaming import run_tumbling_agg, sessionize_stateful
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_tumbling_agg_matches_batch(spark):
+    stream = run_tumbling_agg(spark, SF)
+    ev = load_table(spark, SF, "events")
+    batch = (
+        ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.sum(F.col("value").cast("decimal(18,4)"))
+            .cast("double")
+            .alias("sum_value"),
+        )
+        .select(F.col("w.start").alias("ws"), "event_type", "cnt", "sum_value")
+    )
+    s = {tuple(r) for r in stream.collect()}
+    b = {tuple(r) for r in batch.collect()}
+    assert s == b
+    assert len(s) > 0
+
+
+def test_stateful_sessionizer_agrees_with_batch(spark):
+    closed = sessionize_stateful(spark, SF)
+    batch = QUERIES["sessionize_events"].fn(spark, SF)
+
+    c = {
+        (r["user_id"], r["session_start"], r["session_end"], r["n_events"])
+        for r in closed.collect()
+    }
+    b = {
+        (r["user_id"], r["session_start"], r["session_end"], r["n_events"])
+        for r in batch.collect()
+    }
+    # every closed streaming session must be a batch session
+    assert c <= b
+    # and only the open tail session per user may be missing
+    missing = b - c
+    users_missing = {m[0] for m in missing}
+    assert len(missing) == len(users_missing), "at most one open session/user"
+    # the missing one must be that user's LAST session
+    last_by_user = {}
+    for u, st, en, n in b:
+        cur = last_by_user.get(u)
+        if cur is None or st > cur[1]:
+            last_by_user[u] = (u, st, en, n)
+    for m in missing:
+        assert m == last_by_user[m[0]]
+    assert len(c) > 0
