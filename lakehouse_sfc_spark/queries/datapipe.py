@@ -397,80 +397,90 @@ def _dot(a: Column, b: Column) -> Column:
     )
 
 
-def _cosine(a: Column, b: Column) -> Column:
-    return _dot(a, b) / (F.sqrt(_dot(a, a)) * F.sqrt(_dot(b, b)))
-
-
 _SQL_DOT = (
     "list_reduce(list_transform(range(1, len({a})+1), i -> {a}[i] * {b}[i]),"
     " (p, q) -> p + q)"
 )
 
+# norms are precomputed per vector (O(n), not O(n²) — the higher-order-
+# function dot is interpreted, so evaluating it once per PAIR instead of six
+# times is the difference between seconds and minutes per million pairs)
+_SQL_EMB_CTE = (
+    "SELECT vec_id, emb, sqrt(" + _SQL_DOT.format(a="emb", b="emb") + ") AS nrm"
+    " FROM (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings)"
+)
+
 
 def _sql_cos(a: str, b: str) -> str:
-    dot = _SQL_DOT.format(a=a, b=b)
-    na = _SQL_DOT.format(a=a, b=a)
-    nb = _SQL_DOT.format(a=b, b=b)
-    return f"({dot} / (sqrt({na}) * sqrt({nb})))"
+    """Cosine from precomputed norms; {a}/{b} are CTE aliases with emb+nrm."""
+    dot = _SQL_DOT.format(a=f"{a}.emb", b=f"{b}.emb")
+    return f"({dot} / ({a}.nrm * {b}.nrm))"
 
 
 def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "embeddings")
-    return e.select(
-        "vec_id", F.col("embedding").cast("array<double>").alias("emb")
+    emb = F.col("embedding").cast("array<double>")
+    return e.select("vec_id", emb.alias("emb")).withColumn(
+        "nrm", F.sqrt(_dot(F.col("emb"), F.col("emb")))
     )
 
 
 @register(
     "dedup_embedding_cosine",
     oracle=f"""
-    WITH c AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings)
+    WITH c AS ({_SQL_EMB_CTE})
     SELECT a.vec_id AS a_id, b.vec_id AS b_id,
-           round({_sql_cos("a.emb", "b.emb")}, 6) AS score
+           round({_sql_cos("a", "b")}, 6) AS score
     FROM c a JOIN c b ON a.vec_id < b.vec_id
-    WHERE {_sql_cos("a.emb", "b.emb")} >= {_COS_TAU}
+    WHERE {_sql_cos("a", "b")} >= {_COS_TAU}
     """,
 )
 def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding near-duplicate pairs at cosine ≥ 0.45.  The all-pairs form is
-    the correctness baseline; the scale path blocks by the same sign quantizer
-    as ``ann_ivf_topk`` (probe hamming-adjacent cells) before scoring.  Scores
+    """Embedding near-duplicate pairs at cosine ≥ 0.45.  Norms precompute per
+    vector and the pair dot evaluates exactly once, so the O(n²) stage does
+    the minimum interpreted work.  The all-pairs form is the correctness
+    baseline; the scale path blocks by the same sign quantizer as
+    ``ann_ivf_topk`` (probe hamming-adjacent cells) before scoring.  Scores
     fold in deterministic order so they hash-match the oracle bit-for-bit."""
     c = _emb(spark, sf_dir)
-    cos = _cosine(F.col("a.emb"), F.col("b.emb"))
+    cos = _dot(F.col("a.emb"), F.col("b.emb")) / (
+        F.col("a.nrm") * F.col("b.nrm")
+    )
     return (
         c.alias("a")
         .join(c.alias("b"), F.col("a.vec_id") < F.col("b.vec_id"))
-        .filter(cos >= _COS_TAU)
         .select(
             F.col("a.vec_id").alias("a_id"),
             F.col("b.vec_id").alias("b_id"),
-            F.round(cos, 6).alias("score"),
+            cos.alias("raw"),
         )
+        .filter(F.col("raw") >= _COS_TAU)
+        .select("a_id", "b_id", F.round(F.col("raw"), 6).alias("score"))
     )
 
 
 @register(
     "ann_bruteforce_topk",
     oracle=f"""
-    WITH c AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
-         q AS (SELECT emb FROM c WHERE vec_id = {_ANN_QUERY_ID})
-    SELECT c.vec_id AS vec_id, round({_sql_cos("c.emb", "q.emb")}, 6) AS score
+    WITH c AS ({_SQL_EMB_CTE}),
+         q AS (SELECT emb, nrm FROM c WHERE vec_id = {_ANN_QUERY_ID})
+    SELECT c.vec_id AS vec_id, round({_sql_cos("c", "q")}, 6) AS score
     FROM c, q
     WHERE c.vec_id != {_ANN_QUERY_ID}
-    ORDER BY {_sql_cos("c.emb", "q.emb")} DESC, c.vec_id
+    ORDER BY {_sql_cos("c", "q")} DESC, c.vec_id
     LIMIT {_ANN_K}
     """,
 )
 def ann_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force cosine top-k for a fixed query vector (vec_id=0): broadcast
-    the 1-row query side, score every vector JVM-side, TakeOrderedAndProject
+    the 1-row query side, score every vector JVM-side (norms precomputed per
+    vector so the per-pair work is one dot product), TakeOrderedAndProject
     does the global top-k without a full sort."""
     c = _emb(spark, sf_dir)
     q = c.filter(F.col("vec_id") == _ANN_QUERY_ID).select(
-        F.col("emb").alias("qemb")
+        F.col("emb").alias("qemb"), F.col("nrm").alias("qnrm")
     )
-    cos = _cosine(F.col("emb"), F.col("qemb"))
+    cos = _dot(F.col("emb"), F.col("qemb")) / (F.col("nrm") * F.col("qnrm"))
     return (
         c.filter(F.col("vec_id") != _ANN_QUERY_ID)
         .join(F.broadcast(q))
@@ -502,15 +512,14 @@ _SQL_CELL = (
 @register(
     "ann_ivf_topk",
     oracle=f"""
-    WITH c AS (SELECT vec_id, embedding::DOUBLE[] AS emb,
-                      {_SQL_CELL.format(e="embedding")} AS cell
-               FROM embeddings),
-         q AS (SELECT emb, cell FROM c WHERE vec_id = {_ANN_QUERY_ID})
-    SELECT c.vec_id AS vec_id, round({_sql_cos("c.emb", "q.emb")}, 6) AS score
+    WITH c AS (SELECT vec_id, emb, nrm, {_SQL_CELL.format(e="emb")} AS cell
+               FROM ({_SQL_EMB_CTE})),
+         q AS (SELECT emb, nrm, cell FROM c WHERE vec_id = {_ANN_QUERY_ID})
+    SELECT c.vec_id AS vec_id, round({_sql_cos("c", "q")}, 6) AS score
     FROM c, q
     WHERE c.vec_id != {_ANN_QUERY_ID}
       AND bit_count(xor(c.cell::BIGINT, q.cell::BIGINT)) <= 1
-    ORDER BY {_sql_cos("c.emb", "q.emb")} DESC, c.vec_id
+    ORDER BY {_sql_cos("c", "q")} DESC, c.vec_id
     LIMIT {_ANN_K}
     """,
 )
@@ -522,9 +531,11 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     filter."""
     c = _emb(spark, sf_dir).withColumn("cell", _cell(F.col("emb")))
     q = c.filter(F.col("vec_id") == _ANN_QUERY_ID).select(
-        F.col("emb").alias("qemb"), F.col("cell").alias("qcell")
+        F.col("emb").alias("qemb"),
+        F.col("nrm").alias("qnrm"),
+        F.col("cell").alias("qcell"),
     )
-    cos = _cosine(F.col("emb"), F.col("qemb"))
+    cos = _dot(F.col("emb"), F.col("qemb")) / (F.col("nrm") * F.col("qnrm"))
     hd = F.bit_count(
         F.col("cell").cast("long").bitwiseXOR(F.col("qcell").cast("long"))
     )
