@@ -93,6 +93,103 @@ def profile_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Inputs are cast to low-scale decimals FIRST, then multiplied in exact
+# decimal arithmetic: rounding a double at scale 2 is far from the 53-bit
+# precision edge so both engines convert identically, and everything after
+# that is exact — double*double products rounded to DECIMAL(38,10) disagree
+# between engines in the 17th significant digit.
+_CORR_MOMENTS = """
+   CAST(SUM(CAST({x} AS DECIMAL(15,{s}))) AS DOUBLE) AS s{x},
+   CAST(SUM(CAST({y} AS DECIMAL(15,{s}))) AS DOUBLE) AS s{y},
+   CAST(SUM(CAST({x} AS DECIMAL(15,{s})) * CAST({y} AS DECIMAL(15,{s}))) AS DOUBLE) AS s{x}{y},
+   CAST(SUM(CAST({x} AS DECIMAL(15,{s})) * CAST({x} AS DECIMAL(15,{s}))) AS DOUBLE) AS s{x}{x},
+   CAST(SUM(CAST({y} AS DECIMAL(15,{s})) * CAST({y} AS DECIMAL(15,{s}))) AS DOUBLE) AS s{y}{y}
+"""
+
+
+@register(
+    "profile_correlation",
+    oracle=f"""
+    WITH r AS (
+      SELECT l_quantity AS x, l_extendedprice AS y,
+             RANK() OVER (ORDER BY l_quantity)
+               + (COUNT(*) OVER (PARTITION BY l_quantity) - 1) / 2.0 AS rx,
+             RANK() OVER (ORDER BY l_extendedprice)
+               + (COUNT(*) OVER (PARTITION BY l_extendedprice) - 1) / 2.0 AS ry
+      FROM lineitem
+    ),
+    m AS (
+      SELECT COUNT(*)::DOUBLE AS n,
+             {_CORR_MOMENTS.format(x="x", y="y", s=2)},
+             {_CORR_MOMENTS.format(x="rx", y="ry", s=1)}
+      FROM r
+    )
+    SELECT (n*sxy - sx*sy)
+             / (sqrt(n*sxx - sx*sx) * sqrt(n*syy - sy*sy)) AS pearson,
+           (n*srxry - srx*sry)
+             / (sqrt(n*srxrx - srx*srx) * sqrt(n*sryry - sry*sry)) AS spearman
+    FROM m
+    """,
+)
+def profile_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson + Spearman correlation (wlg/profiler/stats.py:283-310,
+    wlg/profiler/correlation.py:53-83) from exact-decimal moment sums, so the
+    result is bit-identical across engines (built-in corr() accumulates
+    doubles in engine-specific order).  Spearman = Pearson over average ranks;
+    the tie-averaged rank is RANK() + (count(=value)-1)/2, expressed with the
+    same window functions in both engines.
+
+    Scale note: the reference profiler computes correlations on a <=50k-row
+    sample (stats.py:95-98), so the unpartitioned rank window runs over a
+    sample-sized input, not the full table — at 100 TB the sample, not this
+    query shape, is the contract."""
+    from pyspark.sql import Window
+
+    li = load_table(spark, sf_dir, "lineitem")
+    x, y = F.col("l_quantity"), F.col("l_extendedprice")
+    rx = F.rank().over(Window.orderBy("l_quantity")) + (
+        F.count(F.lit(1)).over(Window.partitionBy("l_quantity")) - 1
+    ) / 2.0
+    ry = F.rank().over(Window.orderBy("l_extendedprice")) + (
+        F.count(F.lit(1)).over(Window.partitionBy("l_extendedprice")) - 1
+    ) / 2.0
+    r = li.select(
+        x.alias("x"), y.alias("y"), rx.alias("rx"), ry.alias("ry")
+    )
+
+    def dec(name: str, scale: int):
+        return F.col(name).cast(f"decimal(15,{scale})")
+
+    def dsum_(c) -> F.Column:
+        return F.sum(c).cast("double")
+
+    xd, yd = dec("x", 2), dec("y", 2)
+    rxd, ryd = dec("rx", 1), dec("ry", 1)
+    m = r.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        dsum_(xd).alias("sx"),
+        dsum_(yd).alias("sy"),
+        dsum_(xd * yd).alias("sxy"),
+        dsum_(xd * xd).alias("sxx"),
+        dsum_(yd * yd).alias("syy"),
+        dsum_(rxd).alias("srx"),
+        dsum_(ryd).alias("sry"),
+        dsum_(rxd * ryd).alias("srxry"),
+        dsum_(rxd * rxd).alias("srxrx"),
+        dsum_(ryd * ryd).alias("sryry"),
+    )
+    n = F.col("n")
+    pearson = (n * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        F.sqrt(n * F.col("sxx") - F.col("sx") * F.col("sx"))
+        * F.sqrt(n * F.col("syy") - F.col("sy") * F.col("sy"))
+    )
+    spearman = (n * F.col("srxry") - F.col("srx") * F.col("sry")) / (
+        F.sqrt(n * F.col("srxrx") - F.col("srx") * F.col("srx"))
+        * F.sqrt(n * F.col("sryry") - F.col("sry") * F.col("sry"))
+    )
+    return m.select(pearson.alias("pearson"), spearman.alias("spearman"))
+
+
 @register(
     "profile_topk",
     oracle="""

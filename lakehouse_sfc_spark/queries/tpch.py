@@ -101,6 +101,7 @@ def tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
       AND o.o_orderdate <  TIMESTAMP '1997-01-01'
     GROUP BY n.n_name
     """,
+    headline=True,
 )
 def tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q5 local supplier volume: 6-table star.  lineitem⋈orders is the
@@ -462,6 +463,7 @@ def tpch_q17(spark: SparkSession, sf_dir: str) -> DataFrame:
     ORDER BY o_totalprice DESC, o_orderdate, o_orderkey
     LIMIT 100
     """,
+    headline=True,
 )
 def tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q18 large-volume customer: the IN-subquery over a grouped HAVING
