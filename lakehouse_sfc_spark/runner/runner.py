@@ -7,6 +7,7 @@ multi-statement stream handling of tpch_all_runner.py:25-61.
 from __future__ import annotations
 
 import csv
+import os
 import time
 import uuid
 from dataclasses import dataclass, field
@@ -227,6 +228,59 @@ def run_sql_file(
         name=name or path.rsplit("/", 1)[-1],
         **kwargs,
     )
+
+
+def cache_control(
+    spark: SparkSession,
+    table_or_df: str | DataFrame,
+    mode: str = "none",
+) -> DataFrame | None:
+    """M7 cache modes (run_queries.py:550-566): ``cache_table`` issues
+    CACHE TABLE; ``persist`` pins MEMORY_AND_DISK and materializes with a
+    count; ``none`` clears the cache.  Returns the persisted DataFrame for
+    later unpersist, when applicable."""
+    if mode == "none":
+        spark.catalog.clearCache()
+        return None
+    if mode == "cache_table":
+        if not isinstance(table_or_df, str):
+            raise ValueError("cache_table mode needs a table/view name")
+        spark.sql(f"CACHE TABLE {table_or_df}")
+        return None
+    if mode == "persist":
+        from pyspark import StorageLevel
+
+        df = (
+            spark.table(table_or_df)
+            if isinstance(table_or_df, str)
+            else table_or_df
+        )
+        df = df.persist(StorageLevel.MEMORY_AND_DISK)
+        df.count()
+        return df
+    raise ValueError("mode must be one of none|cache_table|persist")
+
+
+def export_eventlogs(spark: SparkSession, out_dir: str) -> list[str]:
+    """M10: copy the current application's event-log files for offline
+    analysis (run_queries.py:569-594).  Returns copied paths; empty when
+    event logging is disabled."""
+    import glob
+    import shutil
+
+    conf = spark.sparkContext.getConf()
+    if conf.get("spark.eventLog.enabled", "false").lower() != "true":
+        return []
+    log_dir = conf.get("spark.eventLog.dir", "")
+    log_dir = log_dir.removeprefix("file://").removeprefix("file:")
+    app_id = spark.sparkContext.applicationId
+    os.makedirs(out_dir, exist_ok=True)
+    copied = []
+    for src in sorted(glob.glob(os.path.join(log_dir, f"{app_id}*"))):
+        dst = os.path.join(out_dir, os.path.basename(src))
+        shutil.copy2(src, dst)
+        copied.append(dst)
+    return copied
 
 
 def write_results_csv(results: list[RunResult], path: str) -> None:
