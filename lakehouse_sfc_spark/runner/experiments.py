@@ -1,0 +1,97 @@
+"""RQ7-style incremental-ingest drift experiment: write a base table with a
+chosen layout, upsert N update batches, and re-run a fixed query set after
+the base write and after every batch — measuring how layout quality decays
+as unclustered data arrives.
+
+Reference parity: scripts/run_RQ_7_matrix.sh:41-63 (10 batches of TPC-H sf4
+upserted into a sf16 base, queries re-run per batch) with
+build_tpch_update_batches.py supplying the batches and run_queries.py the
+measurements.  Published numbers for this loop are in BASELINE.md (RQ7
+summaries: batch-0 vs batches 1-10 elapsed/bytes-scanned drift).
+
+Scale note: the per-batch upsert is one shuffle on the record key plus a
+layout rewrite; at 100 TB the rewrite must be partition-scoped (the pruner's
+file list bounds the rewrite set) — the full-table rewrite here matches the
+reference experiment, which rewrites via engine clustering each batch.
+"""
+
+from __future__ import annotations
+
+import os
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+
+from lakehouse_sfc_spark.layout.upsert import build_update_batches, keyed_upsert
+from lakehouse_sfc_spark.layout.writer import layout_write
+from lakehouse_sfc_spark.runner.runner import RunResult, run_one_query
+
+
+def incremental_ingest_experiment(
+    spark: SparkSession,
+    base_df: DataFrame,
+    updates_df: DataFrame,
+    table_path: str,
+    queries: dict[str, Callable[[DataFrame], DataFrame]],
+    record_keys: list[str],
+    precombine: str,
+    n_batches: int = 10,
+    layout: str = "baseline",
+    layout_cols: list[str] | None = None,
+    seed: int = 42,
+    action: str = "count",
+    **run_kwargs,
+) -> list[RunResult]:
+    """Run the full RQ7 loop.  ``queries`` maps name -> (table DataFrame ->
+    result DataFrame); each is measured against the table as written on disk
+    (so file-skipping effects are visible).  Returns one RunResult per
+    (batch, query), with ``batch`` recorded in ``metrics["batch"]``;
+    batch 0 is the freshly-laid-out base table.
+    """
+    layout_write(
+        base_df, table_path, layout=layout, layout_cols=layout_cols
+    )
+    batch_dir = table_path.rstrip("/") + "__batches"
+    batch_paths = build_update_batches(
+        updates_df, batch_dir, n_batches, seed=seed
+    )
+
+    results: list[RunResult] = []
+
+    def _measure(batch_no: int) -> None:
+        table = spark.read.parquet(table_path)
+        for qname, qfn in queries.items():
+            r = run_one_query(
+                spark,
+                qfn(table),
+                name=qname,
+                action=action,
+                **run_kwargs,
+            )
+            r.metrics["batch"] = batch_no
+            results.append(r)
+
+    _measure(0)
+    for i, bpath in enumerate(batch_paths, start=1):
+        batch = spark.read.parquet(bpath)
+        keyed_upsert(
+            table_path,
+            batch,
+            record_keys=record_keys,
+            precombine=precombine,
+            layout=layout,
+            layout_cols=layout_cols,
+        )
+        _measure(i)
+    return results
+
+
+def results_by_batch(results: list[RunResult]) -> dict[int, dict[str, float]]:
+    """batch -> {query: elapsed_s} pivot of experiment output — the shape of
+    the reference's rq7 summary CSVs (notebooks/fig_rq7_tpch.py:33-77)."""
+    out: dict[int, dict[str, float]] = {}
+    for r in results:
+        out.setdefault(r.metrics.get("batch", -1), {})[r.query] = round(
+            r.elapsed_s, 6
+        )
+    return dict(sorted(out.items()))
