@@ -126,6 +126,48 @@ def tpch_csv_reader(spark: SparkSession, path: str, table: str) -> DataFrame:
     return df.drop("_dummy")
 
 
+# --- JDBC source (S13) ------------------------------------------------------
+
+
+def jdbc_options(
+    url: str,
+    table: str,
+    partition_column: str | None = None,
+    bounds: tuple[int, int] | None = None,
+    num_partitions: int | None = None,
+    fetchsize: int = 10_000,
+    **extra: str,
+) -> dict[str, str]:
+    """Options for a parallel JDBC scan (reference reads Postgres with a
+    server-side cursor, wlg/datasource/postgres.py:29-101; Spark-first this
+    is ``spark.read.format("jdbc")`` with range partitioning).
+
+    Scale note: without partition_column the whole table arrives through ONE
+    connection on one executor; always pass a numeric/indexed column plus its
+    bounds for any table that matters."""
+    opts = {"url": url, "dbtable": table, "fetchsize": str(fetchsize)}
+    if partition_column is not None:
+        if bounds is None or num_partitions is None:
+            raise ValueError(
+                "partition_column needs bounds=(lower, upper) and num_partitions"
+            )
+        opts.update(
+            {
+                "partitionColumn": partition_column,
+                "lowerBound": str(bounds[0]),
+                "upperBound": str(bounds[1]),
+                "numPartitions": str(num_partitions),
+            }
+        )
+    opts.update({k: str(v) for k, v in extra.items()})
+    return opts
+
+
+def jdbc_scan(spark: SparkSession, **kwargs) -> DataFrame:
+    """Build the JDBC DataFrame (connects lazily at first action)."""
+    return spark.read.format("jdbc").options(**jdbc_options(**kwargs)).load()
+
+
 # --- Test-table registry ----------------------------------------------------
 
 
