@@ -75,8 +75,111 @@ def keyed_upsert(
 
     shutil.rmtree(base_path)
     os.rename(tmp, base_path)
+    from lakehouse_sfc_spark.layout.writer import _rehome_sidecar
+
+    _rehome_sidecar(base_path, old_dir=tmp, new_dir=base_path)
     result["path"] = base_path
     return result
+
+
+def scoped_upsert(
+    base_path: str,
+    batch: DataFrame,
+    record_keys: list[str],
+    precombine: str,
+    layout: str = "baseline",
+    layout_cols: list[str] | None = None,
+    **write_kwargs,
+) -> dict:
+    """File-scoped COW upsert: only files whose record-key min/max ranges
+    overlap the batch's key bounds are read, merged, and rewritten; every
+    other file — and its sidecar stats entry — survives untouched.
+
+    This is the scale path the reference reaches via WHERE-scoped OPTIMIZE
+    (delta_write_layout.py:137,201-203) and Hudi's partition-path upsert
+    scoping: cost is O(overlapping files + batch), not O(table).  Requires
+    the sidecar to carry stats for the record-key columns (pass
+    ``stats_cols=record_keys + layout_cols`` at write time); falls back to
+    the full-table ``keyed_upsert`` when it doesn't.
+    """
+    import json
+
+    from lakehouse_sfc_spark.layout.stats import SIDECAR_NAME, read_sidecar
+    from lakehouse_sfc_spark.table.pruning import Pred, prune_files
+
+    spark = batch.sparkSession
+    sidecar = read_sidecar(base_path)
+    if sidecar is None or not set(record_keys) <= set(sidecar["columns"]):
+        result = keyed_upsert(
+            base_path, batch, record_keys, precombine, layout, layout_cols,
+            **write_kwargs,
+        )
+        result["scoped"] = False
+        return result
+
+    bounds = batch.agg(
+        *[F.min(k).alias(f"lo_{k}") for k in record_keys],
+        *[F.max(k).alias(f"hi_{k}") for k in record_keys],
+    ).collect()[0]
+    preds = [
+        Pred(k, "between", (bounds[f"lo_{k}"], bounds[f"hi_{k}"]))
+        for k in record_keys
+    ]
+    affected, _ = prune_files(sidecar, preds)
+    untouched = [f for f in sidecar["files"] if f not in set(affected)]
+
+    base_schema_df = spark.read.parquet(base_path)
+    aligned = align_schema(batch, base_schema_df)
+    if affected:
+        merged_input = spark.read.parquet(*affected).unionByName(aligned)
+    else:
+        merged_input = aligned
+    merged = dedup_latest(merged_input, record_keys, precombine)
+
+    tmp = base_path.rstrip("/") + ".__scoped_tmp"
+    stats_cols = write_kwargs.pop(
+        "stats_cols", list(sidecar["columns"])
+    )
+    layout_write(
+        merged, tmp, layout=layout, layout_cols=layout_cols,
+        stats_cols=stats_cols, **write_kwargs,
+    )
+    tmp_sidecar = read_sidecar(tmp)
+
+    # swap: drop rewritten files, move new ones in, merge sidecars
+    from urllib.parse import urlparse
+
+    def _local(uri: str) -> str:
+        p = urlparse(uri)
+        return p.path if p.scheme in ("file", "") else uri
+
+    for f in affected:
+        os.remove(_local(f))
+    new_files = {}
+    for i, (uri, info) in enumerate(sorted(tmp_sidecar["files"].items())):
+        src = _local(uri)
+        dst = os.path.join(base_path, f"upsert-{abs(hash(uri)) % 10**8}-{i}.parquet")
+        os.rename(src, dst)
+        new_files[f"file://{dst}"] = info
+    import shutil
+
+    shutil.rmtree(tmp)
+    merged_sidecar = {
+        "columns": sidecar["columns"],
+        "files": {
+            **{f: sidecar["files"][f] for f in untouched},
+            **new_files,
+        },
+    }
+    with open(os.path.join(base_path, SIDECAR_NAME), "w") as fh:
+        json.dump(merged_sidecar, fh, default=str)
+    return {
+        "scoped": True,
+        "path": base_path,
+        "files_rewritten": len(affected),
+        "files_untouched": len(untouched),
+        "files_new": len(new_files),
+    }
 
 
 def build_update_batches(

@@ -125,3 +125,65 @@ def layout_write(
         "stats_cols": stats_cols,
         "sidecar": sidecar,
     }
+
+
+def compact(
+    spark: SparkSession,
+    path: str,
+    target_file_mb: int = 128,
+    layout: str = "baseline",
+    layout_cols: list[str] | None = None,
+    stats_cols: list[str] | None = None,
+    **write_kwargs,
+) -> dict:
+    """Compaction = rewrite with the file count re-sized from the table's
+    CURRENT bytes (reference parity: Delta ``executeCompaction``
+    delta_write_layout.py:201, Iceberg binpack ``target-file-size-bytes``
+    iceberg_write_layout.py:215-224, Hudi small-file limit
+    hudi_write_layout.py:192-194).  Preserves the requested layout — small
+    upsert-scattered files collapse back into target-sized, key-clustered
+    ones."""
+    import shutil
+
+    df = spark.read.parquet(path)
+    before = len(df.inputFiles())
+    tmp = path.rstrip("/") + ".__compact_tmp"
+    result = layout_write(
+        df,
+        tmp,
+        layout=layout,
+        layout_cols=layout_cols,
+        target_file_mb=target_file_mb,
+        stats_cols=stats_cols,
+        **write_kwargs,
+    )
+    shutil.rmtree(path)
+    os.rename(tmp, path)
+    _rehome_sidecar(path, old_dir=tmp, new_dir=path)
+    result["path"] = path
+    result["sidecar"] = result["sidecar"] and os.path.join(
+        path, os.path.basename(result["sidecar"])
+    )
+    result["files_before"] = before
+    result["files_after"] = len(spark.read.parquet(path).inputFiles())
+    return result
+
+
+def _rehome_sidecar(table_path: str, old_dir: str, new_dir: str) -> None:
+    """Rewrite sidecar file URIs after a directory rename."""
+    import json
+
+    from lakehouse_sfc_spark.layout.stats import SIDECAR_NAME, read_sidecar
+
+    sidecar = read_sidecar(table_path)
+    if sidecar is None:
+        return
+    old_abs = os.path.abspath(old_dir)
+    new_abs = os.path.abspath(new_dir)
+    files = {
+        uri.replace(old_abs, new_abs, 1): info
+        for uri, info in sidecar["files"].items()
+    }
+    sidecar["files"] = files
+    with open(os.path.join(table_path, SIDECAR_NAME), "w") as fh:
+        json.dump(sidecar, fh, default=str)
