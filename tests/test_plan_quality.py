@@ -1,0 +1,83 @@
+"""Plan-quality guards: the physical plans we designed for are the plans
+Catalyst actually produces.  These assertions catch silent regressions into
+full scans, shuffle joins of tiny dims, or global sorts — the difference
+between working at sf0.1 and working at 100 TB."""
+
+from __future__ import annotations
+
+import pytest
+
+from lakehouse_sfc_spark.queries.registry import QUERIES
+import lakehouse_sfc_spark.queries  # noqa: F401  (register all)
+
+SF = "/root/testdata/sf0.001"
+
+
+def _plan(spark, name: str) -> str:
+    df = QUERIES[name].fn(spark, SF)
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def _formatted(spark, name: str) -> str:
+    df = QUERIES[name].fn(spark, SF)
+    return spark.sparkContext._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+
+
+def test_filters_push_down_to_scan(spark):
+    """Selective predicates must reach the parquet scan as PushedFilters."""
+    plan = _formatted(spark, "tpch_q6")
+    assert "PushedFilters: [" in plan
+    # at least one real pushed predicate, not an empty list
+    pushed = plan.split("PushedFilters: [", 1)[1].split("]", 1)[0]
+    assert pushed.strip(), "no predicates pushed to the lineitem scan"
+
+
+def test_projection_prunes_columns(spark):
+    """q4 selects 3 of 11 lineitem columns; the scan must read only those."""
+    plan = _formatted(spark, "q4_order_limit")
+    read_schema = plan.split("ReadSchema: ", 1)[1].splitlines()[0]
+    assert "l_orderkey" in read_schema
+    assert "l_returnflag" not in read_schema
+    assert "l_comment" not in read_schema
+
+
+def test_topk_avoids_global_sort(spark):
+    """ORDER BY + LIMIT compiles to TakeOrderedAndProject, not a global
+    Sort + Exchange."""
+    plan = _plan(spark, "q4_order_limit")
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_dims_broadcast_in_star_joins(spark):
+    """Star joins must broadcast every dim side (no SortMergeJoin against
+    nation/region/customer-sized inputs)."""
+    for q in ("tpch_q5", "tpch_q8", "j_multi3"):
+        plan = _plan(spark, q)
+        assert "BroadcastHashJoin" in plan, f"{q}: no broadcast join"
+        assert "SortMergeJoin" not in plan, f"{q}: dim fell into a shuffle join"
+
+
+def test_semi_anti_join_types(spark):
+    assert "LeftSemi" in _plan(spark, "j_semi")
+    assert "LeftAnti" in _plan(spark, "j_anti")
+
+
+def test_aggregation_is_partial(spark):
+    """Group-by aggregates must do map-side partial aggregation (two
+    HashAggregate phases), not shuffle raw rows."""
+    plan = _plan(spark, "q3_group_by")
+    assert plan.count("HashAggregate") >= 2
+
+
+@pytest.mark.parametrize("name", ["tpch_q1", "q1_filter"])
+def test_whole_stage_codegen_active(spark, name):
+    """The hot path stays inside whole-stage codegen (no interpreted
+    row-at-a-time fallback in the scan/agg pipeline).  AQE only reveals
+    codegen stages in the FINAL plan, so execute first."""
+    df = QUERIES[name].fn(spark, SF)
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "isFinalPlan=true" in plan
+    assert "*(" in plan, "no WholeStageCodegen stage markers in final plan"
