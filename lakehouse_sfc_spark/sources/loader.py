@@ -126,6 +126,49 @@ def tpch_csv_reader(spark: SparkSession, path: str, table: str) -> DataFrame:
     return df.drop("_dummy")
 
 
+# --- Date inference for string columns --------------------------------------
+
+
+def infer_date_columns(
+    df: DataFrame,
+    threshold: float = 0.9,
+    fmt: str = "yyyy-MM-dd",
+    columns: list[str] | None = None,
+) -> DataFrame:
+    """Cast string columns to DATE when >= ``threshold`` of their non-null
+    values parse (reference: wlg/datasource/csv.py:49-60,
+    parquet.py:58-66 — same 90% rule, evaluated there per pandas batch).
+
+    One distributed pass: every candidate's parse-success ratio is computed
+    in a single aggregate over one scan, then the qualifying casts apply
+    lazily — no per-column jobs, no driver data movement beyond one row."""
+    candidates = [
+        f.name
+        for f in df.schema.fields
+        if isinstance(f.dataType, T.StringType)
+        and (columns is None or f.name in columns)
+    ]
+    if not candidates:
+        return df
+    aggs = []
+    for c in candidates:
+        parsed = F.try_to_timestamp(F.col(c), F.lit(fmt))
+        aggs += [
+            F.count(c).alias(f"__n_{c}"),
+            F.count(parsed).alias(f"__ok_{c}"),
+        ]
+    row = df.agg(*aggs).collect()[0]
+    to_cast = [
+        c
+        for c in candidates
+        if row[f"__n_{c}"] > 0
+        and row[f"__ok_{c}"] / row[f"__n_{c}"] >= threshold
+    ]
+    for c in to_cast:
+        df = df.withColumn(c, F.to_date(F.col(c), fmt))
+    return df
+
+
 # --- JDBC source (S13) ------------------------------------------------------
 
 

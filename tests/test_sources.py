@@ -4,6 +4,7 @@ test-table registry (S3)."""
 from __future__ import annotations
 
 from lakehouse_sfc_spark.sources.loader import (
+    infer_date_columns,
     load_input_df,
     register_tables,
     sniff_format,
@@ -57,3 +58,21 @@ def test_register_tables_creates_views(spark):
     assert set(out) == {"region", "nation"}
     assert spark.sql("SELECT COUNT(*) FROM region").collect()[0][0] == 5
     assert spark.sql("SELECT COUNT(*) FROM nation").collect()[0][0] == 25
+
+
+def test_infer_date_columns(spark):
+    df = spark.createDataFrame(
+        [
+            ("2024-01-01", "2024-01-01", "x"),
+            ("2024-02-03", "not a date", "y"),
+            ("2024-12-31", "2024-05-06", "z"),
+            (None, "2024-07-08", None),
+        ],
+        ["good", "mixed", "text"],
+    )
+    out = infer_date_columns(df, threshold=0.9)
+    types = {f.name: f.dataType.simpleString() for f in out.schema.fields}
+    assert types["good"] == "date"      # 3/3 parse
+    assert types["mixed"] == "string"   # 3/4 = 75% < 90%
+    assert types["text"] == "string"
+    assert out.filter("good = DATE '2024-01-01'").count() == 1
