@@ -46,6 +46,64 @@ def decode_audio(payload: bytes) -> object:
     )
 
 
+RESIZED_SCHEMA = "doc_id bigint, width int, height int, out_w int, out_h int"
+
+_RESIZE_TARGET = 224
+
+
+def resize_stub_batches(
+    batches: Iterable[pd.DataFrame],
+) -> Iterator[pd.DataFrame]:
+    """Aspect-preserving resize-to-fit-224 metadata transform.  A real
+    resize would interpolate pixel arrays here (Pillow — not in this
+    container); the output geometry arithmetic IS the production logic and
+    uses only double multiply + floor so a SQL oracle reproduces it
+    bit-for-bit."""
+    for pdf in batches:
+        w = pdf["width"].astype("float64")
+        h = pdf["height"].astype("float64")
+        scale = _RESIZE_TARGET / w.combine(h, max)
+        yield pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"].astype("int64"),
+                "width": pdf["width"].astype("int32"),
+                "height": pdf["height"].astype("int32"),
+                "out_w": (w * scale).map(int).clip(lower=1).astype("int32"),
+                "out_h": (h * scale).map(int).clip(lower=1).astype("int32"),
+            }
+        )
+
+
+AUDIO_SCHEMA = (
+    "doc_id bigint, n_samples bigint, duration_s double, crossings bigint"
+)
+
+_SAMPLE_RATE = 16_000.0
+_THRESHOLD_BYTE = 0x20  # 'space' as the stand-in amplitude threshold
+
+
+def audio_features_stub_batches(
+    batches: Iterable[pd.DataFrame],
+) -> Iterator[pd.DataFrame]:
+    """Audio feature extraction with the payload treated as a PCM-ish byte
+    stream: sample count, duration at 16 kHz, and threshold-crossing count
+    (the zero-crossing-rate shape).  A real pipeline swaps in a codec +
+    DSP kernel; batch shape and schema stay identical."""
+    for pdf in batches:
+        payloads = pdf["payload"]
+        n = payloads.map(len).astype("int64")
+        yield pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"].astype("int64"),
+                "n_samples": n,
+                "duration_s": n / _SAMPLE_RATE,
+                "crossings": payloads.map(
+                    lambda b: bytes(b).count(_THRESHOLD_BYTE)
+                ).astype("int64"),
+            }
+        )
+
+
 def decode_stub_batches(
     batches: Iterable[pd.DataFrame],
 ) -> Iterator[pd.DataFrame]:

@@ -19,8 +19,12 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from lakehouse_sfc_spark.operators.multimodal import (
+    AUDIO_SCHEMA,
     DECODED_SCHEMA,
+    RESIZED_SCHEMA,
+    audio_features_stub_batches,
     decode_stub_batches,
+    resize_stub_batches,
 )
 from lakehouse_sfc_spark.queries.registry import register
 from lakehouse_sfc_spark.sources.loader import load_table
@@ -271,6 +275,51 @@ def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     Python batch iteration, stable output schema."""
     d = load_table(spark, sf_dir, "documents")
     return _with_payload(d).mapInPandas(decode_stub_batches, DECODED_SCHEMA)
+
+
+@register(
+    "multimodal_resize",
+    oracle="""
+    SELECT doc_id,
+           ((doc_id * 37) % 640 + 16)::INTEGER AS width,
+           ((doc_id * 53) % 480 + 16)::INTEGER AS height,
+           GREATEST(1, FLOOR(((doc_id * 37) % 640 + 16)
+             * (224.0 / GREATEST((doc_id * 37) % 640 + 16,
+                                 (doc_id * 53) % 480 + 16))))::INTEGER AS out_w,
+           GREATEST(1, FLOOR(((doc_id * 53) % 480 + 16)
+             * (224.0 / GREATEST((doc_id * 37) % 640 + 16,
+                                 (doc_id * 53) % 480 + 16))))::INTEGER AS out_h
+    FROM documents
+    """,
+)
+def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aspect-preserving resize-to-fit-224: the pixel interpolation is
+    stubbed (no codec in this container) but the geometry arithmetic and the
+    Arrow mapInPandas stage are the production shape.  Embarrassingly
+    parallel — no shuffle."""
+    d = load_table(spark, sf_dir, "documents")
+    return _with_payload(d).mapInPandas(resize_stub_batches, RESIZED_SCHEMA)
+
+
+@register(
+    "multimodal_audio_features",
+    oracle="""
+    SELECT doc_id,
+           strlen(text)::BIGINT AS n_samples,
+           strlen(text) / 16000.0 AS duration_s,
+           (strlen(text) - strlen(replace(text, ' ', '')))::BIGINT AS crossings
+    FROM documents
+    """,
+)
+def multimodal_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio feature extraction over binary payloads (PCM-ish stub: sample
+    count, 16 kHz duration, threshold-crossing count standing in for
+    zero-crossing rate).  Swapping in a real codec + DSP kernel changes only
+    the pandas function body, not the Spark plumbing."""
+    d = load_table(spark, sf_dir, "documents")
+    return _with_payload(d).mapInPandas(
+        audio_features_stub_batches, AUDIO_SCHEMA
+    )
 
 
 @register(
