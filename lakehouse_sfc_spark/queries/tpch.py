@@ -466,10 +466,11 @@ def tpch_q17(spark: SparkSession, sf_dir: str) -> DataFrame:
     headline=True,
 )
 def tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q18 large-volume customer: the IN-subquery over a grouped HAVING
-    becomes a left-semi join of orders against the big-order aggregate; both
-    lineitem aggregations shuffle on the SAME key (l_orderkey) so AQE reuses
-    the exchange."""
+    """TPC-H Q18 large-volume customer.  The IN-subquery's per-order
+    aggregate IS the output's sum_qty, so lineitem aggregates ONCE (one
+    shuffle on l_orderkey); the surviving big-order set is tiny (HAVING
+    keeps the long tail) and joins orders/customer as the build side —
+    no second lineitem scan, no semi join, no re-aggregation."""
     c = load_table(spark, sf_dir, "customer")
     o = load_table(spark, sf_dir, "orders")
     li = load_table(spark, sf_dir, "lineitem")
@@ -477,14 +478,15 @@ def tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.groupBy("l_orderkey")
         .agg(F.sum(F.col("l_quantity").cast("decimal(18,2)")).alias("q"))
         .filter(F.col("q") > 260)
-        .select(F.col("l_orderkey").alias("big_orderkey"))
+        .select("l_orderkey", F.col("q").cast("double").alias("sum_qty"))
     )
     return (
-        o.join(big, o.o_orderkey == big.big_orderkey, "left_semi")
-        .join(li, o.o_orderkey == li.l_orderkey)
+        big.join(o, big.l_orderkey == o.o_orderkey)
         .join(F.broadcast(c), o.o_custkey == c.c_custkey)
-        .groupBy("c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
-        .agg(dsum("l_quantity", "sum_qty"))
+        .select(
+            "c_name", "c_custkey", "o_orderkey", "o_orderdate",
+            "o_totalprice", "sum_qty",
+        )
         .orderBy(F.desc("o_totalprice"), "o_orderdate", "o_orderkey")
         .limit(100)
     )
