@@ -98,6 +98,53 @@ def profile_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
 # precision edge so both engines convert identically, and everything after
 # that is exact — double*double products rounded to DECIMAL(38,10) disagree
 # between engines in the 17th significant digit.
+_QUANTILES = (0.01, 0.05, 0.25, 0.5, 0.75, 0.95, 0.99)
+
+
+@register(
+    "profile_quantiles",
+    oracle=f"""
+    WITH r AS (
+      SELECT l_extendedprice AS x,
+             ROW_NUMBER() OVER (ORDER BY l_extendedprice) AS rn,
+             COUNT(*) OVER () AS n
+      FROM lineitem
+    )
+    SELECT q, x AS value
+    FROM r, (SELECT UNNEST(ARRAY{list(_QUANTILES)}) AS q)
+    WHERE rn = CEIL(q * n)
+    ORDER BY q
+    """,
+)
+def profile_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Profiler quantiles (wlg/profiler/stats.py:95-96,169-176: q in
+    {{.01,.05,.25,.5,.75,.95,.99}}) as EXACT type-1 quantiles — the value at
+    rank ceil(q*n) — because approx_percentile's sketch is engine-specific
+    and can't hash-match an oracle.
+
+    Scale note: like the reference (<=20k-row sample for quantiles), this
+    exact form is meant for the profiler's bounded sample; the production
+    path for full-table quantiles is approx_percentile, which this query's
+    sample-exact twin validates against."""
+    li = load_table(spark, sf_dir, "lineitem")
+    from pyspark.sql import Window
+
+    r = li.select(
+        F.col("l_extendedprice").alias("x"),
+        F.row_number().over(Window.orderBy("l_extendedprice")).alias("rn"),
+        F.count(F.lit(1)).over(Window.partitionBy()).alias("n"),
+    )
+    targets = spark.createDataFrame(
+        [(q,) for q in _QUANTILES], "q double"
+    )
+    return (
+        r.join(F.broadcast(targets))
+        .filter(F.col("rn") == F.ceil(F.col("q") * F.col("n")))
+        .select("q", F.col("x").alias("value"))
+        .orderBy("q")
+    )
+
+
 _CORR_MOMENTS = """
    CAST(SUM(CAST({x} AS DECIMAL(15,{s}))) AS DOUBLE) AS s{x},
    CAST(SUM(CAST({y} AS DECIMAL(15,{s}))) AS DOUBLE) AS s{y},
