@@ -22,7 +22,11 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from lakehouse_sfc_spark.layout.upsert import build_update_batches, keyed_upsert
+from lakehouse_sfc_spark.layout.upsert import (
+    build_update_batches,
+    keyed_upsert,
+    scoped_upsert,
+)
 from lakehouse_sfc_spark.layout.writer import layout_write
 from lakehouse_sfc_spark.runner.runner import RunResult, run_one_query
 
@@ -40,6 +44,7 @@ def incremental_ingest_experiment(
     layout_cols: list[str] | None = None,
     seed: int = 42,
     action: str = "count",
+    scoped: bool = False,
     **run_kwargs,
 ) -> list[RunResult]:
     """Run the full RQ7 loop.  ``queries`` maps name -> (table DataFrame ->
@@ -47,9 +52,18 @@ def incremental_ingest_experiment(
     (so file-skipping effects are visible).  Returns one RunResult per
     (batch, query), with ``batch`` recorded in ``metrics["batch"]``;
     batch 0 is the freshly-laid-out base table.
+
+    ``scoped=True`` upserts through ``scoped_upsert`` — only files whose
+    record-key ranges overlap each batch rewrite (O(overlap), the 100 TB
+    path); requires sidecar stats on the record keys, which the base write
+    here provides.
     """
     layout_write(
-        base_df, table_path, layout=layout, layout_cols=layout_cols
+        base_df,
+        table_path,
+        layout=layout,
+        layout_cols=layout_cols,
+        stats_cols=sorted(set(record_keys) | set(layout_cols or [])),
     )
     batch_dir = table_path.rstrip("/") + "__batches"
     batch_paths = build_update_batches(
@@ -72,9 +86,10 @@ def incremental_ingest_experiment(
             results.append(r)
 
     _measure(0)
+    upsert_fn = scoped_upsert if scoped else keyed_upsert
     for i, bpath in enumerate(batch_paths, start=1):
         batch = spark.read.parquet(bpath)
-        keyed_upsert(
+        upsert_fn(
             table_path,
             batch,
             record_keys=record_keys,

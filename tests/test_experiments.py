@@ -60,3 +60,27 @@ def test_incremental_ingest_experiment(spark, tmp_path_factory):
         r for r in results if r.query == "cnt" and r.metrics["batch"] == 0
     ][0]
     assert cnt_base.rows == 500
+
+
+def test_incremental_ingest_scoped_path(spark, tmp_path_factory):
+    root = tmp_path_factory.mktemp("rq7s")
+    base = load_table(spark, SF, "orders").limit(300).cache()
+    updates = base.limit(60).withColumn(
+        "o_totalprice", F.col("o_totalprice") + 5.0
+    )
+    results = incremental_ingest_experiment(
+        spark,
+        base,
+        updates,
+        str(root / "orders_tbl"),
+        queries={"cnt": lambda t: t},
+        record_keys=["o_orderkey"],
+        precombine="o_totalprice",
+        n_batches=2,
+        layout="linear",
+        layout_cols=["o_orderdate"],
+        scoped=True,
+    )
+    base.unpersist()
+    final = [r for r in results if r.metrics["batch"] == 2][0]
+    assert final.rows == 300  # pure upserts: no growth, no duplicates
