@@ -117,14 +117,25 @@ def scoped_upsert(
         result["scoped"] = False
         return result
 
+    # Key-range bounds always; exact key set too when the batch is narrow.
+    # A sparse batch (few keys spread across the table) would overlap almost
+    # every file by range — the IN-set prunes to files that contain an
+    # ACTUAL batch key, at the cost of one small distinct per key column.
+    _KEYSET_CAP = 10_000
     bounds = batch.agg(
         *[F.min(k).alias(f"lo_{k}") for k in record_keys],
         *[F.max(k).alias(f"hi_{k}") for k in record_keys],
+        F.approx_count_distinct(record_keys[0]).alias("nk"),
     ).collect()[0]
     preds = [
         Pred(k, "between", (bounds[f"lo_{k}"], bounds[f"hi_{k}"]))
         for k in record_keys
     ]
+    if bounds["nk"] <= _KEYSET_CAP:
+        for k in record_keys:
+            keys = [r[0] for r in batch.select(k).distinct().collect()]
+            if len(keys) <= _KEYSET_CAP:
+                preds.append(Pred(k, "in", keys))
     affected, _ = prune_files(sidecar, preds)
     untouched = [f for f in sidecar["files"] if f not in set(affected)]
 

@@ -35,6 +35,13 @@ class Pred:
     def __post_init__(self):
         if self.op not in _OPS:
             raise ValueError(f"op must be one of {_OPS}, got {self.op!r}")
+        if self.op == "in":
+            # normalized + sorted once so per-file checks bisect instead of
+            # scanning the whole list (an upsert key set can be thousands of
+            # values x thousands of files)
+            object.__setattr__(
+                self, "_sorted_in", tuple(sorted(_cmp(x) for x in self.value))
+            )
 
 
 def _cmp(v):
@@ -74,7 +81,11 @@ def _may_match(pred: Pred, mn, mx) -> bool:
         lo, hi = (_cmp(v[0]), _cmp(v[1]))
         return not (hi < mn or lo > mx)
     if op == "in":
-        return any(mn <= _cmp(x) <= mx for x in v)
+        import bisect
+
+        vals = pred._sorted_in  # type: ignore[attr-defined]
+        i = bisect.bisect_left(vals, mn)
+        return i < len(vals) and vals[i] <= mx
     raise AssertionError(op)
 
 

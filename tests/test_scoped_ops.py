@@ -123,3 +123,23 @@ def test_compact_reduces_file_count(spark, tmp_path_factory):
     assert result["files_after"] == 2
     assert spark.read.parquet(path).count() == 400
     assert _sidecar_files_exist(path)
+
+
+def test_scoped_upsert_sparse_batch_prunes_by_keyset(spark, tmp_path_factory):
+    """A batch touching only the extreme keys spans the whole key RANGE, but
+    the IN-set refinement keeps middle files out of the rewrite."""
+    path = str(tmp_path_factory.mktemp("sparse") / "orders")
+    base = _write_orders(spark, path, num_files=4)
+    keys = sorted(r[0] for r in base.select("o_orderkey").collect())
+    extremes = [keys[0], keys[-1]]
+    batch = base.filter(F.col("o_orderkey").isin(extremes)).withColumn(
+        "o_totalprice", F.col("o_totalprice") + 9.0
+    )
+    result = scoped_upsert(
+        path, batch, ["o_orderkey"], "o_totalprice",
+        layout="linear", layout_cols=["o_orderkey"],
+    )
+    assert result["scoped"] is True
+    assert result["files_rewritten"] == 2  # first + last file only
+    assert result["files_untouched"] == 2
+    assert spark.read.parquet(path).count() == 400
