@@ -231,23 +231,39 @@ def eventlog_metrics(
         log_dir = log_dir[5:].lstrip("/")
         log_dir = "/" + log_dir
     app_id = spark.sparkContext.applicationId
+    # Spark <=3 single-file layout: <dir>/<appId>[.inprogress];
+    # Spark 4 rolling layout: <dir>/eventlog_v2_<appId>/events_*_<appId>*
     path = os.path.join(log_dir, app_id)
     if not os.path.exists(path):
         candidates = [
             os.path.join(log_dir, f)
-            for f in os.listdir(log_dir)
-            if f.startswith(app_id)
+            for f in sorted(os.listdir(log_dir))
+            if f.startswith(app_id) or f.startswith(f"eventlog_v2_{app_id}")
         ]
         if not candidates:
             return out
         path = candidates[0]
+    if os.path.isdir(path):
+        log_files = sorted(
+            os.path.join(path, f)
+            for f in os.listdir(path)
+            if f.startswith("events_")
+        )
+    else:
+        log_files = [path]
 
     stage_ids: set[int] = set()
     tasks: dict[tuple, dict] = {}
-    try:
-        with open(path, encoding="utf-8") as fh:
-            events = [json.loads(line) for line in fh if line.strip()]
-    except Exception:
+    events = []
+    for lf in log_files:
+        # Plain-JSON logs only (run with spark.eventLog.compress=false, as
+        # the reference parser does); compressed rollings are skipped.
+        try:
+            with open(lf, encoding="utf-8") as fh:
+                events.extend(json.loads(line) for line in fh if line.strip())
+        except (UnicodeDecodeError, ValueError, OSError):
+            continue
+    if not events:
         return out
 
     for ev in events:

@@ -276,10 +276,15 @@ def export_eventlogs(spark: SparkSession, out_dir: str) -> list[str]:
     app_id = spark.sparkContext.applicationId
     os.makedirs(out_dir, exist_ok=True)
     copied = []
-    for src in sorted(glob.glob(os.path.join(log_dir, f"{app_id}*"))):
-        dst = os.path.join(out_dir, os.path.basename(src))
-        shutil.copy2(src, dst)
-        copied.append(dst)
+    patterns = (f"{app_id}*", f"eventlog_v2_{app_id}*")
+    for pat in patterns:
+        for src in sorted(glob.glob(os.path.join(log_dir, pat))):
+            dst = os.path.join(out_dir, os.path.basename(src))
+            if os.path.isdir(src):
+                shutil.copytree(src, dst, dirs_exist_ok=True)
+            else:
+                shutil.copy2(src, dst)
+            copied.append(dst)
     return copied
 
 
