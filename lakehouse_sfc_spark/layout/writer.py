@@ -127,6 +127,37 @@ def layout_write(
     }
 
 
+def bucketed_write(
+    df: DataFrame,
+    table: str,
+    n_buckets: int,
+    bucket_cols: list[str],
+    sort_cols: list[str] | None = None,
+    mode: str = "overwrite",
+) -> str:
+    """Write ``df`` as a bucketed (+ optionally sorted) managed table.
+
+    Bucketing is the co-located-join layout: two tables bucketed on the same
+    key with the same bucket count join WITHOUT a shuffle — each task reads
+    matching bucket files from both sides.  At 100 TB this removes the
+    dominant exchange from repeated fact⋈fact joins (e.g. lineitem⋈orders
+    on orderkey); the write pays one clustering shuffle, amortized over
+    every subsequent join.  ``sortBy`` additionally pre-sorts bucket files
+    so sort-merge joins skip their sort.
+
+    Plain parquet ``save(path)`` cannot carry bucket metadata — bucketed
+    tables live in the session catalog (``saveAsTable``), which is why this
+    is a separate entry point from ``layout_write``.
+    """
+    writer = df.write.mode(mode).format("parquet").bucketBy(
+        n_buckets, *bucket_cols
+    )
+    if sort_cols:
+        writer = writer.sortBy(*sort_cols)
+    writer.saveAsTable(table)
+    return table
+
+
 def compact(
     spark: SparkSession,
     path: str,
