@@ -4,6 +4,7 @@ from lakehouse_sfc_spark.queries.registry import QUERIES, oracles, queries
 from lakehouse_sfc_spark.queries import core  # noqa: E402,F401
 from lakehouse_sfc_spark.queries import joins  # noqa: E402,F401
 from lakehouse_sfc_spark.queries import tpch  # noqa: E402,F401
+from lakehouse_sfc_spark.queries import tpch_full  # noqa: E402,F401
 from lakehouse_sfc_spark.queries import windows  # noqa: E402,F401
 from lakehouse_sfc_spark.queries import setops  # noqa: E402,F401
 from lakehouse_sfc_spark.queries import datapipe  # noqa: E402,F401

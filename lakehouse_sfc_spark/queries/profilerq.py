@@ -111,7 +111,7 @@ _QUANTILES = (0.01, 0.05, 0.25, 0.5, 0.75, 0.95, 0.99)
       FROM lineitem
     )
     SELECT q, x AS value
-    FROM r, (SELECT UNNEST(ARRAY{list(_QUANTILES)}) AS q)
+    FROM r, (SELECT CAST(UNNEST(ARRAY{list(_QUANTILES)}) AS DOUBLE) AS q)
     WHERE rn = CEIL(q * n)
     ORDER BY q
     """,

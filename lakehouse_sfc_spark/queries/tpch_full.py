@@ -1,0 +1,616 @@
+"""TPC-H query-stream suite, part 2 (SURVEY.md §2.3 J2): the remaining 11
+classic queries — Q1, Q2, Q4, Q6, Q9, Q11, Q12, Q16, Q19, Q20, Q21 — so the
+full 22-query dbgen stream shape the reference runs (tpch_all_runner.py:
+168-169, scripts/run_RQ_6_matrix.sh:10-16) is covered end-to-end.
+
+The driver's synthetic schema has no ``partsupp`` table and no
+``l_commitdate/l_receiptdate/l_shipmode/l_shipinstruct/l_container/
+comment/phone`` columns, so — exactly as ``tpch.py`` does for Q13/Q17/Q22 —
+each query keeps its canonical PLAN SHAPE while substituting available
+columns:
+
+- Q1: pricing summary — verbatim (all columns exist).
+- Q2: min-cost supplier — the part-supplier catalog is derived from
+  lineitem pairs (``min(l_extendedprice)`` as supply cost); the correlated
+  MIN subquery decorrelates to a per-part window minimum.
+- Q4: order-priority check — EXISTS(late lineitem), "late" =
+  ``l_shipdate > o_orderdate + 60 days`` (stand-in for commit<receipt).
+- Q6: forecasting-revenue filter-agg — verbatim.
+- Q9: product-type profit — ``p_retailprice`` stands in for
+  ``ps_supplycost``; same 6-table star + year/nation rollup.
+- Q11: important stock — per-part value from nation-scoped lineitem with a
+  scalar-subquery threshold (fraction of total).
+- Q12: shipping-priority classes — ``l_returnflag`` stands in for
+  ``l_shipmode``; same late-line conditional counts.
+- Q16: supplier-count per part attribute — distinct lineitem pairs stand in
+  for partsupp; negative-balance suppliers are the excluded set (anti join).
+- Q19: three-branch disjunctive brand/size/quantity predicate — verbatim
+  minus the container/shipinstruct terms.
+- Q20: potential part promotion — per-(part,supplier) shipped quantity
+  stands in for availqty; threshold = 30% of the part's total.
+- Q21: suppliers who kept orders waiting — EXISTS(other supplier on the
+  order) AND NOT EXISTS(other LATE supplier), late as in Q4.
+
+Scale notes (100 TB): dims broadcast; every fact-side filter sits below its
+join; the three lineitem-derived aggregates (Q2/Q11/Q20) reuse ONE shuffle by
+computing per-group totals with exact-decimal window sums over the grouped
+result instead of re-scanning lineitem; Q21's semi/anti self-joins share the
+l_orderkey shuffle partitioning.  Exact-arithmetic discipline follows
+``registry.dsum`` (STATE.md rules 1-2, 6).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from lakehouse_sfc_spark.queries.registry import (
+    davg,
+    dsum,
+    register,
+    sql_davg,
+    sql_dsum,
+)
+from lakehouse_sfc_spark.sources.loader import load_table
+
+
+def _ts(s: str):
+    return F.to_timestamp(F.lit(s))
+
+
+def _revenue():
+    return F.col("l_extendedprice") * (1 - F.col("l_discount"))
+
+
+_SQL_REVENUE = "l_extendedprice * (1 - l_discount)"
+_SQL_CHARGE = "l_extendedprice * (1 - l_discount) * (1 + l_tax)"
+
+
+@register(
+    "tpch_q1",
+    oracle=f"""
+    SELECT l_returnflag AS l_returnflag, l_linestatus AS l_linestatus,
+           {sql_dsum("l_quantity", "sum_qty")},
+           {sql_dsum("l_extendedprice", "sum_base_price")},
+           {sql_dsum(_SQL_REVENUE, "sum_disc_price", 6)},
+           {sql_dsum(_SQL_CHARGE, "sum_charge", 6)},
+           {sql_davg("l_quantity", "avg_qty")},
+           {sql_davg("l_extendedprice", "avg_price")},
+           {sql_davg("l_discount", "avg_disc", 6)},
+           COUNT(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '2000-12-01'
+    GROUP BY l_returnflag, l_linestatus
+    ORDER BY l_returnflag, l_linestatus
+    """,
+    headline=True,
+)
+def tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 pricing summary: the canonical full-scan aggregate — one
+    map-side-combining shuffle into at most |returnflag|x|linestatus| = 6
+    groups.  At 100 TB this is scan-bound; the filter and the 8 aggregates
+    all run inside WholeStageCodegen with partial aggregation, so the
+    shuffle moves only 6 rows per task."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") <= _ts("2000-12-01")
+    )
+    charge = _revenue() * (1 + F.col("l_tax"))
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            dsum("l_quantity", "sum_qty"),
+            dsum("l_extendedprice", "sum_base_price"),
+            dsum(_revenue(), "sum_disc_price", 6),
+            dsum(charge, "sum_charge", 6),
+            davg("l_quantity", "avg_qty"),
+            davg("l_extendedprice", "avg_price"),
+            davg("l_discount", "avg_disc", 6),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+@register(
+    "tpch_q2",
+    oracle="""
+    WITH ps AS (
+      SELECT l_partkey, l_suppkey, MIN(l_extendedprice) AS supplycost
+      FROM lineitem GROUP BY l_partkey, l_suppkey
+    ),
+    eu AS (
+      SELECT ps.l_partkey AS pk, ps.supplycost,
+             s.s_acctbal, s.s_name, n.n_name
+      FROM ps
+      JOIN supplier s ON ps.l_suppkey = s.s_suppkey
+      JOIN nation n ON s.s_nationkey = n.n_nationkey
+      JOIN region r ON n.n_regionkey = r.r_regionkey
+      WHERE r.r_name = 'EUROPE'
+    )
+    SELECT eu.s_acctbal AS s_acctbal, eu.s_name AS s_name,
+           eu.n_name AS nation, p.p_partkey AS p_partkey, p.p_name AS p_name
+    FROM part p
+    JOIN eu ON p.p_partkey = eu.pk
+    WHERE p.p_size = 15 AND p.p_type = 'STANDARD'
+      AND eu.supplycost = (SELECT MIN(e2.supplycost) FROM eu e2
+                           WHERE e2.pk = p.p_partkey)
+    ORDER BY s_acctbal DESC, nation, s_name, p_partkey
+    LIMIT 100
+    """,
+)
+def tpch_q2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 minimum-cost supplier.  The partsupp catalog is derived from
+    lineitem's (partkey, suppkey) pairs with min(l_extendedprice) as the
+    supply cost (one shuffle on the pair key); the correlated MIN subquery
+    decorrelates to a window minimum partitioned by partkey over the
+    region-scoped catalog — no second scan.  supplier/nation/region and the
+    filtered part list all broadcast."""
+    li = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    p = load_table(spark, sf_dir, "part").filter(
+        (F.col("p_size") == 15) & (F.col("p_type") == "STANDARD")
+    )
+    ps = li.groupBy("l_partkey", "l_suppkey").agg(
+        F.min("l_extendedprice").alias("supplycost")
+    )
+    eu = (
+        ps.join(F.broadcast(s), ps.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .select(
+            F.col("l_partkey").alias("pk"),
+            "supplycost",
+            "s_acctbal",
+            "s_name",
+            F.col("n_name").alias("nation"),
+        )
+    )
+    w = Window.partitionBy("pk")
+    return (
+        eu.join(F.broadcast(p), eu.pk == p.p_partkey)
+        .withColumn("min_cost", F.min("supplycost").over(w))
+        .filter(F.col("supplycost") == F.col("min_cost"))
+        .select("s_acctbal", "s_name", "nation", "p_partkey", "p_name")
+        .orderBy(F.desc("s_acctbal"), "nation", "s_name", "p_partkey")
+        .limit(100)
+    )
+
+
+@register(
+    "tpch_q4",
+    oracle="""
+    SELECT o.o_orderpriority AS o_orderpriority, COUNT(*) AS order_count
+    FROM orders o
+    WHERE o.o_orderdate >= TIMESTAMP '1996-07-01'
+      AND o.o_orderdate <  TIMESTAMP '1996-10-01'
+      AND EXISTS (SELECT 1 FROM lineitem l
+                  WHERE l.l_orderkey = o.o_orderkey
+                    AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY)
+    GROUP BY o.o_orderpriority
+    ORDER BY o.o_orderpriority
+    """,
+)
+def tpch_q4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 order-priority checking: left-semi join from quarter-scoped
+    orders into lineitem with the non-equi lateness condition evaluated
+    inside the semi join; counts group on the 5 priority values.  "Late" =
+    shipped >60 days after the order date (commit/receipt stand-in)."""
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= _ts("1996-07-01"))
+        & (F.col("o_orderdate") < _ts("1996-10-01"))
+    )
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    cond = (o.o_orderkey == li.l_orderkey) & (
+        li.l_shipdate > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")
+    )
+    return (
+        o.join(li, cond, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
+@register(
+    "tpch_q6",
+    oracle=f"""
+    SELECT {sql_dsum("l_extendedprice * l_discount", "revenue", 6)}
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l_shipdate <  TIMESTAMP '1997-01-01'
+      AND l_discount BETWEEN 0.03 AND 0.07
+      AND l_quantity < 24
+    """,
+)
+def tpch_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 forecasting-revenue change: pure filter + global aggregate,
+    zero joins and zero shuffles beyond the single-row partial-agg exchange.
+    The three predicates push down to the parquet scan."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= _ts("1996-01-01"))
+        & (F.col("l_shipdate") < _ts("1997-01-01"))
+        & F.col("l_discount").between(0.03, 0.07)
+        & (F.col("l_quantity") < 24)
+    )
+    return li.agg(
+        dsum(F.col("l_extendedprice") * F.col("l_discount"), "revenue", 6)
+    )
+
+
+@register(
+    "tpch_q9",
+    oracle=f"""
+    SELECT n.n_name AS nation,
+           CAST(YEAR(o.o_orderdate) AS INT) AS o_year,
+           {sql_dsum(
+               "l_extendedprice * (1 - l_discount)"
+               " - p_retailprice * l_quantity",
+               "sum_profit", 6)}
+    FROM part p
+    JOIN lineitem l ON p.p_partkey = l.l_partkey
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    JOIN orders o ON o.o_orderkey = l.l_orderkey
+    JOIN nation n ON s.s_nationkey = n.n_nationkey
+    WHERE p.p_name LIKE '%red%'
+    GROUP BY 1, 2
+    """,
+)
+def tpch_q9(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 product-type profit: 5-table star grouped by supplier nation
+    and order year.  ``p_retailprice`` stands in for ``ps_supplycost`` so
+    profit = revenue - retail cost of the shipped quantity.  lineitem⋈orders
+    is the only shuffle; part (LIKE-filtered), supplier, and nation
+    broadcast.  The LIKE predicate cannot push to parquet but evaluates
+    codegen-side before the join."""
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_name").like("%red%"))
+    li = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    o = load_table(spark, sf_dir, "orders")
+    n = load_table(spark, sf_dir, "nation")
+    amount = _revenue() - F.col("p_retailprice") * F.col("l_quantity")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").cast("int").alias("o_year"),
+        )
+        .agg(dsum(amount, "sum_profit", 6))
+    )
+
+
+@register(
+    "tpch_q11",
+    oracle="""
+    WITH ps AS (
+      SELECT l.l_partkey,
+             SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS val
+      FROM lineitem l
+      JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      JOIN nation n ON s.s_nationkey = n.n_nationkey
+      JOIN region r ON n.n_regionkey = r.r_regionkey
+      WHERE r.r_name = 'EUROPE'
+      GROUP BY l.l_partkey
+    )
+    SELECT l_partkey AS ps_partkey, CAST(val AS DOUBLE) AS value
+    FROM ps
+    WHERE CAST(val AS DOUBLE) >
+          (SELECT CAST(SUM(val) AS DOUBLE) / COUNT(*) FROM ps) * 1.5
+    """,
+)
+def tpch_q11(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 important stock: per-part value within one region (GERMANY
+    → EUROPE: a single nation holds ~1 supplier at tiny SF), keeping parts
+    above a threshold from a scalar subquery.  Canonical Q11 uses
+    ``fraction / SF`` (scale-dependent); we use the scale-free equivalent
+    1.5x the mean per-part value so the query stays selective-but-nonempty
+    at every SF.  The scalar threshold is computed from the grouped result's
+    exact-decimal sums (associative — equals a direct total), broadcast,
+    never re-scanning lineitem."""
+    li = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    grouped = (
+        li.join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey, "left_semi")
+        .groupBy("l_partkey")
+        .agg(F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).alias("val"))
+    )
+    total = grouped.agg(
+        (F.sum("val").cast("double") / F.count(F.lit(1))).alias("tot")
+    )
+    return (
+        grouped.join(F.broadcast(total))
+        .filter(F.col("val").cast("double") > F.col("tot") * 1.5)
+        .select(
+            F.col("l_partkey").alias("ps_partkey"),
+            F.col("val").cast("double").alias("value"),
+        )
+    )
+
+
+@register(
+    "tpch_q12",
+    oracle="""
+    SELECT l.l_returnflag AS return_class,
+           SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS high_line_count,
+           SUM(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS low_line_count
+    FROM orders o
+    JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    WHERE l.l_returnflag IN ('R', 'A')
+      AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+      AND l.l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l.l_shipdate <  TIMESTAMP '1997-01-01'
+    GROUP BY 1
+    ORDER BY 1
+    """,
+)
+def tpch_q12(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shipping-mode priority counts: ``l_returnflag`` stands in
+    for ``l_shipmode`` (2-value IN list) and Q4's lateness predicate for the
+    commit/receipt window; urgent-vs-other conditional counts per class.
+    The year filter and IN-list push down; the non-equi lateness condition
+    evaluates as a post-join filter on the single orderkey shuffle."""
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_returnflag").isin("R", "A")
+        & (F.col("l_shipdate") >= _ts("1996-01-01"))
+        & (F.col("l_shipdate") < _ts("1997-01-01"))
+    )
+    urgent = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .filter(
+            F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")
+        )
+        .groupBy(F.col("l_returnflag").alias("return_class"))
+        .agg(
+            F.sum(F.when(urgent, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(~urgent, 1).otherwise(0)).alias("low_line_count"),
+        )
+        .orderBy("return_class")
+    )
+
+
+@register(
+    "tpch_q16",
+    oracle="""
+    SELECT p.p_brand AS p_brand, p.p_type AS p_type, p.p_size AS p_size,
+           COUNT(DISTINCT ps.l_suppkey) AS supplier_cnt
+    FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem) ps
+    JOIN part p ON p.p_partkey = ps.l_partkey
+    WHERE p.p_brand <> 'Brand#13'
+      AND p.p_type <> 'PROMO'
+      AND p.p_size IN (1, 5, 9, 14, 20, 25, 30, 36, 45, 49)
+      AND ps.l_suppkey NOT IN
+          (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+    GROUP BY 1, 2, 3
+    """,
+)
+def tpch_q16(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 parts/supplier relationship: distinct lineitem pairs stand
+    in for partsupp; suppliers with negative balance are the excluded set
+    (complaint-comment stand-in) via a broadcast anti join; distinct supplier
+    count per (brand, type, size).  The pair-distinct and the count-distinct
+    share one shuffle on l_partkey-ish keys under AQE."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#13")
+        & (F.col("p_type") != "PROMO")
+        & F.col("p_size").isin(1, 5, 9, 14, 20, 25, 30, 36, 45, 49)
+    )
+    bad = (
+        load_table(spark, sf_dir, "supplier")
+        .filter(F.col("s_acctbal") < 0)
+        .select("s_suppkey")
+    )
+    pairs = li.select("l_partkey", "l_suppkey").distinct()
+    return (
+        pairs.join(F.broadcast(p), pairs.l_partkey == p.p_partkey)
+        .join(F.broadcast(bad), pairs.l_suppkey == bad.s_suppkey, "left_anti")
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+@register(
+    "tpch_q19",
+    oracle=f"""
+    SELECT {sql_dsum(_SQL_REVENUE, "revenue", 6)}
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE (p.p_brand = 'Brand#12' AND p.p_size BETWEEN 1 AND 5
+           AND l.l_quantity BETWEEN 1 AND 11 AND l.l_returnflag = 'N')
+       OR (p.p_brand = 'Brand#23' AND p.p_size BETWEEN 1 AND 10
+           AND l.l_quantity BETWEEN 10 AND 20 AND l.l_returnflag = 'N')
+       OR (p.p_brand = 'Brand#3' AND p.p_size BETWEEN 1 AND 15
+           AND l.l_quantity BETWEEN 20 AND 30 AND l.l_returnflag = 'N')
+    """,
+)
+def tpch_q19(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 discounted-revenue: the canonical three-branch disjunction
+    over joined part and lineitem attributes (container/shipmode terms
+    dropped with the columns).  The common ``l_returnflag = 'N'`` factor and
+    the quantity/size envelope (quantity <= 30, size <= 15) are factored out
+    below the join so the scan prunes before the broadcast probe — Catalyst
+    does not factor OR-branch conjuncts itself."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_returnflag") == "N") & F.col("l_quantity").between(1, 30)
+    )
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_size").between(1, 15))
+    branch = (
+        (
+            (F.col("p_brand") == "Brand#12")
+            & F.col("p_size").between(1, 5)
+            & F.col("l_quantity").between(1, 11)
+        )
+        | (
+            (F.col("p_brand") == "Brand#23")
+            & F.col("p_size").between(1, 10)
+            & F.col("l_quantity").between(10, 20)
+        )
+        | (
+            (F.col("p_brand") == "Brand#3")
+            & F.col("p_size").between(1, 15)
+            & F.col("l_quantity").between(20, 30)
+        )
+    )
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .filter(branch)
+        .agg(dsum(_revenue(), "revenue", 6))
+    )
+
+
+@register(
+    "tpch_q20",
+    oracle="""
+    WITH ps AS (
+      SELECT l_partkey, l_suppkey,
+             SUM(CAST(l_quantity AS DECIMAL(18,2))) AS qty
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        AND l_shipdate <  TIMESTAMP '1997-01-01'
+      GROUP BY l_partkey, l_suppkey
+    ),
+    tot AS (
+      SELECT l_partkey, SUM(qty) AS part_qty FROM ps GROUP BY l_partkey
+    )
+    SELECT s.s_suppkey AS s_suppkey, s.s_name AS s_name
+    FROM supplier s
+    JOIN nation n ON s.s_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    WHERE r.r_name = 'ASIA'
+      AND s.s_suppkey IN (
+        SELECT ps.l_suppkey
+        FROM ps
+        JOIN tot ON ps.l_partkey = tot.l_partkey
+        WHERE ps.l_partkey IN
+              (SELECT p_partkey FROM part WHERE p_name LIKE 'small%')
+          AND CAST(ps.qty AS DOUBLE) > 0.3 * CAST(tot.part_qty AS DOUBLE)
+      )
+    ORDER BY s_name, s_suppkey
+    """,
+)
+def tpch_q20(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 potential part promotion: suppliers in one region (nation →
+    region for tiny-SF robustness, as in Q11) who shipped >30% of a
+    prefix-named part's 1996 volume (shipped quantity stands in for
+    ps_availqty).  The per-part total is an exact-decimal window sum over
+    the (part, supplier) aggregate — one lineitem shuffle, already
+    partitioned by l_partkey, feeds both levels; the qualifying supplier set
+    semi-joins the broadcast region-scoped supplier dim."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= _ts("1996-01-01"))
+        & (F.col("l_shipdate") < _ts("1997-01-01"))
+    )
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_name").like("small%"))
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    n = n.join(F.broadcast(r), n.n_regionkey == r.r_regionkey, "left_semi")
+    ps = (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey, "left_semi")
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.sum(F.col("l_quantity").cast("decimal(18,2)")).alias("qty"))
+    )
+    w = Window.partitionBy("l_partkey")
+    qualifying = (
+        ps.withColumn("part_qty", F.sum("qty").over(w))
+        .filter(
+            F.col("qty").cast("double") > 0.3 * F.col("part_qty").cast("double")
+        )
+        .select("l_suppkey")
+    )
+    return (
+        s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey, "left_semi")
+        .join(qualifying, s.s_suppkey == qualifying.l_suppkey, "left_semi")
+        .select("s_suppkey", "s_name")
+        .orderBy("s_name", "s_suppkey")
+    )
+
+
+@register(
+    "tpch_q21",
+    oracle="""
+    SELECT s.s_name AS s_name, COUNT(*) AS numwait
+    FROM lineitem l1
+    JOIN orders o ON o.o_orderkey = l1.l_orderkey
+    JOIN supplier s ON s.s_suppkey = l1.l_suppkey
+    JOIN nation n ON s.s_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    WHERE o.o_orderstatus = 'F'
+      AND r.r_name = 'ASIA'
+      AND l1.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+      AND EXISTS (SELECT 1 FROM lineitem l2
+                  WHERE l2.l_orderkey = l1.l_orderkey
+                    AND l2.l_suppkey <> l1.l_suppkey)
+      AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                      WHERE l3.l_orderkey = l1.l_orderkey
+                        AND l3.l_suppkey <> l1.l_suppkey
+                        AND l3.l_shipdate > o.o_orderdate + INTERVAL 60 DAY)
+    GROUP BY 1
+    ORDER BY numwait DESC, s_name
+    LIMIT 100
+    """,
+)
+def tpch_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 suppliers who kept orders waiting: the sole-late-supplier
+    pattern — a semi join (some OTHER supplier is on the order) and an anti
+    join (but no OTHER supplier was late), both self-joins of lineitem on
+    l_orderkey with non-equi side conditions.  All three lineitem branches
+    and orders hash-partition on orderkey, so under AQE the semi/anti
+    probes reuse the same exchange; supplier⋈nation⋈region broadcasts
+    (nation → region scope for tiny-SF robustness, as in Q11)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    n = n.join(F.broadcast(r), n.n_regionkey == r.r_regionkey, "left_semi")
+    late = F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")
+    l2 = li.select(
+        F.col("l_orderkey").alias("l2_orderkey"),
+        F.col("l_suppkey").alias("l2_suppkey"),
+    )
+    l3 = li.select(
+        F.col("l_orderkey").alias("l3_orderkey"),
+        F.col("l_suppkey").alias("l3_suppkey"),
+        F.col("l_shipdate").alias("l3_shipdate"),
+    )
+    base = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .filter(late)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey, "left_semi")
+    )
+    with_other = base.join(
+        l2,
+        (F.col("l_orderkey") == F.col("l2_orderkey"))
+        & (F.col("l2_suppkey") != F.col("l_suppkey")),
+        "left_semi",
+    )
+    sole_late = with_other.join(
+        l3,
+        (F.col("l_orderkey") == F.col("l3_orderkey"))
+        & (F.col("l3_suppkey") != F.col("l_suppkey"))
+        & (
+            F.col("l3_shipdate")
+            > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")
+        ),
+        "left_anti",
+    )
+    return (
+        sole_late.groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.desc("numwait"), "s_name")
+        .limit(100)
+    )

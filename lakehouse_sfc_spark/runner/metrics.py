@@ -156,17 +156,32 @@ def _http_json(url: str, timeout: float = 2.0):
         return json.loads(resp.read().decode("utf-8"))
 
 
-def rest_metrics(spark, job_group: str, wait_s: float = 0.5) -> dict:
+def rest_metrics(spark, job_group: str, deadline_s: float = 5.0) -> dict:
     """Poll the Spark UI REST API for stages of jobs in ``job_group``,
     dedup tasks by (stageId, taskId) preferring SUCCESS / higher attempt /
-    longer duration, and sum input bytes + executor run/CPU time."""
-    out: dict = {}
+    longer duration, and sum input bytes + executor run/CPU time.
+
+    The UI ingests listener events asynchronously, so a single read can see
+    stages before their task metrics land (the reference papers over this
+    with fixed sleeps, run_queries.py:657-664).  We instead re-poll until
+    input bytes are visible or ``deadline_s`` elapses, keeping the last
+    snapshot either way."""
     ui = spark.sparkContext.uiWebUrl
     if not ui:
-        return out
-    time.sleep(wait_s)  # let the UI ingest the listener events
+        return {}
     app_id = spark.sparkContext.applicationId
     base = urlunsplit(urlsplit(ui)._replace(path="", query="", fragment=""))
+    deadline = time.monotonic() + deadline_s
+    out: dict = {}
+    while True:
+        out = _rest_snapshot(base, app_id, job_group)
+        if out.get("rest_bytes_read", 0) > 0 or time.monotonic() >= deadline:
+            return out
+        time.sleep(0.25)
+
+
+def _rest_snapshot(base: str, app_id: str, job_group: str) -> dict:
+    out: dict = {}
     try:
         jobs = _http_json(f"{base}/api/v1/applications/{app_id}/jobs")
     except Exception:
