@@ -1,0 +1,117 @@
+"""Randomized Spark-vs-oracle equivalence fuzzing over the workload
+generator (sqllogictest-style; strengthens the reference's
+correctness-by-invariance strategy, SURVEY.md §5).
+
+The reference only ever *generates* SQL and trusts the engines
+(scripts/test_sql_gen.sh runs ``wlg.cli fill`` with no assertions).  Here
+the generated workload doubles as a randomized correctness corpus: every
+emitted query is plain ANSI SQL that runs verbatim on BOTH Spark and
+DuckDB, so any mismatch pinpoints an engine-semantics bug (type coercion,
+ordering, boundary inclusivity) rather than a hand-written-oracle typo.
+
+Determinism rules for fuzz cases (so exact comparison is sound):
+- Filter-only templates (A/B/C/D) return unordered row sets — the
+  comparator sorts rows, so SELECT * is safe.
+- Aggregate variants group on a column, making output rows unique per
+  group; LIMIT is only ever combined with a TOTAL ordering (ORDER BY every
+  output column), never a partial one.
+- Literals are formatted with ``repr()`` for doubles (full precision,
+  parsed identically by both engines) and single-quote escaping for
+  strings.
+"""
+
+from __future__ import annotations
+
+import random
+from collections.abc import Sequence
+from dataclasses import dataclass
+
+from lakehouse_sfc_spark.profiler.stats import ColumnStats, build_uni_dists
+from lakehouse_sfc_spark.wlgen.gen import gen_workload
+from lakehouse_sfc_spark.wlgen.samplers import sample_between
+
+
+@dataclass(frozen=True)
+class FuzzCase:
+    name: str
+    sql: str
+
+
+def _fmt(v) -> str:
+    if isinstance(v, str):
+        return "'" + v.replace("'", "''") + "'"
+    if isinstance(v, float):
+        return repr(v)
+    return str(v)
+
+
+def _substitute(sql: str, params: dict) -> str:
+    for k, v in sorted(params.items(), key=lambda kv: -len(kv[0])):
+        sql = sql.replace(f":{k}", _fmt(v))
+    return sql
+
+
+def fuzz_cases(
+    fact_stats: dict[str, ColumnStats],
+    table: str = "lineitem",
+    numeric_cols: Sequence[str] = (
+        "l_quantity",
+        "l_discount",
+        "l_extendedprice",
+        "l_orderkey",
+    ),
+    categorical_col: str = "l_returnflag",
+    dim_stats: dict[str, ColumnStats] | None = None,
+    dim: tuple[str, str, str, str] = (
+        "supplier",
+        "l_suppkey",
+        "s_suppkey",
+        "s_acctbal",
+    ),
+    n: int = 5,
+    seed: int = 0,
+    target_sel: float = 0.1,
+) -> list[FuzzCase]:
+    """Generate ``n`` rounds of filled template-A/B/C queries (plus D joins
+    when ``dim_stats`` given, plus deterministic aggregate variants of the
+    B queries) as final literal SQL runnable on Spark and DuckDB alike."""
+    rng = random.Random(seed)
+    cases: list[FuzzCase] = []
+
+    rows = gen_workload(
+        fact_stats,
+        table,
+        list(numeric_cols),
+        categorical_col,
+        n=n,
+        target_sel=target_sel,
+        seed=seed,
+    )
+    for i, row in enumerate(rows):
+        sql = _substitute(row["sql"], row["params"])
+        cases.append(FuzzCase(f"{row['tpl']}{i}", sql))
+        if row["tpl"] == "B":
+            # deterministic aggregate variant: unique group rows, and the
+            # ORDER BY covers every output column (total order) so LIMIT
+            # stays well-defined in both engines.
+            agg = (
+                f"SELECT {categorical_col}, COUNT(*) AS cnt FROM ({sql}) t"
+                f" GROUP BY {categorical_col}"
+                f" ORDER BY cnt DESC, {categorical_col} LIMIT 1000"
+            )
+            cases.append(FuzzCase(f"B{i}_agg", agg))
+
+    if dim_stats is not None:
+        dim_table, fact_key, dim_key, filter_col = dim
+        dists = build_uni_dists(dim_stats)
+        if filter_col in dists:
+            for i in range(n):
+                lo, hi = sample_between(dists[filter_col], target_sel, rng)
+                sql = (
+                    f"SELECT {table}.* FROM {table} JOIN {dim_table}"
+                    f" ON {table}.{fact_key} = {dim_table}.{dim_key}"
+                    f" WHERE {dim_table}.{filter_col}"
+                    f" BETWEEN {_fmt(lo)} AND {_fmt(hi)}"
+                )
+                cases.append(FuzzCase(f"D{i}", sql))
+    return cases

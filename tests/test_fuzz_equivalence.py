@@ -1,0 +1,60 @@
+"""Randomized Spark-vs-DuckDB equivalence fuzzing: workload-generator output
+runs verbatim on both engines and must match exactly (sqllogictest-style;
+stronger than the reference's assertion-free scripts/test_sql_gen.sh)."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from lakehouse_sfc_spark.profiler.profile import profile_df
+from lakehouse_sfc_spark.sources.loader import load_table, register_tables
+from lakehouse_sfc_spark.wlgen.fuzz import fuzz_cases
+from tests._compare import compare_query
+
+SF_DIR = os.environ.get("LAKEHOUSE_TEST_SF", "/root/testdata/sf0.001")
+FUZZ_SEED = int(os.environ.get("LAKEHOUSE_FUZZ_SEED", "11"))
+FUZZ_N = int(os.environ.get("LAKEHOUSE_FUZZ_N", "3"))
+
+
+@pytest.fixture(scope="module")
+def cases(spark):
+    fact_stats, _ = profile_df(load_table(spark, SF_DIR, "lineitem"))
+    dim_stats, _ = profile_df(load_table(spark, SF_DIR, "supplier"))
+    out = fuzz_cases(
+        fact_stats, dim_stats=dim_stats, n=FUZZ_N, seed=FUZZ_SEED
+    )
+    register_tables(spark, SF_DIR)
+    return {c.name: c.sql for c in out}
+
+
+def _expected_names():
+    # n rounds of A/B/C (+agg per B) + n joins — computed without Spark so
+    # parametrization stays collection-time cheap.
+    names = []
+    i = 0
+    for _ in range(FUZZ_N):
+        for tpl in ("A", "B", "C"):
+            names.append(f"{tpl}{i}")
+            if tpl == "B":
+                names.append(f"B{i}_agg")
+            i += 1
+    names += [f"D{i}" for i in range(FUZZ_N)]
+    return names
+
+
+@pytest.mark.parametrize("name", _expected_names())
+def test_fuzz_case_matches_duckdb(spark, cases, name):
+    assert name in cases, f"generator did not emit {name}: {sorted(cases)}"
+    sql = cases[name]
+    compare_query(spark, SF_DIR, lambda s, _d: s.sql(sql), sql)
+
+
+def test_fuzz_cases_are_deterministic(spark):
+    fact_stats, _ = profile_df(load_table(spark, SF_DIR, "lineitem"))
+    a = fuzz_cases(fact_stats, n=2, seed=99)
+    b = fuzz_cases(fact_stats, n=2, seed=99)
+    assert a == b
+    c = fuzz_cases(fact_stats, n=2, seed=100)
+    assert a != c
