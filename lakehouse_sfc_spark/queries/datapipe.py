@@ -548,3 +548,146 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(_ANN_K)
         .select("vec_id", F.round(F.col("c"), 6).alias("score"))
     )
+
+
+# --- IVF with a k-means coarse quantizer (paper-standard IVF) ---------------
+
+_KM_K = 8  # coarse-quantizer cells
+_KM_NPROBE = 2
+
+
+def _l2(a: Column, b: Column) -> Column:
+    """Squared L2, folded left-to-right — bit-identical to the SQL twin."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+_SQL_L2 = (
+    "list_reduce(list_transform(range(1, len({a})+1),"
+    " i -> ({a}[i] - {b}[i]) * ({a}[i] - {b}[i])), (p, q) -> p + q)"
+)
+
+
+@register(
+    "ann_ivf_kmeans_topk",
+    oracle=f"""
+    WITH c AS ({_SQL_EMB_CTE}),
+    seeds AS (SELECT vec_id AS cid, emb AS cemb FROM c
+              WHERE vec_id < {_KM_K}),
+    a1 AS (
+      SELECT vec_id, cid, emb FROM (
+        SELECT c.vec_id, s.cid, c.emb,
+               ROW_NUMBER() OVER (PARTITION BY c.vec_id
+                 ORDER BY {_SQL_L2.format(a="c.emb", b="s.cemb")}, s.cid) AS rn
+        FROM c, seeds s) t WHERE rn = 1),
+    pd AS (
+      SELECT cid, pos,
+             CAST(SUM(CAST(x AS DECIMAL(18,9))) AS DOUBLE) / COUNT(*) AS m
+      FROM (SELECT cid, UNNEST(emb) AS x,
+                   UNNEST(range(1, len(emb)+1)) AS pos FROM a1) u
+      GROUP BY cid, pos),
+    cent AS (SELECT cid, list(m ORDER BY pos) AS cemb FROM pd GROUP BY cid),
+    a2 AS (
+      SELECT vec_id, cid AS cell FROM (
+        SELECT c.vec_id, t.cid,
+               ROW_NUMBER() OVER (PARTITION BY c.vec_id
+                 ORDER BY {_SQL_L2.format(a="c.emb", b="t.cemb")}, t.cid) AS rn
+        FROM c, cent t) z WHERE rn = 1),
+    q AS (SELECT emb, nrm FROM c WHERE vec_id = {_ANN_QUERY_ID}),
+    qc AS (SELECT cid FROM (
+        SELECT t.cid, ROW_NUMBER() OVER (
+                 ORDER BY {_SQL_L2.format(a="q.emb", b="t.cemb")}, t.cid) AS rn
+        FROM cent t, q) z WHERE rn <= {_KM_NPROBE})
+    SELECT c.vec_id AS vec_id, round({_sql_cos("c", "q")}, 6) AS score
+    FROM c
+    JOIN a2 ON c.vec_id = a2.vec_id
+    JOIN qc ON a2.cell = qc.cid, q
+    WHERE c.vec_id != {_ANN_QUERY_ID}
+    ORDER BY {_sql_cos("c", "q")} DESC, c.vec_id
+    LIMIT {_ANN_K}
+    """,
+)
+def ann_ivf_kmeans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Paper-standard IVF: a k-means coarse quantizer (K=8 cells, seeded
+    deterministically from the first K vectors, one exact-arithmetic Lloyd
+    update) assigns every vector to its nearest centroid; the query probes
+    its nprobe=2 nearest cells and ranks exactly within them.  Upgrades
+    ``ann_ivf_topk``'s sign quantizer to learned cells.
+
+    Cross-engine determinism: centroid components are exact-decimal means
+    (DECIMAL(18,9) sums / COUNT, one double division), assignments break
+    distance ties by centroid id (``min_by`` over a (distance, cid) struct ≡
+    the oracle's ROW_NUMBER ordering), and distances fold left-to-right.
+
+    Scale notes (100 TB): the assignment join broadcasts K centroid rows and
+    partially aggregates (min_by) map-side, so each Lloyd pass is one scan +
+    one tiny-key shuffle of (vec_id, cell); in production the K centroids
+    would be collected to the driver once and the argmin inlined as a codegen
+    expression (zero shuffle), with more Lloyd rounds on a bounded sample —
+    this declarative twin is the oracle-matched correctness contract."""
+    from pyspark.sql import Window
+
+    c = _emb(spark, sf_dir)
+    seeds = c.filter(F.col("vec_id") < _KM_K).select(
+        F.col("vec_id").alias("cid"), F.col("emb").alias("cemb")
+    )
+
+    def assign(vecs: DataFrame, cents: DataFrame) -> DataFrame:
+        """(vec_id, emb) x centroids -> nearest (vec_id, cid, emb)."""
+        d = _l2(F.col("emb"), F.col("cemb"))
+        return (
+            vecs.join(F.broadcast(cents))
+            .select("vec_id", "emb", "cid", d.alias("d"))
+            .groupBy("vec_id")
+            .agg(
+                F.min_by("cid", F.struct("d", "cid")).alias("cid"),
+                F.first("emb").alias("emb"),  # constant within the group
+            )
+        )
+
+    a1 = assign(c.select("vec_id", "emb"), seeds)
+    per_dim = (
+        a1.select("cid", F.posexplode("emb").alias("pos", "x"))
+        .groupBy("cid", "pos")
+        .agg(
+            (
+                F.sum(F.col("x").cast("decimal(18,9)")).cast("double")
+                / F.count(F.lit(1))
+            ).alias("m")
+        )
+    )
+    cent = per_dim.groupBy("cid").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "m"))),
+            lambda s: s["m"],
+        ).alias("cemb")
+    )
+    a2 = assign(c.select("vec_id", "emb"), cent).select(
+        "vec_id", F.col("cid").alias("cell")
+    )
+    q = c.filter(F.col("vec_id") == _ANN_QUERY_ID).select(
+        F.col("emb").alias("qemb"), F.col("nrm").alias("qnrm")
+    )
+    qc = (
+        cent.join(F.broadcast(q.select("qemb")))
+        .select("cid", _l2(F.col("qemb"), F.col("cemb")).alias("d"))
+        .withColumn(
+            "rn", F.row_number().over(Window.orderBy("d", "cid"))
+        )
+        .filter(F.col("rn") <= _KM_NPROBE)
+        .select("cid")
+    )
+    cos = _dot(F.col("emb"), F.col("qemb")) / (F.col("nrm") * F.col("qnrm"))
+    return (
+        c.filter(F.col("vec_id") != _ANN_QUERY_ID)
+        .join(a2, "vec_id")
+        .join(F.broadcast(qc), F.col("cell") == F.col("cid"), "left_semi")
+        .join(F.broadcast(q))
+        .select("vec_id", cos.alias("c"))
+        .orderBy(F.col("c").desc(), F.col("vec_id"))
+        .limit(_ANN_K)
+        .select("vec_id", F.round(F.col("c"), 6).alias("score"))
+    )

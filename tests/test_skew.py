@@ -59,3 +59,48 @@ def test_salt_spreads_hot_key(spark):
 def test_session_has_aqe_skew_join(spark):
     assert spark.conf.get("spark.sql.adaptive.skewJoin.enabled") == "true"
     assert spark.conf.get("spark.sql.adaptive.enabled") == "true"
+
+
+def test_aqe_splits_skewed_partition_at_runtime(spark):
+    """End-to-end: a sort-merge join with one pathologically hot key must be
+    re-planned by AQE with the hot partition SPLIT (skew=true in the final
+    adaptive plan), not run as one giant task.  Thresholds are lowered so the
+    local test data trips the same code path a 100 TB run would."""
+    tuned = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",  # force SMJ
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "64KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "16KB",
+        "spark.sql.adaptive.coalescePartitions.enabled": "false",
+        "spark.sql.shuffle.partitions": "8",
+    }
+    saved = {k: spark.conf.get(k, None) for k in tuned}
+    try:
+        for k, v in tuned.items():
+            spark.conf.set(k, v)
+        # ~200k left rows, 95% on key 7; right side one row per key so the
+        # join output stays collect-able (collect() must drive THIS
+        # DataFrame's QueryExecution — a count() would execute a separate
+        # plan and leave this one un-finalized).
+        left = spark.range(200_000).select(
+            F.when(F.col("id") % 20 < 19, F.lit(7))
+            .otherwise(F.col("id") % 1000)
+            .cast("long")
+            .alias("k"),
+            F.col("id").alias("lv"),
+        )
+        right = spark.range(1000).select(
+            F.col("id").alias("k"), (F.col("id") * 3).alias("rv")
+        )
+        joined = left.join(right, "k")
+        n = len(joined.collect())
+        assert n == 200_000
+        final_plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "isFinalPlan=true" in final_plan
+        assert "skew=true" in final_plan, final_plan[:2000]
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
