@@ -40,6 +40,27 @@ def stream_tumbling_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_tumbling_agg(spark, sf_dir)
 
 
+@register(
+    "stream_dedup",
+    oracle="""
+    SELECT event_type,
+           COUNT(*) AS cnt,
+           CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+    FROM events
+    GROUP BY 1
+    """,
+)
+def stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming exact dedup under at-least-once delivery: every event
+    arrives twice (stream unioned with itself), passes
+    ``dropDuplicatesWithinWatermark`` on event_id (state bounded by the
+    watermark, unlike ``dropDuplicates``), and the downstream aggregate must
+    equal the batch aggregate over the ORIGINAL events table."""
+    from lakehouse_sfc_spark.streaming import run_stream_dedup
+
+    return run_stream_dedup(spark, sf_dir)
+
+
 _GAP_MIN = 30
 
 

@@ -4,8 +4,14 @@ streaming — SURVEY.md §2.9)."""
 
 from lakehouse_sfc_spark.streaming.pipeline import (
     read_events_stream,
+    run_stream_dedup,
     run_tumbling_agg,
     sessionize_stateful,
 )
 
-__all__ = ["read_events_stream", "run_tumbling_agg", "sessionize_stateful"]
+__all__ = [
+    "read_events_stream",
+    "run_stream_dedup",
+    "run_tumbling_agg",
+    "sessionize_stateful",
+]

@@ -103,6 +103,52 @@ def run_tumbling_agg(
     return spark.table(name)
 
 
+def run_stream_dedup(
+    spark: SparkSession,
+    sf_dir: str,
+    watermark: str = "2 hours",
+    timeout_s: int = 300,
+) -> DataFrame:
+    """Streaming exact deduplication: the events stream unioned with itself
+    (every row delivered twice — the at-least-once redelivery shape) passes
+    through ``dropDuplicatesWithinWatermark`` on event_id, so the downstream
+    aggregate must equal the batch aggregate over the ORIGINAL table.
+
+    Scale notes: dedup state is keyed by event_id and expired by the
+    watermark, so state size is bounded by (arrival rate x watermark), not
+    by stream length — the correct construction for an unbounded 100 TB
+    backfill, unlike ``dropDuplicates`` whose state grows forever.
+    """
+    name = f"dedup_{uuid.uuid4().hex[:8]}"
+    s = read_events_stream(spark, sf_dir)
+    deduped = (
+        s.union(read_events_stream(spark, sf_dir))
+        .withWatermark("ts", watermark)
+        .dropDuplicatesWithinWatermark(["event_id"])
+    )
+    agg = deduped.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.sum(F.col("value").cast("decimal(18,4)"))
+        .cast("double")
+        .alias("sum_value"),
+    )
+    checkpoint = tempfile.mkdtemp(prefix="lakehouse-sfc-dedup-")
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.awaitTermination(timeout_s)
+    finally:
+        if q.isActive:
+            q.stop()
+    return spark.table(name)
+
+
 # --- custom stateful operator: session windows ------------------------------
 
 _SESSION_OUT_SCHEMA = (
