@@ -308,9 +308,12 @@ def tpch_q11(spark: SparkSession, sf_dir: str) -> DataFrame:
     above a threshold from a scalar subquery.  Canonical Q11 uses
     ``fraction / SF`` (scale-dependent); we use the scale-free equivalent
     1.5x the mean per-part value so the query stays selective-but-nonempty
-    at every SF.  The scalar threshold is computed from the grouped result's
-    exact-decimal sums (associative — equals a direct total), broadcast,
-    never re-scanning lineitem."""
+    at every SF.  The scalar threshold is an unpartitioned-window aggregate
+    OVER the grouped result's exact-decimal sums (associative — equals a
+    direct total), so lineitem is scanned and aggregated exactly once;
+    re-referencing the grouped frame as a second input would plan a second
+    full scan (guarded in tests/test_plan_quality.py).  The window's single
+    partition holds one small row per part, not raw lineitem rows."""
     li = load_table(spark, sf_dir, "lineitem")
     s = load_table(spark, sf_dir, "supplier")
     n = load_table(spark, sf_dir, "nation")
@@ -322,11 +325,12 @@ def tpch_q11(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("l_partkey")
         .agg(F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).alias("val"))
     )
-    total = grouped.agg(
-        (F.sum("val").cast("double") / F.count(F.lit(1))).alias("tot")
-    )
+    w = Window.partitionBy()
     return (
-        grouped.join(F.broadcast(total))
+        grouped.withColumn(
+            "tot",
+            F.sum("val").over(w).cast("double") / F.count(F.lit(1)).over(w),
+        )
         .filter(F.col("val").cast("double") > F.col("tot") * 1.5)
         .select(
             F.col("l_partkey").alias("ps_partkey"),

@@ -81,3 +81,32 @@ def test_whole_stage_codegen_active(spark, name):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "isFinalPlan=true" in plan
     assert "*(" in plan, "no WholeStageCodegen stage markers in final plan"
+
+
+def test_q19_common_factor_reaches_scan(spark):
+    """Q19's OR branches share l_returnflag='N' and a quantity envelope; we
+    factor them below the join by hand (Catalyst doesn't), so they must show
+    up as pushed filters on the lineitem scan."""
+    plan = _formatted(spark, "tpch_q19")
+    assert "PushedFilters: [" in plan
+    assert "l_returnflag" in plan.split("PushedFilters: [", 1)[1].split("]")[0]
+
+
+def test_q21_self_joins_stay_hash_based(spark):
+    """Q21's EXISTS/NOT-EXISTS self-joins carry non-equi side conditions;
+    they must still plan as hash joins on the orderkey equi-key, never a
+    nested-loop or cartesian fallback."""
+    plan = _plan(spark, "tpch_q21")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+@pytest.mark.parametrize("name", ["tpch_q2", "tpch_q11", "tpch_q20"])
+def test_decorrelated_subqueries_scan_lineitem_once(spark, name):
+    """Q2/Q11/Q20 decorrelate their scalar subqueries onto the SAME grouped
+    lineitem aggregate (window/exact-total reuse) instead of re-scanning
+    lineitem per subquery — the canonical forms scan it twice."""
+    plan = _plan(spark, name)
+    assert plan.count("lineitem.parquet") == 1, (
+        f"{name}: lineitem scanned {plan.count('lineitem.parquet')}x"
+    )
