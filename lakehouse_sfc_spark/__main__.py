@@ -1,0 +1,324 @@
+"""Command-line surface: ``python -m lakehouse_sfc_spark <command>``.
+
+Mirrors the reference's user-facing entry points so a reference user can
+switch tool-for-tool:
+
+| command         | reference equivalent                                   |
+|-----------------|--------------------------------------------------------|
+| profile         | ``python -m wlg.cli profile`` (wlg/cli/main.py:567-607)|
+| fill            | ``python -m wlg.cli fill``    (wlg/cli/main.py:75-561) |
+| gen             | ``python -m wlg.cli gen``     (wlg/cli/main.py:613-665)|
+| write-layout    | ``lakehouse_op/delta_write_layout.py`` (+hudi/iceberg) |
+| compact         | Delta OPTIMIZE / Iceberg binpack rewrite               |
+| run-queries     | ``lakehouse_op/run_queries.py::main``                  |
+| update-batches  | ``lakehouse_op/build_tpch_update_batches.py``          |
+| viz-results     | ``python -m wlg.cli viz-results`` (main.py:977-1189)   |
+
+Every command is a thin argparse front over the library modules — all
+logic (and all tests) live there.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def _csv_list(s: str | None) -> list[str] | None:
+    return [c.strip() for c in s.split(",") if c.strip()] if s else None
+
+
+def _spark(args):
+    from lakehouse_sfc_spark.session import get_spark
+
+    extra = {}
+    if getattr(args, "broadcast_hint", False):
+        # reference: 50 MB opt-in threshold (run_queries.py:717,724-725)
+        extra["spark.sql.autoBroadcastJoinThreshold"] = str(50 * 1024 * 1024)
+    return get_spark(extra_conf=extra or None)
+
+
+def cmd_profile(args) -> int:
+    from lakehouse_sfc_spark.profiler.profile import profile_df
+    from lakehouse_sfc_spark.profiler.stats import save_yaml
+    from lakehouse_sfc_spark.sources.loader import load_input_df
+
+    spark = _spark(args)
+    df = load_input_df(spark, args.input, fmt=args.format)
+    if args.row_cap:
+        df = df.limit(args.row_cap)
+    stats, metadata = profile_df(df)
+    save_yaml(stats, args.out, metadata=metadata)
+    print(f"profiled {len(stats)} columns -> {args.out}")
+    return 0
+
+
+def cmd_fill(args) -> int:
+    import yaml
+
+    from lakehouse_sfc_spark.profiler.stats import load_yaml
+    from lakehouse_sfc_spark.wlgen.fill import (
+        fill_spec,
+        write_sql_dir,
+        write_workload,
+    )
+
+    with open(args.spec, encoding="utf-8") as fh:
+        spec = yaml.safe_load(fh)
+    stats_payload = None
+    if args.stats:
+        stats, _meta = load_yaml(args.stats)
+        stats_payload = {"columns": {n: s.to_dict() for n, s in stats.items()}}
+    outputs = fill_spec(spec, stats_payload=stats_payload, table=args.table)
+    if args.out:
+        write_workload(outputs, args.out)
+    if args.sql_dir:
+        paths = write_sql_dir(outputs, args.sql_dir)
+        print(f"wrote {len(paths)} sql files -> {args.sql_dir}")
+    print(f"filled {len(outputs)} queries")
+    return 0
+
+
+def cmd_gen(args) -> int:
+    from lakehouse_sfc_spark.profiler.stats import load_yaml
+    from lakehouse_sfc_spark.wlgen.fill import write_sql_dir, write_workload
+    from lakehouse_sfc_spark.wlgen.gen import gen_workload
+
+    stats, _meta = load_yaml(args.stats)
+    outputs = gen_workload(
+        stats,
+        args.table,
+        _csv_list(args.numeric_cols) or [],
+        categorical_col=args.categorical_col,
+        n=args.n,
+        target_sel=args.target_sel,
+        seed=args.seed,
+        templates=tuple(args.templates.split(",")),
+    )
+    if args.out:
+        write_workload(outputs, args.out)
+    if args.sql_dir:
+        # emit runnable SQL: substitute the sampled params as literals
+        # (the workload.yaml keeps the raw template + params)
+        from lakehouse_sfc_spark.wlgen.fuzz import _substitute
+
+        filled = [
+            {**row, "sql": _substitute(row["sql"], row["params"])}
+            for row in outputs
+        ]
+        write_sql_dir(filled, args.sql_dir)
+    print(f"generated {len(outputs)} queries")
+    return 0
+
+
+def cmd_write_layout(args) -> int:
+    from lakehouse_sfc_spark.layout.writer import layout_write
+    from lakehouse_sfc_spark.sources.loader import load_input_df
+
+    spark = _spark(args)
+    df = load_input_df(spark, args.input, fmt=args.format)
+    if args.where:
+        df = df.filter(args.where)
+    summary = layout_write(
+        df,
+        args.output,
+        layout=args.layout,
+        layout_cols=_csv_list(args.layout_cols),
+        partition_by=_csv_list(args.partition_by),
+        target_file_mb=args.target_file_mb,
+        num_files=args.num_files,
+        stats_cols=_csv_list(args.stats_cols),
+    )
+    print(json.dumps(summary))
+    return 0
+
+
+def cmd_compact(args) -> int:
+    from lakehouse_sfc_spark.layout.writer import compact
+
+    spark = _spark(args)
+    summary = compact(
+        spark,
+        args.path,
+        target_file_mb=args.target_file_mb,
+        layout=args.layout,
+        layout_cols=_csv_list(args.layout_cols),
+        stats_cols=_csv_list(args.stats_cols),
+    )
+    print(json.dumps(summary))
+    return 0
+
+
+def cmd_run_queries(args) -> int:
+    import glob
+    import os
+
+    from lakehouse_sfc_spark.runner.runner import (
+        cache_control,
+        run_sql_file,
+        write_results_csv,
+    )
+    from lakehouse_sfc_spark.sources.loader import load_input_df
+
+    spark = _spark(args)
+    df = load_input_df(spark, args.table_path, fmt=args.format)
+    df.createOrReplaceTempView(args.table_name)
+    if args.cache:
+        cache_control(spark, args.table_name, mode=args.cache)
+    files = sorted(glob.glob(os.path.join(args.queries_dir, "*.sql")))
+    if not files:
+        print(f"no .sql files under {args.queries_dir}", file=sys.stderr)
+        return 2
+    results = []
+    for path in files:
+        r = run_sql_file(
+            spark,
+            path,
+            name=os.path.basename(path),
+            action=args.action,
+            warmup=args.warmup,
+            repeat=args.repeat,
+            table_name=args.table_name,
+            collect_probe=args.probe,
+            collect_eventlog=args.eventlog,
+        )
+        results.append(r)
+        print(f"{r.query}: {r.elapsed_s:.3f}s rows={r.rows}")
+    if args.output_csv:
+        write_results_csv(results, args.output_csv)
+        print(f"wrote {args.output_csv}")
+    return 0
+
+
+def cmd_update_batches(args) -> int:
+    from lakehouse_sfc_spark.layout.upsert import build_update_batches
+    from lakehouse_sfc_spark.sources.loader import load_input_df
+
+    spark = _spark(args)
+    df = load_input_df(spark, args.input, fmt=args.format)
+    paths = build_update_batches(
+        df, args.output, n_batches=args.n_batches, seed=args.seed
+    )
+    print(f"wrote {len(paths)} batches -> {args.output}")
+    return 0
+
+
+def cmd_viz_results(args) -> int:
+    import glob
+    import os
+
+    from lakehouse_sfc_spark.runner.results import collect_results, viz_results
+
+    csvs = sorted(
+        glob.glob(os.path.join(args.results_dir, "**", "*.csv"), recursive=True)
+    )
+    if not csvs:
+        print(f"no result CSVs under {args.results_dir}", file=sys.stderr)
+        return 2
+    df = collect_results(csvs)
+    out = viz_results(df, args.out_dir, metric=args.metric)
+    print(json.dumps({k: str(v) for k, v in out.items()}))
+    return 0
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="python -m lakehouse_sfc_spark",
+        description=__doc__,
+        formatter_class=argparse.RawDescriptionHelpFormatter,
+    )
+    sub = p.add_subparsers(dest="command", required=True)
+
+    sp = sub.add_parser("profile", help="profile a dataset into stats.yaml")
+    sp.add_argument("--input", required=True)
+    sp.add_argument("--format", default=None, help="csv/tsv/parquet/json")
+    sp.add_argument("--out", required=True)
+    sp.add_argument("--row-cap", type=int, default=None)
+    sp.set_defaults(fn=cmd_profile)
+
+    sp = sub.add_parser("fill", help="fill a workload spec with parameters")
+    sp.add_argument("--spec", required=True)
+    sp.add_argument("--stats", default=None)
+    sp.add_argument("--table", default=None, help="substitutes {{tbl}}")
+    sp.add_argument("--out", default=None, help="workload.yaml path")
+    sp.add_argument("--sql-dir", default=None)
+    sp.set_defaults(fn=cmd_fill)
+
+    sp = sub.add_parser("gen", help="generate a workload from stats")
+    sp.add_argument("--stats", required=True)
+    sp.add_argument("--table", required=True)
+    sp.add_argument("--numeric-cols", required=True)
+    sp.add_argument("--categorical-col", default=None)
+    sp.add_argument("--n", type=int, default=10)
+    sp.add_argument("--target-sel", type=float, default=0.05)
+    sp.add_argument("--seed", type=int, default=42)
+    sp.add_argument("--templates", default="A,B,C")
+    sp.add_argument("--out", default=None)
+    sp.add_argument("--sql-dir", default=None)
+    sp.set_defaults(fn=cmd_gen)
+
+    sp = sub.add_parser("write-layout", help="write a table with a layout")
+    sp.add_argument("--input", required=True)
+    sp.add_argument("--format", default=None)
+    sp.add_argument("--output", required=True)
+    sp.add_argument(
+        "--layout",
+        default="baseline",
+        choices=["baseline", "no_layout", "linear", "zorder", "z-order", "hilbert"],
+    )
+    sp.add_argument("--layout-cols", default=None)
+    sp.add_argument("--partition-by", default=None)
+    sp.add_argument("--target-file-mb", type=int, default=128)
+    sp.add_argument("--num-files", type=int, default=None)
+    sp.add_argument("--stats-cols", default=None)
+    sp.add_argument("--where", default=None, help="pre-write filter")
+    sp.set_defaults(fn=cmd_write_layout)
+
+    sp = sub.add_parser("compact", help="rewrite a table at target file size")
+    sp.add_argument("--path", required=True)
+    sp.add_argument("--target-file-mb", type=int, default=128)
+    sp.add_argument("--layout", default="baseline")
+    sp.add_argument("--layout-cols", default=None)
+    sp.add_argument("--stats-cols", default=None)
+    sp.set_defaults(fn=cmd_compact)
+
+    sp = sub.add_parser("run-queries", help="run a dir of .sql with metrics")
+    sp.add_argument("--table-path", required=True)
+    sp.add_argument("--format", default=None)
+    sp.add_argument("--table-name", default="_tbl")
+    sp.add_argument("--queries-dir", required=True)
+    sp.add_argument("--output-csv", default=None)
+    sp.add_argument("--action", default="count", choices=["count", "collect", "show"])
+    sp.add_argument("--warmup", type=int, default=0)
+    sp.add_argument("--repeat", type=int, default=1)
+    sp.add_argument("--cache", default=None, choices=[None, "cache_table", "persist"])
+    sp.add_argument("--broadcast-hint", action="store_true")
+    sp.add_argument("--probe", action="store_true", help="input_file_name probe")
+    sp.add_argument("--eventlog", action="store_true")
+    sp.set_defaults(fn=cmd_run_queries)
+
+    sp = sub.add_parser("update-batches", help="split into N random batches")
+    sp.add_argument("--input", required=True)
+    sp.add_argument("--format", default=None)
+    sp.add_argument("--output", required=True)
+    sp.add_argument("--n-batches", type=int, default=10)
+    sp.add_argument("--seed", type=int, default=42)
+    sp.set_defaults(fn=cmd_update_batches)
+
+    sp = sub.add_parser("viz-results", help="summaries/figures from results CSVs")
+    sp.add_argument("--results-dir", required=True)
+    sp.add_argument("--out-dir", required=True)
+    sp.add_argument("--metric", default="elapsedTime_s")
+    sp.set_defaults(fn=cmd_viz_results)
+
+    return p
+
+
+def main(argv: list[str] | None = None) -> int:
+    args = build_parser().parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -204,12 +204,19 @@ def _strip_leading_comments(stmt: str) -> str:
 
 
 def run_sql_file(
-    spark: SparkSession, path: str, name: str | None = None, **kwargs
+    spark: SparkSession,
+    path: str,
+    name: str | None = None,
+    table_name: str | None = None,
+    **kwargs,
 ) -> RunResult:
     """Run every statement of a stream file, measuring only the LAST SELECT
-    (tpch_all_runner.py:56-61,229-252)."""
+    (tpch_all_runner.py:56-61,229-252).  ``table_name`` substitutes the
+    reference's ``{{tbl}}`` placeholder (run_queries.py:730,743-745)."""
     with open(path, encoding="utf-8") as fh:
         text = fh.read()
+    if table_name:
+        text = text.replace("{{tbl}}", table_name)
     stmts = split_statements(text)
     if not stmts:
         raise ValueError(f"no statements in {path}")
@@ -292,6 +299,8 @@ def write_results_csv(results: list[RunResult], path: str) -> None:
     """Per-query metric rows, one line each (run_queries.py:734-768)."""
     if not results:
         return
+    parent = os.path.dirname(os.path.abspath(path))
+    os.makedirs(parent, exist_ok=True)
     rows = [r.csv_row() for r in results]
     with open(path, "w", newline="", encoding="utf-8") as fh:
         writer = csv.DictWriter(fh, fieldnames=list(rows[0]))

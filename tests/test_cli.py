@@ -1,0 +1,203 @@
+"""CLI surface tests: ``python -m lakehouse_sfc_spark <cmd>`` fronts the
+library the way the reference's entry points front theirs (wlg.cli,
+lakehouse_op/run_queries.py, delta_write_layout.py)."""
+
+from __future__ import annotations
+
+import os
+
+import yaml
+
+from lakehouse_sfc_spark.__main__ import build_parser, main
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_parser_covers_reference_entry_points():
+    p = build_parser()
+    subs = next(
+        a for a in p._actions if a.__class__.__name__ == "_SubParsersAction"
+    )
+    assert {
+        "profile",
+        "fill",
+        "gen",
+        "write-layout",
+        "compact",
+        "run-queries",
+        "update-batches",
+        "viz-results",
+    } <= set(subs.choices)
+
+
+def test_profile_gen_fill_runqueries_roundtrip(spark, tmp_path):
+    stats = tmp_path / "stats.yaml"
+    assert (
+        main(
+            [
+                "profile",
+                "--input",
+                f"{SF}/lineitem.parquet",
+                "--out",
+                str(stats),
+            ]
+        )
+        == 0
+    )
+    payload = yaml.safe_load(stats.read_text())
+    assert "l_quantity" in payload["columns"]
+
+    sql_dir = tmp_path / "sql"
+    assert (
+        main(
+            [
+                "gen",
+                "--stats",
+                str(stats),
+                "--table",
+                "{{tbl}}",
+                "--numeric-cols",
+                "l_quantity,l_discount",
+                "--categorical-col",
+                "l_returnflag",
+                "--n",
+                "2",
+                "--sql-dir",
+                str(sql_dir),
+                "--out",
+                str(tmp_path / "workload.yaml"),
+            ]
+        )
+        == 0
+    )
+    files = sorted(os.listdir(sql_dir))
+    assert files and all(f.endswith(".sql") for f in files)
+    # emitted SQL is literal (runnable), not a parameter template
+    text = (sql_dir / files[0]).read_text()
+    assert ":" not in text.replace("::", "")
+
+    out_csv = tmp_path / "r" / "ours" / "baseline" / "demo.csv"
+    assert (
+        main(
+            [
+                "run-queries",
+                "--table-path",
+                f"{SF}/lineitem.parquet",
+                "--table-name",
+                "lineitem",
+                "--queries-dir",
+                str(sql_dir),
+                "--output-csv",
+                str(out_csv),
+            ]
+        )
+        == 0
+    )
+    header = out_csv.read_text().splitlines()[0]
+    assert header.startswith("query,elapsedTime_s,rows,bytesRead")
+
+    viz_dir = tmp_path / "viz"
+    assert (
+        main(
+            [
+                "viz-results",
+                "--results-dir",
+                str(tmp_path / "r"),
+                "--out-dir",
+                str(viz_dir),
+            ]
+        )
+        == 0
+    )
+    assert (viz_dir / "geomean_speedup.csv").exists()
+
+
+def test_write_layout_and_compact(spark, tmp_path):
+    out = tmp_path / "li_z"
+    assert (
+        main(
+            [
+                "write-layout",
+                "--input",
+                f"{SF}/lineitem.parquet",
+                "--output",
+                str(out),
+                "--layout",
+                "zorder",
+                "--layout-cols",
+                "l_shipdate,l_quantity",
+                "--stats-cols",
+                "l_shipdate,l_quantity",
+            ]
+        )
+        == 0
+    )
+    assert (out / "_sfc_stats.json").exists()
+    assert (
+        main(
+            [
+                "compact",
+                "--path",
+                str(out),
+                "--layout",
+                "zorder",
+                "--layout-cols",
+                "l_shipdate,l_quantity",
+            ]
+        )
+        == 0
+    )
+
+
+def test_fill_cli(tmp_path):
+    spec = tmp_path / "spec.yaml"
+    spec.write_text(
+        """
+generation: {n: 3, mode: random, seed: 42}
+templates:
+  - id: T1
+    sql: "SELECT count(*) FROM {{tbl}} WHERE l_quantity BETWEEN :q_lo AND :q_hi"
+    params:
+      q_lo: {type: float, range: [1, 25]}
+      q_hi: {type: float, range: [25, 50], constraint: "q_hi > q_lo"}
+"""
+    )
+    sql_dir = tmp_path / "sql"
+    assert (
+        main(
+            [
+                "fill",
+                "--spec",
+                str(spec),
+                "--table",
+                "lineitem",
+                "--sql-dir",
+                str(sql_dir),
+                "--out",
+                str(tmp_path / "wl.yaml"),
+            ]
+        )
+        == 0
+    )
+    texts = [p.read_text() for p in sorted(sql_dir.iterdir())]
+    assert len(texts) == 3
+    assert all("lineitem" in t and ":q_lo" not in t for t in texts)
+
+
+def test_update_batches_cli(spark, tmp_path):
+    out = tmp_path / "batches"
+    assert (
+        main(
+            [
+                "update-batches",
+                "--input",
+                f"{SF}/orders.parquet",
+                "--output",
+                str(out),
+                "--n-batches",
+                "3",
+            ]
+        )
+        == 0
+    )
+    assert sorted(os.listdir(out)) == ["batch_01", "batch_02", "batch_03"]
