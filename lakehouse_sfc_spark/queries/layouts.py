@@ -87,3 +87,58 @@ def layout_linear_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Linear (lexicographic) clustered write + pruned scan
     (delta_write_layout.py:165-181)."""
     return _pruned_box_agg(spark, sf_dir, "linear")
+
+
+@register(
+    "j_bucketed_colocated",
+    oracle=f"""
+    SELECT o.o_orderpriority AS o_orderpriority,
+           COUNT(*) AS cnt,
+           {sql_dsum("l.l_extendedprice", "sum_price")}
+    FROM lineitem l
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    GROUP BY 1
+    """,
+)
+def j_bucketed_colocated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fact⋈fact join over same-key same-count bucketed tables — the
+    co-located layout that removes the per-query shuffle from repeated
+    lineitem⋈orders joins (one clustering shuffle at write, amortized).
+    Result must equal the plain join on the raw tables.
+
+    The bucketed copies are managed tables built once per (session, sf) and
+    reused; ``tests/test_bucketing.py`` proves the no-Exchange SMJ plan with
+    broadcast disabled — here the plan is left natural (a toy-scale orders
+    side may still broadcast; at 100 TB both sides exceed the threshold and
+    the bucket layout is what avoids the exchange)."""
+    sf_tag = os.path.basename(os.path.normpath(sf_dir)).replace(".", "_")
+    li_t, o_t = f"li_bkt_{sf_tag}", f"o_bkt_{sf_tag}"
+
+    def ensure(table: str, src: str, cols: list[str], key: str) -> None:
+        if spark.catalog.tableExists(table):
+            return
+        # an in-memory catalog forgets tables between sessions but their
+        # managed locations survive — clear any orphan before recreating
+        import shutil
+        from urllib.parse import urlparse
+
+        wh = urlparse(spark.conf.get("spark.sql.warehouse.dir", "")).path
+        orphan = os.path.join(wh, table) if wh else None
+        if orphan and os.path.exists(orphan):
+            shutil.rmtree(orphan)
+        from lakehouse_sfc_spark.layout.writer import bucketed_write
+
+        df = load_table(spark, sf_dir, src).select(*cols)
+        bucketed_write(df, table, 16, [key], [key])
+
+    ensure(li_t, "lineitem", ["l_orderkey", "l_extendedprice"], "l_orderkey")
+    ensure(o_t, "orders", ["o_orderkey", "o_orderpriority"], "o_orderkey")
+    return (
+        spark.table(li_t)
+        .join(spark.table(o_t), F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            dsum("l_extendedprice", "sum_price"),
+        )
+    )
