@@ -204,6 +204,54 @@ def cmd_update_batches(args) -> int:
     return 0
 
 
+def cmd_viz(args) -> int:
+    import yaml
+
+    from lakehouse_sfc_spark.runner.results import workload_coverage
+
+    with open(args.workload, encoding="utf-8") as fh:
+        workload = (yaml.safe_load(fh) or {}).get("workload", [])
+    with open(args.stats, encoding="utf-8") as fh:
+        stats = (yaml.safe_load(fh) or {}).get("columns", {})
+    cov = workload_coverage(workload, stats, args.column)
+    cov.to_csv(args.out, index=False)
+    print(f"coverage for {args.column}: {len(cov)} queries -> {args.out}")
+    return 0
+
+
+def cmd_advise(args) -> int:
+    import glob
+    import os
+
+    from lakehouse_sfc_spark.advisor.recommend import (
+        column_cooccurrence,
+        rank_tables,
+        recommend_column_sets,
+        score_workload,
+    )
+    from lakehouse_sfc_spark.advisor.sql_analyze import analyze_workload
+
+    queries = {}
+    for p in sorted(glob.glob(os.path.join(args.sql_dir, "*.sql"))):
+        with open(p, encoding="utf-8") as fh:
+            queries[os.path.basename(p)] = fh.read()
+    if not queries:
+        print(f"no .sql files under {args.sql_dir}", file=sys.stderr)
+        return 2
+    events = analyze_workload(queries)
+    scores = score_workload(events)
+    cooccur = column_cooccurrence(events)
+    tables = rank_tables(scores, cooccur)
+    out = {"tables": tables[: args.top_tables], "recommendations": {}}
+    for row in tables[: args.top_tables]:
+        table = row["table"]
+        out["recommendations"][table] = recommend_column_sets(
+            scores, cooccur, events, table
+        )[: args.top_sets]
+    print(json.dumps(out, indent=2, default=str))
+    return 0
+
+
 def cmd_viz_results(args) -> int:
     import glob
     import os
@@ -305,6 +353,19 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("--n-batches", type=int, default=10)
     sp.add_argument("--seed", type=int, default=42)
     sp.set_defaults(fn=cmd_update_batches)
+
+    sp = sub.add_parser("viz", help="workload coverage table for one column")
+    sp.add_argument("--workload", required=True, help="workload.yaml from fill/gen")
+    sp.add_argument("--stats", required=True)
+    sp.add_argument("--column", required=True)
+    sp.add_argument("--out", required=True, help="coverage CSV path")
+    sp.set_defaults(fn=cmd_viz)
+
+    sp = sub.add_parser("advise", help="recommend layout keys from a workload")
+    sp.add_argument("--sql-dir", required=True)
+    sp.add_argument("--top-tables", type=int, default=3)
+    sp.add_argument("--top-sets", type=int, default=5)
+    sp.set_defaults(fn=cmd_advise)
 
     sp = sub.add_parser("viz-results", help="summaries/figures from results CSVs")
     sp.add_argument("--results-dir", required=True)

@@ -168,7 +168,11 @@ def workload_coverage(
     ``stats`` is the profiler's per-column payload with hist edges."""
     col_stats = stats.get(column, {})
     hist = col_stats.get("hist") or {}
-    edges = hist.get("edges") or []
+    if isinstance(hist, (list, tuple)):
+        # profiler stats.yaml shape: [counts, edges] (ColumnStats.to_dict)
+        edges = list(hist[1]) if len(hist) > 1 else []
+    else:
+        edges = hist.get("edges") or []
     lo_d, hi_d = col_stats.get("min"), col_stats.get("max")
     span = None
     try:

@@ -201,3 +201,49 @@ def test_update_batches_cli(spark, tmp_path):
         == 0
     )
     assert sorted(os.listdir(out)) == ["batch_01", "batch_02", "batch_03"]
+
+
+def test_viz_and_advise_cli(spark, tmp_path):
+    stats = tmp_path / "stats.yaml"
+    main(["profile", "--input", f"{SF}/lineitem.parquet", "--out", str(stats)])
+    wl = tmp_path / "workload.yaml"
+    sql_dir = tmp_path / "sql"
+    main(
+        [
+            "gen",
+            "--stats",
+            str(stats),
+            "--table",
+            "lineitem",
+            "--numeric-cols",
+            "l_quantity,l_discount",
+            "--n",
+            "2",
+            "--out",
+            str(wl),
+            "--sql-dir",
+            str(sql_dir),
+        ]
+    )
+    cov = tmp_path / "cov.csv"
+    assert (
+        main(
+            [
+                "viz",
+                "--workload",
+                str(wl),
+                "--stats",
+                str(stats),
+                "--column",
+                "l_quantity",
+                "--out",
+                str(cov),
+            ]
+        )
+        == 0
+    )
+    header = cov.read_text().splitlines()
+    assert header[0].startswith("query_idx,column,lo,hi,width_ratio")
+    assert len(header) > 1
+
+    assert main(["advise", "--sql-dir", str(sql_dir)]) == 0
