@@ -552,7 +552,10 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- IVF with a k-means coarse quantizer (paper-standard IVF) ---------------
 
-_KM_K = 8  # coarse-quantizer cells
+# K scales with table size (the FAISS rule of thumb K ~ sqrt(n)), clamped to
+# [8, 256]; computed identically in both engines from COUNT(*) — a
+# metadata-only aggregate on parquet, not a second data scan.
+_KM_K_SQL = "LEAST(256, GREATEST(8, CAST(CEIL(SQRT(COUNT(*))) AS INTEGER)))"
 _KM_NPROBE = 2
 
 
@@ -575,8 +578,9 @@ _SQL_L2 = (
     "ann_ivf_kmeans_topk",
     oracle=f"""
     WITH c AS ({_SQL_EMB_CTE}),
-    seeds AS (SELECT vec_id AS cid, emb AS cemb FROM c
-              WHERE vec_id < {_KM_K}),
+    k AS (SELECT {_KM_K_SQL} AS kk FROM c),
+    seeds AS (SELECT vec_id AS cid, emb AS cemb FROM c, k
+              WHERE vec_id < k.kk),
     a1 AS (
       SELECT vec_id, cid, emb FROM (
         SELECT c.vec_id, s.cid, c.emb,
@@ -611,11 +615,12 @@ _SQL_L2 = (
     """,
 )
 def ann_ivf_kmeans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Paper-standard IVF: a k-means coarse quantizer (K=8 cells, seeded
+    """Paper-standard IVF: a k-means coarse quantizer (K = ceil(sqrt(n))
+    cells clamped to [8, 256] — the FAISS sizing rule — seeded
     deterministically from the first K vectors, one exact-arithmetic Lloyd
     update) assigns every vector to its nearest centroid; the query probes
     its nprobe=2 nearest cells and ranks exactly within them.  Upgrades
-    ``ann_ivf_topk``'s sign quantizer to learned cells.
+    ``ann_ivf_topk``'s sign quantizer to learned, size-adaptive cells.
 
     Cross-engine determinism: centroid components are exact-decimal means
     (DECIMAL(18,9) sums / COUNT, one double division), assignments break
@@ -631,8 +636,18 @@ def ann_ivf_kmeans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     c = _emb(spark, sf_dir)
-    seeds = c.filter(F.col("vec_id") < _KM_K).select(
-        F.col("vec_id").alias("cid"), F.col("emb").alias("cemb")
+    kdf = c.agg(
+        F.least(
+            F.lit(256),
+            F.greatest(
+                F.lit(8), F.ceil(F.sqrt(F.count(F.lit(1)))).cast("int")
+            ),
+        ).alias("kk")
+    )
+    seeds = (
+        c.join(F.broadcast(kdf))
+        .filter(F.col("vec_id") < F.col("kk"))
+        .select(F.col("vec_id").alias("cid"), F.col("emb").alias("cemb"))
     )
 
     def assign(vecs: DataFrame, cents: DataFrame) -> DataFrame:

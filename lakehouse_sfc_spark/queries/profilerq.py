@@ -157,13 +157,17 @@ _CORR_MOMENTS = """
 @register(
     "profile_correlation",
     oracle=f"""
-    WITH r AS (
+    WITH s AS (
+      SELECT l_quantity, l_extendedprice FROM lineitem
+      WHERE l_orderkey <= 15000
+    ),
+    r AS (
       SELECT l_quantity AS x, l_extendedprice AS y,
              RANK() OVER (ORDER BY l_quantity)
                + (COUNT(*) OVER (PARTITION BY l_quantity) - 1) / 2.0 AS rx,
              RANK() OVER (ORDER BY l_extendedprice)
                + (COUNT(*) OVER (PARTITION BY l_extendedprice) - 1) / 2.0 AS ry
-      FROM lineitem
+      FROM s
     ),
     m AS (
       SELECT COUNT(*)::DOUBLE AS n,
@@ -187,12 +191,17 @@ def profile_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
     same window functions in both engines.
 
     Scale note: the reference profiler computes correlations on a <=50k-row
-    sample (stats.py:95-98), so the unpartitioned rank window runs over a
-    sample-sized input, not the full table — at 100 TB the sample, not this
-    query shape, is the contract."""
+    sample (stats.py:95-98); this query realizes that contract with a
+    DETERMINISTIC sample (orderkeys <= 15000, ~60k rows at any SF >= 0.01).
+    Beyond keeping the unpartitioned rank window sample-sized, the bound is
+    load-bearing for bit-exactness: at full sf0.1+ the rank moments exceed
+    2^53 in scaled-integer units and the decimal->double casts round
+    differently between engines (observed 1-ulp divergence)."""
     from pyspark.sql import Window
 
-    li = load_table(spark, sf_dir, "lineitem")
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_orderkey") <= 15000
+    )
     x, y = F.col("l_quantity"), F.col("l_extendedprice")
     rx = F.rank().over(Window.orderBy("l_quantity")) + (
         F.count(F.lit(1)).over(Window.partitionBy("l_quantity")) - 1

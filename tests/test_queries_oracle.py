@@ -16,8 +16,27 @@ SF_DIR = os.environ.get("LAKEHOUSE_TEST_SF", "/root/testdata/sf0.001")
 _WITH_ORACLE = sorted(n for n, s in QUERIES.items() if s.oracle is not None)
 _ROWS_ONLY = sorted(n for n, s in QUERIES.items() if s.oracle is None)
 
+# DuckDB evaluates these oracles with interpreted O(n^2) list ops (pair
+# cosine / pair jaccard) — fine at the sf0.001/sf0.01 gates, minutes+ at
+# sf0.1.  Deselect with -m "not heavy_oracle" for large-SF passes.
+_HEAVY_ORACLE = {
+    "dedup_embedding_cosine",
+    "dedup_minhash_lsh",
+    "dedup_ngram_jaccard",
+    "dedup_simhash",
+}
 
-@pytest.mark.parametrize("name", _WITH_ORACLE)
+
+@pytest.mark.parametrize(
+    "name",
+    [
+        pytest.param(
+            n,
+            marks=[pytest.mark.heavy_oracle] if n in _HEAVY_ORACLE else [],
+        )
+        for n in _WITH_ORACLE
+    ],
+)
 def test_oracle_match(spark, name):
     spec = QUERIES[name]
     compare_query(spark, SF_DIR, spec.fn, spec.oracle)
