@@ -204,6 +204,49 @@ def cmd_update_batches(args) -> int:
     return 0
 
 
+def cmd_ingest_experiment(args) -> int:
+    from lakehouse_sfc_spark.runner.experiments import (
+        incremental_ingest_experiment,
+    )
+    from lakehouse_sfc_spark.runner.runner import write_results_csv
+    from lakehouse_sfc_spark.sources.loader import load_input_df
+
+    spark = _spark(args)
+    base = load_input_df(spark, args.base, fmt=args.format)
+    updates = load_input_df(spark, args.updates, fmt=args.format)
+
+    queries = {"count_all": lambda t: t}
+    for q in args.query or []:
+        name, _, expr = q.partition("=")
+        if not expr:
+            print(f"--query must be name=<filter expr>: {q!r}", file=sys.stderr)
+            return 2
+        queries[name] = lambda t, e=expr: t.filter(e)
+
+    results = incremental_ingest_experiment(
+        spark,
+        base,
+        updates,
+        args.table_path,
+        queries,
+        record_keys=_csv_list(args.record_keys) or [],
+        precombine=args.precombine,
+        n_batches=args.n_batches,
+        layout=args.layout,
+        layout_cols=_csv_list(args.layout_cols),
+        scoped=args.scoped,
+    )
+    for r in results:
+        print(
+            f"batch={r.metrics.get('batch')} {r.query}:"
+            f" {r.elapsed_s:.3f}s rows={r.rows}"
+        )
+    if args.output_csv:
+        write_results_csv(results, args.output_csv)
+        print(f"wrote {args.output_csv}")
+    return 0
+
+
 def cmd_viz(args) -> int:
     import yaml
 
@@ -353,6 +396,28 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("--n-batches", type=int, default=10)
     sp.add_argument("--seed", type=int, default=42)
     sp.set_defaults(fn=cmd_update_batches)
+
+    sp = sub.add_parser(
+        "ingest-experiment",
+        help="RQ7 drift loop: layout base, upsert N batches, re-measure",
+    )
+    sp.add_argument("--base", required=True)
+    sp.add_argument("--updates", required=True)
+    sp.add_argument("--format", default=None)
+    sp.add_argument("--table-path", required=True)
+    sp.add_argument("--record-keys", required=True)
+    sp.add_argument("--precombine", required=True)
+    sp.add_argument("--n-batches", type=int, default=10)
+    sp.add_argument("--layout", default="baseline")
+    sp.add_argument("--layout-cols", default=None)
+    sp.add_argument("--scoped", action="store_true", help="O(overlap) upserts")
+    sp.add_argument(
+        "--query",
+        action="append",
+        help="name=<filter expr>, repeatable; measured per batch",
+    )
+    sp.add_argument("--output-csv", default=None)
+    sp.set_defaults(fn=cmd_ingest_experiment)
 
     sp = sub.add_parser("viz", help="workload coverage table for one column")
     sp.add_argument("--workload", required=True, help="workload.yaml from fill/gen")

@@ -61,6 +61,27 @@ def stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_stream_dedup(spark, sf_dir)
 
 
+@register(
+    "stream_static_join",
+    oracle="""
+    SELECT c.c_mktsegment AS c_mktsegment,
+           COUNT(*) AS cnt,
+           CAST(SUM(CAST(e.value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+    FROM events e
+    JOIN customer c ON e.user_id = c.c_custkey
+    GROUP BY 1
+    """,
+)
+def stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static dimension enrichment: the events stream joins the
+    static customer dim (broadcast per micro-batch, no stream-side shuffle)
+    and aggregates per segment; with the backlog processed the result must
+    equal the batch join."""
+    from lakehouse_sfc_spark.streaming import run_stream_static_join
+
+    return run_stream_static_join(spark, sf_dir)
+
+
 _GAP_MIN = 30
 
 

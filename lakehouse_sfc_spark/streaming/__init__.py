@@ -5,6 +5,7 @@ streaming — SURVEY.md §2.9)."""
 from lakehouse_sfc_spark.streaming.pipeline import (
     read_events_stream,
     run_stream_dedup,
+    run_stream_static_join,
     run_tumbling_agg,
     sessionize_stateful,
 )
@@ -12,6 +13,7 @@ from lakehouse_sfc_spark.streaming.pipeline import (
 __all__ = [
     "read_events_stream",
     "run_stream_dedup",
+    "run_stream_static_join",
     "run_tumbling_agg",
     "sessionize_stateful",
 ]

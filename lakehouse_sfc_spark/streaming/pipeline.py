@@ -149,6 +149,54 @@ def run_stream_dedup(
     return spark.table(name)
 
 
+def run_stream_static_join(
+    spark: SparkSession,
+    sf_dir: str,
+    timeout_s: int = 300,
+) -> DataFrame:
+    """Stream-static join: the events stream enriches against the static
+    customer dimension (broadcast per micro-batch — the standard streaming
+    dimension-lookup pattern), then aggregates per market segment.  With the
+    backlog fully processed the result equals the batch join.
+
+    Scale notes: the static side re-resolves each micro-batch (picking up
+    dim updates between batches) and broadcasts, so the stream side never
+    shuffles for the join — only the tiny post-join aggregate state lives in
+    the state store."""
+    from lakehouse_sfc_spark.sources.loader import load_table
+
+    name = f"enrich_{uuid.uuid4().hex[:8]}"
+    customers = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment"
+    )
+    joined = (
+        read_events_stream(spark, sf_dir)
+        .join(customers, F.col("user_id") == F.col("c_custkey"))
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.sum(F.col("value").cast("decimal(18,4)"))
+            .cast("double")
+            .alias("sum_value"),
+        )
+    )
+    checkpoint = tempfile.mkdtemp(prefix="lakehouse-sfc-enrich-")
+    q = (
+        joined.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.awaitTermination(timeout_s)
+    finally:
+        if q.isActive:
+            q.stop()
+    return spark.table(name)
+
+
 # --- custom stateful operator: session windows ------------------------------
 
 _SESSION_OUT_SCHEMA = (

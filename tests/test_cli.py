@@ -247,3 +247,38 @@ def test_viz_and_advise_cli(spark, tmp_path):
     assert len(header) > 1
 
     assert main(["advise", "--sql-dir", str(sql_dir)]) == 0
+
+
+def test_ingest_experiment_cli(spark, tmp_path):
+    out_csv = tmp_path / "rq7.csv"
+    assert (
+        main(
+            [
+                "ingest-experiment",
+                "--base",
+                f"{SF}/orders.parquet",
+                "--updates",
+                f"{SF}/orders.parquet",
+                "--table-path",
+                str(tmp_path / "tbl"),
+                "--record-keys",
+                "o_orderkey",
+                "--precombine",
+                "o_orderdate",
+                "--n-batches",
+                "2",
+                "--layout",
+                "linear",
+                "--layout-cols",
+                "o_orderdate",
+                "--query",
+                "urgent=o_orderpriority = '1-URGENT'",
+                "--output-csv",
+                str(out_csv),
+            ]
+        )
+        == 0
+    )
+    lines = out_csv.read_text().splitlines()
+    # (1 base + 2 batches) x 2 queries = 6 measured rows
+    assert len(lines) == 7
