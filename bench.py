@@ -34,14 +34,20 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
 
     headline = [n for n, s in sorted(QUERIES.items()) if s.headline]
+    repeats = int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "3"))
     timings: dict[str, float] = {}
     for name in headline:
         fn = QUERIES[name].fn
         spark.catalog.clearCache()
         fn(spark, sf_dir).count()  # warmup run, discarded
-        t0 = time.perf_counter()
-        fn(spark, sf_dir).count()
-        timings[name] = round(time.perf_counter() - t0, 4)
+        samples = []
+        for _ in range(repeats):
+            t0 = time.perf_counter()
+            fn(spark, sf_dir).count()
+            samples.append(time.perf_counter() - t0)
+        # median damps single-run host noise (reference averages --repeat N
+        # runs, run_queries copy.py:1173; median is the robust equivalent)
+        timings[name] = round(sorted(samples)[len(samples) // 2], 4)
 
     total = round(sum(timings.values()), 4)
     print(
