@@ -36,6 +36,15 @@ def _spark(args):
     if getattr(args, "broadcast_hint", False):
         # reference: 50 MB opt-in threshold (run_queries.py:717,724-725)
         extra["spark.sql.autoBroadcastJoinThreshold"] = str(50 * 1024 * 1024)
+    if getattr(args, "eventlog", False):
+        # M5 channel needs event logging at session build (run_queries.py:51-52)
+        import tempfile
+
+        extra["spark.eventLog.enabled"] = "true"
+        extra["spark.eventLog.compress"] = "false"
+        extra["spark.eventLog.dir"] = tempfile.mkdtemp(prefix="lakehouse-evlog-")
+    if getattr(args, "rest", False):
+        extra["spark.ui.enabled"] = "true"
     return get_spark(extra_conf=extra or None)
 
 
@@ -162,10 +171,25 @@ def cmd_run_queries(args) -> int:
     from lakehouse_sfc_spark.sources.loader import load_input_df
 
     spark = _spark(args)
-    df = load_input_df(spark, args.table_path, fmt=args.format)
-    df.createOrReplaceTempView(args.table_name)
-    if args.cache:
-        cache_control(spark, args.table_name, mode=args.cache)
+    if not args.table_path and not args.tables_dir:
+        print("one of --table-path / --tables-dir is required", file=sys.stderr)
+        return 2
+    if args.tables_dir:
+        # register every parquet table in the dir (tpch_all_runner.py
+        # registers all 8 TPC-H tables so multi-table stream files run);
+        # load_table handles type quirks like TIMESTAMP(NANOS) in events
+        from lakehouse_sfc_spark.sources.loader import load_table
+
+        for f in sorted(glob.glob(os.path.join(args.tables_dir, "*.parquet"))):
+            tname = os.path.splitext(os.path.basename(f))[0]
+            load_table(spark, args.tables_dir, tname).createOrReplaceTempView(
+                tname
+            )
+    if args.table_path:
+        df = load_input_df(spark, args.table_path, fmt=args.format)
+        df.createOrReplaceTempView(args.table_name)
+        if args.cache:
+            cache_control(spark, args.table_name, mode=args.cache)
     files = sorted(glob.glob(os.path.join(args.queries_dir, "*.sql")))
     if not files:
         print(f"no .sql files under {args.queries_dir}", file=sys.stderr)
@@ -375,7 +399,12 @@ def build_parser() -> argparse.ArgumentParser:
     sp.set_defaults(fn=cmd_compact)
 
     sp = sub.add_parser("run-queries", help="run a dir of .sql with metrics")
-    sp.add_argument("--table-path", required=True)
+    sp.add_argument("--table-path", default=None, help="single table -> {{tbl}}")
+    sp.add_argument(
+        "--tables-dir",
+        default=None,
+        help="register every *.parquet in this dir as a view (stream queries)",
+    )
     sp.add_argument("--format", default=None)
     sp.add_argument("--table-name", default="_tbl")
     sp.add_argument("--queries-dir", required=True)
@@ -386,7 +415,8 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("--cache", default=None, choices=[None, "cache_table", "persist"])
     sp.add_argument("--broadcast-hint", action="store_true")
     sp.add_argument("--probe", action="store_true", help="input_file_name probe")
-    sp.add_argument("--eventlog", action="store_true")
+    sp.add_argument("--eventlog", action="store_true", help="M5 channel")
+    sp.add_argument("--rest", action="store_true", help="M4 channel (UI on)")
     sp.set_defaults(fn=cmd_run_queries)
 
     sp = sub.add_parser("update-batches", help="split into N random batches")

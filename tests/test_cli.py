@@ -282,3 +282,35 @@ def test_ingest_experiment_cli(spark, tmp_path):
     lines = out_csv.read_text().splitlines()
     # (1 base + 2 batches) x 2 queries = 6 measured rows
     assert len(lines) == 7
+
+
+def test_run_queries_stream_file_multi_table(spark, tmp_path):
+    qdir = tmp_path / "stream"
+    qdir.mkdir()
+    (qdir / "q1.sql").write_text(
+        """
+-- stream file: setup statement, then the measured SELECT
+CREATE OR REPLACE TEMP VIEW big_orders AS
+  SELECT * FROM orders WHERE o_totalprice > 100000;
+SELECT c.c_mktsegment, COUNT(*) AS cnt
+FROM big_orders o JOIN customer c ON o.o_custkey = c.c_custkey
+GROUP BY c.c_mktsegment;
+"""
+    )
+    out_csv = tmp_path / "stream.csv"
+    assert (
+        main(
+            [
+                "run-queries",
+                "--tables-dir",
+                SF,
+                "--queries-dir",
+                str(qdir),
+                "--output-csv",
+                str(out_csv),
+            ]
+        )
+        == 0
+    )
+    rows = out_csv.read_text().splitlines()
+    assert len(rows) == 2 and rows[1].startswith("q1.sql")
