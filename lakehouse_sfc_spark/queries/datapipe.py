@@ -550,6 +550,71 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "ann_ivf_partitioned_topk",
+    oracle=f"""
+    WITH c AS (SELECT vec_id, emb, nrm, {_SQL_CELL.format(e="emb")} AS cell
+               FROM ({_SQL_EMB_CTE})),
+         q AS (SELECT emb, nrm, cell FROM c WHERE vec_id = {_ANN_QUERY_ID})
+    SELECT c.vec_id AS vec_id, round({_sql_cos("c", "q")}, 6) AS score
+    FROM c, q
+    WHERE c.vec_id != {_ANN_QUERY_ID}
+      AND bit_count(xor(c.cell::BIGINT, q.cell::BIGINT)) <= 1
+    ORDER BY {_sql_cos("c", "q")} DESC, c.vec_id
+    LIMIT {_ANN_K}
+    """,
+)
+def ann_ivf_partitioned_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The IVF probe as PHYSICAL partition pruning: embeddings are written
+    once partitioned by sign-quantizer cell (hive-style ``cell=N/`` dirs,
+    cached under .scratch), and the query reads ONLY the 9 probed
+    partitions — `cell IN (...)` resolves at planning time against the
+    directory listing, so the other ~247 cells are never opened.  Same
+    result contract as ``ann_ivf_topk`` (which filters post-scan).
+
+    Scale notes: this is the 100 TB layout for vector search — the probe
+    cost is O(data in probed cells), not O(table); the write pays one
+    shuffle on ``cell``.  ``tests/test_plan_quality.py`` asserts the final
+    plan's PartitionFilters carry the cell predicate."""
+    import os as _os
+
+    repo = _os.path.dirname(_os.path.dirname(_os.path.dirname(__file__)))
+    sf_name = _os.path.basename(_os.path.normpath(sf_dir))
+    path = _os.path.join(
+        repo, ".scratch", "ivf_cells", "v1", sf_name
+    )
+    if not _os.path.exists(_os.path.join(path, "_SUCCESS")):
+        src = _emb(spark, sf_dir).withColumn("cell", _cell(F.col("emb")))
+        (
+            src.repartition("cell")
+            .write.mode("overwrite")
+            .partitionBy("cell")
+            .parquet(path)
+        )
+    c = spark.read.parquet(path)
+    q = (
+        _emb(spark, sf_dir)
+        .withColumn("qcell", _cell(F.col("emb")))
+        .filter(F.col("vec_id") == _ANN_QUERY_ID)
+        .select("emb", "nrm", "qcell")
+    )
+    qcell = q.collect()[0]["qcell"]
+    probe_cells = [qcell] + [qcell ^ (1 << j) for j in range(_IVF_DIMS)]
+    qb = F.broadcast(
+        q.select(F.col("emb").alias("qemb"), F.col("nrm").alias("qnrm"))
+    )
+    cos = _dot(F.col("emb"), F.col("qemb")) / (F.col("nrm") * F.col("qnrm"))
+    return (
+        c.filter(F.col("cell").isin(probe_cells))
+        .filter(F.col("vec_id") != _ANN_QUERY_ID)
+        .join(qb)
+        .select("vec_id", cos.alias("c"))
+        .orderBy(F.col("c").desc(), F.col("vec_id"))
+        .limit(_ANN_K)
+        .select("vec_id", F.round(F.col("c"), 6).alias("score"))
+    )
+
+
 # --- IVF with a k-means coarse quantizer (paper-standard IVF) ---------------
 
 # K scales with table size (the FAISS rule of thumb K ~ sqrt(n)), clamped to

@@ -110,3 +110,16 @@ def test_decorrelated_subqueries_scan_lineitem_once(spark, name):
     assert plan.count("lineitem.parquet") == 1, (
         f"{name}: lineitem scanned {plan.count('lineitem.parquet')}x"
     )
+
+
+def test_ivf_partitioned_probe_prunes_partitions(spark):
+    """The cell-partitioned ANN variant must resolve its probe as
+    PartitionFilters against the hive directory layout — reading ~9 of the
+    cell partitions, never the whole table."""
+    df = QUERIES["ann_ivf_partitioned_topk"].fn(spark, SF)
+    plan = spark.sparkContext._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+    pf = [ln for ln in plan.splitlines() if "PartitionFilters" in ln]
+    assert pf, "no PartitionFilters in plan"
+    assert any("cell" in ln for ln in pf), pf
