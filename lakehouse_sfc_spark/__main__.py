@@ -110,10 +110,10 @@ def cmd_gen(args) -> int:
     if args.sql_dir:
         # emit runnable SQL: substitute the sampled params as literals
         # (the workload.yaml keeps the raw template + params)
-        from lakehouse_sfc_spark.wlgen.fuzz import _substitute
+        from lakehouse_sfc_spark.wlgen.fill import render_sql
 
         filled = [
-            {**row, "sql": _substitute(row["sql"], row["params"])}
+            {**row, "sql": render_sql(row["sql"], row["params"])}
             for row in outputs
         ]
         write_sql_dir(filled, args.sql_dir)
@@ -190,6 +190,9 @@ def cmd_run_queries(args) -> int:
         df.createOrReplaceTempView(args.table_name)
         if args.cache:
             cache_control(spark, args.table_name, mode=args.cache)
+    # measuring cached performance means the per-query cache clear must be
+    # off, or run_one_query would evict what cache_control just built
+    keep_cache = bool(args.cache)
     files = sorted(glob.glob(os.path.join(args.queries_dir, "*.sql")))
     if not files:
         print(f"no .sql files under {args.queries_dir}", file=sys.stderr)
@@ -204,6 +207,7 @@ def cmd_run_queries(args) -> int:
             warmup=args.warmup,
             repeat=args.repeat,
             table_name=args.table_name,
+            clear_cache=not keep_cache,
             collect_probe=args.probe,
             collect_eventlog=args.eventlog,
         )

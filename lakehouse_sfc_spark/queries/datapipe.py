@@ -578,10 +578,17 @@ def ann_ivf_partitioned_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     plan's PartitionFilters carry the cell predicate."""
     import os as _os
 
+    from lakehouse_sfc_spark.sources.loader import dataset_fingerprint
+
     repo = _os.path.dirname(_os.path.dirname(_os.path.dirname(__file__)))
-    sf_name = _os.path.basename(_os.path.normpath(sf_dir))
+    # fingerprint-keyed: regenerated/same-basename datasets never hit a
+    # stale cell cache (the _SUCCESS check alone can't see content changes)
     path = _os.path.join(
-        repo, ".scratch", "ivf_cells", "v1", sf_name
+        repo,
+        ".scratch",
+        "ivf_cells",
+        "v1",
+        dataset_fingerprint(sf_dir, ("embeddings",)),
     )
     if not _os.path.exists(_os.path.join(path, "_SUCCESS")):
         src = _emb(spark, sf_dir).withColumn("cell", _cell(F.col("emb")))

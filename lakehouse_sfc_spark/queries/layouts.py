@@ -44,8 +44,13 @@ def _scratch_root() -> str:
 
 
 def _layout_table(spark: SparkSession, sf_dir: str, layout: str) -> SfcTable:
-    sf_name = os.path.basename(os.path.normpath(sf_dir))
-    path = os.path.join(_scratch_root(), sf_name, layout)
+    from lakehouse_sfc_spark.sources.loader import dataset_fingerprint
+
+    # fingerprint-keyed: a regenerated dataset (or a different dir with the
+    # same basename) can never serve a stale layout copy
+    path = os.path.join(
+        _scratch_root(), dataset_fingerprint(sf_dir, ("lineitem",)), layout
+    )
     from lakehouse_sfc_spark.layout.stats import read_sidecar
 
     if read_sidecar(path) is None:
@@ -111,7 +116,11 @@ def j_bucketed_colocated(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcast disabled — here the plan is left natural (a toy-scale orders
     side may still broadcast; at 100 TB both sides exceed the threshold and
     the bucket layout is what avoids the exchange)."""
-    sf_tag = os.path.basename(os.path.normpath(sf_dir)).replace(".", "_")
+    from lakehouse_sfc_spark.sources.loader import dataset_fingerprint
+
+    # fingerprint-keyed table names: same-basename or regenerated datasets
+    # get fresh bucketed copies instead of a stale catalog hit
+    sf_tag = dataset_fingerprint(sf_dir, ("lineitem", "orders"))
     li_t, o_t = f"li_bkt_{sf_tag}", f"o_bkt_{sf_tag}"
 
     def ensure(table: str, src: str, cols: list[str], key: str) -> None:

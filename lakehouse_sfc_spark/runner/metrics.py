@@ -163,20 +163,27 @@ def rest_metrics(spark, job_group: str, deadline_s: float = 5.0) -> dict:
 
     The UI ingests listener events asynchronously, so a single read can see
     stages before their task metrics land (the reference papers over this
-    with fixed sleeps, run_queries.py:657-664).  We instead re-poll until
-    input bytes are visible or ``deadline_s`` elapses, keeping the last
-    snapshot either way."""
+    with fixed sleeps, run_queries.py:657-664).  We re-poll until two
+    consecutive snapshots with tasks agree — ingestion has settled — or
+    ``deadline_s`` elapses, keeping the last snapshot either way.  The
+    stability rule (rather than waiting for bytes > 0) means queries that
+    legitimately read zero bytes return in ~two polls, and multi-stage
+    queries aren't cut short while later stages are still ingesting."""
     ui = spark.sparkContext.uiWebUrl
     if not ui:
         return {}
     app_id = spark.sparkContext.applicationId
     base = urlunsplit(urlsplit(ui)._replace(path="", query="", fragment=""))
     deadline = time.monotonic() + deadline_s
-    out: dict = {}
+    prev: dict | None = None
     while True:
         out = _rest_snapshot(base, app_id, job_group)
-        if out.get("rest_bytes_read", 0) > 0 or time.monotonic() >= deadline:
+        settled = (
+            prev is not None and out == prev and out.get("rest_tasks", 0) > 0
+        )
+        if settled or time.monotonic() >= deadline:
             return out
+        prev = out
         time.sleep(0.25)
 
 

@@ -232,6 +232,26 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+def dataset_fingerprint(sf_dir: str, tables: tuple[str, ...] = TABLES) -> str:
+    """Short stable id for the CONTENT of a test dataset: absolute path plus
+    (size, mtime) of each table file.  Derived caches (layout copies, cell
+    partitions, bucketed tables) key on this so a regenerated dataset — or a
+    different directory sharing the same basename — can never serve a stale
+    cache."""
+    import hashlib
+    import os
+
+    h = hashlib.sha256(os.path.abspath(sf_dir).encode())
+    for name in sorted(tables):
+        p = os.path.join(sf_dir, f"{name}.parquet")
+        try:
+            st = os.stat(p)
+            h.update(f"{name}:{st.st_size}:{st.st_mtime_ns}".encode())
+        except OSError:
+            h.update(f"{name}:absent".encode())
+    return h.hexdigest()[:12]
+
+
 def register_tables(
     spark: SparkSession, sf_dir: str, tables: tuple[str, ...] = TABLES
 ) -> dict[str, DataFrame]:

@@ -404,6 +404,26 @@ def _substitute(sql: str, row: dict, param_defs: dict) -> str:
     return sql
 
 
+def render_sql(sql: str, params: dict) -> str:
+    """Substitute ``:name`` placeholders with VALUE-TYPED literals: strings
+    quote-escaped, floats via repr() (full double precision, parsed
+    identically by Spark and DuckDB), everything else str().  The
+    spec-driven path uses ``_substitute`` (param_defs decide quoting); this
+    is the public form for callers that only hold sampled values
+    (workload emit, fuzzing)."""
+
+    def fmt(v) -> str:
+        if isinstance(v, str):
+            return "'" + v.replace("'", "''") + "'"
+        if isinstance(v, float):
+            return repr(v)
+        return str(v)
+
+    for k, v in sorted(params.items(), key=lambda kv: -len(kv[0])):
+        sql = sql.replace(f":{k}", fmt(v))
+    return sql
+
+
 def fill_spec(
     spec: dict,
     stats_payload: dict | None = None,

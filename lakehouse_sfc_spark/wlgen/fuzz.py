@@ -27,6 +27,7 @@ from collections.abc import Sequence
 from dataclasses import dataclass
 
 from lakehouse_sfc_spark.profiler.stats import ColumnStats, build_uni_dists
+from lakehouse_sfc_spark.wlgen.fill import render_sql
 from lakehouse_sfc_spark.wlgen.gen import gen_workload
 from lakehouse_sfc_spark.wlgen.samplers import sample_between
 
@@ -35,20 +36,6 @@ from lakehouse_sfc_spark.wlgen.samplers import sample_between
 class FuzzCase:
     name: str
     sql: str
-
-
-def _fmt(v) -> str:
-    if isinstance(v, str):
-        return "'" + v.replace("'", "''") + "'"
-    if isinstance(v, float):
-        return repr(v)
-    return str(v)
-
-
-def _substitute(sql: str, params: dict) -> str:
-    for k, v in sorted(params.items(), key=lambda kv: -len(kv[0])):
-        sql = sql.replace(f":{k}", _fmt(v))
-    return sql
 
 
 def fuzz_cases(
@@ -88,7 +75,7 @@ def fuzz_cases(
         seed=seed,
     )
     for i, row in enumerate(rows):
-        sql = _substitute(row["sql"], row["params"])
+        sql = render_sql(row["sql"], row["params"])
         cases.append(FuzzCase(f"{row['tpl']}{i}", sql))
         if row["tpl"] == "B":
             # deterministic aggregate variant: unique group rows, and the
@@ -111,7 +98,8 @@ def fuzz_cases(
                     f"SELECT {table}.* FROM {table} JOIN {dim_table}"
                     f" ON {table}.{fact_key} = {dim_table}.{dim_key}"
                     f" WHERE {dim_table}.{filter_col}"
-                    f" BETWEEN {_fmt(lo)} AND {_fmt(hi)}"
+                    f" BETWEEN {render_sql(':v', {'v': lo})} AND"
+                    f" {render_sql(':v', {'v': hi})}"
                 )
                 cases.append(FuzzCase(f"D{i}", sql))
     return cases

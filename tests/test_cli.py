@@ -314,3 +314,29 @@ GROUP BY c.c_mktsegment;
     )
     rows = out_csv.read_text().splitlines()
     assert len(rows) == 2 and rows[1].startswith("q1.sql")
+
+
+def test_run_queries_cache_survives_measurement(spark, tmp_path):
+    """--cache must not be evicted by the per-query cache clear (the whole
+    point of the flag is measuring cached performance)."""
+    qdir = tmp_path / "q"
+    qdir.mkdir()
+    (qdir / "q.sql").write_text("SELECT count(*) FROM {{tbl}};")
+    assert (
+        main(
+            [
+                "run-queries",
+                "--table-path",
+                f"{SF}/orders.parquet",
+                "--table-name",
+                "orders_cached",
+                "--queries-dir",
+                str(qdir),
+                "--cache",
+                "cache_table",
+            ]
+        )
+        == 0
+    )
+    assert spark.catalog.isCached("orders_cached")
+    spark.catalog.clearCache()
