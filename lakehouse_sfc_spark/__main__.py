@@ -12,7 +12,10 @@ switch tool-for-tool:
 | compact         | Delta OPTIMIZE / Iceberg binpack rewrite               |
 | run-queries     | ``lakehouse_op/run_queries.py::main``                  |
 | update-batches  | ``lakehouse_op/build_tpch_update_batches.py``          |
+| ingest-experiment | ``scripts/run_RQ_7_matrix.sh`` drift loop            |
+| viz             | ``python -m wlg.cli viz``     (main.py:668-974)        |
 | viz-results     | ``python -m wlg.cli viz-results`` (main.py:977-1189)   |
+| advise          | ``notebooks/sql_layout_toolkit.py`` advisor            |
 
 Every command is a thin argparse front over the library modules — all
 logic (and all tests) live there.
