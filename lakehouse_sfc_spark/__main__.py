@@ -124,6 +124,31 @@ def cmd_gen(args) -> int:
     return 0
 
 
+def cmd_gen_specs(args) -> int:
+    import os
+
+    import yaml
+
+    from lakehouse_sfc_spark.wlgen.gen import (
+        materialize_rq1_spec,
+        rq1_specs,
+        rq2_specs,
+    )
+
+    descs = rq1_specs() if args.matrix == "rq1" else rq2_specs()
+    os.makedirs(args.out_dir, exist_ok=True)
+    written = 0
+    for desc in descs:
+        for spec in materialize_rq1_spec(desc):
+            tid = spec["templates"][0]["id"]
+            path = os.path.join(args.out_dir, f"spec_{tid}.yaml")
+            with open(path, "w", encoding="utf-8") as fh:
+                yaml.safe_dump(spec, fh, sort_keys=False)
+            written += 1
+    print(f"wrote {written} spec files -> {args.out_dir}")
+    return 0
+
+
 def cmd_write_layout(args) -> int:
     from lakehouse_sfc_spark.layout.writer import layout_write
     from lakehouse_sfc_spark.sources.loader import load_input_df
@@ -379,6 +404,13 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("--out", default=None)
     sp.add_argument("--sql-dir", default=None)
     sp.set_defaults(fn=cmd_gen)
+
+    sp = sub.add_parser(
+        "gen-specs", help="emit the RQ1/RQ2 benchmark spec matrix as YAML"
+    )
+    sp.add_argument("--matrix", choices=["rq1", "rq2"], default="rq1")
+    sp.add_argument("--out-dir", required=True)
+    sp.set_defaults(fn=cmd_gen_specs)
 
     sp = sub.add_parser("write-layout", help="write a table with a layout")
     sp.add_argument("--input", required=True)

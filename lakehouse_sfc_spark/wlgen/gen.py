@@ -189,3 +189,107 @@ def rq4_apply_variant(sql: str, variant: dict, group_col: str = "l_returnflag") 
     if variant.get("limit"):
         out = f"{out} LIMIT {variant['limit']}"
     return out
+
+
+# --- G9 continued: descriptor -> fill-able spec -----------------------------
+
+#: column -> (interval-rule type, SQL literal wrapper) for the RQ1/RQ2 pools
+_COL_TYPES: dict[str, str] = {
+    "l_shipdate": "date",
+    "l_quantity": "float",
+    "l_discount": "float",
+    "l_extendedprice": "float",
+    "l_tax": "float",
+    "l_orderkey": "int",
+    "l_partkey": "int",
+    "l_suppkey": "int",
+}
+
+
+def _placeholder(col: str, name: str) -> str:
+    # timestamp columns need typed literals in BOTH engines
+    if _COL_TYPES.get(col) == "date":
+        return f"TIMESTAMP ':{name}'"
+    return f":{name}"
+
+
+def materialize_rq1_spec(desc: dict) -> list[dict]:
+    """Turn an RQ1/RQ2 matrix descriptor (``rq1_specs``/``rq2_specs`` row)
+    into fill-able spec dicts — the step the reference performs inside
+    generate_tpch_rq1_specs.py:51-96 when writing spec YAMLs.
+
+    Returns [range_spec, point_spec]: the range spec draws a conjunctive
+    BETWEEN box whose per-dimension width ratio is the band selectivity's
+    d-th root (independent-dimension approximation); the point spec draws an
+    equality probe on the leading column.  Both are plain specs for
+    ``fill_spec`` (same sampling/substitution path as user specs)."""
+    cols = [c for c in desc["columns"] if c in _COL_TYPES]
+    if not cols:
+        raise ValueError(f"no known columns in descriptor: {desc['columns']}")
+    lo, hi = desc.get("selectivity", (0.01, 0.1))
+    d = len(cols)
+    rlo = max(1e-4, float(lo)) ** (1.0 / d)
+    rhi = max(rlo, float(hi) ** (1.0 / d))
+    gen = dict(desc.get("generation") or {"mode": "random", "seed": 42})
+
+    preds, params, rules = [], {}, []
+    for c in cols:
+        t = _COL_TYPES[c]
+        p_lo, p_hi = f"{c}_lo", f"{c}_hi"
+        preds.append(
+            f"{c} BETWEEN {_placeholder(c, p_lo)}"
+            f" AND {_placeholder(c, p_hi)}"
+        )
+        params[p_lo] = {"type": t}
+        params[p_hi] = {"type": t}
+        rules.append(
+            {
+                "lo": p_lo,
+                "hi": p_hi,
+                "type": t,
+                "column": c,
+                "ratio_range": [rlo, rhi],
+            }
+        )
+    range_spec = {
+        "generation": {**gen, "n": desc.get("n_range", 10)},
+        "templates": [
+            {
+                "id": f"{desc['name']}_range",
+                "sql": (
+                    "SELECT COUNT(*) AS cnt FROM {{tbl}} WHERE "
+                    + " AND ".join(preds)
+                ),
+                "params": params,
+                "interval_rules": rules,
+            }
+        ],
+    }
+
+    lead = cols[0]
+    lt = _COL_TYPES[lead]
+    point_spec = {
+        "generation": {**gen, "n": desc.get("n_point", 25)},
+        "templates": [
+            {
+                "id": f"{desc['name']}_point",
+                "sql": (
+                    "SELECT COUNT(*) AS cnt FROM {{tbl}} WHERE "
+                    f"{lead} = {_placeholder(lead, 'v')}"
+                ),
+                # a degenerate (zero-width) interval rule samples the point
+                # from the column's actual domain via stats
+                "params": {"v": {"type": lt}, "v_hi": {"type": lt}},
+                "interval_rules": [
+                    {
+                        "lo": "v",
+                        "hi": "v_hi",
+                        "type": lt,
+                        "column": lead,
+                        "ratio": 0.0,
+                    }
+                ],
+            }
+        ],
+    }
+    return [range_spec, point_spec]

@@ -340,3 +340,12 @@ def test_run_queries_cache_survives_measurement(spark, tmp_path):
     )
     assert spark.catalog.isCached("orders_cached")
     spark.catalog.clearCache()
+
+
+def test_gen_specs_cli(tmp_path):
+    out = tmp_path / "specs"
+    assert main(["gen-specs", "--matrix", "rq1", "--out-dir", str(out)]) == 0
+    files = sorted(os.listdir(out))
+    # 4 bands x 8 column configs x {range, point}
+    assert len(files) == 64
+    assert any("S1_l_shipdate_l_quantity_range" in f for f in files)

@@ -58,3 +58,32 @@ def test_fuzz_cases_are_deterministic(spark):
     assert a == b
     c = fuzz_cases(fact_stats, n=2, seed=100)
     assert a != c
+
+
+def test_rq1_materialized_specs_match_duckdb(spark):
+    """G9 end-to-end: RQ1 matrix descriptor -> materialized spec -> fill ->
+    the same literal SQL runs on Spark and DuckDB with exact equality."""
+    from lakehouse_sfc_spark.wlgen.fill import fill_spec
+    from lakehouse_sfc_spark.wlgen.gen import materialize_rq1_spec, rq1_specs
+
+    fact_stats, _ = profile_df(load_table(spark, SF_DIR, "lineitem"))
+    payload = {"columns": {n: s.to_dict() for n, s in fact_stats.items()}}
+    register_tables(spark, SF_DIR)
+
+    # one date+float config and one int+int config exercise all rule types
+    descs = [d for d in rq1_specs(n_range=2, n_point=2) if d["name"] in (
+        "RQ1_S3_l_shipdate_l_quantity",
+        "RQ1_S4_l_orderkey_l_partkey",
+    )]
+    assert len(descs) == 2
+    ran = 0
+    for desc in descs:
+        for spec in materialize_rq1_spec(desc):
+            outputs = fill_spec(spec, stats_payload=payload, table="lineitem")
+            assert outputs
+            for row in outputs:
+                sql = row["sql"]
+                assert ":" not in sql.replace("::", ""), sql
+                compare_query(spark, SF_DIR, lambda s, _d: s.sql(sql), sql)
+                ran += 1
+    assert ran >= 8
