@@ -130,12 +130,17 @@ def cmd_gen_specs(args) -> int:
     import yaml
 
     from lakehouse_sfc_spark.wlgen.gen import (
+        events_specs,
         materialize_rq1_spec,
         rq1_specs,
         rq2_specs,
     )
 
-    descs = rq1_specs() if args.matrix == "rq1" else rq2_specs()
+    descs = {
+        "rq1": rq1_specs,
+        "rq2": rq2_specs,
+        "events": events_specs,
+    }[args.matrix]()
     os.makedirs(args.out_dir, exist_ok=True)
     written = 0
     for desc in descs:
@@ -408,7 +413,9 @@ def build_parser() -> argparse.ArgumentParser:
     sp = sub.add_parser(
         "gen-specs", help="emit the RQ1/RQ2 benchmark spec matrix as YAML"
     )
-    sp.add_argument("--matrix", choices=["rq1", "rq2"], default="rq1")
+    sp.add_argument(
+        "--matrix", choices=["rq1", "rq2", "events"], default="rq1"
+    )
     sp.add_argument("--out-dir", required=True)
     sp.set_defaults(fn=cmd_gen_specs)
 

@@ -206,9 +206,13 @@ _COL_TYPES: dict[str, str] = {
 }
 
 
+def _col_type(col: str) -> str | None:
+    return _COL_TYPES.get(col) or _EVENTS_COL_TYPES.get(col)
+
+
 def _placeholder(col: str, name: str) -> str:
     # timestamp columns need typed literals in BOTH engines
-    if _COL_TYPES.get(col) == "date":
+    if _col_type(col) == "date":
         return f"TIMESTAMP ':{name}'"
     return f":{name}"
 
@@ -223,7 +227,7 @@ def materialize_rq1_spec(desc: dict) -> list[dict]:
     d-th root (independent-dimension approximation); the point spec draws an
     equality probe on the leading column.  Both are plain specs for
     ``fill_spec`` (same sampling/substitution path as user specs)."""
-    cols = [c for c in desc["columns"] if c in _COL_TYPES]
+    cols = [c for c in desc["columns"] if _col_type(c)]
     if not cols:
         raise ValueError(f"no known columns in descriptor: {desc['columns']}")
     lo, hi = desc.get("selectivity", (0.01, 0.1))
@@ -234,7 +238,7 @@ def materialize_rq1_spec(desc: dict) -> list[dict]:
 
     preds, params, rules = [], {}, []
     for c in cols:
-        t = _COL_TYPES[c]
+        t = _col_type(c)
         p_lo, p_hi = f"{c}_lo", f"{c}_hi"
         preds.append(
             f"{c} BETWEEN {_placeholder(c, p_lo)}"
@@ -267,7 +271,7 @@ def materialize_rq1_spec(desc: dict) -> list[dict]:
     }
 
     lead = cols[0]
-    lt = _COL_TYPES[lead]
+    lt = _col_type(lead)
     point_spec = {
         "generation": {**gen, "n": desc.get("n_point", 25)},
         "templates": [
@@ -293,3 +297,47 @@ def materialize_rq1_spec(desc: dict) -> list[dict]:
         ],
     }
     return [range_spec, point_spec]
+
+
+#: events-table column types (the Amazon-reviews analog in the test data:
+#: record_timestamp -> ts, rating -> value, category -> event_type,
+#: user_id -> user_id; generate_amazon_rq1_specs.py:31-58)
+_EVENTS_COL_TYPES: dict[str, str] = {
+    "ts": "date",
+    "value": "float",
+    "user_id": "int",
+    "event_type": "categorical",
+}
+
+
+def events_specs(
+    table: str = "events",
+    n_range: int = 10,
+    n_point: int = 10,
+    seed: int = 42,
+) -> list[dict]:
+    """Amazon-RQ1-style matrix over the ``events`` table: the reference
+    sweeps selectivity bands over (record_timestamp, rating) style column
+    pairs plus categorical equality (generate_amazon_rq1_specs.py:31-58);
+    here ts/value/user_id/event_type play those roles."""
+    configs = (
+        ("ts", "value"),
+        ("ts", "user_id"),
+        ("value", "user_id"),
+    )
+    specs = []
+    for band, (lo, hi) in RQ1_BANDS.items():
+        for cols in configs:
+            specs.append(
+                {
+                    "name": f"AMZ_{band}_{'_'.join(cols)}",
+                    "table": table,
+                    "band": band,
+                    "selectivity": (lo, hi),
+                    "columns": list(cols),
+                    "n_range": n_range,
+                    "n_point": n_point,
+                    "generation": {"mode": "random", "seed": seed},
+                }
+            )
+    return specs

@@ -87,3 +87,27 @@ def test_rq1_materialized_specs_match_duckdb(spark):
                 compare_query(spark, SF_DIR, lambda s, _d: s.sql(sql), sql)
                 ran += 1
     assert ran >= 8
+
+
+def test_events_materialized_specs_match_duckdb(spark):
+    """Amazon-analog matrix over events: descriptor -> spec -> fill -> both
+    engines agree (timestamp interval rules against a TIMESTAMP(NANOS)
+    source column)."""
+    from lakehouse_sfc_spark.wlgen.fill import fill_spec
+    from lakehouse_sfc_spark.wlgen.gen import events_specs, materialize_rq1_spec
+
+    ev_stats, _ = profile_df(load_table(spark, SF_DIR, "events"))
+    payload = {"columns": {n: s.to_dict() for n, s in ev_stats.items()}}
+    register_tables(spark, SF_DIR)
+
+    desc = next(
+        d for d in events_specs(n_range=2, n_point=2)
+        if d["name"] == "AMZ_S3_ts_value"
+    )
+    ran = 0
+    for spec in materialize_rq1_spec(desc):
+        for row in fill_spec(spec, stats_payload=payload, table="events"):
+            sql = row["sql"]
+            compare_query(spark, SF_DIR, lambda s, _d: s.sql(sql), sql)
+            ran += 1
+    assert ran == 4
