@@ -218,6 +218,8 @@ def cmd_run_queries(args) -> int:
             load_table(spark, args.tables_dir, tname).createOrReplaceTempView(
                 tname
             )
+            if args.cache:
+                cache_control(spark, tname, mode=args.cache)
     if args.table_path:
         df = load_input_df(spark, args.table_path, fmt=args.format)
         df.createOrReplaceTempView(args.table_name)

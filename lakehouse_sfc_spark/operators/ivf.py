@@ -18,7 +18,11 @@ This module is the path a 100 TB deployment takes instead:
 
 Determinism: sample = first ``sample_cap`` vectors by id; init = first k
 sample rows; ties in assignment break toward the lower centroid id — same
-contract as the declarative twin.
+contract as the declarative twin.  ``cell_expr`` is the AUTHORITATIVE
+assignment (it is what the write path evaluates); training uses numpy's
+expansion-trick distances, whose floating-point rounding can order
+near-exact ties differently — that affects which centroid a borderline
+SAMPLE vector trains toward (harmless), never the written layout.
 """
 
 from __future__ import annotations

@@ -578,17 +578,15 @@ def ann_ivf_partitioned_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     plan's PartitionFilters carry the cell predicate."""
     import os as _os
 
-    from lakehouse_sfc_spark.sources.loader import dataset_fingerprint
+    from lakehouse_sfc_spark.queries.layouts import _fingerprinted_dir
 
     repo = _os.path.dirname(_os.path.dirname(_os.path.dirname(__file__)))
-    # fingerprint-keyed: regenerated/same-basename datasets never hit a
-    # stale cell cache (the _SUCCESS check alone can't see content changes)
-    path = _os.path.join(
-        repo,
-        ".scratch",
-        "ivf_cells",
-        "v1",
-        dataset_fingerprint(sf_dir, ("embeddings",)),
+    # fingerprint-keyed (stale same-basename siblings pruned): regenerated
+    # datasets never hit a stale cell cache and old copies don't accumulate
+    path = _fingerprinted_dir(
+        _os.path.join(repo, ".scratch", "ivf_cells", "v1"),
+        sf_dir,
+        ("embeddings",),
     )
     if not _os.path.exists(_os.path.join(path, "_SUCCESS")):
         src = _emb(spark, sf_dir).withColumn("cell", _cell(F.col("emb")))

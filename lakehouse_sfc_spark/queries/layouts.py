@@ -43,13 +43,29 @@ def _scratch_root() -> str:
     return os.path.join(repo, ".scratch", "layout_cache", _VERSION)
 
 
-def _layout_table(spark: SparkSession, sf_dir: str, layout: str) -> SfcTable:
+def _fingerprinted_dir(root: str, sf_dir: str, tables: tuple[str, ...]) -> str:
+    """<root>/<dataset-basename>/<fingerprint>: fingerprint-keyed so a
+    regenerated (or same-named) dataset never serves a stale cache, with
+    stale sibling fingerprints of the SAME basename pruned on first miss —
+    the cache footprint stays one copy per dataset, not one per mtime."""
+    import shutil
+
     from lakehouse_sfc_spark.sources.loader import dataset_fingerprint
 
-    # fingerprint-keyed: a regenerated dataset (or a different dir with the
-    # same basename) can never serve a stale layout copy
+    base = os.path.basename(os.path.normpath(sf_dir))
+    fp = dataset_fingerprint(sf_dir, tables)
+    parent = os.path.join(root, base)
+    path = os.path.join(parent, fp)
+    if not os.path.exists(path) and os.path.isdir(parent):
+        for stale in os.listdir(parent):
+            if stale != fp:
+                shutil.rmtree(os.path.join(parent, stale), ignore_errors=True)
+    return path
+
+
+def _layout_table(spark: SparkSession, sf_dir: str, layout: str) -> SfcTable:
     path = os.path.join(
-        _scratch_root(), dataset_fingerprint(sf_dir, ("lineitem",)), layout
+        _fingerprinted_dir(_scratch_root(), sf_dir, ("lineitem",)), layout
     )
     from lakehouse_sfc_spark.layout.stats import read_sidecar
 
@@ -118,23 +134,33 @@ def j_bucketed_colocated(spark: SparkSession, sf_dir: str) -> DataFrame:
     the bucket layout is what avoids the exchange)."""
     from lakehouse_sfc_spark.sources.loader import dataset_fingerprint
 
-    # fingerprint-keyed table names: same-basename or regenerated datasets
-    # get fresh bucketed copies instead of a stale catalog hit
-    sf_tag = dataset_fingerprint(sf_dir, ("lineitem", "orders"))
-    li_t, o_t = f"li_bkt_{sf_tag}", f"o_bkt_{sf_tag}"
+    # <prefix>_<basename>_<fingerprint> table names: same-basename or
+    # regenerated datasets get fresh bucketed copies instead of a stale
+    # catalog hit, and stale fingerprints of the same basename are dropped
+    base = os.path.basename(os.path.normpath(sf_dir)).replace(".", "_")
+    fp = dataset_fingerprint(sf_dir, ("lineitem", "orders"))[:8]
+    li_t, o_t = f"li_bkt_{base}_{fp}", f"o_bkt_{base}_{fp}"
 
     def ensure(table: str, src: str, cols: list[str], key: str) -> None:
         if spark.catalog.tableExists(table):
             return
         # an in-memory catalog forgets tables between sessions but their
-        # managed locations survive — clear any orphan before recreating
+        # managed locations survive — clear this table's orphan AND any
+        # stale-fingerprint siblings of the same dataset basename
         import shutil
         from urllib.parse import urlparse
 
+        prefix = table.rsplit("_", 1)[0]  # e.g. li_bkt_sf0_001
+        for t in spark.catalog.listTables():
+            if t.name.startswith(prefix + "_") and t.name != table:
+                spark.sql(f"DROP TABLE IF EXISTS {t.name}")
         wh = urlparse(spark.conf.get("spark.sql.warehouse.dir", "")).path
-        orphan = os.path.join(wh, table) if wh else None
-        if orphan and os.path.exists(orphan):
-            shutil.rmtree(orphan)
+        if wh and os.path.isdir(wh):
+            for d in os.listdir(wh):
+                if d == table or (
+                    d.startswith(prefix + "_") and d != table
+                ):
+                    shutil.rmtree(os.path.join(wh, d), ignore_errors=True)
         from lakehouse_sfc_spark.layout.writer import bucketed_write
 
         df = load_table(spark, sf_dir, src).select(*cols)

@@ -176,11 +176,15 @@ def rest_metrics(spark, job_group: str, deadline_s: float = 5.0) -> dict:
     base = urlunsplit(urlsplit(ui)._replace(path="", query="", fragment=""))
     deadline = time.monotonic() + deadline_s
     prev: dict | None = None
+    stable = 0
     while True:
         out = _rest_snapshot(base, app_id, job_group)
-        settled = (
-            prev is not None and out == prev and out.get("rest_tasks", 0) > 0
-        )
+        stable = stable + 1 if out == prev else 0
+        # tasks visible + one confirming poll => ingestion settled; a
+        # taskless snapshot (query answered without launching tasks, or no
+        # matching job group) settles after three agreeing polls instead of
+        # burning the whole deadline
+        settled = (out.get("rest_tasks", 0) > 0 and stable >= 1) or stable >= 3
         if settled or time.monotonic() >= deadline:
             return out
         prev = out

@@ -272,27 +272,44 @@ def materialize_rq1_spec(desc: dict) -> list[dict]:
 
     lead = cols[0]
     lt = _col_type(lead)
+    if lt in ("int", "date", "categorical"):
+        # discrete domains: true equality probe; the zero-width interval
+        # rule samples the point from the column's actual domain via stats
+        point_sql = (
+            "SELECT COUNT(*) AS cnt FROM {{tbl}} WHERE "
+            f"{lead} = {_placeholder(lead, 'v')}"
+        )
+        point_rule = {
+            "lo": "v",
+            "hi": "v_hi",
+            "type": lt,
+            "column": lead,
+            "ratio": 0.0,
+        }
+    else:
+        # continuous domains: equality on a uniform double matches ~nothing
+        # (the reference's point probes are on dates/ints only) — the point
+        # analog for a float column is a very narrow BETWEEN
+        point_sql = (
+            "SELECT COUNT(*) AS cnt FROM {{tbl}} WHERE "
+            f"{lead} BETWEEN {_placeholder(lead, 'v')}"
+            f" AND {_placeholder(lead, 'v_hi')}"
+        )
+        point_rule = {
+            "lo": "v",
+            "hi": "v_hi",
+            "type": lt,
+            "column": lead,
+            "ratio": 0.001,
+        }
     point_spec = {
         "generation": {**gen, "n": desc.get("n_point", 25)},
         "templates": [
             {
                 "id": f"{desc['name']}_point",
-                "sql": (
-                    "SELECT COUNT(*) AS cnt FROM {{tbl}} WHERE "
-                    f"{lead} = {_placeholder(lead, 'v')}"
-                ),
-                # a degenerate (zero-width) interval rule samples the point
-                # from the column's actual domain via stats
+                "sql": point_sql,
                 "params": {"v": {"type": lt}, "v_hi": {"type": lt}},
-                "interval_rules": [
-                    {
-                        "lo": "v",
-                        "hi": "v_hi",
-                        "type": lt,
-                        "column": lead,
-                        "ratio": 0.0,
-                    }
-                ],
+                "interval_rules": [point_rule],
             }
         ],
     }
@@ -324,6 +341,7 @@ def events_specs(
         ("ts", "value"),
         ("ts", "user_id"),
         ("value", "user_id"),
+        ("event_type", "value"),  # categorical slice + numeric box
     )
     specs = []
     for band, (lo, hi) in RQ1_BANDS.items():

@@ -56,14 +56,21 @@ def test_cell_expr_matches_numpy_assignment(emb):
     }
     x_rows = emb.orderBy("vec_id").collect()
     x = np.array([r[1] for r in x_rows], dtype=np.float64)
-    d2 = (
-        (x * x).sum(axis=1, keepdims=True)
-        - 2.0 * (x @ cent.T)
-        + (cent * cent).sum(axis=1)
-    )
+    # exact sum-of-squared-diffs (cell_expr's formulation, not the
+    # expansion trick) so the only remaining divergence is summation
+    # order; rows whose top-2 margin is within float noise are skipped —
+    # cell_expr is the authoritative assignment for those (see ivf.py)
+    d2 = ((x[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
     want = d2.argmin(axis=1)
-    for row, w in zip(x_rows, want):
+    margin = np.partition(d2, 1, axis=1)
+    ambiguous = (margin[:, 1] - margin[:, 0]) < 1e-9
+    checked = 0
+    for row, w, amb in zip(x_rows, want, ambiguous):
+        if amb:
+            continue
         assert got[row["vec_id"]] == int(w)
+        checked += 1
+    assert checked > len(x_rows) * 0.95
 
 
 def test_cell_expr_stays_in_codegen(spark, emb):
