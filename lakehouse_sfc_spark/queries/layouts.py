@@ -111,6 +111,59 @@ def layout_linear_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "layout_partitioned_scan",
+    oracle=f"""
+    SELECT COUNT(*) AS cnt, {sql_dsum("l_quantity", "sum_qty")}
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l_shipdate <  TIMESTAMP '1997-01-01'
+    """,
+)
+def layout_partitioned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hive-style partitioned layout (the reference's ``partitionBy``
+    knob, delta_write_layout.py:98,185-191 / Hudi partitionpath
+    tpch_all_loader.py:150): lineitem written once partitioned by ship
+    month, then a year-scoped aggregate whose month predicate resolves as
+    PARTITION pruning — non-matching month directories are never listed
+    into the scan.  Must equal the plain filter over the raw table.
+
+    Scale notes: partition pruning composes with the SFC sidecar pruning
+    (directories first, then per-file min/max within surviving
+    partitions) — the standard two-level skipping stack at 100 TB."""
+    path = os.path.join(
+        _fingerprinted_dir(
+            os.path.join(
+                os.path.dirname(_scratch_root()), "month_partitioned"
+            ),
+            sf_dir,
+            ("lineitem",),
+        ),
+        "lineitem",
+    )
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        li = load_table(spark, sf_dir, "lineitem").withColumn(
+            "ship_month", F.date_format("l_shipdate", "yyyy-MM")
+        )
+        (
+            li.repartition("ship_month")
+            .write.mode("overwrite")
+            .partitionBy("ship_month")
+            .parquet(path)
+        )
+    t = spark.read.parquet(path)
+    return (
+        t.filter(
+            (F.col("ship_month") >= "1996-01") & (F.col("ship_month") <= "1996-12")
+        )
+        .filter(
+            (F.col("l_shipdate") >= F.to_timestamp(F.lit("1996-01-01")))
+            & (F.col("l_shipdate") < F.to_timestamp(F.lit("1997-01-01")))
+        )
+        .agg(F.count(F.lit(1)).alias("cnt"), dsum("l_quantity", "sum_qty"))
+    )
+
+
+@register(
     "j_bucketed_colocated",
     oracle=f"""
     SELECT o.o_orderpriority AS o_orderpriority,

@@ -123,3 +123,14 @@ def test_ivf_partitioned_probe_prunes_partitions(spark):
     pf = [ln for ln in plan.splitlines() if "PartitionFilters" in ln]
     assert pf, "no PartitionFilters in plan"
     assert any("cell" in ln for ln in pf), pf
+
+
+def test_month_partitioned_scan_prunes_partitions(spark):
+    """layout_partitioned_scan's month predicate must resolve as
+    PartitionFilters against the hive layout (12 of ~80 month dirs read)."""
+    df = QUERIES["layout_partitioned_scan"].fn(spark, SF)
+    plan = spark.sparkContext._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+    pf = [ln for ln in plan.splitlines() if "PartitionFilters" in ln]
+    assert pf and any("ship_month" in ln for ln in pf), pf
