@@ -152,8 +152,12 @@ def layout_partitioned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     t = spark.read.parquet(path)
     return (
+        # partition window widened one month each side: date_format renders
+        # in the SESSION timezone, so a non-UTC driver session could shift a
+        # midnight timestamp into the neighboring month's directory — the
+        # row-level l_shipdate filter below does the precise cut either way
         t.filter(
-            (F.col("ship_month") >= "1996-01") & (F.col("ship_month") <= "1996-12")
+            (F.col("ship_month") >= "1995-12") & (F.col("ship_month") <= "1997-01")
         )
         .filter(
             (F.col("l_shipdate") >= F.to_timestamp(F.lit("1996-01-01")))
