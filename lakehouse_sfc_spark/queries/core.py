@@ -262,17 +262,21 @@ def a_month_trunc(spark: SparkSession, sf_dir: str) -> DataFrame:
     "a_conditional",
     oracle="""
     SELECT event_type,
-           SUM(CASE WHEN value > 50 THEN 1 ELSE 0 END) AS hits,
+           CAST(SUM(CASE WHEN value > 50 THEN 1 ELSE 0 END) AS BIGINT) AS hits,
            COUNT(*) AS cnt
     FROM events
     GROUP BY event_type
     """,
 )
 def a_conditional(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Conditional aggregate SUM(CASE WHEN ...) (spec_amazon_Q4.yaml:7)."""
+    """Conditional aggregate SUM(CASE WHEN ...) (spec_amazon_Q4.yaml:7).
+    The conditional count is pinned to BIGINT on both sides (Spark SUM(int)
+    is bigint; DuckDB's is HUGEINT) so the value hashes agree."""
     ev = load_table(spark, sf_dir, "events")
     return ev.groupBy("event_type").agg(
-        F.sum(F.when(F.col("value") > 50, 1).otherwise(0)).alias("hits"),
+        F.sum(F.when(F.col("value") > 50, 1).otherwise(0))
+        .cast("long")
+        .alias("hits"),
         F.count(F.lit(1)).alias("cnt"),
     )
 

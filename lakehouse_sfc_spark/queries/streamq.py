@@ -124,9 +124,12 @@ def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     prev = F.lag("ts").over(order)
+    # timestamp-typed gap test (NTZ-safe on Spark 4.x, where a direct
+    # TIMESTAMP_NTZ -> BIGINT cast is rejected); matches the oracle's
+    # `ts - prev_ts > INTERVAL 30 MINUTES`
     is_start = F.when(
         prev.isNull()
-        | (F.col("ts").cast("long") - prev.cast("long") > _GAP_MIN * 60),
+        | (F.col("ts") > prev + F.expr(f"INTERVAL {_GAP_MIN} MINUTES")),
         1,
     ).otherwise(0)
     sess = ev.select(

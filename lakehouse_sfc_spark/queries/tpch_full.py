@@ -343,10 +343,10 @@ def tpch_q11(spark: SparkSession, sf_dir: str) -> DataFrame:
     "tpch_q12",
     oracle="""
     SELECT l.l_returnflag AS return_class,
-           SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
-                    THEN 1 ELSE 0 END) AS high_line_count,
-           SUM(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
-                    THEN 1 ELSE 0 END) AS low_line_count
+           CAST(SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(SUM(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
     FROM orders o
     JOIN lineitem l ON o.o_orderkey = l.l_orderkey
     WHERE l.l_returnflag IN ('R', 'A')
@@ -377,8 +377,13 @@ def tpch_q12(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy(F.col("l_returnflag").alias("return_class"))
         .agg(
-            F.sum(F.when(urgent, 1).otherwise(0)).alias("high_line_count"),
-            F.sum(F.when(~urgent, 1).otherwise(0)).alias("low_line_count"),
+            # BIGINT both sides (DuckDB SUM(int) is HUGEINT) for hash parity
+            F.sum(F.when(urgent, 1).otherwise(0))
+            .cast("long")
+            .alias("high_line_count"),
+            F.sum(F.when(~urgent, 1).otherwise(0))
+            .cast("long")
+            .alias("low_line_count"),
         )
         .orderBy("return_class")
     )

@@ -101,16 +101,18 @@ def w_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     "w_running_agg",
     oracle="""
     SELECT user_id, event_id,
-           SUM(CAST(value AS DECIMAL(18,4))) OVER (
+           CAST(SUM(CAST(value AS DECIMAL(18,4))) OVER (
              PARTITION BY user_id ORDER BY ts, event_id
              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
-           ) AS running_value
+           ) AS DOUBLE) AS running_value
     FROM events
     """,
 )
 def w_running_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Running per-key cumulative sum (exact decimal so the prefix sums match
-    the oracle bit-for-bit)."""
+    """Running per-key cumulative sum: exact-decimal prefix sums, surfaced
+    as DOUBLE on both sides because the windowed decimal widens differently
+    (Spark decimal(28,4) vs DuckDB DECIMAL(38,4)) — the dsum discipline of
+    queries/registry.py."""
     ev = load_table(spark, sf_dir, "events")
     w = (
         Window.partitionBy("user_id")
@@ -120,5 +122,8 @@ def w_running_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ev.select(
         "user_id",
         "event_id",
-        F.sum(F.col("value").cast("decimal(18,4)")).over(w).alias("running_value"),
+        F.sum(F.col("value").cast("decimal(18,4)"))
+        .over(w)
+        .cast("double")
+        .alias("running_value"),
     )

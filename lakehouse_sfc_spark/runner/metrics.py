@@ -174,18 +174,24 @@ def rest_metrics(spark, job_group: str, deadline_s: float = 5.0) -> dict:
         return {}
     app_id = spark.sparkContext.applicationId
     base = urlunsplit(urlsplit(ui)._replace(path="", query="", fragment=""))
-    deadline = time.monotonic() + deadline_s
+    start = time.monotonic()
+    deadline = start + deadline_s
     prev: dict | None = None
     stable = 0
     while True:
         out = _rest_snapshot(base, app_id, job_group)
         stable = stable + 1 if out == prev else 0
-        # tasks visible + one confirming poll => ingestion settled; a
+        now = time.monotonic()
+        # tasks visible + one confirming poll => ingestion settled.  A
         # taskless snapshot (query answered without launching tasks, or no
-        # matching job group) settles after three agreeing polls instead of
-        # burning the whole deadline
-        settled = (out.get("rest_tasks", 0) > 0 and stable >= 1) or stable >= 3
-        if settled or time.monotonic() >= deadline:
+        # matching job group) settles after three agreeing polls, but never
+        # before 2 s: the UI ingests listener events asynchronously and on
+        # Spark 4.1 the job rows themselves can take >1 s to appear, so an
+        # early empty read is indistinguishable from not-yet-ingested.
+        settled = (out.get("rest_tasks", 0) > 0 and stable >= 1) or (
+            stable >= 3 and now - start >= 2.0
+        )
+        if settled or now >= deadline:
             return out
         prev = out
         time.sleep(0.25)

@@ -33,7 +33,10 @@ from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 _EVENTS_SCHEMA = T.StructType(
     [
         T.StructField("event_id", T.LongType()),
-        T.StructField("ts", T.LongType()),  # TIMESTAMP(NANOS) read as long
+        # Parquet TIMESTAMP(NANOS): Spark 4.x reads it natively as
+        # TIMESTAMP_NTZ truncated to microseconds — the same coercion the
+        # batch loader (sources/loader.load_table) and DuckDB apply.
+        T.StructField("ts", T.TimestampNTZType()),
         T.StructField("user_id", T.LongType()),
         T.StructField("event_type", T.StringType()),
         T.StructField("value", T.DoubleType()),
@@ -43,16 +46,20 @@ _EVENTS_SCHEMA = T.StructType(
 
 
 def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Streaming read of the events table (nanos ts → microsecond
-    timestamps, same coercion as the batch loader)."""
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    """Streaming read of the events table; ts arrives as TIMESTAMP_NTZ
+    microseconds (identical to the batch loader's schema) and is cast to
+    TIMESTAMP_LTZ because event-time watermarks require it — the session
+    timezone is pinned to UTC, so the cast is wall-clock-preserving."""
+    # pin the session tz so the NTZ->LTZ cast is wall-clock-preserving even
+    # under a driver session that didn't set it (runtime-settable conf)
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     src = (
         spark.readStream.schema(_EVENTS_SCHEMA)
         # the file source wants a directory; select just the events file
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
     )
-    return src.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return src.withColumn("ts", F.col("ts").cast("timestamp_ltz"))
 
 
 def run_tumbling_agg(
@@ -80,7 +87,8 @@ def run_tumbling_agg(
             .alias("sum_value"),
         )
         .select(
-            F.col("w.start").alias("ws"),
+            # back to NTZ so the schema matches the batch/oracle side
+            F.col("w.start").cast("timestamp_ntz").alias("ws"),
             "event_type",
             "cnt",
             "sum_value",
@@ -200,7 +208,7 @@ def run_stream_static_join(
 # --- custom stateful operator: session windows ------------------------------
 
 _SESSION_OUT_SCHEMA = (
-    "user_id bigint, session_start timestamp, session_end timestamp, "
+    "user_id bigint, session_start timestamp_ntz, session_end timestamp_ntz, "
     "n_events int, sum_value double"
 )
 _SESSION_STATE_SCHEMA = (
@@ -233,7 +241,12 @@ def _session_fn(
         return
 
     rows = pd.concat(list(pdfs)).sort_values("ts")
-    ts_us = (rows["ts"].astype("int64") // 1000).tolist()
+    # normalize to epoch-microseconds regardless of pandas resolution or tz
+    # (LTZ event-time arrives tz-aware UTC; older stacks delivered naive ns)
+    ts_col = rows["ts"]
+    if getattr(ts_col.dtype, "tz", None) is not None:
+        ts_col = ts_col.dt.tz_convert("UTC").dt.tz_localize(None)
+    ts_us = ts_col.astype("datetime64[us]").astype("int64").tolist()
     vals = rows["value"].tolist()
 
     if state.exists:

@@ -92,6 +92,16 @@ def test_q19_common_factor_reaches_scan(spark):
     assert "l_returnflag" in plan.split("PushedFilters: [", 1)[1].split("]")[0]
 
 
+def test_embedding_cosine_is_blocked_not_nested_loop(spark):
+    """dedup_embedding_cosine must plan as the block-partitioned scorer
+    (explode → hash shuffle on the block-pair key → applyInPandas), never
+    the all-pairs BroadcastNestedLoopJoin/CartesianProduct the oracle uses."""
+    plan = _plan(spark, "dedup_embedding_cosine")
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "FlatMapGroupsInPandas" in plan
+
+
 def test_q21_self_joins_stay_hash_based(spark):
     """Q21's EXISTS/NOT-EXISTS self-joins carry non-equi side conditions;
     they must still plan as hash joins on the orderkey equi-key, never a
