@@ -34,6 +34,7 @@ high-cardinality keys.
 
 from __future__ import annotations
 
+import random
 from functools import reduce
 from operator import add
 
@@ -134,6 +135,15 @@ _MH_K = 64  # minhash functions
 _MH_BANDS = 16  # bands of r = 4 rows
 _MH_R = 4
 _MH_TAU = 0.7
+_MH_P = 2_147_483_647  # Mersenne prime 2^31-1: a*h+b stays < 2^62 (no overflow)
+
+# Fixed affine permutations h_i(x) = (a_i*x + b_i) mod p over the shared
+# 32-bit base hash.  Seeded once at import => deterministic across runs.
+_MH_RNG = random.Random(0x5FC2024)
+_MH_COEF = [
+    (_MH_RNG.randrange(1, _MH_P), _MH_RNG.randrange(0, _MH_P))
+    for _ in range(_MH_K)
+]
 
 
 @register(
@@ -152,21 +162,35 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     verification at τ=0.7.  All candidate generation is a key-equality join on
     (band, signature) — no cross join at any scale.  Verification re-joins the
     small candidate-pair set against the n-gram relation, so document bodies
-    are shuffled once, not once per band."""
+    are shuffled once, not once per band.
+
+    Cost discipline (the part that matters at 100 TB): each n-gram is
+    md5-hashed exactly ONCE; the 64 permutations are affine maps
+    ``(a_i*h + b_i) mod p`` folded in a single ``F.aggregate`` pass, so the
+    signature is O(|ngrams| * K) integer ops, not K md5 passes.  The
+    ``repartition`` between signature and band-explode is a deliberate
+    projection barrier: without it Catalyst's CollapseProject inlines the
+    whole signature expression into each of the 16 band slices (16x the
+    work), and the self-join would recompute it per side (identical exchange
+    subtrees are instead deduped by ReuseExchange)."""
     ngr = _docs_ngrams(spark, sf_dir)
 
-    mh = ngr.select(
-        "doc_id",
-        F.transform(
-            F.sequence(F.lit(0), F.lit(_MH_K - 1)),
-            lambda i: F.array_min(
-                F.transform(
-                    F.col("ng"),
-                    lambda g: _h32(F.concat(i.cast("string"), F.lit("|"), g)),
-                )
-            ),
-        ).alias("mh"),
+    coef = F.array(
+        *[
+            F.struct(
+                F.lit(a).cast("long").alias("a"), F.lit(b).cast("long").alias("b")
+            )
+            for a, b in _MH_COEF
+        ]
     )
+    mh_expr = F.aggregate(
+        F.transform(F.col("ng"), lambda g: _h32(g) % F.lit(_MH_P)),
+        F.array_repeat(F.lit(_MH_P).cast("long"), _MH_K),
+        lambda acc, h: F.zip_with(
+            acc, coef, lambda m, c: F.least(m, (h * c["a"] + c["b"]) % F.lit(_MH_P))
+        ),
+    )
+    mh = ngr.select("doc_id", mh_expr.alias("mh")).repartition("doc_id")
     bands = mh.select(
         "doc_id",
         F.explode(
