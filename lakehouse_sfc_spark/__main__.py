@@ -255,14 +255,16 @@ def cmd_run_queries(args) -> int:
 
 
 def cmd_update_batches(args) -> int:
-    from lakehouse_sfc_spark.layout.upsert import build_update_batches
+    from lakehouse_sfc_spark.layout.upsert import (
+        build_update_batches,
+        build_update_batches_ranged,
+    )
     from lakehouse_sfc_spark.sources.loader import load_input_df
 
     spark = _spark(args)
     df = load_input_df(spark, args.input, fmt=args.format)
-    paths = build_update_batches(
-        df, args.output, n_batches=args.n_batches, seed=args.seed
-    )
+    builder = build_update_batches_ranged if args.ranged else build_update_batches
+    paths = builder(df, args.output, n_batches=args.n_batches, seed=args.seed)
     print(f"wrote {len(paths)} batches -> {args.output}")
     return 0
 
@@ -473,6 +475,11 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("--output", required=True)
     sp.add_argument("--n-batches", type=int, default=10)
     sp.add_argument("--seed", type=int, default=42)
+    sp.add_argument(
+        "--ranged",
+        action="store_true",
+        help="distributed split (no single-task global sort) — the scale path",
+    )
     sp.set_defaults(fn=cmd_update_batches)
 
     sp = sub.add_parser(

@@ -209,3 +209,100 @@ def build_update_batches(
         ).parquet(p)
         paths.append(p)
     return paths
+
+
+def _ranged_batch_assignment(
+    df: DataFrame, n_batches: int, seed: int, n_buckets: int
+) -> DataFrame:
+    """Distributed ntile: assign every row a batch 1..n_batches with exactly
+    the ntile size contract (first ``total % n`` batches get one extra row)
+    WITHOUT a single-task global sort.
+
+    Plan shape (the 100 TB path):
+    1. ``__r = rand(seed)`` — uniform, deterministic per input partition.
+    2. ``__bk = floor(__r * B)`` — equal-width range bucketing.  Because
+       ``__r`` is uniform this balances as well as ``repartitionByRange``
+       but is *closed-form deterministic*: no sampling pass, so the counts
+       job and the write job see identical bucket boundaries without
+       persisting anything.
+    3. Per-bucket counts → driver (B integers, not data) → prefix-sum
+       offsets as a literal lookup array.
+    4. global rank = offset[__bk] + row_number within bucket (the window's
+       partitionBy matches the repartition key, so no extra exchange and no
+       single-partition sort), then the closed-form ntile bucket of that
+       rank.
+    """
+    b = df.withColumn("__r", F.rand(seed)).withColumn(
+        "__bk", F.floor(F.col("__r") * n_buckets).cast("int")
+    )
+    b = b.repartition(n_buckets, "__bk")
+    counts = {
+        r["__bk"]: r["cnt"]
+        for r in b.groupBy("__bk").agg(F.count(F.lit(1)).alias("cnt")).collect()
+    }
+    total = sum(counts.values())
+    offsets = []
+    acc = 0
+    for k in range(n_buckets):
+        offsets.append(acc)
+        acc += counts.get(k, 0)
+    off = F.element_at(
+        F.array(*[F.lit(o).cast("long") for o in offsets]), F.col("__bk") + 1
+    )
+    local = F.row_number().over(Window.partitionBy("__bk").orderBy("__r"))
+    rank = (off + local).alias("__rank")  # 1-based global rank in __r order
+
+    # ntile(n) of rank r over `total` rows: the first `rem` batches have
+    # q+1 rows, the rest q.
+    q, rem = divmod(total, n_batches)
+    boundary = rem * (q + 1)
+    in_big = (rank <= F.lit(boundary)) if boundary else F.lit(False)
+    big_id = F.floor((rank - 1) / F.lit(max(q + 1, 1))) + 1
+    small_id = (
+        F.lit(rem) + F.floor((rank - F.lit(boundary) - 1) / F.lit(max(q, 1))) + 1
+    )
+    return b.withColumn(
+        "__batch", F.when(in_big, big_id).otherwise(small_id).cast("int")
+    ).drop("__r", "__bk")
+
+
+def build_update_batches_ranged(
+    df: DataFrame,
+    out_dir: str,
+    n_batches: int,
+    seed: int = 42,
+    n_buckets: int | None = None,
+) -> list[str]:
+    """Scale-safe ``build_update_batches``: same batch-size contract as the
+    ntile reference semantics (sizes differ by at most 1; exact ntile split)
+    but fully distributed — no ``Exchange SinglePartition``, no per-batch
+    recompute.  One shuffle on the range bucket, one partitioned write.
+
+    The ntile variant above stays as the oracle/reference semantics
+    (build_tpch_update_batches.py:61-74); this is what you run at 100 TB.
+    """
+    if n_buckets is None:
+        n_buckets = max(
+            n_batches, int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+        )
+    assigned = _ranged_batch_assignment(df, n_batches, seed, n_buckets)
+    out_cols = [c for c in assigned.columns if c not in ("__batch", "__rank")]
+    tmp = os.path.join(out_dir, "__batched_tmp")
+    assigned.select(*out_cols, "__batch").write.mode("overwrite").partitionBy(
+        "__batch"
+    ).parquet(tmp)
+    paths = []
+    for i in range(1, n_batches + 1):
+        src = os.path.join(tmp, f"__batch={i}")
+        dst = os.path.join(out_dir, f"batch_{i:02d}")
+        if os.path.isdir(dst):
+            import shutil
+
+            shutil.rmtree(dst)
+        if os.path.isdir(src):
+            os.rename(src, dst)
+        paths.append(dst)
+    import shutil
+
+    shutil.rmtree(tmp, ignore_errors=True)
+    return paths

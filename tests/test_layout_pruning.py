@@ -11,7 +11,8 @@ import os
 import pytest
 from pyspark.sql import functions as F
 
-from lakehouse_sfc_spark.layout import (
+from lakehouse_sfc_spark.layout import (  # noqa: F401
+    build_update_batches_ranged,
     build_update_batches,
     keyed_upsert,
     layout_write,
@@ -170,3 +171,29 @@ def test_build_update_batches(spark, tmp_path_factory):
         spark.read.parquet(*paths).select("o_orderkey").distinct().count()
     )
     assert total_distinct == o.count()
+
+
+def test_build_update_batches_ranged_equivalence(spark, tmp_path_factory):
+    """The distributed split honors the exact ntile size contract and
+    partitions the input — without any single-partition exchange."""
+    from lakehouse_sfc_spark.layout.upsert import _ranged_batch_assignment
+
+    out = str(tmp_path_factory.mktemp("batches_ranged"))
+    o = load_table(spark, SF, "orders")
+    n = 4
+    paths = build_update_batches_ranged(o, out, n)
+    sizes = [spark.read.parquet(p).count() for p in paths]
+    total = o.count()
+    assert sum(sizes) == total
+    assert max(sizes) - min(sizes) <= 1  # ntile equal split
+    q, rem = divmod(total, n)
+    assert sorted(sizes, reverse=True) == [q + 1] * rem + [q] * (n - rem)
+    # batches are disjoint and cover the input
+    union = spark.read.parquet(*paths)
+    assert union.select("o_orderkey").distinct().count() == total
+    assert sorted(union.columns) == sorted(o.columns)
+
+    # plan guard: no single-task global sort anywhere in the assignment plan
+    assigned = _ranged_batch_assignment(o, n, seed=42, n_buckets=8)
+    plan = assigned._jdf.queryExecution().executedPlan().toString()
+    assert "SinglePartition" not in plan
