@@ -36,6 +36,7 @@ def main() -> None:
     headline = [n for n, s in sorted(QUERIES.items()) if s.headline]
     repeats = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "3")))
     timings: dict[str, float] = {}
+    spread: dict[str, dict[str, float]] = {}
     for name in headline:
         fn = QUERIES[name].fn
         spark.catalog.clearCache()
@@ -46,8 +47,14 @@ def main() -> None:
             fn(spark, sf_dir).count()
             samples.append(time.perf_counter() - t0)
         # median damps single-run host noise (reference averages --repeat N
-        # runs, run_queries copy.py:1173; median is the robust equivalent)
+        # runs, run_queries copy.py:1173; median is the robust equivalent);
+        # min/max expose the host's run-to-run swing so cross-round deltas
+        # smaller than the spread aren't mistaken for regressions.
         timings[name] = round(sorted(samples)[len(samples) // 2], 4)
+        spread[name] = {
+            "min": round(min(samples), 4),
+            "max": round(max(samples), 4),
+        }
 
     total = round(sum(timings.values()), 4)
     print(
@@ -57,6 +64,10 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "spread": spread,
+                "repeats": repeats,
+                "total_min": round(sum(s["min"] for s in spread.values()), 4),
+                "total_max": round(sum(s["max"] for s in spread.values()), 4),
                 "sf": sf,
             }
         )
