@@ -298,6 +298,7 @@ def eventlog_metrics(
     if not events:
         return out
 
+    exec_ids: set[int] = set()
     for ev in events:
         if ev.get("Event") == "SparkListenerJobStart":
             props = ev.get("Properties") or {}
@@ -308,6 +309,12 @@ def eventlog_metrics(
             ):
                 for info in ev.get("Stage Infos", []):
                     stage_ids.add(info.get("Stage ID"))
+                eid = props.get("spark.sql.execution.id")
+                if eid is not None:
+                    try:
+                        exec_ids.add(int(eid))
+                    except (TypeError, ValueError):
+                        pass
     for ev in events:
         if ev.get("Event") != "SparkListenerTaskEnd":
             continue
@@ -336,6 +343,43 @@ def eventlog_metrics(
                     files_read += int(acc.get("Update", 0))
                 except (TypeError, ValueError):
                     pass
+
+    # Spark 4 reports scan file counts as DRIVER-side SQL metrics, not task
+    # accumulables: metric ids come from the plan graph in
+    # SQLExecutionStart / SQLAdaptiveExecutionUpdate (scoped to our job
+    # group's execution ids), values from DriverAccumUpdates (absolute per
+    # update — keep the last one per accumulator).
+    file_acc_ids: set[int] = set()
+
+    def _walk_plan_info(pi: dict) -> None:
+        for m in pi.get("metrics", []) or []:
+            if m.get("name") == "number of files read":
+                file_acc_ids.add(m.get("accumulatorId"))
+        for child in pi.get("children", []) or []:
+            _walk_plan_info(child)
+
+    for ev in events:
+        name = ev.get("Event", "")
+        if name.endswith("SparkListenerSQLExecutionStart") or name.endswith(
+            "SparkListenerSQLAdaptiveExecutionUpdate"
+        ):
+            if ev.get("executionId") in exec_ids:
+                _walk_plan_info(ev.get("sparkPlanInfo") or {})
+    driver_files: dict[int, int] = {}
+    for ev in events:
+        if not ev.get("Event", "").endswith("SparkListenerDriverAccumUpdates"):
+            continue
+        if ev.get("executionId") not in exec_ids:
+            continue
+        for pair in ev.get("accumUpdates", []) or []:
+            try:
+                acc_id, val = int(pair[0]), int(pair[1])
+            except (TypeError, ValueError, IndexError):
+                continue
+            if acc_id in file_acc_ids:
+                driver_files[acc_id] = val
+    if files_read == 0 and driver_files:
+        files_read = sum(driver_files.values())
     return {
         "ev_bytes_read": int(bytes_read),
         "ev_files_read": int(files_read),

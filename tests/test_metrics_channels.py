@@ -1,7 +1,18 @@
-"""End-to-end exercise of the REST (M4) and event-log (M5) metric channels
-plus event-log export (M10).  These need session confs the shared test
-session doesn't have (UI server, event logging), so the scenario runs in a
-subprocess with its own SparkSession and reports back as JSON."""
+"""End-to-end check of the M4 (REST) and M5 (event log) metric channels
+against the native pruner's deterministic files_scanned (SURVEY §2.11).
+
+The shared test session runs with the UI and event log off, so this spawns a
+dedicated subprocess session with both enabled — exactly how
+``run-queries --rest --eventlog`` runs them — and asserts the independent
+channels agree:
+
+- M1 (executed-plan metrics) files == native pruner files_scanned
+- M3 (input_file_name probe) files == native pruner files_scanned
+- M4 REST: tasks/bytes observed, bytes == M5 bytes (same task set)
+- M5 event log: files read accumulable == native pruner files_scanned
+
+Reference parity: run_queries.py:251-369 (REST), :372-548 (event log).
+"""
 
 from __future__ import annotations
 
@@ -12,74 +23,90 @@ from pathlib import Path
 
 import pytest
 
+REPO = Path(__file__).resolve().parents[1]
+
 _SCRIPT = r"""
-import json, sys, tempfile, os
-sys.path.insert(0, "@@REPO@@")
-log_dir = tempfile.mkdtemp(prefix="evlog")
+import json, sys, tempfile
+
+repo = sys.argv[1]
+sys.path.insert(0, repo)
+out_dir = sys.argv[2]
+log_dir = sys.argv[3]
+
 from pyspark.sql import SparkSession
+
 spark = (
-    SparkSession.builder.master("local[2]")
-    .appName("metrics-e2e")
+    SparkSession.builder.master("local[4]")
+    .appName("m45-metrics-check")
     .config("spark.ui.enabled", "true")
-    .config("spark.ui.port", "4049")
+    .config("spark.ui.port", "0")
     .config("spark.eventLog.enabled", "true")
+    .config("spark.eventLog.dir", "file://" + log_dir)
     .config("spark.eventLog.compress", "false")
-    .config("spark.eventLog.dir", log_dir)
     .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
     .getOrCreate()
 )
 spark.sparkContext.setLogLevel("ERROR")
-from lakehouse_sfc_spark.runner.runner import export_eventlogs, run_one_query
-from lakehouse_sfc_spark.sources.loader import load_table
 
-li = load_table(spark, "/root/testdata/sf0.001", "lineitem")
-df = li.filter("l_quantity > 10").groupBy("l_returnflag").count()
-r = run_one_query(
-    spark, df, name="m45", action="collect",
-    collect_probe=True, collect_eventlog=True,
+from lakehouse_sfc_spark.layout.writer import layout_write
+from lakehouse_sfc_spark.sources.loader import load_table
+from lakehouse_sfc_spark.table.pruning import Pred, read_pruned
+from lakehouse_sfc_spark.runner.runner import run_one_query
+
+o = load_table(spark, "/root/testdata/sf0.001", "orders")
+layout_write(
+    o,
+    out_dir,
+    layout="linear",
+    layout_cols=["o_custkey"],
+    num_files=8,
+    stats_cols=["o_custkey", "o_orderdate"],
 )
-out_dir = os.path.join(log_dir, "export")
-exported = export_eventlogs(spark, out_dir)
-payload = {"metrics": {k: v for k, v in r.metrics.items()},
-           "rows": r.rows, "exported": exported}
+preds = [Pred("o_custkey", "between", (1, 120))]
+df, native = read_pruned(spark, out_dir, preds)
+
+metrics = {}
+for _ in range(3):  # event-log writes are async; retry until tasks appear
+    res = run_one_query(
+        spark, df, name="m45", collect_probe=True, collect_eventlog=True
+    )
+    metrics = res.metrics
+    if metrics.get("ev_tasks", 0) > 0 and metrics.get("rest_tasks", 0) > 0:
+        break
+
+print(json.dumps({"native": native, "metrics": metrics}))
 spark.stop()
-print("RESULT_JSON:" + json.dumps(payload))
 """
 
 
-@pytest.fixture(scope="module")
-def channel_result():
-    repo = str(Path(__file__).resolve().parents[1])
+@pytest.mark.slow
+def test_rest_and_eventlog_agree_with_native_pruner(tmp_path_factory):
+    out_dir = str(tmp_path_factory.mktemp("m45_layout"))
+    log_dir = str(tmp_path_factory.mktemp("m45_events"))
     proc = subprocess.run(
-        [sys.executable, "-c", _SCRIPT.replace("@@REPO@@", repo)],
+        [sys.executable, "-c", _SCRIPT, str(REPO), out_dir, log_dir],
         capture_output=True,
         text=True,
         timeout=300,
     )
-    assert proc.returncode == 0, proc.stderr[-2000:]
-    line = [
-        ln for ln in proc.stdout.splitlines() if ln.startswith("RESULT_JSON:")
-    ][-1]
-    return json.loads(line[len("RESULT_JSON:"):])
+    assert proc.returncode == 0, proc.stderr[-3000:]
+    payload = json.loads(proc.stdout.strip().splitlines()[-1])
+    native, m = payload["native"], payload["metrics"]
 
+    # the pruner really pruned (predicate selective on the zorder key)
+    assert 1 <= native["files_scanned"] < native["files_total"]
 
-def test_rest_channel_reports_bytes(channel_result):
-    m = channel_result["metrics"]
-    assert m.get("rest_bytes_read", 0) > 0
-    assert m.get("rest_executor_run_s", 0) >= 0
+    # M1 executed-plan metrics and M3 probe agree with the native channel
+    assert m["files_scanned"] == native["files_scanned"]
+    assert m["files_probe"] == native["files_scanned"]
 
+    # M4 REST observed the job group's tasks and real input bytes
+    assert m["rest_tasks"] > 0
+    assert m["rest_bytes_read"] > 0
+    assert m["rest_executor_run_s"] > 0
 
-def test_eventlog_channel_reports_bytes(channel_result):
-    m = channel_result["metrics"]
-    assert m.get("ev_bytes_read", 0) > 0
-
-
-def test_probe_and_plan_channels_agree_on_files(channel_result):
-    m = channel_result["metrics"]
-    # single-file table: every channel that counts files must say 1
-    assert m["files_scanned"] == 1
-    assert m["files_probe"] == 1
-
-
-def test_eventlog_export_copies_files(channel_result):
-    assert len(channel_result["exported"]) >= 1
+    # M5 event log: same task population as REST, native file count
+    assert m["ev_tasks"] > 0
+    assert m["ev_bytes_read"] == m["rest_bytes_read"]
+    assert m["ev_files_read"] == native["files_scanned"]
