@@ -269,6 +269,51 @@ def cmd_update_batches(args) -> int:
     return 0
 
 
+def _parse_layout_arg(s: str) -> tuple[str, str, list[str] | None]:
+    """``NAME=KIND:COL+COL`` / ``KIND:COL+COL`` / ``baseline`` ->
+    (variant_name, layout_kind, cols)."""
+    name, _, rest = s.partition("=")
+    if not rest:
+        name, rest = s.split(":", 1)[0] if ":" in s else s, s
+    kind, _, cols = rest.partition(":")
+    return name, kind, cols.split("+") if cols else None
+
+
+def cmd_rq_matrix(args) -> int:
+    import os
+
+    from lakehouse_sfc_spark.runner.experiments import rq_matrix
+    from lakehouse_sfc_spark.sources.loader import load_input_df
+
+    spark = _spark(args)
+    df = load_input_df(spark, args.input, fmt=args.format)
+    layouts = [_parse_layout_arg(s) for s in args.layouts]
+    specs = {}
+    for s in args.specs:
+        name, _, d = s.partition("=")
+        if not d:
+            name, d = os.path.basename(os.path.normpath(s)), s
+        specs[name] = d
+    averaged = rq_matrix(
+        spark,
+        df,
+        args.output_root,
+        layouts,
+        specs,
+        engine=args.engine,
+        table_name=args.table_name,
+        repeat=args.repeat,
+        warmup=args.warmup,
+        action=args.action,
+        stats_cols=_csv_list(args.stats_cols),
+    )
+    print(
+        f"swept {len(layouts)} layouts x {len(specs)} specs "
+        f"({len(averaged)} rows) -> {args.output_root}/summary"
+    )
+    return 0
+
+
 def cmd_ingest_experiment(args) -> int:
     from lakehouse_sfc_spark.runner.experiments import (
         incremental_ingest_experiment,
@@ -481,6 +526,38 @@ def build_parser() -> argparse.ArgumentParser:
         help="distributed split (no single-task global sort) — the scale path",
     )
     sp.set_defaults(fn=cmd_update_batches)
+
+    sp = sub.add_parser(
+        "rq-matrix",
+        help="RQ1-style sweep: layouts x specs -> results tree + summary",
+    )
+    sp.add_argument("--input", required=True)
+    sp.add_argument("--format", default=None)
+    sp.add_argument("--output-root", required=True)
+    sp.add_argument(
+        "--layout",
+        action="append",
+        required=True,
+        dest="layouts",
+        metavar="NAME=KIND:COL+COL",
+        help="repeatable layout variant, e.g. baseline, zorder=zorder:a+b; "
+        "include one named 'baseline' to anchor geomean speedups",
+    )
+    sp.add_argument(
+        "--spec",
+        action="append",
+        required=True,
+        dest="specs",
+        metavar="NAME=SQL_DIR",
+        help="repeatable spec: NAME=dir-of-.sql (or just a dir)",
+    )
+    sp.add_argument("--engine", default="spark")
+    sp.add_argument("--table-name", default="t")
+    sp.add_argument("--repeat", type=int, default=1)
+    sp.add_argument("--warmup", type=int, default=0)
+    sp.add_argument("--action", default="count")
+    sp.add_argument("--stats-cols", default=None)
+    sp.set_defaults(fn=cmd_rq_matrix)
 
     sp = sub.add_parser(
         "ingest-experiment",

@@ -110,3 +110,85 @@ def results_by_batch(results: list[RunResult]) -> dict[int, dict[str, float]]:
             r.elapsed_s, 6
         )
     return dict(sorted(out.items()))
+
+
+def rq_matrix(
+    spark: SparkSession,
+    df: DataFrame,
+    out_root: str,
+    layouts: list[tuple[str, str, list[str] | None]],
+    spec_dirs: dict[str, str],
+    engine: str = "spark",
+    table_name: str = "t",
+    repeat: int = 1,
+    warmup: int = 0,
+    action: str = "count",
+    stats_cols: list[str] | None = None,
+    **write_kwargs,
+):
+    """RQ1-style engine-matrix sweep in one call: for every layout variant,
+    write the table with that physical layout, run every spec's .sql files
+    with full metrics, and drop per-run CSVs into the reference's results
+    tree ``<out_root>/results/<engine>/<layout>/<spec>.csv`` — the exact
+    shape ``collect_results`` (and the reference's
+    scripts/parse_tpch_results.py:152-239) derives engine/layout/spec from.
+    Finishes by round-tripping the tree through collect/average/viz so the
+    sweep's geomean-speedup + per-query + ECDF summaries land under
+    ``<out_root>/summary/``.
+
+    ``layouts``: (variant_name, layout_kind, layout_cols) triples — variant
+    names let one sweep compare two column orders of the same kind, as the
+    reference's C*_N2_O* configs do (run_RQ_1_matrix.sh:59-68).
+
+    Returns the averaged results frame.
+    """
+    import glob as _glob
+
+    from lakehouse_sfc_spark.runner.results import (
+        average_repeats,
+        collect_results,
+        viz_results,
+    )
+    from lakehouse_sfc_spark.runner.runner import run_sql_file, write_results_csv
+
+    csv_paths: list[str] = []
+    for variant, kind, cols in layouts:
+        data_path = os.path.join(out_root, "data", variant)
+        layout_write(
+            df,
+            data_path,
+            layout=kind,
+            layout_cols=cols,
+            stats_cols=stats_cols if stats_cols is not None else cols,
+            **write_kwargs,
+        )
+        spark.read.parquet(data_path).createOrReplaceTempView(table_name)
+        for spec_name, sql_dir in spec_dirs.items():
+            files = sorted(_glob.glob(os.path.join(sql_dir, "*.sql")))
+            if not files:
+                raise ValueError(f"no .sql files under {sql_dir}")
+            results = [
+                run_sql_file(
+                    spark,
+                    f,
+                    name=os.path.splitext(os.path.basename(f))[0],
+                    table_name=table_name,
+                    action=action,
+                    warmup=warmup,
+                    repeat=repeat,
+                )
+                for f in files
+            ]
+            csv_path = os.path.join(
+                out_root, "results", engine, variant, f"{spec_name}.csv"
+            )
+            write_results_csv(results, csv_path)
+            csv_paths.append(csv_path)
+
+    collected = collect_results(csv_paths)
+    averaged = average_repeats(collected)
+    summary_dir = os.path.join(out_root, "summary")
+    os.makedirs(summary_dir, exist_ok=True)
+    averaged.to_csv(os.path.join(summary_dir, "all_results.csv"), index=False)
+    viz_results(averaged, summary_dir)
+    return averaged

@@ -71,8 +71,9 @@ def geomean_speedup(
 ) -> pd.DataFrame:
     """Per (engine, layout): exp(mean(log(baseline_time / layout_time))) over
     the queries both ran (wlg/cli/main.py:1080-1105).  > 1 means the layout
-    is faster than baseline."""
-    keys = ["engine", "query"]
+    is faster than baseline.  ``spec`` joins the key when present so the
+    same query name in two specs never cross-matches."""
+    keys = ["engine", "query"] + (["spec"] if "spec" in df.columns else [])
     base = (
         df[df["layout"] == baseline_layout]
         .set_index(keys)[metric]

@@ -84,3 +84,66 @@ def test_incremental_ingest_scoped_path(spark, tmp_path_factory):
     base.unpersist()
     final = [r for r in results if r.metrics["batch"] == 2][0]
     assert final.rows == 300  # pure upserts: no growth, no duplicates
+
+
+def test_rq_matrix_sweep(spark, tmp_path_factory):
+    """2-layout x 2-spec mini-matrix: results land in the reference tree
+    shape, round-trip through collect/average/viz, and the summary includes
+    a geomean speedup row for the non-baseline layout."""
+    import os
+
+    import pandas as pd
+
+    from lakehouse_sfc_spark.runner.experiments import rq_matrix
+
+    root = tmp_path_factory.mktemp("rq1")
+    sql_a = root / "spec_a"
+    sql_b = root / "spec_b"
+    sql_a.mkdir()
+    sql_b.mkdir()
+    (sql_a / "q1.sql").write_text(
+        "SELECT COUNT(*) AS n FROM {{tbl}} WHERE l_quantity < 10;"
+    )
+    (sql_a / "q2.sql").write_text(
+        "SELECT l_returnflag, COUNT(*) AS n FROM {{tbl}} "
+        "GROUP BY l_returnflag;"
+    )
+    (sql_b / "q1.sql").write_text(
+        "SELECT COUNT(*) AS n FROM {{tbl}} "
+        "WHERE l_shipdate BETWEEN DATE'1994-01-01' AND DATE'1994-06-30';"
+    )
+
+    li = load_table(spark, SF, "lineitem")
+    averaged = rq_matrix(
+        spark,
+        li,
+        str(root / "out"),
+        layouts=[
+            ("baseline", "baseline", None),
+            ("zorder", "zorder", ["l_shipdate", "l_quantity"]),
+        ],
+        spec_dirs={"spec_a": str(sql_a), "spec_b": str(sql_b)},
+        repeat=2,
+        num_files=4,
+        stats_cols=["l_shipdate", "l_quantity"],
+    )
+
+    # reference results-tree shape: <root>/results/<engine>/<layout>/<spec>.csv
+    for layout in ("baseline", "zorder"):
+        for spec in ("spec_a", "spec_b"):
+            assert os.path.exists(
+                root / "out" / "results" / "spark" / layout / f"{spec}.csv"
+            )
+
+    assert set(averaged["layout"]) == {"baseline", "zorder"}
+    assert set(averaged["spec"]) == {"spec_a", "spec_b"}
+    # 2 layouts x (2 + 1 queries), averaged over repeats
+    assert len(averaged) == 6
+    assert (averaged["n_runs"] == 1).all()  # one CSV row per query (repeat
+    # averaging happens inside run_sql_file's timed loop)
+
+    summary = root / "out" / "summary"
+    assert (summary / "all_results.csv").exists()
+    speed = pd.read_csv(summary / "geomean_speedup.csv")
+    assert list(speed["layout"]) == ["zorder"]
+    assert speed["n_queries"].iloc[0] == 3
