@@ -23,6 +23,7 @@ import os
 import tempfile
 import uuid
 from collections.abc import Iterable
+from contextlib import contextmanager
 
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
@@ -43,6 +44,58 @@ _EVENTS_SCHEMA = T.StructType(
         T.StructField("props", T.StringType()),
     ]
 )
+
+
+@contextmanager
+def _capped_state_partitions(spark: SparkSession, cap: int = 16):
+    """Bound the stateful-operator partition count for a backlog replay.
+
+    Every run here starts from a fresh checkpoint, so the state-store
+    partition count is fixed at query start from
+    ``spark.sql.shuffle.partitions`` — and an untuned session's default of
+    200 means 200 state stores (open/commit/close each micro-batch) for a
+    backlog that fits in a handful.  AQE coalesces batch shuffles but NOT
+    stateful streaming exchanges, so this is real per-batch overhead.  On a
+    production backfill, size the cap to the cluster's cores; the cap only
+    lowers, never raises, a user-tuned setting."""
+    key = "spark.sql.shuffle.partitions"
+    prev = spark.conf.get(key)
+    try:
+        if int(prev) > cap:
+            spark.conf.set(key, str(cap))
+        yield
+    finally:
+        spark.conf.set(key, prev)
+
+
+def _replay_to_memory(
+    spark: SparkSession,
+    sdf: DataFrame,
+    name: str,
+    checkpoint_prefix: str,
+    output_mode: str,
+    timeout_s: int,
+) -> DataFrame:
+    """Drive a streaming DataFrame over the full backlog
+    (Trigger.AvailableNow) into a memory sink and return the result table.
+    State partitions are capped for the replay (see
+    ``_capped_state_partitions``)."""
+    checkpoint = tempfile.mkdtemp(prefix=checkpoint_prefix)
+    with _capped_state_partitions(spark):
+        q = (
+            sdf.writeStream.format("memory")
+            .queryName(name)
+            .outputMode(output_mode)
+            .option("checkpointLocation", checkpoint)
+            .trigger(availableNow=True)
+            .start()
+        )
+        try:
+            q.awaitTermination(timeout_s)
+        finally:
+            if q.isActive:
+                q.stop()
+    return spark.table(name)
 
 
 def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -94,21 +147,9 @@ def run_tumbling_agg(
             "sum_value",
         )
     )
-    checkpoint = tempfile.mkdtemp(prefix="lakehouse-sfc-stream-")
-    q = (
-        agg.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("complete")
-        .option("checkpointLocation", checkpoint)
-        .trigger(availableNow=True)
-        .start()
+    return _replay_to_memory(
+        spark, agg, name, "lakehouse-sfc-stream-", "complete", timeout_s
     )
-    try:
-        q.awaitTermination(timeout_s)
-    finally:
-        if q.isActive:
-            q.stop()
-    return spark.table(name)
 
 
 def run_stream_dedup(
@@ -140,21 +181,9 @@ def run_stream_dedup(
         .cast("double")
         .alias("sum_value"),
     )
-    checkpoint = tempfile.mkdtemp(prefix="lakehouse-sfc-dedup-")
-    q = (
-        agg.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("complete")
-        .option("checkpointLocation", checkpoint)
-        .trigger(availableNow=True)
-        .start()
+    return _replay_to_memory(
+        spark, agg, name, "lakehouse-sfc-dedup-", "complete", timeout_s
     )
-    try:
-        q.awaitTermination(timeout_s)
-    finally:
-        if q.isActive:
-            q.stop()
-    return spark.table(name)
 
 
 def run_stream_static_join(
@@ -188,21 +217,9 @@ def run_stream_static_join(
             .alias("sum_value"),
         )
     )
-    checkpoint = tempfile.mkdtemp(prefix="lakehouse-sfc-enrich-")
-    q = (
-        joined.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("complete")
-        .option("checkpointLocation", checkpoint)
-        .trigger(availableNow=True)
-        .start()
+    return _replay_to_memory(
+        spark, joined, name, "lakehouse-sfc-enrich-", "complete", timeout_s
     )
-    try:
-        q.awaitTermination(timeout_s)
-    finally:
-        if q.isActive:
-            q.stop()
-    return spark.table(name)
 
 
 # --- custom stateful operator: session windows ------------------------------
@@ -299,18 +316,6 @@ def sessionize_stateful(
         outputMode="append",
         timeoutConf=GroupStateTimeout.EventTimeTimeout,
     )
-    checkpoint = tempfile.mkdtemp(prefix="lakehouse-sfc-sessions-")
-    q = (
-        sessions.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("append")
-        .option("checkpointLocation", checkpoint)
-        .trigger(availableNow=True)
-        .start()
+    return _replay_to_memory(
+        spark, sessions, name, "lakehouse-sfc-sessions-", "append", timeout_s
     )
-    try:
-        q.awaitTermination(timeout_s)
-    finally:
-        if q.isActive:
-            q.stop()
-    return spark.table(name)
