@@ -415,3 +415,67 @@ def profile_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("freq"), F.asc("value"))
         .limit(3)
     )
+
+
+@register(
+    "a_time_rollup",
+    oracle=f"""
+    SELECT 'hour' AS grain, CAST(DATE_TRUNC('hour', ts) AS TIMESTAMP) AS bucket,
+           event_type, COUNT(*) AS cnt, {sql_dsum("value", "sum_value", 4)}
+    FROM events GROUP BY 2, 3
+    UNION ALL
+    SELECT 'day', CAST(DATE_TRUNC('day', ts) AS TIMESTAMP),
+           event_type, COUNT(*), {sql_dsum("value", "sum_value", 4)}
+    FROM events GROUP BY 2, 3
+    UNION ALL
+    SELECT 'month', CAST(DATE_TRUNC('month', ts) AS TIMESTAMP),
+           event_type, COUNT(*), {sql_dsum("value", "sum_value", 4)}
+    FROM events GROUP BY 2, 3
+    """,
+)
+def a_time_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style continuous aggregate at three granularities
+    (hour/day/month per event_type) — computed HIERARCHICALLY: the events
+    table is scanned and aggregated ONCE at hour grain, then day rolls up
+    from hourly and month from daily.  At 100 TB this is the difference
+    between one fact scan and three; the re-aggregations touch only the
+    (tiny) coarser aggregate.  Sums stay in exact DECIMAL through every
+    level (cast back to DECIMAL(18,4) per level, so the dtype is
+    scale-stable) and convert to DOUBLE once at the end — bit-identical to
+    the oracle's independent per-grain aggregation."""
+    ev = load_table(spark, sf_dir, "events")
+    dec = "decimal(18,4)"
+
+    hourly = ev.groupBy(
+        F.date_trunc("hour", "ts").alias("bucket"), "event_type"
+    ).agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.sum(F.col("value").cast(dec)).cast(dec).alias("sum_dec"),
+    )
+    daily = hourly.groupBy(
+        F.date_trunc("day", "bucket").alias("bucket"), "event_type"
+    ).agg(
+        F.sum("cnt").alias("cnt"),
+        F.sum("sum_dec").cast(dec).alias("sum_dec"),
+    )
+    monthly = daily.groupBy(
+        F.date_trunc("month", "bucket").alias("bucket"), "event_type"
+    ).agg(
+        F.sum("cnt").alias("cnt"),
+        F.sum("sum_dec").cast(dec).alias("sum_dec"),
+    )
+
+    def _final(df: DataFrame, grain: str) -> DataFrame:
+        return df.select(
+            F.lit(grain).alias("grain"),
+            F.col("bucket").cast("timestamp_ntz").alias("bucket"),
+            "event_type",
+            F.col("cnt").cast("long").alias("cnt"),
+            F.col("sum_dec").cast("double").alias("sum_value"),
+        )
+
+    return (
+        _final(hourly, "hour")
+        .unionByName(_final(daily, "day"))
+        .unionByName(_final(monthly, "month"))
+    )

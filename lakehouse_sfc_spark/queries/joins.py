@@ -10,7 +10,7 @@ TPC-H dbgen stream joins (tpch_all_runner.py:168-169), broadcast control
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from lakehouse_sfc_spark.queries.registry import (
@@ -149,4 +149,151 @@ def j_part_supp(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
         .groupBy(F.col("p_brand").alias("brand"))
         .agg(F.count(F.lit(1)).alias("cnt"), davg("l_extendedprice", "avg_price"))
+    )
+
+
+@register(
+    "j_asof",
+    oracle=f"""
+    WITH m AS (
+      SELECT user_id, ts, value,
+             ROW_NUMBER() OVER (PARTITION BY user_id, ts
+                                ORDER BY event_id DESC) AS rn
+      FROM events WHERE event_type = 'purchase'
+    ), marker AS (SELECT user_id, ts, value FROM m WHERE rn = 1)
+    SELECT e.event_type AS event_type,
+           COUNT(*) AS cnt,
+           COUNT(mk.value) AS n_matched,
+           {sql_davg("mk.value", "avg_purchase", 4)}
+    FROM events e
+    ASOF LEFT JOIN marker mk
+      ON e.user_id = mk.user_id AND e.ts >= mk.ts
+    GROUP BY 1
+    """,
+)
+def j_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AS-OF join — an operator Spark's join surface lacks natively,
+    expressed as the canonical distributed composition: tag dim (marker) and
+    fact rows, union, then one keyed window pass carrying the latest
+    non-null dim value forward in time order.  Exactly ONE shuffle (hash on
+    the join key) regardless of either side's size — no range join, no
+    per-row probe — so it scales to a 100 TB fact stream; a skewed key would
+    be salted into time sub-ranges, composing with operators/skew.py.
+
+    Semantics: every event picks up the value of the same user's most
+    recent 'purchase' event with marker.ts <= event.ts (inclusive: at equal
+    timestamps the marker sorts first).  Markers are deduplicated per
+    (user, ts) by max event_id so the pick is deterministic in both engines;
+    the DuckDB oracle is a native ASOF LEFT JOIN over the same deduped
+    marker relation."""
+    ev = load_table(spark, sf_dir, "events")
+    marker = (
+        ev.filter(F.col("event_type") == "purchase")
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("user_id", "ts").orderBy(
+                    F.col("event_id").desc()
+                )
+            ),
+        )
+        .filter(F.col("rn") == 1)
+        .select("user_id", "ts", F.col("value").alias("m_value"))
+    )
+    facts_tagged = ev.select(
+        F.col("user_id").alias("k"),
+        "ts",
+        F.lit(0).alias("is_dim"),
+        "event_type",
+        F.lit(None).cast("double").alias("m_value"),
+    )
+    dims_tagged = marker.select(
+        F.col("user_id").alias("k"),
+        "ts",
+        F.lit(1).alias("is_dim"),
+        F.lit(None).cast("string").alias("event_type"),
+        "m_value",
+    )
+    w = (
+        Window.partitionBy("k")
+        .orderBy(F.col("ts").asc(), F.col("is_dim").desc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = facts_tagged.unionByName(dims_tagged).withColumn(
+        "carried", F.last("m_value", ignorenulls=True).over(w)
+    )
+    return (
+        carried.filter(F.col("is_dim") == 0)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.count("carried").alias("n_matched"),
+            davg("carried", "avg_purchase", 4),
+        )
+    )
+
+
+@register(
+    "j_range",
+    oracle="""
+    SELECT e.event_type AS event_type,
+           COUNT(*) AS cnt_pairs,
+           COUNT(DISTINCT e.event_id) AS n_events
+    FROM events e
+    JOIN (SELECT user_id, ts AS lo, ts + INTERVAL 5 MINUTE AS hi
+          FROM events WHERE event_type = 'error') w
+      ON e.user_id = w.user_id AND e.ts >= w.lo AND e.ts < w.hi
+    GROUP BY 1
+    """,
+)
+def j_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range (interval-containment) join without a range-join operator:
+    which events fall inside the 5-minute window after any same-user error?
+
+    Scale shape: the naive plan for ``a.key = b.key AND b.lo <= a.ts <
+    b.hi`` keeps the inequality out of the hash join key, which is fine per
+    key until a key is hot.  This implementation adds *time-bucket
+    blocking*: each interval is exploded to the (at most 2) hour buckets it
+    overlaps (bucket width >= interval length), and the join key becomes
+    (user, hour_bucket) equality — a plain hash shuffle join whose per-key
+    groups are bounded by time locality, with the exact containment
+    predicate applied as a post-filter.  An event lives in exactly one
+    bucket, so no (event, interval) pair can match twice — no dedup stage.
+    Plan-guarded: no BroadcastNestedLoopJoin/CartesianProduct."""
+    ev = load_table(spark, sf_dir, "events")
+    win = (
+        ev.filter(F.col("event_type") == "error")
+        .select(
+            F.col("user_id").alias("w_user"),
+            F.col("ts").alias("lo"),
+            (F.col("ts") + F.expr("INTERVAL 5 MINUTES")).alias("hi"),
+        )
+        .withColumn(
+            "bucket",
+            F.explode(
+                F.array_distinct(
+                    F.array(
+                        F.date_trunc("hour", F.col("lo")),
+                        F.date_trunc("hour", F.col("hi")),
+                    )
+                )
+            ),
+        )
+    )
+    probe = ev.withColumn("bucket", F.date_trunc("hour", F.col("ts")))
+    return (
+        probe.join(
+            win,
+            on=[
+                probe["user_id"] == win["w_user"],
+                probe["bucket"] == win["bucket"],
+                probe["ts"] >= win["lo"],
+                probe["ts"] < win["hi"],
+            ],
+        )
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("cnt_pairs"),
+            F.count_distinct(F.col("event_id")).alias("n_events"),
+        )
     )

@@ -48,42 +48,69 @@ def _scala_map_items(m):
         yield kv._1(), kv._2()
 
 
-def _walk_plan(node, visit):
-    visit(node)
+def _walk_plan(node, visit, _seen=None):
+    """Pre-order walk that visits each physical node ONCE by plan-node id:
+    ReusedExchange / reused-subquery stubs point back into already-counted
+    subtrees, and double-visiting them double-counts scan metrics (a 3-branch
+    rollup over one reused exchange would report 3x the files)."""
+    if _seen is None:
+        _seen = set()
     try:
-        for child in _scala_seq(node.children()):
-            _walk_plan(child, visit)
+        nid = int(node.id())
     except Exception:
-        pass
-    # AQE: AdaptiveSparkPlanExec hides the live plan behind executedPlan()
+        nid = id(node)
+    if nid in _seen:
+        return
+    _seen.add(nid)
+    visit(node)
+    # AQE: AdaptiveSparkPlanExec hides the live plan behind executedPlan();
+    # its innerChildren is the INITIAL (pre-AQE) plan kept for display only —
+    # walking it would count never-executed scan clones, whose
+    # numFiles/filesSize metrics get populated at planning time (partition
+    # listing), inflating totals that stage reuse actually avoided.
     try:
         if "AdaptiveSparkPlan" in node.nodeName():
-            _walk_plan(node.executedPlan(), visit)
+            _walk_plan(node.executedPlan(), visit, _seen)
+            return
+    except Exception:
+        pass
+    try:
+        for child in _scala_seq(node.children()):
+            _walk_plan(child, visit, _seen)
     except Exception:
         pass
     # AQE query stages (ResultQueryStage / ShuffleQueryStage / ...) are
     # leaves wrapping their materialized subtree in .plan()
     try:
         if "QueryStage" in node.nodeName():
-            _walk_plan(node.plan(), visit)
+            _walk_plan(node.plan(), visit, _seen)
     except Exception:
         pass
     # InputAdapter / QueryStage wrappers
     try:
         for inner in _scala_seq(node.innerChildren()):
-            _walk_plan(inner, visit)
+            _walk_plan(inner, visit, _seen)
     except Exception:
         pass
 
 
 def plan_scan_metrics(df) -> dict:
     """Sum files/bytes over every scan node of the executed plan.  Call after
-    the action has run, so AQE has finalized the plan."""
+    the action has run, so AQE has finalized the plan.
+
+    Dedup discipline: a reused exchange/subquery (AQE stage reuse) shows the
+    SAME scan under several branches — sometimes as distinct cloned node
+    instances that share the underlying SQLMetric accumulators.  Summing per
+    visited node would count one physical scan once per consumer (a 3-branch
+    hierarchical rollup would report 3x files), so each metric accumulator id
+    is counted exactly once; two genuinely separate scans have separate
+    accumulators and still both count."""
     out = {"files_scanned": 0, "bytes_scanned": 0, "scan_nodes": 0}
     try:
         plan = df._jdf.queryExecution().executedPlan()
     except Exception:
         return out
+    seen_metric_ids: set[int] = set()
 
     def visit(node):
         try:
@@ -92,15 +119,27 @@ def plan_scan_metrics(df) -> dict:
             return
         if not any(t in name for t in _SCAN_TOKENS):
             return
-        out["scan_nodes"] += 1
+        counted = False
         try:
             for key, metric in _scala_map_items(node.metrics()):
+                if key not in _FILE_KEYS and key not in _BYTE_KEYS:
+                    continue
+                try:
+                    mid = int(metric.id())
+                except Exception:
+                    mid = id(metric)
+                if mid in seen_metric_ids:
+                    continue
+                seen_metric_ids.add(mid)
+                counted = True
                 if key in _FILE_KEYS:
                     out["files_scanned"] += int(metric.value())
-                elif key in _BYTE_KEYS:
+                else:
                     out["bytes_scanned"] += int(metric.value())
         except Exception:
             pass
+        if counted:
+            out["scan_nodes"] += 1
 
     _walk_plan(plan, visit)
     return out

@@ -144,3 +144,34 @@ def test_month_partitioned_scan_prunes_partitions(spark):
     )
     pf = [ln for ln in plan.splitlines() if "PartitionFilters" in ln]
     assert pf and any("ship_month" in ln for ln in pf), pf
+
+
+def test_asof_join_is_single_shuffle_window(spark):
+    """j_asof must be the union+window composition: hash exchanges only —
+    no range/nested-loop join anywhere."""
+    plan = _plan(spark, "j_asof")
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "Window" in plan
+
+
+def test_range_join_is_bucket_blocked(spark):
+    """j_range must hash-join on (user, hour bucket) with the containment
+    predicate as a post-condition — never a nested-loop/cartesian plan."""
+    plan = _plan(spark, "j_range")
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_time_rollup_scans_events_once(spark):
+    """Hierarchical rollup: day/month re-aggregate the hourly exchange
+    (ReusedExchange), so the events table is scanned exactly once."""
+    from lakehouse_sfc_spark.runner.metrics import plan_scan_metrics
+
+    df = QUERIES["a_time_rollup"].fn(spark, SF)
+    df.collect()
+    m = plan_scan_metrics(df)
+    assert m["files_scanned"] == 1
+    # reuse only materializes in the FINAL adaptive plan, post-execution
+    final = df._jdf.queryExecution().executedPlan().toString()
+    assert final.count("ReusedExchange") >= 1
