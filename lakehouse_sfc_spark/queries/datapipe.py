@@ -38,7 +38,7 @@ import random
 from functools import reduce
 from operator import add
 
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from lakehouse_sfc_spark.queries.registry import register
@@ -886,4 +886,117 @@ def ann_ivf_kmeans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("c").desc(), F.col("vec_id"))
         .limit(_ANN_K)
         .select("vec_id", F.round(F.col("c"), 6).alias("score"))
+    )
+
+
+# --- D6: deterministic stratified sampling ---------------------------------
+
+_STRAT_K = 3
+
+
+@register(
+    "sample_stratified",
+    oracle=f"""
+    SELECT doc_id, source, len(text) AS text_len
+    FROM (
+      SELECT doc_id, source, text,
+             ROW_NUMBER() OVER (
+               PARTITION BY source
+               ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+      FROM documents
+    )
+    WHERE rn <= {_STRAT_K}
+    """,
+)
+def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified sample: exactly k documents per source
+    stratum, chosen by md5 order of the key — a seedless, engine-agnostic
+    'random' order that any engine reproduces bit-for-bit (unlike
+    rand(seed), whose stream is engine- and partitioning-specific).
+
+    Scale shape: one hash shuffle on the stratum key + a per-group
+    top-k window — no global sort.  For heavily skewed strata the window's
+    per-group sort is bounded by the group, and a two-phase top-k (local
+    per-partition head, then merge) is what AQE's partial aggregation
+    already approximates for rank-k selection at this k."""
+    d = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy(
+        F.md5(F.col("doc_id").cast("string")), F.col("doc_id")
+    )
+    return (
+        d.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= _STRAT_K)
+        .select("doc_id", "source", F.length("text").alias("text_len"))
+    )
+
+
+# --- D7: duplicate-cluster connected components ----------------------------
+
+
+@register(
+    "dedup_components",
+    oracle=f"""
+    WITH RECURSIVE g AS ({_SQL_NGRAMS_VIEW}),
+    p AS (
+      SELECT a.doc_id AS a_id, b.doc_id AS b_id
+      FROM g a JOIN g b ON a.doc_id < b.doc_id
+      WHERE len(a.ng) > 0 AND len(b.ng) > 0
+        AND {_SQL_JACCARD} >= {_MH_TAU}
+    ),
+    e AS (
+      SELECT a_id AS u, b_id AS v FROM p
+      UNION SELECT b_id, a_id FROM p
+    ),
+    reach(u, v) AS (
+      SELECT u, v FROM e
+      UNION
+      SELECT r.u, e.v FROM reach r JOIN e ON r.v = e.u
+    )
+    SELECT u AS doc_id, LEAST(u, MIN(v)) AS component
+    FROM reach GROUP BY u
+    """,
+)
+def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate clusters: connected components over the near-duplicate pair
+    graph (MinHash-LSH pairs at τ=0.7), labeling every clustered document
+    with the smallest doc_id in its component — what a dedup pipeline keeps
+    as the canonical representative.
+
+    Spark-side: iterative min-label propagation — each round every node
+    takes min(own label, neighbors' labels); fixpoint in O(component
+    diameter) rounds (near-dup clusters are shallow; capped at 20 with a
+    cheap monotone checksum for convergence — sum(labels) strictly
+    decreases until fixpoint).  Each round is one join + one groupBy on the
+    edge list: at 100 TB this is the standard distributed CC loop
+    (GraphX/GraphFrames do the same dance); `localCheckpoint` truncates the
+    growing lineage each round.  The oracle is a DuckDB recursive CTE
+    computing min reachable label over the same exact pair graph."""
+    pairs = dedup_minhash_lsh(spark, sf_dir).select("a_id", "b_id")
+    edges = pairs.union(
+        pairs.select(F.col("b_id").alias("a_id"), F.col("a_id").alias("b_id"))
+    ).toDF("u", "v")
+    labels = (
+        edges.select(F.col("u").alias("node"))
+        .distinct()
+        .withColumn("label", F.col("node"))
+        .localCheckpoint()
+    )
+    edges = edges.localCheckpoint()
+    prev_sum = labels.agg(F.sum("label")).collect()[0][0]
+    for _ in range(20):
+        neigh = edges.join(
+            labels, edges["u"] == labels["node"], "inner"
+        ).select(F.col("v").alias("node"), "label")
+        labels = (
+            labels.union(neigh)
+            .groupBy("node")
+            .agg(F.min("label").alias("label"))
+            .localCheckpoint()
+        )
+        cur_sum = labels.agg(F.sum("label")).collect()[0][0]
+        if cur_sum == prev_sum:
+            break
+        prev_sum = cur_sum
+    return labels.select(
+        F.col("node").alias("doc_id"), F.col("label").alias("component")
     )

@@ -20,6 +20,7 @@ _ROWS_ONLY = sorted(n for n, s in QUERIES.items() if s.oracle is None)
 # cosine / pair jaccard) — fine at the sf0.001/sf0.01 gates, minutes+ at
 # sf0.1.  Deselect with -m "not heavy_oracle" for large-SF passes.
 _HEAVY_ORACLE = {
+    "dedup_components",
     "dedup_embedding_cosine",
     "dedup_minhash_lsh",
     "dedup_ngram_jaccard",
