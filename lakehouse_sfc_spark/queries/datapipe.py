@@ -358,10 +358,18 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     first |x|-⌈τ·|x|⌉+1 of them, and self-join the inverted index.  Exact — a
     qualifying pair must share a prefix token — while only rare n-grams fan
     out, which is what makes this survive a 100 TB corpus where a plain
-    ngram-explode join would blow up on stopword-grams."""
-    ngr = _docs_ngrams(spark, sf_dir)
+    ngram-explode join would blow up on stopword-grams.
 
-    exploded = ngr.select("doc_id", F.explode("ng").alias("g"))
+    Exchange discipline: the n-gram relation feeds FOUR consumers (document
+    frequencies, the ranked index, and both verification sides), and the
+    token relation two — without barriers each consumer would recompute the
+    regex/3-gram pipeline from the scan.  The two ``repartition`` calls
+    materialize each exactly once (identical exchange subtrees are deduped
+    by ReuseExchange), and partitioning the exploded tokens by ``g`` means
+    the frequency groupBy and the df-join consume it without re-shuffling."""
+    ngr = _docs_ngrams(spark, sf_dir).repartition("doc_id")
+
+    exploded = ngr.select("doc_id", F.explode("ng").alias("g")).repartition("g")
     df = exploded.groupBy("g").agg(F.count(F.lit(1)).alias("df"))
 
     ranked = (
