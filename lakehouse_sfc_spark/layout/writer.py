@@ -134,8 +134,12 @@ def bucketed_write(
     bucket_cols: list[str],
     sort_cols: list[str] | None = None,
     mode: str = "overwrite",
+    location: str | None = None,
 ) -> str:
-    """Write ``df`` as a bucketed (+ optionally sorted) managed table.
+    """Write ``df`` as a bucketed (+ optionally sorted) catalog table.
+    ``location`` makes it an EXTERNAL table at that path — use it when the
+    session's warehouse dir (defaults to the process cwd) may not be
+    writable.
 
     Bucketing is the co-located-join layout: two tables bucketed on the same
     key with the same bucket count join WITHOUT a shuffle — each task reads
@@ -154,6 +158,8 @@ def bucketed_write(
     )
     if sort_cols:
         writer = writer.sortBy(*sort_cols)
+    if location:
+        writer = writer.option("path", location)
     writer.saveAsTable(table)
     return table
 

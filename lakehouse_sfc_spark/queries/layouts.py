@@ -198,30 +198,35 @@ def j_bucketed_colocated(spark: SparkSession, sf_dir: str) -> DataFrame:
     fp = dataset_fingerprint(sf_dir, ("lineitem", "orders"))[:8]
     li_t, o_t = f"li_bkt_{base}_{fp}", f"o_bkt_{base}_{fp}"
 
+    # external-table locations under the system temp dir: the session's
+    # warehouse dir defaults to the PROCESS CWD (spark-warehouse/), which a
+    # driver harness may run read-only — never depend on it
+    import shutil
+    import tempfile
+
+    bkt_root = os.path.join(tempfile.gettempdir(), "lakehouse_sfc_bucketed")
+    os.makedirs(bkt_root, exist_ok=True)
+
     def ensure(table: str, src: str, cols: list[str], key: str) -> None:
         if spark.catalog.tableExists(table):
             return
         # an in-memory catalog forgets tables between sessions but their
-        # managed locations survive — clear this table's orphan AND any
+        # locations survive — clear this table's orphan AND any
         # stale-fingerprint siblings of the same dataset basename
-        import shutil
-        from urllib.parse import urlparse
-
         prefix = table.rsplit("_", 1)[0]  # e.g. li_bkt_sf0_001
         for t in spark.catalog.listTables():
             if t.name.startswith(prefix + "_") and t.name != table:
                 spark.sql(f"DROP TABLE IF EXISTS {t.name}")
-        wh = urlparse(spark.conf.get("spark.sql.warehouse.dir", "")).path
-        if wh and os.path.isdir(wh):
-            for d in os.listdir(wh):
-                if d == table or (
-                    d.startswith(prefix + "_") and d != table
-                ):
-                    shutil.rmtree(os.path.join(wh, d), ignore_errors=True)
+        for d in os.listdir(bkt_root):
+            if d == table or (d.startswith(prefix + "_") and d != table):
+                shutil.rmtree(os.path.join(bkt_root, d), ignore_errors=True)
         from lakehouse_sfc_spark.layout.writer import bucketed_write
 
         df = load_table(spark, sf_dir, src).select(*cols)
-        bucketed_write(df, table, 16, [key], [key])
+        bucketed_write(
+            df, table, 16, [key], [key],
+            location=os.path.join(bkt_root, table),
+        )
 
     ensure(li_t, "lineitem", ["l_orderkey", "l_extendedprice"], "l_orderkey")
     ensure(o_t, "orders", ["o_orderkey", "o_orderpriority"], "o_orderkey")
