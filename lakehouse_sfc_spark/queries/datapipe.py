@@ -1008,3 +1008,83 @@ def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     return labels.select(
         F.col("node").alias("doc_id"), F.col("label").alias("component")
     )
+
+
+# --- A3: batch k-NN similarity join ----------------------------------------
+
+_KNN_SAMPLE_MOD = 97  # deterministic query sample: vec_id % 97 == 0
+_KNN_K = 3
+
+
+@register(
+    "ann_knn_join",
+    oracle=f"""
+    WITH c AS (SELECT vec_id, emb, nrm, {_SQL_CELL.format(e="emb")} AS cell
+               FROM ({_SQL_EMB_CTE})),
+         q AS (SELECT vec_id AS q_id, emb, nrm, cell FROM c
+               WHERE vec_id % {_KNN_SAMPLE_MOD} = 0),
+         scored AS (
+           SELECT q.q_id, c.vec_id,
+                  round({_sql_cos("c", "q")}, 6) AS score,
+                  ROW_NUMBER() OVER (
+                    PARTITION BY q.q_id
+                    ORDER BY {_sql_cos("c", "q")} DESC, c.vec_id) AS rank
+           FROM c JOIN q
+             ON bit_count(xor(c.cell::BIGINT, q.cell::BIGINT)) <= 1
+            AND c.vec_id != q.q_id
+         )
+    SELECT q_id, vec_id, score, rank FROM scored WHERE rank <= {_KNN_K}
+    """,
+)
+def ann_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch k-NN similarity JOIN: top-k neighbors for EVERY query vector in
+    one pass — the shape a training pipeline needs (dedup candidates,
+    retrieval eval), not a per-query loop.
+
+    Scale shape vs ``ann_ivf_topk`` (single query, broadcast): each query
+    explodes to its 9 probe cells (own + hamming-1), and candidates join on
+    ``cell`` EQUALITY — an ordinary hash shuffle join whose fan-out is
+    bounded by cell occupancy, never |Q|x|C|.  A candidate's single cell
+    matches exactly one probe row per query, so no dedup stage.  Per-query
+    top-k is a window over the scored pairs — partitioned by query, no
+    global sort.  At 100 TB both sides partition by cell and the probe is
+    the same partition pruning as ``ann_ivf_partitioned_topk``."""
+    c = _emb(spark, sf_dir).withColumn("cell", _cell(F.col("emb")))
+    q = c.filter((F.col("vec_id") % _KNN_SAMPLE_MOD) == 0).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("emb").alias("qemb"),
+        F.col("nrm").alias("qnrm"),
+        F.col("cell").alias("qcell"),
+    )
+    probes = q.withColumn(
+        "pcell",
+        F.explode(
+            F.array(
+                F.col("qcell"),
+                *[
+                    F.col("qcell")
+                    .cast("long")
+                    .bitwiseXOR(F.lit(1 << j))
+                    .cast("int")
+                    for j in range(_IVF_DIMS)
+                ],
+            )
+        ),
+    )
+    cos = _dot(F.col("emb"), F.col("qemb")) / (F.col("nrm") * F.col("qnrm"))
+    scored = (
+        c.join(probes, c["cell"] == probes["pcell"])
+        .filter(F.col("vec_id") != F.col("q_id"))
+        .select("q_id", "vec_id", cos.alias("cosv"))
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("cosv").desc(), F.col("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= _KNN_K)
+        .select(
+            "q_id",
+            "vec_id",
+            F.round(F.col("cosv"), 6).alias("score"),
+            F.col("rank").cast("long").alias("rank"),
+        )
+    )

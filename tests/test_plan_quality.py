@@ -175,3 +175,12 @@ def test_time_rollup_scans_events_once(spark):
     # reuse only materializes in the FINAL adaptive plan, post-execution
     final = df._jdf.queryExecution().executedPlan().toString()
     assert final.count("ReusedExchange") >= 1
+
+
+def test_knn_join_is_hash_join_on_cells(spark):
+    """ann_knn_join probes via cell-equality hash join (query exploded to 9
+    probe cells) — never a nested-loop/cartesian pairing of queries x
+    candidates."""
+    plan = _plan(spark, "ann_knn_join")
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
