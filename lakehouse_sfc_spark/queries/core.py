@@ -10,7 +10,7 @@ Reference parity (file:line cited per query):
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from lakehouse_sfc_spark.queries.registry import (
@@ -478,4 +478,77 @@ def a_time_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         _final(hourly, "hour")
         .unionByName(_final(daily, "day"))
         .unionByName(_final(monthly, "month"))
+    )
+
+
+@register(
+    "a_group_quantiles",
+    oracle="""
+    WITH r AS (
+      SELECT event_type, value,
+             ROW_NUMBER() OVER (PARTITION BY event_type
+                                ORDER BY value, event_id) AS rn,
+             COUNT(*) OVER (PARTITION BY event_type) AS n
+      FROM events
+    )
+    SELECT event_type,
+           MAX(n) AS n,
+           MAX(CASE WHEN rn = CAST(CEIL(0.25 * n) AS BIGINT) THEN value END) AS p25,
+           MAX(CASE WHEN rn = CAST(CEIL(0.5  * n) AS BIGINT) THEN value END) AS p50,
+           MAX(CASE WHEN rn = CAST(CEIL(0.75 * n) AS BIGINT) THEN value END) AS p75
+    FROM r GROUP BY 1
+    """,
+)
+def a_group_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-group quantiles (type-1: the value at rank ⌈p·n⌉) — the
+    grouped variant of profile_quantiles, computed with rank arithmetic so
+    the result is a REAL data value and hash-matches the oracle exactly
+    (approx_percentile never can).  0.25/0.5/0.75 are powers of two, so
+    ⌈p·n⌉ is float-exact in both engines.
+
+    Scale shape: one shuffle on the group key; the per-group sort is the
+    window sort — no global sort, and the selector is a conditional
+    aggregate, not a per-quantile re-scan."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy("value", "event_id")
+    wc = Window.partitionBy("event_type")
+    r = ev.select(
+        "event_type",
+        "value",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(wc).alias("n"),
+    )
+
+    def pick(p: float, alias: str):
+        target = F.ceil(F.lit(p) * F.col("n")).cast("long")
+        return F.max(F.when(F.col("rn") == target, F.col("value"))).alias(alias)
+
+    return r.groupBy("event_type").agg(
+        F.max("n").alias("n"), pick(0.25, "p25"), pick(0.5, "p50"), pick(0.75, "p75")
+    )
+
+
+@register(
+    "a_feature_bucketize",
+    oracle="""
+    SELECT event_type,
+           LEAST(GREATEST(CAST(FLOOR(value / 50.0) AS INT), 0), 9) AS bucket,
+           COUNT(*) AS cnt
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def a_feature_bucketize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature binning: equal-width value buckets (50-wide, clamped to
+    [0, 9]) per event type — the histogram-feature step of a training
+    pipeline.  The bucket formula is spelled out (floor/least/greatest)
+    rather than width_bucket so both engines evaluate the identical
+    expression; all codegen built-ins, one shuffle for the groupBy."""
+    ev = load_table(spark, sf_dir, "events")
+    bucket = F.least(
+        F.greatest(F.floor(F.col("value") / 50.0).cast("int"), F.lit(0)),
+        F.lit(9),
+    )
+    return ev.groupBy("event_type", bucket.alias("bucket")).agg(
+        F.count(F.lit(1)).alias("cnt")
     )
