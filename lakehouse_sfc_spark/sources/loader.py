@@ -220,7 +220,59 @@ def jdbc_scan(spark: SparkSession, **kwargs) -> DataFrame:
 _NANOS_TS_COLS: dict[str, tuple[str, ...]] = {"events": ("ts",)}
 
 
+_SHIPPED_APPS: set[str] = set()
+
+
+def ensure_package_on_executors(spark: SparkSession) -> None:
+    """Ship this package to Python workers once per session via addPyFile —
+    the same mechanism as ``spark-submit --py-files`` on a real cluster.
+
+    Spark pickles module-level UDF kernels (the Arrow pandas_udf /
+    mapInPandas / applyInPandas stages) BY REFERENCE, so the worker process
+    must be able to ``import lakehouse_sfc_spark``.  When the driver process
+    happened to run from the repo root, the cwd satisfied that silently;
+    from any other working directory every Python-worker stage would fail
+    with a ModuleNotFoundError.  Shipping a zip removes the cwd dependence
+    entirely.  Must run before the session's first Python-worker task
+    (``load_table`` precedes every query, so it does)."""
+    try:
+        app_id = spark.sparkContext.applicationId
+    except Exception:
+        return
+    if app_id in _SHIPPED_APPS:
+        return
+    _SHIPPED_APPS.add(app_id)
+    import tempfile
+    import zipfile
+
+    pkg_dir = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    pkg_name = os.path.basename(pkg_dir)  # lakehouse_sfc_spark
+    zip_path = os.path.join(
+        tempfile.gettempdir(), f"{pkg_name}_{app_id}.zip"
+    )
+    if not os.path.exists(zip_path):
+        with zipfile.ZipFile(zip_path, "w", zipfile.ZIP_DEFLATED) as zf:
+            for root, _dirs, files in os.walk(pkg_dir):
+                if "__pycache__" in root:
+                    continue
+                for f in files:
+                    if not f.endswith(".py"):
+                        continue
+                    full = os.path.join(root, f)
+                    rel = os.path.join(
+                        pkg_name, os.path.relpath(full, pkg_dir)
+                    )
+                    zf.write(full, rel)
+    try:
+        spark.sparkContext.addPyFile(zip_path)
+    except Exception:
+        # best-effort: a session that forbids addPyFile keeps the old
+        # behavior (works whenever the repo is importable on workers)
+        pass
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    ensure_package_on_executors(spark)
     path = os.path.join(sf_dir, f"{name}.parquet")
     nanos_cols = _NANOS_TS_COLS.get(name, ())
     if nanos_cols:
