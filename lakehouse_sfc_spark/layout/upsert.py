@@ -236,6 +236,14 @@ def _ranged_batch_assignment(
         "__bk", F.floor(F.col("__r") * n_buckets).cast("int")
     )
     b = b.repartition(n_buckets, "__bk")
+    # Materialize the (__r, __bk) assignment ONCE: rand(seed) is only
+    # deterministic for a fixed partitioning, and a prior shuffle / AQE
+    # re-plan in `df` could make the write job recompute different values
+    # than the counts job collected — silently breaking the exact ntile
+    # size contract.  localCheckpoint pins the evaluated partitions so both
+    # jobs read the same rows.  (On a real cluster with lossy executors,
+    # persist to reliable storage instead.)
+    b = b.localCheckpoint(eager=False)
     counts = {
         r["__bk"]: r["cnt"]
         for r in b.groupBy("__bk").agg(F.count(F.lit(1)).alias("cnt")).collect()
@@ -291,18 +299,22 @@ def build_update_batches_ranged(
     assigned.select(*out_cols, "__batch").write.mode("overwrite").partitionBy(
         "__batch"
     ).parquet(tmp)
+    import shutil
+
+    empty = assigned.select(*out_cols).limit(0)
     paths = []
     for i in range(1, n_batches + 1):
         src = os.path.join(tmp, f"__batch={i}")
         dst = os.path.join(out_dir, f"batch_{i:02d}")
         if os.path.isdir(dst):
-            import shutil
-
             shutil.rmtree(dst)
         if os.path.isdir(src):
             os.rename(src, dst)
+        else:
+            # total rows < n_batches: the partitioned write never produced
+            # this batch.  Callers iterate the returned paths, so write an
+            # empty (schema-bearing) parquet dir like the ntile reference.
+            empty.write.mode("overwrite").parquet(dst)
         paths.append(dst)
-    import shutil
-
     shutil.rmtree(tmp, ignore_errors=True)
     return paths

@@ -282,72 +282,6 @@ def a_conditional(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "tpch_q1",
-    oracle=f"""
-    SELECT l_returnflag, l_linestatus,
-           {sql_dsum("l_quantity", "sum_qty")},
-           {sql_dsum("l_extendedprice", "sum_base_price")},
-           {sql_dsum("l_extendedprice * (1 - l_discount)", "sum_disc_price", 6)},
-           {sql_dsum("l_extendedprice * (1 - l_discount) * (1 + l_tax)",
-                     "sum_charge", 6)},
-           {sql_davg("l_quantity", "avg_qty")},
-           {sql_davg("l_extendedprice", "avg_price")},
-           {sql_davg("l_discount", "avg_disc", 4)},
-           COUNT(*) AS count_order
-    FROM lineitem
-    WHERE l_shipdate <= TIMESTAMP '2001-09-02'
-    GROUP BY l_returnflag, l_linestatus
-    """,
-    headline=True,
-)
-def tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q1 pricing summary — the flagship query.  Single scan, map-side
-    partial aggregation, 6-group final agg; no joins, no wide shuffle.
-    (RQ6 dbgen stream query; tpch_all_runner.py:168-169)."""
-    li = load_table(spark, sf_dir, "lineitem")
-    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
-    charge = disc_price * (1 + F.col("l_tax"))
-    return (
-        li.filter(F.col("l_shipdate") <= _ts("2001-09-02"))
-        .groupBy("l_returnflag", "l_linestatus")
-        .agg(
-            dsum("l_quantity", "sum_qty"),
-            dsum("l_extendedprice", "sum_base_price"),
-            dsum(disc_price, "sum_disc_price", 6),
-            dsum(charge, "sum_charge", 6),
-            davg("l_quantity", "avg_qty"),
-            davg("l_extendedprice", "avg_price"),
-            davg("l_discount", "avg_disc", 4),
-            F.count(F.lit(1)).alias("count_order"),
-        )
-    )
-
-
-@register(
-    "tpch_q6",
-    oracle=f"""
-    SELECT {sql_dsum("l_extendedprice * l_discount", "revenue", 6)}
-    FROM lineitem
-    WHERE l_shipdate >= TIMESTAMP '1996-01-01'
-      AND l_shipdate < TIMESTAMP '1997-01-01'
-      AND l_discount BETWEEN 0.03 AND 0.07
-      AND l_quantity < 24
-    """,
-    headline=True,
-)
-def tpch_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q6 forecasting revenue change — selective 3-dim box + global
-    aggregate; the shape SFC layouts accelerate most."""
-    li = load_table(spark, sf_dir, "lineitem")
-    return li.filter(
-        (F.col("l_shipdate") >= _ts("1996-01-01"))
-        & (F.col("l_shipdate") < _ts("1997-01-01"))
-        & F.col("l_discount").between(0.03, 0.07)
-        & (F.col("l_quantity") < 24)
-    ).agg(dsum(F.col("l_extendedprice") * F.col("l_discount"), "revenue", 6))
-
-
-@register(
     "profile_minmax",
     oracle="""
     SELECT 'l_quantity' AS col_name,
@@ -394,27 +328,6 @@ def profile_minmax(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return stacked
-
-
-@register(
-    "profile_topk",
-    oracle="""
-    SELECT o_orderpriority AS value, COUNT(*) AS freq
-    FROM orders
-    GROUP BY o_orderpriority
-    ORDER BY freq DESC, value
-    LIMIT 3
-    """,
-)
-def profile_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Profiler top-k frequent values (wlg/profiler/stats.py:97-98,181-182)."""
-    o = load_table(spark, sf_dir, "orders")
-    return (
-        o.groupBy(F.col("o_orderpriority").alias("value"))
-        .agg(F.count(F.lit(1)).alias("freq"))
-        .orderBy(F.desc("freq"), F.asc("value"))
-        .limit(3)
-    )
 
 
 @register(

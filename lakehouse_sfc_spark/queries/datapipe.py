@@ -991,7 +991,9 @@ def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     edges = edges.localCheckpoint()
     prev_sum = labels.agg(F.sum("label")).collect()[0][0]
-    for _ in range(20):
+    max_rounds = 20
+    converged = False
+    for _ in range(max_rounds):
         neigh = edges.join(
             labels, edges["u"] == labels["node"], "inner"
         ).select(F.col("v").alias("node"), "label")
@@ -1003,8 +1005,19 @@ def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         cur_sum = labels.agg(F.sum("label")).collect()[0][0]
         if cur_sum == prev_sum:
+            converged = True
             break
         prev_sum = cur_sum
+    if not converged:
+        # A component with diameter > max_rounds would return WRONG (partially
+        # propagated) labels — fail loudly rather than silently.  Near-dup
+        # clusters are shallow, so hitting this means pathological input; at
+        # that point switch to pointer-doubling (O(log n) rounds).
+        raise RuntimeError(
+            f"dedup_components: label propagation did not converge within "
+            f"{max_rounds} rounds (component diameter too large); "
+            "use pointer-doubling for this graph"
+        )
     return labels.select(
         F.col("node").alias("doc_id"), F.col("label").alias("component")
     )

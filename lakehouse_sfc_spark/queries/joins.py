@@ -205,14 +205,18 @@ def j_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
         "ts",
         F.lit(0).alias("is_dim"),
         "event_type",
-        F.lit(None).cast("double").alias("m_value"),
+        F.lit(None).cast("struct<m_value:double>").alias("m_rec"),
     )
+    # Markers carry a STRUCT wrapper, not the bare value: a marker row whose
+    # value is NULL must still shadow older markers (the ASOF oracle matches
+    # the latest marker and yields NULL), but last(ignorenulls) over the bare
+    # column would skip it and carry an older purchase's value.
     dims_tagged = marker.select(
         F.col("user_id").alias("k"),
         "ts",
         F.lit(1).alias("is_dim"),
         F.lit(None).cast("string").alias("event_type"),
-        "m_value",
+        F.struct(F.col("m_value")).alias("m_rec"),
     )
     w = (
         Window.partitionBy("k")
@@ -220,7 +224,7 @@ def j_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     carried = facts_tagged.unionByName(dims_tagged).withColumn(
-        "carried", F.last("m_value", ignorenulls=True).over(w)
+        "carried", F.last("m_rec", ignorenulls=True).over(w)["m_value"]
     )
     return (
         carried.filter(F.col("is_dim") == 0)

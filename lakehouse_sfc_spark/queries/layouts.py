@@ -204,7 +204,13 @@ def j_bucketed_colocated(spark: SparkSession, sf_dir: str) -> DataFrame:
     import shutil
     import tempfile
 
-    bkt_root = os.path.join(tempfile.gettempdir(), "lakehouse_sfc_bucketed")
+    # scope the root per Spark application: a fixed shared dir would let two
+    # concurrent processes race on saveAsTable at the same location, and one
+    # process's stale-fingerprint cleanup could rmtree a sibling's live table
+    app_id = spark.sparkContext.applicationId
+    bkt_root = os.path.join(
+        tempfile.gettempdir(), f"lakehouse_sfc_bucketed_{app_id}"
+    )
     os.makedirs(bkt_root, exist_ok=True)
 
     def ensure(table: str, src: str, cols: list[str], key: str) -> None:

@@ -31,8 +31,19 @@ class QuerySpec:
 QUERIES: dict[str, QuerySpec] = {}
 
 
-def register(name: str, oracle: str | None = None, headline: bool = False):
+def register(
+    name: str,
+    oracle: str | None = None,
+    headline: bool = False,
+    override: bool = False,
+):
     def deco(fn: QueryFn) -> QueryFn:
+        if name in QUERIES and not override:
+            raise ValueError(
+                f"query {name!r} already registered by "
+                f"{QUERIES[name].fn.__module__}.{QUERIES[name].fn.__qualname__}; "
+                "pass override=True to replace it deliberately"
+            )
         QUERIES[name] = QuerySpec(name=name, fn=fn, oracle=oracle, headline=headline)
         return fn
 

@@ -146,3 +146,41 @@ def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("sum_value"),
     )
+
+
+@register(
+    "sessionize_stateful",
+    oracle=f"""
+    WITH o AS (
+      SELECT user_id, ts,
+             lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+      FROM events
+    ), marked AS (
+      SELECT user_id, ts,
+             CASE WHEN prev_ts IS NULL
+                       OR ts - prev_ts > INTERVAL {_GAP_MIN} MINUTES
+                  THEN 1 ELSE 0 END AS is_start
+      FROM o
+    ), sess AS (
+      SELECT user_id, ts,
+             SUM(is_start) OVER (PARTITION BY user_id ORDER BY ts
+                                 ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM marked
+    )
+    SELECT user_id, session_id::BIGINT AS session_id,
+           MIN(ts) AS session_start, MAX(ts) AS session_end,
+           COUNT(*) AS n_events
+    FROM sess
+    GROUP BY user_id, session_id
+    """,
+)
+def sessionize_stateful_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The CUSTOM STATEFUL streaming sessionizer (applyInPandasWithState,
+    streaming/pipeline.py::sessionize_stateful_complete) run over the full
+    events backlog plus per-user end-of-stream punctuation, so every session
+    — including each user's open tail — is emitted and the result equals the
+    batch gap-sessionization oracle exactly (same session aggregation SQL as
+    ``sessionize_events``, minus the order-sensitive float sum)."""
+    from lakehouse_sfc_spark.streaming import sessionize_stateful_complete
+
+    return sessionize_stateful_complete(spark, sf_dir)

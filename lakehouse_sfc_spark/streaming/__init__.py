@@ -8,6 +8,7 @@ from lakehouse_sfc_spark.streaming.pipeline import (
     run_stream_static_join,
     run_tumbling_agg,
     sessionize_stateful,
+    sessionize_stateful_complete,
 )
 
 __all__ = [
@@ -16,4 +17,5 @@ __all__ = [
     "run_stream_static_join",
     "run_tumbling_agg",
     "sessionize_stateful",
+    "sessionize_stateful_complete",
 ]

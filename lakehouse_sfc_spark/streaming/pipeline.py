@@ -297,6 +297,177 @@ def _session_fn(
         )
 
 
+# Complete-flush variant: end-of-stream punctuation.  The plain stateful
+# sessionizer can't emit each user's open tail session under AvailableNow
+# (the watermark never passes its gap deadline), so batch parity needs a
+# flush signal.  The streaming-idiomatic answer is a per-user sentinel
+# ("punctuation") event past every possible gap deadline: it closes the open
+# session data-driven, without waiting on watermark timeouts.  At 100 TB
+# this is exactly how a backfill drains: append one punctuation row per key
+# after the backlog, let the operator flush, ignore the sentinel itself.
+
+_SESSION_FULL_OUT_SCHEMA = (
+    "user_id bigint, session_id bigint, session_start timestamp_ntz, "
+    "session_end timestamp_ntz, n_events bigint"
+)
+# seq = number of sessions already CLOSED for this user (session_id = seq+1)
+_SESSION_FULL_STATE_SCHEMA = "start_us long, last_us long, n long, seq long"
+
+
+def _session_full_fn(
+    key: tuple,
+    pdfs: Iterable[pd.DataFrame],
+    state: GroupState,
+):
+    """Gap sessionizer with punctuation handling and per-user session
+    ordinals.  Sentinel rows (is_sentinel=1) close the open session but are
+    never counted into one."""
+    gap_us = 30 * 60 * 1_000_000
+
+    if state.hasTimedOut:
+        start_us, last_us, n, seq = state.get
+        state.remove()
+        if n > 0:
+            yield pd.DataFrame(
+                {
+                    "user_id": [key[0]],
+                    "session_id": [seq + 1],
+                    "session_start": [pd.Timestamp(start_us, unit="us")],
+                    "session_end": [pd.Timestamp(last_us, unit="us")],
+                    "n_events": [n],
+                }
+            )
+        return
+
+    rows = pd.concat(list(pdfs)).sort_values(["ts", "is_sentinel"])
+    ts_col = rows["ts"]
+    if getattr(ts_col.dtype, "tz", None) is not None:
+        ts_col = ts_col.dt.tz_convert("UTC").dt.tz_localize(None)
+    ts_us = ts_col.astype("datetime64[us]").astype("int64").tolist()
+    sentinels = rows["is_sentinel"].astype("int64").tolist()
+
+    if state.exists:
+        start_us, last_us, n, seq = state.get
+    else:
+        start_us, last_us, n, seq = None, None, 0, 0
+
+    out = []
+    for t, is_sent in zip(ts_us, sentinels):
+        gap_over = last_us is not None and t - last_us > gap_us
+        if n > 0 and (gap_over or is_sent):
+            seq += 1
+            out.append((key[0], seq, start_us, last_us, n))
+            start_us, n = None, 0
+        if is_sent:
+            last_us = None
+            continue
+        if n == 0:
+            start_us = t
+        last_us = t
+        n += 1
+    state.update((start_us or 0, last_us or 0, n, seq))
+    if last_us is not None:
+        state.setTimeoutTimestamp(last_us // 1000 + gap_us // 1000)
+    if out:
+        yield pd.DataFrame(
+            {
+                "user_id": [r[0] for r in out],
+                "session_id": [r[1] for r in out],
+                "session_start": [pd.Timestamp(r[2], unit="us") for r in out],
+                "session_end": [pd.Timestamp(r[3], unit="us") for r in out],
+                "n_events": [r[4] for r in out],
+            }
+        )
+
+
+def sessionize_stateful_complete(
+    spark: SparkSession, sf_dir: str, timeout_s: int = 300
+) -> DataFrame:
+    """Streaming sessionization with end-of-stream punctuation: the events
+    backlog plus one per-user sentinel row (ts = max(ts) + gap + 1h) streamed
+    through ``applyInPandasWithState``.  Every session — including each
+    user's tail session — is emitted with its 1-based per-user ordinal, so
+    the result equals the batch sessionization (``sessionize_events``)
+    restricted to (user_id, session_id, session_start, session_end,
+    n_events).
+
+    sum_value is deliberately NOT emitted here: the stateful operator
+    accumulates per-row in arrival order, which cannot be made bit-identical
+    to the oracle's exact DECIMAL sum across engines; the batch twin covers
+    that column."""
+    import shutil
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    name = f"sessions_{uuid.uuid4().hex[:8]}"
+
+    # Build the punctuation file: one sentinel per user beyond every gap
+    # deadline.  Driver-side work is one tiny aggregate (distinct users +
+    # global max ts) — at 100 TB this is the same "drain marker" append a
+    # production backfill would do.
+    from lakehouse_sfc_spark.sources.loader import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    sentinel_dir = tempfile.mkdtemp(prefix="lakehouse-sfc-punct-")
+    try:
+        max_ts = ev.agg(F.max("ts").alias("m")).collect()[0]["m"]
+        (
+            ev.select("user_id")
+            .distinct()
+            .select(
+                F.lit(-1).cast("long").alias("event_id"),
+                F.lit(max_ts)
+                .cast("timestamp_ntz")
+                .alias("ts"),
+                F.col("user_id"),
+                F.lit("__punctuation__").alias("event_type"),
+                F.lit(None).cast("double").alias("value"),
+                F.lit(None).cast("string").alias("props"),
+            )
+            .withColumn(
+                "ts", F.col("ts") + F.expr("INTERVAL 90 MINUTES")
+            )
+            .write.mode("overwrite")
+            .parquet(os.path.join(sentinel_dir, "punct"))
+        )
+
+        events_src = read_events_stream(spark, sf_dir).withColumn(
+            "is_sentinel", F.lit(0)
+        )
+        punct_schema = T.StructType(
+            [
+                T.StructField("event_id", T.LongType()),
+                T.StructField("ts", T.TimestampNTZType()),
+                T.StructField("user_id", T.LongType()),
+                T.StructField("event_type", T.StringType()),
+                T.StructField("value", T.DoubleType()),
+                T.StructField("props", T.StringType()),
+            ]
+        )
+        punct_src = (
+            spark.readStream.schema(punct_schema)
+            .parquet(os.path.join(sentinel_dir, "punct"))
+            .withColumn("ts", F.col("ts").cast("timestamp_ltz"))
+            .withColumn("is_sentinel", F.lit(1))
+        )
+        src = (
+            events_src.unionByName(punct_src)
+            .select("user_id", "ts", "is_sentinel")
+            .withWatermark("ts", "30 minutes")
+        )
+        sessions = src.groupBy("user_id").applyInPandasWithState(
+            _session_full_fn,
+            outputStructType=_SESSION_FULL_OUT_SCHEMA,
+            stateStructType=_SESSION_FULL_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+        return _replay_to_memory(
+            spark, sessions, name, "lakehouse-sfc-sessfull-", "append", timeout_s
+        )
+    finally:
+        shutil.rmtree(sentinel_dir, ignore_errors=True)
+
+
 def sessionize_stateful(
     spark: SparkSession, sf_dir: str, timeout_s: int = 300
 ) -> DataFrame:

@@ -59,3 +59,25 @@ def test_stateful_sessionizer_agrees_with_batch(spark):
     for m in missing:
         assert m == last_by_user[m[0]]
     assert len(c) > 0
+
+
+def test_stateful_sessionizer_complete_equals_batch(spark):
+    """With end-of-stream punctuation every session — including each user's
+    open tail — is emitted, with its per-user 1-based ordinal: the stateful
+    operator's output equals the batch sessionization exactly."""
+    from lakehouse_sfc_spark.streaming import sessionize_stateful_complete
+
+    full = sessionize_stateful_complete(spark, SF)
+    batch = QUERIES["sessionize_events"].fn(spark, SF)
+    f = {
+        (r["user_id"], r["session_id"], r["session_start"],
+         r["session_end"], r["n_events"])
+        for r in full.collect()
+    }
+    b = {
+        (r["user_id"], r["session_id"], r["session_start"],
+         r["session_end"], r["n_events"])
+        for r in batch.collect()
+    }
+    assert f == b
+    assert len(f) > 0
