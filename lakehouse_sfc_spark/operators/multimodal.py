@@ -293,3 +293,120 @@ def decode_stub_batches(
                 "frames": (payloads.map(len) % 7 + 1).astype("int32"),
             }
         )
+
+
+# --- real-codec correctness fixtures ---------------------------------------
+#
+# The synthetic documents.payload bytes are not media, so the four stub
+# queries above can't exercise the REAL codecs.  These kernels close that
+# gap: deterministic pixel/sample grids derived from doc_id are encoded with
+# the real encoders and pushed through the real decoders, and every output
+# column is a closed-form function of doc_id that a SQL oracle reproduces
+# exactly — so the real BMP/WAV paths get driver-checkable correctness rows.
+
+DECODED_STATS_SCHEMA = (
+    "doc_id bigint, n_bytes bigint, width int, height int, frames int, "
+    "pixel_sum bigint"
+)
+
+
+def _synth_pixels(doc_id: int, w: int, h: int) -> "np.ndarray":
+    """Deterministic RGB grid: v(x, y) = (3x + 7y + doc_id) % 251 in all
+    three channels.  Position-dependent values make row order, padding, and
+    BGR/RGB mistakes visible in pixel_sum and in any single pixel."""
+    x = np.arange(w, dtype=np.int64)
+    y = np.arange(h, dtype=np.int64)
+    v = ((3 * x[None, :] + 7 * y[:, None] + doc_id) % 251).astype(np.uint8)
+    return np.repeat(v[:, :, None], 3, axis=2)
+
+
+def synth_image_batches(
+    batches: Iterable[pd.DataFrame],
+) -> Iterator[pd.DataFrame]:
+    """(doc_id, width, height) → (doc_id, payload, width, height) with the
+    payload a REAL 24-bit BMP of the deterministic grid."""
+    for pdf in batches:
+        payloads = [
+            encode_bmp(_synth_pixels(int(d), int(w), int(h)))
+            for d, w, h in zip(pdf["doc_id"], pdf["width"], pdf["height"])
+        ]
+        yield pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"].astype("int64"),
+                "payload": pd.Series(payloads, dtype="object"),
+                "width": pdf["width"].astype("int32"),
+                "height": pdf["height"].astype("int32"),
+            }
+        )
+
+
+def decode_real_stats_batches(
+    batches: Iterable[pd.DataFrame],
+) -> Iterator[pd.DataFrame]:
+    """Run the production ``decode_real_batches`` kernel verbatim, then add
+    ``pixel_sum`` (sum over the decoded RGB array) as the content check."""
+    for pdf in batches:
+        meta = next(decode_real_batches([pdf]))
+        meta["pixel_sum"] = pd.Series(
+            [int(decode_bmp(bytes(p)).sum()) for p in pdf["payload"]],
+            dtype="int64",
+        )
+        yield meta.drop(columns=["checksum"])
+
+
+AUDIO_REAL_SCHEMA = (
+    "doc_id bigint, sample_rate int, n_samples bigint, duration_s double, "
+    "sum_samples bigint"
+)
+
+_SYNTH_RATE = 16_000
+
+
+def _synth_samples(doc_id: int, n: int) -> "np.ndarray":
+    """Deterministic int16 waveform: s_i = (7*doc_id + 13*i) % 4001 - 2000."""
+    i = np.arange(n, dtype=np.int64)
+    return ((7 * doc_id + 13 * i) % 4001 - 2000).astype("<i2")
+
+
+def synth_audio_batches(
+    batches: Iterable[pd.DataFrame],
+) -> Iterator[pd.DataFrame]:
+    """(doc_id, n_samples) → (doc_id, payload) with the payload a REAL
+    RIFF/WAVE PCM-16 encoding of the deterministic waveform."""
+    for pdf in batches:
+        payloads = [
+            encode_wav_pcm16(_synth_samples(int(d), int(n)), _SYNTH_RATE)
+            for d, n in zip(pdf["doc_id"], pdf["n_samples"])
+        ]
+        yield pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"].astype("int64"),
+                "payload": pd.Series(payloads, dtype="object"),
+            }
+        )
+
+
+def audio_real_stats_batches(
+    batches: Iterable[pd.DataFrame],
+) -> Iterator[pd.DataFrame]:
+    """Decode REAL WAV payloads with ``decode_wav`` and emit closed-form-
+    checkable stats: rate, count, duration (count / rate, one IEEE double
+    division — identical in SQL), and the exact integer sample sum."""
+    for pdf in batches:
+        rates, counts, sums = [], [], []
+        for p in pdf["payload"]:
+            rate, samples = decode_wav(bytes(p))
+            rates.append(rate)
+            counts.append(int(samples.shape[0]))
+            sums.append(int(samples.astype(np.int64).sum()))
+        yield pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"].astype("int64"),
+                "sample_rate": pd.Series(rates, dtype="int32"),
+                "n_samples": pd.Series(counts, dtype="int64"),
+                "duration_s": pd.Series(
+                    [c / float(_SYNTH_RATE) for c in counts], dtype="float64"
+                ),
+                "sum_samples": pd.Series(sums, dtype="int64"),
+            }
+        )

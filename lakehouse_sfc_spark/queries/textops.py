@@ -19,12 +19,18 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from lakehouse_sfc_spark.operators.multimodal import (
+    AUDIO_REAL_SCHEMA,
     AUDIO_SCHEMA,
     DECODED_SCHEMA,
+    DECODED_STATS_SCHEMA,
     RESIZED_SCHEMA,
     audio_features_stub_batches,
+    audio_real_stats_batches,
     decode_stub_batches,
+    decode_real_stats_batches,
     resize_stub_batches,
+    synth_audio_batches,
+    synth_image_batches,
 )
 from lakehouse_sfc_spark.queries.registry import register
 from lakehouse_sfc_spark.sources.loader import load_table
@@ -347,3 +353,85 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("frame_idx") % 2 == 0)
         .select("doc_id", F.col("frame_idx").cast("int").alias("frame_idx"))
     )
+
+
+@register(
+    "multimodal_decode_real",
+    oracle="""
+    WITH p AS (
+      SELECT doc_id,
+             (16 + doc_id % 17)::INTEGER AS width,
+             (8 + doc_id % 13)::INTEGER AS height
+      FROM documents WHERE doc_id % 7 = 0
+    ),
+    g AS (
+      SELECT p.doc_id, p.width, p.height, x.r AS x, y.r AS y
+      FROM p, LATERAL (SELECT unnest(range(0, p.width)) AS r) x,
+              LATERAL (SELECT unnest(range(0, p.height)) AS r) y
+    )
+    SELECT doc_id,
+           (54 + ((MIN(width)*3 + 3) - ((MIN(width)*3 + 3) % 4))
+                 * MIN(height))::BIGINT AS n_bytes,
+           MIN(width)::INTEGER AS width,
+           MIN(height)::INTEGER AS height,
+           1::INTEGER AS frames,
+           SUM(3 * ((3*x + 7*y + doc_id) % 251))::BIGINT AS pixel_sum
+    FROM g GROUP BY doc_id
+    """,
+)
+def multimodal_decode_real(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL image codec end-to-end: deterministic RGB grids derived from
+    doc_id are encoded as genuine 24-bit BMPs (``encode_bmp``), pushed
+    through the production ``decode_real_batches`` kernel, and content-
+    checked via ``pixel_sum`` over the decoded array.  Every output column
+    is a closed-form function of doc_id, so the oracle verifies the actual
+    byte-level encode→decode round trip (header layout, bottom-up rows, BGR
+    order, 4-byte row padding) — not a stub.  Two Arrow mapInPandas stages,
+    no shuffle; at 100 TB this is the same embarrassingly-parallel decode
+    lane as ``multimodal_decode`` with a real codec plugged in."""
+    d = load_table(spark, sf_dir, "documents")
+    params = d.filter(F.col("doc_id") % 7 == 0).select(
+        "doc_id",
+        (F.pmod(F.col("doc_id"), F.lit(17)) + 16).cast("int").alias("width"),
+        (F.pmod(F.col("doc_id"), F.lit(13)) + 8).cast("int").alias("height"),
+    )
+    encoded = params.mapInPandas(
+        synth_image_batches, "doc_id bigint, payload binary, width int, height int"
+    )
+    return encoded.mapInPandas(decode_real_stats_batches, DECODED_STATS_SCHEMA)
+
+
+@register(
+    "multimodal_audio_real",
+    oracle="""
+    WITH p AS (
+      SELECT doc_id, (400 + doc_id % 257)::BIGINT AS n
+      FROM documents WHERE doc_id % 7 = 0
+    ),
+    g AS (
+      SELECT p.doc_id, p.n, i.r AS i
+      FROM p, LATERAL (SELECT unnest(range(0, p.n)) AS r) i
+    )
+    SELECT doc_id,
+           16000::INTEGER AS sample_rate,
+           MIN(n)::BIGINT AS n_samples,
+           MIN(n) / 16000.0 AS duration_s,
+           SUM((7*doc_id + 13*i) % 4001 - 2000)::BIGINT AS sum_samples
+    FROM g GROUP BY doc_id
+    """,
+)
+def multimodal_audio_real(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL audio codec end-to-end: deterministic int16 waveforms are
+    encoded as genuine RIFF/WAVE PCM-16 payloads (``encode_wav_pcm16``),
+    decoded back with ``decode_wav`` (RIFF chunk walk), and checked on
+    sample count, rate, duration, and the exact integer sample sum — a
+    closed-form function of doc_id the oracle reproduces.  No shuffle."""
+    d = load_table(spark, sf_dir, "documents")
+    params = d.filter(F.col("doc_id") % 7 == 0).select(
+        "doc_id",
+        (F.pmod(F.col("doc_id"), F.lit(257)) + 400).cast("long").alias("n_samples"),
+    )
+    encoded = params.mapInPandas(
+        synth_audio_batches, "doc_id bigint, payload binary"
+    )
+    return encoded.mapInPandas(audio_real_stats_batches, AUDIO_REAL_SCHEMA)

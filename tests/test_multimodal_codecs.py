@@ -107,3 +107,37 @@ def test_decode_real_batches_in_spark(spark):
     for doc_id, payload, _, _ in rows:
         assert got[doc_id]["checksum"] == hashlib.md5(bytes(payload)).hexdigest()
         assert got[doc_id]["n_bytes"] == len(payload)
+
+
+def test_real_codec_registry_queries(spark):
+    """The oracle-paired real-codec queries: every output column is a
+    closed-form function of doc_id, recomputed here independently."""
+    from lakehouse_sfc_spark.queries.registry import QUERIES
+
+    sf = "/root/testdata/sf0.001"
+    img = {
+        r["doc_id"]: r
+        for r in QUERIES["multimodal_decode_real"].fn(spark, sf).collect()
+    }
+    assert len(img) > 0
+    for d, r in img.items():
+        w, h = 16 + d % 17, 8 + d % 13
+        assert (r["width"], r["height"], r["frames"]) == (w, h, 1)
+        assert r["n_bytes"] == 54 + ((w * 3 + 3) & ~3) * h
+        expect = sum(
+            3 * ((3 * x + 7 * y + d) % 251) for x in range(w) for y in range(h)
+        )
+        assert r["pixel_sum"] == expect
+
+    aud = {
+        r["doc_id"]: r
+        for r in QUERIES["multimodal_audio_real"].fn(spark, sf).collect()
+    }
+    assert len(aud) > 0
+    for d, r in aud.items():
+        n = 400 + d % 257
+        assert (r["sample_rate"], r["n_samples"]) == (16000, n)
+        assert r["duration_s"] == n / 16000.0
+        assert r["sum_samples"] == sum(
+            (7 * d + 13 * i) % 4001 - 2000 for i in range(n)
+        )
