@@ -515,7 +515,9 @@ def _cosine_block_kernel(key, pdf):
     WHERE {_sql_cos("a", "b")} >= {_COS_TAU}
     """,
 )
-def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+def dedup_embedding_cosine(
+    spark: SparkSession, sf_dir: str, n_blocks: int = _EMB_BLOCKS
+) -> DataFrame:
     """Embedding near-duplicate pairs at cosine ≥ 0.45, as a block-partitioned
     all-pairs scorer (the distributed brute-force shape: chunked
     matrix-multiply, the way exact similarity search actually scales out).
@@ -537,7 +539,7 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     scores are bit-identical to DuckDB's ``list_reduce`` and the numpy slack
     margin never leaks into results."""
     c = _emb(spark, sf_dir)
-    b_lit = F.lit(_EMB_BLOCKS)
+    b_lit = F.lit(n_blocks)
     v = c.withColumn("blk", F.pmod(F.col("vec_id"), b_lit).cast("int"))
     replicated = v.select(
         "vec_id",
@@ -1097,6 +1099,92 @@ def ann_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "q_id",
             "vec_id",
+            F.round(F.col("cosv"), 6).alias("score"),
+            F.col("rank").cast("long").alias("rank"),
+        )
+    )
+
+
+# --- D8: production approximate embedding near-dup -------------------------
+
+_DETK_K = 5  # neighbors kept per vector
+_DETK_RADIUS = 2  # probe cells within this hamming distance
+
+
+@register(
+    "dedup_embedding_topk",
+    oracle=f"""
+    WITH c AS (SELECT vec_id, emb, nrm, {_SQL_CELL.format(e="emb")} AS cell
+               FROM ({_SQL_EMB_CTE})),
+         scored AS (
+           SELECT q.vec_id AS a_id, c.vec_id AS b_id,
+                  round({_sql_cos("c", "q")}, 6) AS score,
+                  ROW_NUMBER() OVER (
+                    PARTITION BY q.vec_id
+                    ORDER BY {_sql_cos("c", "q")} DESC, c.vec_id) AS rank
+           FROM c q JOIN c
+             ON bit_count(xor(c.cell::BIGINT, q.cell::BIGINT)) <= {_DETK_RADIUS}
+            AND c.vec_id != q.vec_id
+           WHERE {_sql_cos("c", "q")} >= {_COS_TAU}
+         )
+    SELECT a_id, b_id, score, rank FROM scored WHERE rank <= {_DETK_K}
+    """,
+)
+def dedup_embedding_topk(
+    spark: SparkSession, sf_dir: str, probe_radius: int = _DETK_RADIUS
+) -> DataFrame:
+    """PRODUCTION variant of embedding near-dup: per-vector top-k neighbors
+    above τ via the ``ann_knn_join`` cell machinery — every vector probes the
+    IVF cells within hamming distance ``probe_radius`` of its own sign cell,
+    candidates join on cell EQUALITY (hash shuffle bounded by cell occupancy,
+    never all-pairs), and a per-query window keeps the top-k.
+
+    This is the 100 TB answer to ``dedup_embedding_cosine``'s inherent O(n²)
+    exact contract: compute drops to |probed cells| × occupancy per vector at
+    a measured recall cost (see COVERAGE.md §embedding-dedup-recall — the
+    sign quantizer is a coarse sketch at τ=0.45, so radius trades compute for
+    recall; the exact operator remains the oracle-grade contract).  The
+    approximation itself is DETERMINISTIC (sign cells + fixed probe set), so
+    the DuckDB oracle reproduces it exactly — the driver row checks the
+    machinery, the recall table documents the quality."""
+    c = _emb(spark, sf_dir).withColumn("cell", _cell(F.col("emb")))
+    masks = [
+        m for m in range(1 << _IVF_DIMS) if bin(m).count("1") <= probe_radius
+    ]
+    q = c.select(
+        F.col("vec_id").alias("a_id"),
+        F.col("emb").alias("qemb"),
+        F.col("nrm").alias("qnrm"),
+        F.col("cell").alias("qcell"),
+    )
+    probes = q.withColumn(
+        "pcell",
+        F.explode(
+            F.array(
+                *[
+                    F.col("qcell")
+                    .cast("long")
+                    .bitwiseXOR(F.lit(m))
+                    .cast("int")
+                    for m in masks
+                ]
+            )
+        ),
+    )
+    cos = _dot(F.col("emb"), F.col("qemb")) / (F.col("nrm") * F.col("qnrm"))
+    scored = (
+        c.join(probes, c["cell"] == probes["pcell"])
+        .filter(F.col("vec_id") != F.col("a_id"))
+        .select("a_id", F.col("vec_id").alias("b_id"), cos.alias("cosv"))
+        .filter(F.col("cosv") >= _COS_TAU)
+    )
+    w = Window.partitionBy("a_id").orderBy(F.col("cosv").desc(), F.col("b_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= _DETK_K)
+        .select(
+            "a_id",
+            "b_id",
             F.round(F.col("cosv"), 6).alias("score"),
             F.col("rank").cast("long").alias("rank"),
         )

@@ -60,3 +60,34 @@ def test_entry_contract(spark):
     os_ = e.oracle_sql()
     assert set(os_) <= set(qs)
     assert len(qs) >= 10
+
+
+def test_embedding_topk_recall(spark):
+    """The production approximate near-dup must hold the documented recall
+    floor vs the exact operator, and recall must be monotone in the probe
+    radius (COVERAGE.md §embedding-dedup-recall)."""
+    from lakehouse_sfc_spark.queries.datapipe import (
+        dedup_embedding_cosine,
+        dedup_embedding_topk,
+    )
+
+    exact = {
+        (r["a_id"], r["b_id"])
+        for r in dedup_embedding_cosine(spark, SF_DIR).collect()
+    }
+    assert len(exact) > 0
+
+    def recalled(radius: int) -> int:
+        pairs = {
+            (min(r["a_id"], r["b_id"]), max(r["a_id"], r["b_id"]))
+            for r in dedup_embedding_topk(
+                spark, SF_DIR, probe_radius=radius
+            ).collect()
+        }
+        return len(exact & pairs)
+
+    r1, r2 = recalled(1), recalled(2)
+    assert r1 <= r2, "recall must be monotone in probe radius"
+    assert r2 / len(exact) >= 0.4, (
+        f"default-radius recall regressed: {r2}/{len(exact)}"
+    )
