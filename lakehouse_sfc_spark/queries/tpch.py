@@ -470,18 +470,35 @@ def tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregate IS the output's sum_qty, so lineitem aggregates ONCE (one
     shuffle on l_orderkey); the surviving big-order set is tiny (HAVING
     keeps the long tail) and joins orders/customer as the build side —
-    no second lineitem scan, no semi join, no re-aggregation."""
+    no second lineitem scan, no semi join, no re-aggregation.
+
+    Exchange-first aggregation: l_orderkey is high-cardinality (~1/4 of
+    lineitem), so the map-side partial agg only reduces ~4x while its hash
+    table and 128-bit decimal sums dominate the scan task.  When the scan
+    has fewer partitions than the shuffle width (small files / few row
+    groups — the whole agg would otherwise run on those few cores), we
+    repartition on the GROUP KEY first: same single shuffle (the exchange
+    satisfies the aggregation's distribution), but the heavy agg runs at
+    full width.  When the scan is already at least shuffle-wide (the 100 TB
+    case), the plain partial-agg-first plan wins on shuffle volume and we
+    keep it."""
     c = load_table(spark, sf_dir, "customer")
     o = load_table(spark, sf_dir, "orders")
     li = load_table(spark, sf_dir, "lineitem")
+    li2 = li.select("l_orderkey", "l_quantity")
+    shuffle_n = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    if li2.rdd.getNumPartitions() < shuffle_n:
+        li2 = li2.repartition(shuffle_n, "l_orderkey")
     big = (
-        li.groupBy("l_orderkey")
+        li2.groupBy("l_orderkey")
         .agg(F.sum(F.col("l_quantity").cast("decimal(18,2)")).alias("q"))
         .filter(F.col("q") > 260)
         .select("l_orderkey", F.col("q").cast("double").alias("sum_qty"))
     )
+    # The HAVING survivors are a few dozen rows — broadcast THEM and stream
+    # orders, instead of building a 150k-row hashed relation of orders.
     return (
-        big.join(o, big.l_orderkey == o.o_orderkey)
+        F.broadcast(big).join(o, big.l_orderkey == o.o_orderkey)
         .join(F.broadcast(c), o.o_custkey == c.c_custkey)
         .select(
             "c_name", "c_custkey", "o_orderkey", "o_orderdate",
