@@ -946,14 +946,14 @@ def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "dedup_components",
     oracle=f"""
-    WITH RECURSIVE g AS ({_SQL_NGRAMS_VIEW}),
-    p AS (
+    WITH RECURSIVE g AS MATERIALIZED ({_SQL_NGRAMS_VIEW}),
+    p AS MATERIALIZED (
       SELECT a.doc_id AS a_id, b.doc_id AS b_id
       FROM g a JOIN g b ON a.doc_id < b.doc_id
       WHERE len(a.ng) > 0 AND len(b.ng) > 0
         AND {_SQL_JACCARD} >= {_MH_TAU}
     ),
-    e AS (
+    e AS MATERIALIZED (
       SELECT a_id AS u, b_id AS v FROM p
       UNION SELECT b_id, a_id FROM p
     ),

@@ -135,33 +135,86 @@ def rq1_specs(
     return specs
 
 
+#: RQ2 selectivity bands — the reference generates specs for S3/S4 only
+#: (generate_tpch_rq2_specs.py:30-42, the S1/S2 block is commented out there)
+RQ2_BANDS: dict[str, tuple[float, float]] = {
+    "S3": (0.010, 0.100),
+    "S4": (0.100, 0.200),
+}
+
+#: RQ2 column configs INCLUDING order permutations (O1..O6): column order is
+#: the experiment variable for SFC layouts — the same 3-column box filters
+#: differently depending on which column leads the curve
+#: (generate_tpch_rq2_specs.py:45-61; the reference's duplicated C2 O5/O6
+#: rows repeat O3/O4 verbatim and are collapsed here)
+RQ2_COLUMN_CONFIGS: dict[str, tuple[str, ...]] = {
+    "C1_N3_O1": ("l_shipdate", "l_receiptdate", "l_commitdate"),
+    "C1_N3_O2": ("l_shipdate", "l_commitdate", "l_receiptdate"),
+    "C1_N3_O3": ("l_commitdate", "l_shipdate", "l_receiptdate"),
+    "C1_N3_O4": ("l_receiptdate", "l_shipdate", "l_commitdate"),
+    "C1_N3_O5": ("l_receiptdate", "l_commitdate", "l_shipdate"),
+    "C1_N3_O6": ("l_commitdate", "l_receiptdate", "l_shipdate"),
+    "C2_N3_O1": ("l_extendedprice", "l_quantity", "l_shipdate"),
+    "C2_N3_O2": ("l_quantity", "l_extendedprice", "l_shipdate"),
+    "C2_N3_O3": ("l_extendedprice", "l_shipdate", "l_quantity"),
+    "C2_N3_O4": ("l_quantity", "l_shipdate", "l_extendedprice"),
+    "C3_N4_O1": ("l_suppkey", "l_shipdate", "l_extendedprice", "l_quantity"),
+    "C3_N4_O2": ("l_shipdate", "l_suppkey", "l_extendedprice", "l_quantity"),
+    "C4_N5_O1": (
+        "l_shipdate", "l_commitdate", "l_suppkey", "l_extendedprice",
+        "l_quantity",
+    ),
+}
+
+#: RQ2 point-query fan-outs x probe columns (generate_tpch_rq2_specs.py:64-75
+#: QUERY_DEFS Q4_K{k}: IN-lists of K distinct values)
+RQ2_POINT_FANOUTS: tuple[int, ...] = (1, 4, 16)
+RQ2_POINT_COLUMNS: tuple[str, ...] = (
+    "l_shipdate", "l_commitdate", "l_orderkey", "l_suppkey", "l_quantity",
+)
+
+
 def rq2_specs(
     table: str = "lineitem",
-    dims: Sequence[int] = (3, 4, 5),
     seed: int = 42,
+    n_range: int = 10,
+    n_point: int = 10,
 ) -> list[dict]:
-    """RQ2 matrix: k-column conjunctive boxes, k in 3..5
-    (generate_tpch_rq2_specs.py:44-61; the duplicated O5/O6 column lists in
-    the reference are collapsed)."""
-    pool = [
-        "l_shipdate",
-        "l_quantity",
-        "l_discount",
-        "l_extendedprice",
-        "l_tax",
-    ]
+    """RQ2 matrix: band-specific selectivities x column-ORDER configs for
+    the conjunctive boxes, plus IN-list point probes with fan-out K
+    (generate_tpch_rq2_specs.py:30-75).  Range descriptors materialize via
+    ``materialize_rq1_spec``; point descriptors via the ``fanout`` branch of
+    ``materialize_rq2_spec``."""
     specs = []
-    for k in dims:
-        cols = pool[:k]
-        specs.append(
-            {
-                "name": f"RQ2_N{k}",
-                "table": table,
-                "columns": cols,
-                "n_dims": k,
-                "generation": {"mode": "random", "seed": seed},
-            }
-        )
+    for band, (lo, hi) in RQ2_BANDS.items():
+        for label, cols in RQ2_COLUMN_CONFIGS.items():
+            specs.append(
+                {
+                    "name": f"RQ2_{band}_{label}",
+                    "table": table,
+                    "band": band,
+                    "selectivity": (lo, hi),
+                    "column_config": label,
+                    "columns": list(cols),
+                    "n_dims": len(cols),
+                    "n_range": n_range,
+                    "n_point": 0,
+                    "generation": {"mode": "random", "seed": seed},
+                }
+            )
+    for k in RQ2_POINT_FANOUTS:
+        for idx, col in enumerate(RQ2_POINT_COLUMNS, start=1):
+            specs.append(
+                {
+                    "name": f"RQ2_Q4_K{k}_{idx}",
+                    "table": table,
+                    "kind": "point",
+                    "columns": [col],
+                    "fanout": k,
+                    "n_point": n_point,
+                    "generation": {"mode": "random", "seed": seed},
+                }
+            )
     return specs
 
 
@@ -196,6 +249,8 @@ def rq4_apply_variant(sql: str, variant: dict, group_col: str = "l_returnflag") 
 #: column -> (interval-rule type, SQL literal wrapper) for the RQ1/RQ2 pools
 _COL_TYPES: dict[str, str] = {
     "l_shipdate": "date",
+    "l_receiptdate": "date",
+    "l_commitdate": "date",
     "l_quantity": "float",
     "l_discount": "float",
     "l_extendedprice": "float",
@@ -314,6 +369,57 @@ def materialize_rq1_spec(desc: dict) -> list[dict]:
         ],
     }
     return [range_spec, point_spec]
+
+
+def materialize_rq2_spec(desc: dict) -> list[dict]:
+    """Materialize an RQ2 descriptor.  Range/box descriptors share the RQ1
+    path (band-specific ratio_range per dimension); ``kind: point``
+    descriptors become IN-list probes with fan-out K — K zero-width interval
+    rules draw K values from the column's actual domain, and pairwise
+    ``!=`` constraints keep them distinct (generate_tpch_rq2_specs.py:
+    140-167 build_point_template; the reference's ``not in {..}`` set
+    constraint is expressed as plain comparisons for the AST whitelist)."""
+    if desc.get("kind") != "point":
+        return materialize_rq1_spec(desc)
+    col = desc["columns"][0]
+    t = _col_type(col)
+    if t is None:
+        raise ValueError(f"unknown point column: {col}")
+    k = int(desc.get("fanout", 1))
+    gen = dict(desc.get("generation") or {"mode": "random", "seed": 42})
+
+    params, rules, names = {}, [], []
+    for i in range(1, k + 1):
+        v = f"{col}_v{i}"
+        pdef: dict = {"type": t}
+        if i > 1:
+            pdef["constraint"] = " and ".join(f"{v} != {p}" for p in names)
+        params[v] = pdef
+        params[f"{v}_hi"] = {"type": t}
+        # zero-width rule: samples the point from the column's observed
+        # domain via stats; only the lo param appears in the SQL
+        rules.append(
+            {"lo": v, "hi": f"{v}_hi", "type": t, "column": col,
+             "ratio": 0.0},
+        )
+        names.append(v)
+    in_list = ", ".join(_placeholder(col, v) for v in names)
+    return [
+        {
+            "generation": {**gen, "n": desc.get("n_point", 10)},
+            "templates": [
+                {
+                    "id": f"{desc['name']}_point",
+                    "sql": (
+                        "SELECT COUNT(*) AS cnt FROM {{tbl}} WHERE "
+                        f"{col} IN ({in_list})"
+                    ),
+                    "params": params,
+                    "interval_rules": rules,
+                }
+            ],
+        }
+    ]
 
 
 #: events-table column types (the Amazon-reviews analog in the test data:

@@ -111,3 +111,31 @@ def test_events_materialized_specs_match_duckdb(spark):
             compare_query(spark, SF_DIR, lambda s, _d: s.sql(sql), sql)
             ran += 1
     assert ran == 4
+
+
+def test_rq2_materialized_specs_match_duckdb(spark):
+    """RQ2 end-to-end on configs whose columns exist in the test data: a
+    band range box with order-permuted columns, and an IN-list point probe
+    with fan-out — the same literal SQL agrees across engines."""
+    from lakehouse_sfc_spark.wlgen.fill import fill_spec
+    from lakehouse_sfc_spark.wlgen.gen import materialize_rq2_spec, rq2_specs
+
+    fact_stats, _ = profile_df(load_table(spark, SF_DIR, "lineitem"))
+    payload = {"columns": {n: s.to_dict() for n, s in fact_stats.items()}}
+    register_tables(spark, SF_DIR)
+
+    descs = [d for d in rq2_specs(n_range=2, n_point=2) if d["name"] in (
+        "RQ2_S3_C2_N3_O2",      # quantity, extendedprice, shipdate box
+        "RQ2_Q4_K4_4",          # l_suppkey IN (4 distinct values)
+    )]
+    assert len(descs) == 2
+    ran = 0
+    for desc in descs:
+        for spec in materialize_rq2_spec(desc):
+            for row in fill_spec(spec, stats_payload=payload, table="lineitem"):
+                sql = row["sql"]
+                assert ":" not in sql.replace("::", ""), sql
+                compare_query(spark, SF_DIR, lambda s, _d: s.sql(sql), sql)
+                ran += 1
+    # 2 filled range boxes (the RQ2 range desc pins n_point=0) + 2 IN-probes
+    assert ran == 4

@@ -77,10 +77,50 @@ def test_rq1_specs_matrix():
     assert s1["n_range"] == 10 and s1["n_point"] == 25
 
 
-def test_rq2_specs_dims():
+def test_rq2_specs_matrix():
+    """Band-specific selectivities x column-ORDER configs + point fan-outs
+    (generate_tpch_rq2_specs.py:30-75)."""
     specs = rq2_specs()
-    assert [s["n_dims"] for s in specs] == [3, 4, 5]
-    assert len(set(tuple(s["columns"]) for s in specs)) == 3
+    ranges = [s for s in specs if s.get("kind") != "point"]
+    points = [s for s in specs if s.get("kind") == "point"]
+    # 2 active bands x 13 column configs
+    assert len(ranges) == 2 * 13
+    assert {s["band"] for s in ranges} == {"S3", "S4"}
+    s3 = [s for s in ranges if s["band"] == "S3"][0]
+    s4 = [s for s in ranges if s["band"] == "S4"][0]
+    assert s3["selectivity"] == (0.01, 0.1)
+    assert s4["selectivity"] == (0.1, 0.2)
+    # order permutations are distinct configs over the same column SET
+    c1 = [tuple(s["columns"]) for s in ranges
+          if s["column_config"].startswith("C1_") and s["band"] == "S3"]
+    assert len(c1) == 6 and len(set(c1)) == 6
+    assert len({frozenset(c) for c in c1}) == 1
+    assert {s["n_dims"] for s in ranges} == {3, 4, 5}
+    # point probes: 3 fan-outs x 5 columns
+    assert len(points) == 3 * 5
+    assert {s["fanout"] for s in points} == {1, 4, 16}
+
+
+def test_rq2_point_materializes_in_list():
+    from lakehouse_sfc_spark.wlgen.gen import materialize_rq2_spec
+
+    desc = next(
+        s for s in rq2_specs()
+        if s.get("kind") == "point" and s["fanout"] == 4
+        and s["columns"] == ["l_suppkey"]
+    )
+    (spec,) = materialize_rq2_spec(desc)
+    tpl = spec["templates"][0]
+    assert tpl["sql"].count(":l_suppkey_v") == 4
+    assert "IN (" in tpl["sql"]
+    # pairwise distinctness constraints on every value after the first
+    assert tpl["params"]["l_suppkey_v2"]["constraint"] == (
+        "l_suppkey_v2 != l_suppkey_v1"
+    )
+    assert len(tpl["interval_rules"]) == 4
+    # range descriptors still go through the RQ1 path
+    rdesc = next(s for s in rq2_specs() if s.get("kind") != "point")
+    assert len(materialize_rq2_spec(rdesc)) == 2
 
 
 def test_rq4_variants_compose():

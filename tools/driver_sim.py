@@ -1,0 +1,149 @@
+"""Driver simulator: imports __spark_entry__, smoke-runs entry(), then
+compares every queries() entry against its oracle_sql() in DuckDB at sf0.01,
+exactly like the round driver (plain untuned session, column-name-sorted
+value hash, no date/datetime coercion).
+
+Usage: python /root/repo/.scratch/driver_sim.py [name ...]
+  With names: only those queries.  Env SF_DIR overrides the sf0.01 dir.
+Prints one line per query: RESULT <name> MATCH|MISMATCH|rows-only(n) <sec>s
+and a trailing TOTAL line; exits nonzero on any mismatch/error.
+"""
+
+from __future__ import annotations
+
+import datetime
+import hashlib
+import os
+import sys
+import time
+
+sys.path.insert(0, str(__import__("pathlib").Path(__file__).resolve().parent.parent))
+
+import duckdb  # noqa: E402
+from pyspark.sql import SparkSession  # noqa: E402
+
+SF_DIR = os.environ.get("SF_DIR", "/root/testdata/sf0.01")
+TABLES = (
+    "region nation customer supplier part orders lineitem events "
+    "documents embeddings"
+).split()
+
+
+def canon(v):
+    if isinstance(v, float):
+        return repr(v)
+    if isinstance(v, datetime.datetime):
+        # naive vs aware must be distinguishable, like the driver
+        return "dt:" + v.isoformat()
+    if isinstance(v, datetime.date):
+        return "d:" + v.isoformat()
+    if isinstance(v, bytes):
+        return "b:" + v.hex()
+    if isinstance(v, list):
+        return "[" + ",".join(canon(x) for x in v) + "]"
+    if isinstance(v, dict):
+        return "{" + ",".join(f"{k}:{canon(v[k])}" for k in sorted(v)) + "}"
+    return f"{type(v).__name__}:{v!r}"
+
+
+def value_hash(cols, rows):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    lines = sorted(
+        "\x1f".join(canon(row[i]) for i in order) for row in rows
+    )
+    h = hashlib.sha256()
+    for ln in lines:
+        h.update(ln.encode())
+        h.update(b"\n")
+    return h.hexdigest()
+
+
+def main() -> int:
+    only = set(sys.argv[1:])
+    spark = (
+        SparkSession.builder.master("local[8]")
+        .appName("driver-sim")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    import __spark_entry__ as e
+
+    t0 = time.time()
+    ent = e.entry(spark)
+    n = len(ent.collect())
+    print(f"ENTRY ok rows={n} {time.time()-t0:.1f}s", flush=True)
+
+    qs = e.queries()
+    oracles = e.oracle_sql()
+
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF_DIR}/{t}.parquet')"
+        )
+
+    fails = []
+    total0 = time.time()
+    timings = {}
+    for name, fn in qs.items():
+        if only and name not in only:
+            continue
+        t0 = time.time()
+        try:
+            df = fn(spark, SF_DIR)
+            cols = df.columns
+            rows = [tuple(r) for r in df.collect()]
+            if name in oracles:
+                orc = con.execute(oracles[name])
+                ocols = [d[0] for d in orc.description]
+                orows = [tuple(r) for r in orc.fetchall()]
+                dt = time.time() - t0
+                timings[name] = dt
+                if sorted(cols) != sorted(ocols):
+                    print(
+                        f"RESULT {name} MISMATCH(schema) {dt:.1f}s "
+                        f"spark={sorted(cols)} oracle={sorted(ocols)}",
+                        flush=True,
+                    )
+                    fails.append(name)
+                elif len(rows) != len(orows):
+                    print(
+                        f"RESULT {name} MISMATCH(rows {len(rows)} vs "
+                        f"{len(orows)}) {dt:.1f}s",
+                        flush=True,
+                    )
+                    fails.append(name)
+                elif value_hash(cols, rows) != value_hash(ocols, orows):
+                    print(f"RESULT {name} MISMATCH(hash) {dt:.1f}s", flush=True)
+                    fails.append(name)
+                    if os.environ.get("DUMP"):
+                        so = sorted(range(len(cols)), key=lambda i: cols[i])
+                        oo = sorted(range(len(ocols)), key=lambda i: ocols[i])
+                        sl = sorted("|".join(canon(r[i]) for i in so) for r in rows)
+                        ol = sorted("|".join(canon(r[i]) for i in oo) for r in orows)
+                        for a, b in zip(sl, ol):
+                            if a != b:
+                                print(f"  spark : {a}\n  oracle: {b}")
+                                break
+                else:
+                    print(f"RESULT {name} MATCH {dt:.1f}s", flush=True)
+            else:
+                dt = time.time() - t0
+                timings[name] = dt
+                print(f"RESULT {name} rows-only({len(rows)}) {dt:.1f}s", flush=True)
+        except Exception as ex:  # noqa: BLE001
+            dt = time.time() - t0
+            timings[name] = dt
+            print(f"RESULT {name} ERROR {dt:.1f}s {type(ex).__name__}: {ex}", flush=True)
+            fails.append(name)
+
+    total = time.time() - total0
+    slow = sorted(timings.items(), key=lambda kv: -kv[1])[:8]
+    print(f"TOTAL {len(timings)} queries {total:.1f}s fails={len(fails)} {fails}")
+    print("SLOWEST " + " ".join(f"{n}={t:.1f}s" for n, t in slow))
+    return 1 if fails else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
