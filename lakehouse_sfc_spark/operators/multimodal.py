@@ -9,8 +9,11 @@ nearest-neighbor ``resize_bmp``) and PCM 16-bit **WAV**
 (``decode_wav``/``encode_wav_pcm16``) — pure struct/numpy, no Pillow or
 torchaudio needed.  ``decode_image``/``decode_audio`` dispatch on the magic
 bytes and raise ``NotImplementedError`` only for formats that genuinely
-require a compressed codec (JPEG/PNG/MP3/...).  ``decode_real_batches`` is
-the production ``mapInPandas`` kernel over these codecs.
+require a codec library this container lacks (JPEG/MP3/...).  **PNG** is
+REAL too (``decode_png``/``encode_png``): DEFLATE comes from the stdlib
+``zlib``, chunk CRCs are checked, and all five scanline filters decode.
+``decode_real_batches`` is the production ``mapInPandas`` kernel over these
+codecs.
 
 The ``*_stub_batches`` variants remain the deterministic fakes used by the
 oracle-paired registry queries: the synthetic ``documents.payload`` bytes
@@ -142,14 +145,144 @@ def decode_wav(payload: bytes) -> tuple[int, "np.ndarray"]:
     return sample_rate, s
 
 
+# --- real codecs: PNG (8-bit RGB/RGBA/gray, zlib is stdlib) ----------------
+
+_PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
+
+#: color type → samples per pixel (palette/interlace unsupported)
+_PNG_CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}
+
+
+def _png_chunk(ctype: bytes, body: bytes) -> bytes:
+    import zlib
+
+    return (
+        struct.pack(">I", len(body))
+        + ctype
+        + body
+        + struct.pack(">I", zlib.crc32(ctype + body) & 0xFFFFFFFF)
+    )
+
+
+def encode_png(pixels: "np.ndarray", level: int = 6) -> bytes:
+    """HxWx3 (RGB) or HxWx4 (RGBA) uint8 array → real PNG: IHDR + one
+    zlib-compressed IDAT of filter-type-0 scanlines + IEND, CRCs included.
+    Compression is genuine DEFLATE via the stdlib ``zlib``."""
+    import zlib
+
+    h, w = pixels.shape[:2]
+    ch = 1 if pixels.ndim == 2 else pixels.shape[2]
+    color = {1: 0, 3: 2, 4: 6}.get(ch)
+    if color is None:
+        raise ValueError("encode_png expects HxW, HxWx3, or HxWx4 uint8")
+    flat = pixels.reshape(h, w * ch).astype(np.uint8)
+    raw = b"".join(b"\x00" + flat[y].tobytes() for y in range(h))
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color, 0, 0, 0)
+    return (
+        _PNG_MAGIC
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(raw, level))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def _paeth(a: "np.ndarray", b: "np.ndarray", c: "np.ndarray") -> "np.ndarray":
+    """Paeth predictor, vectorized over one scanline (int16 math)."""
+    p = a.astype(np.int16) + b.astype(np.int16) - c.astype(np.int16)
+    pa, pb, pc = np.abs(p - a), np.abs(p - b), np.abs(p - c)
+    out = np.where((pa <= pb) & (pa <= pc), a, np.where(pb <= pc, b, c))
+    return out.astype(np.uint8)
+
+
+def decode_png(payload: bytes) -> "np.ndarray":
+    """Real PNG decode for 8-bit non-interlaced gray/RGB/RGBA: walks chunks
+    (CRC-checked), inflates the concatenated IDAT stream, and reverses all
+    five scanline filters (None/Sub/Up/Average/Paeth) with numpy per-line
+    arithmetic.  Palette and interlaced images raise NotImplementedError."""
+    import zlib
+
+    if payload[: len(_PNG_MAGIC)] != _PNG_MAGIC:
+        raise ValueError("not a PNG payload")
+    pos = len(_PNG_MAGIC)
+    idat = bytearray()
+    w = h = None
+    ch = 1
+    while pos + 8 <= len(payload):
+        (length,) = struct.unpack_from(">I", payload, pos)
+        ctype = payload[pos + 4 : pos + 8]
+        body = payload[pos + 8 : pos + 8 + length]
+        (crc,) = struct.unpack_from(">I", payload, pos + 8 + length)
+        if zlib.crc32(ctype + body) & 0xFFFFFFFF != crc:
+            raise ValueError(f"PNG chunk {ctype!r} CRC mismatch")
+        if ctype == b"IHDR":
+            w, h, depth, color, comp, filt, interlace = struct.unpack(
+                ">IIBBBBB", body
+            )
+            if depth != 8 or color not in _PNG_CHANNELS or interlace:
+                raise NotImplementedError(
+                    f"only 8-bit non-interlaced gray/RGB/RGBA PNG supported "
+                    f"(depth={depth}, color={color}, interlace={interlace})"
+                )
+            ch = _PNG_CHANNELS[color]
+        elif ctype == b"IDAT":
+            idat += body
+        elif ctype == b"IEND":
+            break
+        pos += 12 + length
+    if w is None:
+        raise ValueError("PNG missing IHDR")
+    raw = zlib.decompress(bytes(idat))
+    stride = w * ch
+    if len(raw) != h * (stride + 1):
+        raise ValueError("PNG IDAT length mismatch")
+    out = np.zeros((h, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.uint8)
+    for y in range(h):
+        ftype = raw[y * (stride + 1)]
+        line = np.frombuffer(
+            raw, dtype=np.uint8, count=stride, offset=y * (stride + 1) + 1
+        ).copy()
+        if ftype == 1:  # Sub — sequential in pixel units
+            for x in range(ch, stride):
+                line[x] = (int(line[x]) + int(line[x - ch])) & 0xFF
+        elif ftype == 2:  # Up
+            line = (line.astype(np.int16) + prev).astype(np.uint8)
+        elif ftype == 3:  # Average
+            for x in range(stride):
+                left = int(line[x - ch]) if x >= ch else 0
+                line[x] = (int(line[x]) + ((left + int(prev[x])) >> 1)) & 0xFF
+        elif ftype == 4:  # Paeth
+            for x in range(stride):
+                left = int(line[x - ch]) if x >= ch else 0
+                ul = int(prev[x - ch]) if x >= ch else 0
+                line[x] = (
+                    int(line[x])
+                    + int(
+                        _paeth(
+                            np.uint8(left), prev[x : x + 1][0], np.uint8(ul)
+                        )
+                    )
+                ) & 0xFF
+        elif ftype != 0:
+            raise ValueError(f"unknown PNG filter type {ftype}")
+        out[y] = line
+        prev = out[y]
+    if ch == 1:
+        return out.reshape(h, w)
+    return out.reshape(h, w, ch)
+
+
 def decode_image(payload: bytes) -> "np.ndarray":
-    """Image decode (bytes → HxWx3 uint8).  BMP is decoded natively;
-    compressed formats would need a codec library not in this container."""
+    """Image decode (bytes → uint8 array).  BMP and PNG (8-bit, zlib
+    DEFLATE via the stdlib) are decoded natively; JPEG would need a codec
+    library not in this container."""
     if payload[:2] == b"BM":
         return decode_bmp(payload)
+    if payload[: len(_PNG_MAGIC)] == _PNG_MAGIC:
+        return decode_png(payload)
     raise NotImplementedError(
-        "only uncompressed BMP decodes natively; compressed image codecs "
-        "(JPEG/PNG/...) are not available in this environment"
+        "BMP and PNG decode natively; other compressed image codecs "
+        "(JPEG/...) are not available in this environment"
     )
 
 
@@ -190,6 +323,11 @@ def decode_real_batches(
             out["checksum"].append(hashlib.md5(b).hexdigest())
             if b[:2] == b"BM":
                 px = decode_bmp(b)
+                out["height"].append(px.shape[0])
+                out["width"].append(px.shape[1])
+                out["frames"].append(1)
+            elif b[: len(_PNG_MAGIC)] == _PNG_MAGIC:
+                px = decode_png(b)
                 out["height"].append(px.shape[0])
                 out["width"].append(px.shape[1])
                 out["frames"].append(1)
@@ -344,14 +482,36 @@ def decode_real_stats_batches(
     batches: Iterable[pd.DataFrame],
 ) -> Iterator[pd.DataFrame]:
     """Run the production ``decode_real_batches`` kernel verbatim, then add
-    ``pixel_sum`` (sum over the decoded RGB array) as the content check."""
+    ``pixel_sum`` (sum over the decoded pixel array) as the content check.
+    Works for any natively-decodable image format (BMP, PNG)."""
     for pdf in batches:
         meta = next(decode_real_batches([pdf]))
         meta["pixel_sum"] = pd.Series(
-            [int(decode_bmp(bytes(p)).sum()) for p in pdf["payload"]],
+            [int(decode_image(bytes(p)).astype("int64").sum())
+             for p in pdf["payload"]],
             dtype="int64",
         )
         yield meta.drop(columns=["checksum"])
+
+
+def synth_png_batches(
+    batches: Iterable[pd.DataFrame],
+) -> Iterator[pd.DataFrame]:
+    """(doc_id, width, height) → (doc_id, payload, width, height) with the
+    payload a REAL zlib-compressed PNG of the deterministic grid."""
+    for pdf in batches:
+        payloads = [
+            encode_png(_synth_pixels(int(d), int(w), int(h)))
+            for d, w, h in zip(pdf["doc_id"], pdf["width"], pdf["height"])
+        ]
+        yield pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"].astype("int64"),
+                "payload": pd.Series(payloads, dtype="object"),
+                "width": pdf["width"].astype("int32"),
+                "height": pdf["height"].astype("int32"),
+            }
+        )
 
 
 AUDIO_REAL_SCHEMA = (

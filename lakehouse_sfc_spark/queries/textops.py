@@ -31,6 +31,7 @@ from lakehouse_sfc_spark.operators.multimodal import (
     resize_stub_batches,
     synth_audio_batches,
     synth_image_batches,
+    synth_png_batches,
 )
 from lakehouse_sfc_spark.queries.registry import register
 from lakehouse_sfc_spark.sources.loader import load_table
@@ -435,3 +436,48 @@ def multimodal_audio_real(spark: SparkSession, sf_dir: str) -> DataFrame:
         synth_audio_batches, "doc_id bigint, payload binary"
     )
     return encoded.mapInPandas(audio_real_stats_batches, AUDIO_REAL_SCHEMA)
+
+
+@register(
+    "multimodal_png_real",
+    oracle="""
+    WITH p AS (
+      SELECT doc_id,
+             (16 + doc_id % 17)::INTEGER AS width,
+             (8 + doc_id % 13)::INTEGER AS height
+      FROM documents WHERE doc_id % 7 = 0
+    ),
+    g AS (
+      SELECT p.doc_id, p.width, p.height, x.r AS x, y.r AS y
+      FROM p, LATERAL (SELECT unnest(range(0, p.width)) AS r) x,
+              LATERAL (SELECT unnest(range(0, p.height)) AS r) y
+    )
+    SELECT doc_id,
+           MIN(width)::INTEGER AS width,
+           MIN(height)::INTEGER AS height,
+           1::INTEGER AS frames,
+           SUM(3 * ((3*x + 7*y + doc_id) % 251))::BIGINT AS pixel_sum
+    FROM g GROUP BY doc_id
+    """,
+)
+def multimodal_png_real(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL COMPRESSED image codec end-to-end: the same deterministic grids
+    as ``multimodal_decode_real``, but encoded as genuine zlib-DEFLATE PNGs
+    (``encode_png``) and decoded back through the production kernel
+    (``decode_png``: chunk walk, CRC checks, scanline unfilter).  n_bytes is
+    excluded from the contract — DEFLATE output size is library-version-
+    dependent — but geometry and the full pixel content check are closed-
+    form.  Proves the 'compressed codecs need external libs' boundary only
+    holds for JPEG/MP3: PNG's DEFLATE is in the Python stdlib."""
+    d = load_table(spark, sf_dir, "documents")
+    params = d.filter(F.col("doc_id") % 7 == 0).select(
+        "doc_id",
+        (F.pmod(F.col("doc_id"), F.lit(17)) + 16).cast("int").alias("width"),
+        (F.pmod(F.col("doc_id"), F.lit(13)) + 8).cast("int").alias("height"),
+    )
+    encoded = params.mapInPandas(
+        synth_png_batches, "doc_id bigint, payload binary, width int, height int"
+    )
+    return encoded.mapInPandas(
+        decode_real_stats_batches, DECODED_STATS_SCHEMA
+    ).drop("n_bytes")

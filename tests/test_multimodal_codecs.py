@@ -38,8 +38,9 @@ def test_bmp_roundtrip_exact():
 def test_bmp_rejects_unsupported():
     with pytest.raises(ValueError):
         decode_bmp(b"NOPE....")
+    # PNG decodes natively since round 4; JPEG still needs an external codec
     with pytest.raises(NotImplementedError):
-        decode_image(b"\x89PNG\r\n\x1a\n....")
+        decode_image(b"\xff\xd8\xff\xe0\x00\x10JFIF\x00")
 
 
 def test_wav_roundtrip_exact():
@@ -141,3 +142,96 @@ def test_real_codec_registry_queries(spark):
         assert r["sum_samples"] == sum(
             (7 * d + 13 * i) % 4001 - 2000 for i in range(n)
         )
+
+
+def test_png_roundtrip_shapes():
+    import numpy as np
+
+    from lakehouse_sfc_spark.operators.multimodal import decode_png, encode_png
+
+    rng = np.random.default_rng(7)
+    for shape in [(9, 13, 3), (5, 8, 4), (6, 7)]:
+        px = rng.integers(0, 256, size=shape, dtype=np.uint8)
+        assert np.array_equal(decode_png(encode_png(px)), px), shape
+
+
+def test_png_decodes_all_filter_types():
+    """The decoder must reverse every PNG scanline filter, not just the
+    filter-0 our encoder emits: build IDATs with each filter applied."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    from lakehouse_sfc_spark.operators.multimodal import (
+        _paeth,
+        _png_chunk,
+        _PNG_MAGIC,
+        decode_png,
+    )
+
+    def encode_with_filter(px, ftype):
+        h, w, ch = px.shape
+        stride = w * ch
+        flat = px.reshape(h, stride).astype(np.int16)
+        out = bytearray()
+        prev = np.zeros(stride, dtype=np.int16)
+        for y in range(h):
+            line = flat[y]
+            left = np.concatenate([np.zeros(ch, np.int16), line[:-ch]])
+            if ftype == 0:
+                f = line
+            elif ftype == 1:
+                f = line - left
+            elif ftype == 2:
+                f = line - prev
+            elif ftype == 3:
+                f = line - ((left + prev) >> 1)
+            else:
+                ul = np.concatenate([np.zeros(ch, np.int16), prev[:-ch]])
+                pa = _paeth(
+                    left.astype(np.uint8), prev.astype(np.uint8),
+                    ul.astype(np.uint8),
+                )
+                f = line - pa
+            out += bytes([ftype]) + bytes((f & 0xFF).astype(np.uint8))
+            prev = line
+        ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+        return (_PNG_MAGIC + _png_chunk(b"IHDR", ihdr)
+                + _png_chunk(b"IDAT", zlib.compress(bytes(out)))
+                + _png_chunk(b"IEND", b""))
+
+    rng = np.random.default_rng(11)
+    px = rng.integers(0, 256, size=(7, 11, 3), dtype=np.uint8)
+    for f in range(5):
+        assert np.array_equal(decode_png(encode_with_filter(px, f)), px), f
+
+
+def test_png_crc_check():
+    import numpy as np
+    import pytest
+
+    from lakehouse_sfc_spark.operators.multimodal import decode_png, encode_png
+
+    payload = bytearray(encode_png(np.zeros((4, 4, 3), dtype=np.uint8)))
+    payload[40] ^= 0xFF  # corrupt a byte inside IDAT
+    with pytest.raises(ValueError, match="CRC"):
+        decode_png(bytes(payload))
+
+
+def test_png_registry_query(spark):
+    from lakehouse_sfc_spark.queries.registry import QUERIES
+
+    sf = "/root/testdata/sf0.001"
+    rows = {
+        r["doc_id"]: r
+        for r in QUERIES["multimodal_png_real"].fn(spark, sf).collect()
+    }
+    assert len(rows) > 0
+    for d, r in rows.items():
+        w, h = 16 + d % 17, 8 + d % 13
+        assert (r["width"], r["height"], r["frames"]) == (w, h, 1)
+        expect = sum(
+            3 * ((3 * x + 7 * y + d) % 251) for x in range(w) for y in range(h)
+        )
+        assert r["pixel_sum"] == expect
