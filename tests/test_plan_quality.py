@@ -184,3 +184,14 @@ def test_knn_join_is_hash_join_on_cells(spark):
     plan = _plan(spark, "ann_knn_join")
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_embedding_topk_is_hash_join_on_cells(spark):
+    """dedup_embedding_topk's candidate generation must be a hash join on
+    cell equality (probe explode → shuffle bounded by cell occupancy), never
+    an all-pairs nested-loop/cartesian fallback, with the per-query top-k as
+    a window — the production ANN shape."""
+    plan = _plan(spark, "dedup_embedding_topk")
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "Window" in plan
