@@ -157,12 +157,24 @@ def scoped_upsert(
     )
     tmp_sidecar = read_sidecar(tmp)
 
-    # swap: drop rewritten files, move new ones in, merge sidecars
+    # Swap: drop rewritten files, move new ones in, merge sidecars.
+    # The swap is LOCAL-FS ONLY (os.remove/os.rename): on an object store
+    # there is no atomic rename, and the equivalent move is write-new +
+    # sidecar-commit + delete-old — i.e. the sidecar becomes the commit
+    # point (exactly how Delta/Iceberg turn a file swap into a metadata
+    # swap).  Guard explicitly rather than corrupting a remote table.
     from urllib.parse import urlparse
 
     def _local(uri: str) -> str:
         p = urlparse(uri)
-        return p.path if p.scheme in ("file", "") else uri
+        if p.scheme not in ("file", ""):
+            raise NotImplementedError(
+                f"scoped_upsert file swap requires a local filesystem; got "
+                f"scheme {p.scheme!r} ({uri}).  On object stores, commit via "
+                "the sidecar: write new files, publish the merged sidecar, "
+                "then delete the replaced files."
+            )
+        return p.path if p.scheme == "file" else uri
 
     for f in affected:
         os.remove(_local(f))
