@@ -465,3 +465,178 @@ def a_feature_bucketize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ev.groupBy("event_type", bucket.alias("bucket")).agg(
         F.count(F.lit(1)).alias("cnt")
     )
+
+
+# --- grouping sets (ROLLUP / CUBE) ------------------------------------------
+
+
+@register(
+    "a_rollup",
+    oracle=f"""
+    SELECT l_returnflag, l_linestatus,
+           GROUPING(l_returnflag, l_linestatus)::INTEGER AS gid,
+           COUNT(*) AS cnt,
+           {sql_dsum("l_quantity", "sum_qty")}
+    FROM lineitem
+    GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+)
+def a_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical subtotals via ROLLUP: (flag, status) → (flag) → grand
+    total in ONE pass — Spark expands the grouping sets inside a single
+    Expand + aggregate, so lineitem is scanned once and shuffled once, not
+    once per level (the hand-written UNION ALL alternative scans 3x).
+    ``grouping_id`` disambiguates genuine NULL keys from subtotal rows; both
+    engines use the same bitmask semantics."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.grouping_id().cast("int").alias("gid"),
+            F.count(F.lit(1)).alias("cnt"),
+            dsum("l_quantity", "sum_qty"),
+        )
+        .select("l_returnflag", "l_linestatus", "gid", "cnt", "sum_qty")
+    )
+
+
+@register(
+    "a_cube",
+    oracle=f"""
+    SELECT o_orderstatus, o_orderpriority,
+           GROUPING(o_orderstatus, o_orderpriority)::INTEGER AS gid,
+           COUNT(*) AS cnt,
+           {sql_dsum("o_totalprice", "sum_price")}
+    FROM orders
+    GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """,
+)
+def a_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All 2^k marginal aggregates via CUBE in one Expand + aggregate —
+    the OLAP cross-tab primitive.  Same single-scan/single-shuffle property
+    as ROLLUP; at 100 TB the Expand multiplies rows 4x BEFORE the partial
+    agg, which map-side combining immediately collapses — still strictly
+    cheaper than 4 separate scans."""
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.cube("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.grouping_id().cast("int").alias("gid"),
+            F.count(F.lit(1)).alias("cnt"),
+            dsum("o_totalprice", "sum_price"),
+        )
+        .select("o_orderstatus", "o_orderpriority", "gid", "cnt", "sum_price")
+    )
+
+
+# --- outer joins ------------------------------------------------------------
+
+
+@register(
+    "j_full_outer",
+    oracle="""
+    SELECT COALESCE(c.nk, s.nk) AS nationkey,
+           COALESCE(c.n_cust, 0) AS n_cust,
+           COALESCE(s.n_supp, 0) AS n_supp
+    FROM (SELECT c_nationkey AS nk, COUNT(*) AS n_cust
+          FROM customer GROUP BY 1) c
+    FULL OUTER JOIN (SELECT s_nationkey AS nk, COUNT(*) AS n_supp
+                     FROM supplier GROUP BY 1) s
+      ON c.nk = s.nk
+    """,
+)
+def j_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL OUTER join of two pre-aggregated sides (customers and suppliers
+    per nation) with COALESCE'd keys and zero-filled counts — the reconcile
+    shape.  Aggregating BEFORE the join shrinks both sides to |nations|
+    rows, so the outer join is over tiny inputs regardless of fact size;
+    full-outer cannot broadcast (both sides must be preserved), so Spark
+    plans a sort-merge join over the two 25-row aggregates — the correct
+    choice at every scale."""
+    c = load_table(spark, sf_dir, "customer")
+    s = load_table(spark, sf_dir, "supplier")
+    ca = c.groupBy(F.col("c_nationkey").alias("nk")).agg(
+        F.count(F.lit(1)).alias("n_cust")
+    )
+    sa = s.groupBy(F.col("s_nationkey").alias("nk")).agg(
+        F.count(F.lit(1)).alias("n_supp")
+    )
+    return ca.join(sa, "nk", "full_outer").select(
+        F.col("nk").alias("nationkey"),
+        F.coalesce("n_cust", F.lit(0)).alias("n_cust"),
+        F.coalesce("n_supp", F.lit(0)).alias("n_supp"),
+    )
+
+
+# --- pivot (cross-tab) ------------------------------------------------------
+
+_PIVOT_TYPES = ("click", "error", "purchase", "signup", "view")
+
+
+@register(
+    "a_pivot",
+    oracle=f"""
+    SELECT user_id,
+           {", ".join(
+               f"COUNT(*) FILTER (WHERE event_type = '{t}') AS n_{t}"
+               for t in _PIVOT_TYPES
+           )}
+    FROM events
+    GROUP BY user_id
+    """,
+)
+def a_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-tab via PIVOT: per-user counts spread across one column per
+    event type.  The pivot values are EXPLICIT (the reference pattern for a
+    known domain) — with them, Spark plans a single groupBy with N
+    conditional aggregates, no extra pass to discover values and no second
+    shuffle; the oracle is the equivalent FILTERed aggregate.  At 100 TB an
+    unlisted pivot would first run a distinct over the pivot column —
+    always enumerate the domain when you know it."""
+    ev = load_table(spark, sf_dir, "events")
+    pivoted = (
+        ev.groupBy("user_id")
+        .pivot("event_type", list(_PIVOT_TYPES))
+        .agg(F.count(F.lit(1)))
+    )
+    return pivoted.select(
+        "user_id",
+        *[
+            F.coalesce(F.col(t), F.lit(0)).alias(f"n_{t}")
+            for t in _PIVOT_TYPES
+        ],
+    )
+
+
+@register(
+    "a_unpivot",
+    oracle=f"""
+    SELECT l_returnflag, measure,
+           {sql_dsum("v", "total", 4)}
+    FROM (
+      SELECT l_returnflag, 'quantity' AS measure, l_quantity AS v
+      FROM lineitem
+      UNION ALL
+      SELECT l_returnflag, 'extendedprice', l_extendedprice FROM lineitem
+      UNION ALL
+      SELECT l_returnflag, 'discount', l_discount FROM lineitem
+      UNION ALL
+      SELECT l_returnflag, 'tax', l_tax FROM lineitem
+    )
+    GROUP BY 1, 2
+    """,
+)
+def a_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide→long UNPIVOT (melt) of four lineitem measures, then a grouped
+    sum per (flag, measure) — the normalize-for-ML shape.  Spark's
+    ``unpivot`` plans a single Expand over one scan (rows×4 BEFORE the
+    map-side combine, which immediately collapses them) — strictly cheaper
+    than the oracle's four scans at any scale."""
+    li = load_table(spark, sf_dir, "lineitem")
+    long = li.unpivot(
+        ["l_returnflag"],
+        ["l_quantity", "l_extendedprice", "l_discount", "l_tax"],
+        "measure",
+        "v",
+    ).withColumn("measure", F.expr("substring(measure, 3)"))
+    return long.groupBy("l_returnflag", "measure").agg(dsum("v", "total", 4))

@@ -184,3 +184,31 @@ def sessionize_stateful_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from lakehouse_sfc_spark.streaming import sessionize_stateful_complete
 
     return sessionize_stateful_complete(spark, sf_dir)
+
+
+@register(
+    "stream_sliding_agg",
+    oracle="""
+    WITH e AS (
+      SELECT time_bucket(INTERVAL 30 MINUTES, ts) AS ws, event_type, value
+      FROM events
+      UNION ALL
+      SELECT time_bucket(INTERVAL 30 MINUTES, ts) - INTERVAL 30 MINUTES,
+             event_type, value
+      FROM events
+    )
+    SELECT ws, event_type, COUNT(*) AS cnt,
+           CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+    FROM e GROUP BY 1, 2
+    """,
+)
+def stream_sliding_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding 1-hour windows every 30 minutes as a real Structured
+    Streaming job: each event is assigned to its window/slide = 2
+    overlapping windows inside the state-store aggregation (watermark-
+    bounded state).  The oracle replicates the assignment as a UNION ALL of
+    the two shifted 30-minute buckets — every window start is the bucket of
+    ts or the bucket minus one slide."""
+    from lakehouse_sfc_spark.streaming import run_sliding_agg
+
+    return run_sliding_agg(spark, sf_dir)

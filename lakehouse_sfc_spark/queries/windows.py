@@ -127,3 +127,37 @@ def w_running_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("running_value"),
     )
+
+
+@register(
+    "w_sliding_avg",
+    oracle="""
+    SELECT user_id, event_id,
+           CAST(SUM(CAST(value AS DECIMAL(18,4))) OVER w AS DOUBLE)
+             / COUNT(value) OVER w AS sliding_avg
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)
+    """,
+)
+def w_sliding_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded sliding frame (moving average over the last 4 events per
+    user): the trailing-indicator shape.  Exact-decimal sum over the frame
+    divided by the frame count — one double division at the end, identical
+    in both engines (plain AVG over doubles is summation-order-dependent).
+    One shuffle on user_id; the frame is evaluated inside the sort-based
+    window operator with an O(1) rolling update, not O(frame) per row."""
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-3, Window.currentRow)
+    )
+    return ev.select(
+        "user_id",
+        "event_id",
+        (
+            F.sum(F.col("value").cast("decimal(18,4)")).over(w).cast("double")
+            / F.count("value").over(w)
+        ).alias("sliding_avg"),
+    )

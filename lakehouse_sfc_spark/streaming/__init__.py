@@ -6,6 +6,7 @@ from lakehouse_sfc_spark.streaming.pipeline import (
     read_events_stream,
     run_stream_dedup,
     run_stream_static_join,
+    run_sliding_agg,
     run_tumbling_agg,
     sessionize_stateful,
     sessionize_stateful_complete,
@@ -15,6 +16,7 @@ __all__ = [
     "read_events_stream",
     "run_stream_dedup",
     "run_stream_static_join",
+    "run_sliding_agg",
     "run_tumbling_agg",
     "sessionize_stateful",
     "sessionize_stateful_complete",

@@ -152,6 +152,44 @@ def run_tumbling_agg(
     )
 
 
+def run_sliding_agg(
+    spark: SparkSession,
+    sf_dir: str,
+    window: str = "1 hour",
+    slide: str = "30 minutes",
+    watermark: str = "2 hours",
+    timeout_s: int = 300,
+) -> DataFrame:
+    """Sliding-window aggregation (window/slide) over the full backlog with
+    Trigger.AvailableNow.  Each event lands in window/slide overlapping
+    windows; Spark's streaming window operator assigns them inside the
+    state-store aggregation, so state size is windows x groups, bounded by
+    the watermark.  Output matches ``run_tumbling_agg``."""
+    name = f"sliding_{uuid.uuid4().hex[:8]}"
+    agg = (
+        read_events_stream(spark, sf_dir)
+        .withWatermark("ts", watermark)
+        .groupBy(
+            F.window("ts", window, slide).alias("w"), F.col("event_type")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.sum(F.col("value").cast("decimal(18,4)"))
+            .cast("double")
+            .alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").cast("timestamp_ntz").alias("ws"),
+            "event_type",
+            "cnt",
+            "sum_value",
+        )
+    )
+    return _replay_to_memory(
+        spark, agg, name, "lakehouse-sfc-sliding-", "complete", timeout_s
+    )
+
+
 def run_stream_dedup(
     spark: SparkSession,
     sf_dir: str,
