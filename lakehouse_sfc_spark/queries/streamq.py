@@ -212,3 +212,26 @@ def stream_sliding_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     from lakehouse_sfc_spark.streaming import run_sliding_agg
 
     return run_sliding_agg(spark, sf_dir)
+
+
+@register(
+    "stream_upsert_ingest",
+    oracle="""
+    SELECT event_type,
+           COUNT(*) AS cnt,
+           CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+    FROM events
+    GROUP BY 1
+    """,
+)
+def stream_upsert_ingest_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lakehouse streaming WRITE path: the events backlog, delivered
+    at-least-once (two copies across 4 source files), ingested micro-batch
+    by micro-batch via foreachBatch MERGE into the native sidecar table
+    (bootstrap layout_write, then file-scoped latest-wins upserts keyed on
+    event_id).  The final table must equal the original events exactly —
+    idempotent keyed MERGE gives exactly-once table state from an
+    at-least-once stream (streaming/pipeline.py::stream_upsert_ingest)."""
+    from lakehouse_sfc_spark.streaming import stream_upsert_ingest
+
+    return stream_upsert_ingest(spark, sf_dir)

@@ -10,6 +10,7 @@ from lakehouse_sfc_spark.streaming.pipeline import (
     run_tumbling_agg,
     sessionize_stateful,
     sessionize_stateful_complete,
+    stream_upsert_ingest,
 )
 
 __all__ = [
@@ -20,4 +21,5 @@ __all__ = [
     "run_tumbling_agg",
     "sessionize_stateful",
     "sessionize_stateful_complete",
+    "stream_upsert_ingest",
 ]

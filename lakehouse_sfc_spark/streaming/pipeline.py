@@ -260,6 +260,91 @@ def run_stream_static_join(
     )
 
 
+def stream_upsert_ingest(
+    spark: SparkSession,
+    sf_dir: str,
+    timeout_s: int = 300,
+    n_files: int = 4,
+) -> DataFrame:
+    """CDC-style streaming ingestion into the NATIVE sidecar table format:
+    the events backlog — delivered at-least-once (two copies) and split into
+    ``n_files`` source files — streams through ``foreachBatch``, and each
+    micro-batch is MERGEd into the table with latest-wins upsert semantics
+    keyed on event_id (first batch bootstraps the table via ``layout_write``
+    with record-key stats; later batches go through ``scoped_upsert``, which
+    only rewrites files whose key ranges overlap the batch).
+
+    This is the streaming write path of a lakehouse engine: exactly-once
+    table state from an at-least-once stream, achieved by idempotent keyed
+    MERGE rather than sink-side transaction logs.  At 100 TB the per-batch
+    cost is O(overlapping files + batch) — the sidecar prune keeps steady-
+    state ingestion from rewriting the table.
+
+    Returns the final table's aggregate (must equal the batch aggregate
+    over the ORIGINAL events — the duplicates collapse)."""
+    import shutil
+
+    from lakehouse_sfc_spark.layout.upsert import dedup_latest, scoped_upsert
+    from lakehouse_sfc_spark.layout.writer import layout_write
+    from lakehouse_sfc_spark.sources.loader import load_table
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    work = tempfile.mkdtemp(prefix="lakehouse-sfc-ingest-")
+    src_dir = os.path.join(work, "src")
+    tbl = os.path.join(work, "table")
+    try:
+        ev = load_table(spark, sf_dir, "events")
+        # at-least-once delivery: every event arrives twice, spread across
+        # n_files so the replay runs several micro-batches with overlapping
+        # key ranges (each one a real incremental MERGE)
+        ev.unionByName(ev).repartition(n_files).write.parquet(src_dir)
+
+        stream = (
+            spark.readStream.schema(_EVENTS_SCHEMA)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src_dir)
+        )
+
+        def _merge(batch_df, batch_id: int) -> None:
+            batch = dedup_latest(batch_df, ["event_id"], "ts")
+            if not os.path.isdir(tbl):
+                layout_write(batch, tbl, stats_cols=["event_id"])
+            else:
+                scoped_upsert(
+                    tbl, batch, ["event_id"], "ts",
+                    stats_cols=["event_id"],
+                )
+
+        checkpoint = tempfile.mkdtemp(prefix="lakehouse-sfc-ingest-ckpt-")
+        with _capped_state_partitions(spark):
+            q = (
+                stream.writeStream.foreachBatch(_merge)
+                .option("checkpointLocation", checkpoint)
+                .trigger(availableNow=True)
+                .start()
+            )
+            try:
+                q.awaitTermination(timeout_s)
+            finally:
+                if q.isActive:
+                    q.stop()
+
+        final = spark.read.parquet(tbl)
+        return (
+            final.groupBy("event_type")
+            .agg(
+                F.count(F.lit(1)).alias("cnt"),
+                F.sum(F.col("value").cast("decimal(18,4)"))
+                .cast("double")
+                .alias("sum_value"),
+            )
+            # materialize before the temp table dir disappears
+            .localCheckpoint()
+        )
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
 # --- custom stateful operator: session windows ------------------------------
 
 _SESSION_OUT_SCHEMA = (
