@@ -37,10 +37,19 @@ def _jsonable(v):
 
 
 def collect_file_stats(
-    spark: SparkSession, path: str, stats_cols: list[str]
+    spark: SparkSession,
+    path: str,
+    stats_cols: list[str],
+    bloom_cols: list[str] | None = None,
+    bloom_fpp: float = 0.01,
 ) -> str:
     """Aggregate per-file stats for ``stats_cols`` over the parquet files at
-    ``path`` and write the sidecar next to them.  Returns the sidecar path."""
+    ``path`` and write the sidecar next to them.  Returns the sidecar path.
+
+    ``bloom_cols`` additionally builds per-file Bloom filters (point-key
+    file skipping for equality/IN probes on hash-distributed keys, where
+    min/max cannot prune — see layout/bloom.py); they land in the sidecar
+    under the ``"blooms"`` key, invisible to older readers."""
     df = spark.read.parquet(path)
     aggs = [F.count(F.lit(1)).alias("__count")]
     for c in stats_cols:
@@ -69,6 +78,14 @@ def collect_file_stats(
             },
         }
     sidecar = {"columns": stats_cols, "files": files}
+    if bloom_cols:
+        from lakehouse_sfc_spark.layout.bloom import collect_bloom_filters
+
+        sidecar["bloom_columns"] = list(bloom_cols)
+        blooms = collect_bloom_filters(spark, path, bloom_cols, bloom_fpp)
+        for file_uri, per_col in blooms.items():
+            if file_uri in files:
+                files[file_uri]["blooms"] = per_col
     out_path = os.path.join(path, SIDECAR_NAME)
     with open(out_path, "w") as f:
         json.dump(sidecar, f, default=str)

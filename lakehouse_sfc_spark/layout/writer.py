@@ -28,7 +28,7 @@ from pyspark.sql import functions as F
 from lakehouse_sfc_spark.layout.stats import collect_file_stats
 from lakehouse_sfc_spark.sfc.keys import add_sfc_key
 
-LAYOUTS = ("baseline", "linear", "zorder", "hilbert")
+LAYOUTS = ("baseline", "hashed", "linear", "zorder", "hilbert")
 
 _LAYOUT_ALIASES = {
     # Hudi spelling normalization (tpch_all_loader.py:117-122)
@@ -72,6 +72,7 @@ def layout_write(
     target_file_mb: int = 128,
     num_files: int | None = None,
     stats_cols: list[str] | None = None,
+    bloom_cols: list[str] | None = None,
     bits: int | None = None,
     cell_mode: str = "minmax",
     mode: str = "overwrite",
@@ -81,7 +82,7 @@ def layout_write(
     layout = _LAYOUT_ALIASES.get(layout, layout)
     if layout not in LAYOUTS:
         raise ValueError(f"layout must be one of {LAYOUTS}, got {layout!r}")
-    if layout != "baseline" and not layout_cols:
+    if layout not in ("baseline",) and not layout_cols:
         raise ValueError(f"layout {layout!r} requires layout_cols")
     if partition_by and layout in ("zorder", "hilbert"):
         # Z-order cols must exclude partition cols (delta_write_layout.py:267-272)
@@ -93,6 +94,12 @@ def layout_write(
 
     if layout == "baseline":
         out = df.repartition(n)
+    elif layout == "hashed":
+        # hash-cluster on the key columns: each key lands in exactly ONE
+        # file, which is what makes per-file Bloom filters prune point
+        # probes to a single file (min/max is useless here — every file's
+        # range spans the domain)
+        out = df.repartition(n, *layout_cols)
     elif layout == "linear":
         # lexicographic clustering: range partition + in-partition sort on the
         # raw columns (delta_write_layout.py:165-181)
@@ -115,9 +122,13 @@ def layout_write(
     writer.parquet(path)
 
     stats_cols = stats_cols or layout_cols or []
+    if bloom_cols:
+        stats_cols = list(dict.fromkeys(list(stats_cols) + list(bloom_cols)))
     sidecar = None
     if stats_cols:
-        sidecar = collect_file_stats(df.sparkSession, path, stats_cols)
+        sidecar = collect_file_stats(
+            df.sparkSession, path, stats_cols, bloom_cols=bloom_cols
+        )
     return {
         "layout": layout,
         "path": path,

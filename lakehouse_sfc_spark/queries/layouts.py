@@ -257,3 +257,50 @@ def j_bucketed_colocated(spark: SparkSession, sf_dir: str) -> DataFrame:
             dsum("l_extendedprice", "sum_price"),
         )
     )
+
+
+# --- Bloom-indexed point lookup ---------------------------------------------
+
+_BLOOM_KEYS = [1, 33, 997, 1537, 4999]
+
+
+@register(
+    "layout_bloom_scan",
+    oracle=f"""
+    SELECT COUNT(*) AS cnt, {sql_dsum("l_quantity", "sum_qty")}
+    FROM lineitem
+    WHERE l_orderkey IN ({", ".join(str(k) for k in _BLOOM_KEYS)})
+    """,
+)
+def layout_bloom_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-key lookup over a HASH-clustered table with per-file Bloom
+    filters (layout/bloom.py) — the file-skipping shape min/max stats cannot
+    provide: hash distribution makes every file's [min, max] span the whole
+    key domain, but each key lives in exactly one file, so the Bloom probe
+    prunes an IN-list of K keys to ≤K files (+fpp stragglers).  This is the
+    native analog of Delta/Iceberg Bloom indexes; at 100 TB it turns a
+    point lookup from a table scan into a handful of file reads.  Result
+    must equal the oracle's plain IN-filter over the raw table
+    (correctness-by-invariance, like the SFC layout scans)."""
+    path = os.path.join(
+        _fingerprinted_dir(_scratch_root(), sf_dir, ("lineitem",)), "bloom"
+    )
+    from lakehouse_sfc_spark.layout.stats import read_sidecar
+
+    sidecar = read_sidecar(path)
+    if sidecar is None or "bloom_columns" not in sidecar:
+        li = load_table(spark, sf_dir, "lineitem")
+        tbl = SfcTable.write(
+            li,
+            path,
+            layout="hashed",
+            layout_cols=["l_orderkey"],
+            stats_cols=["l_orderkey"],
+            bloom_cols=["l_orderkey"],
+            num_files=16,
+        )
+    else:
+        tbl = SfcTable(spark, path)
+    return tbl.scan([Pred("l_orderkey", "in", _BLOOM_KEYS)]).agg(
+        F.count(F.lit(1)).alias("cnt"), dsum("l_quantity", "sum_qty")
+    )

@@ -101,12 +101,22 @@ def prune_files(sidecar: dict, predicates: list[Pred]) -> tuple[list[str], dict]
         total_bytes += sz
         keep = True
         for p in predicates:
-            if p.col not in stat_cols:
-                continue
-            cs = info["cols"][p.col]
-            if not _may_match(p, cs["min"], cs["max"]):
-                keep = False
-                break
+            if p.col in stat_cols:
+                cs = info["cols"][p.col]
+                if not _may_match(p, cs["min"], cs["max"]):
+                    keep = False
+                    break
+            # Bloom probe for equality/IN: prunes hash-distributed keys
+            # where every file's [min, max] spans the domain.  A bloom "no"
+            # is definite; a "maybe" falls through to the scan.
+            bloom = (info.get("blooms") or {}).get(p.col)
+            if bloom is not None and p.op in ("==", "in"):
+                from lakehouse_sfc_spark.layout.bloom import bloom_may_contain
+
+                vals = [p.value] if p.op == "==" else list(p.value)
+                if not any(bloom_may_contain(bloom, v) for v in vals):
+                    keep = False
+                    break
         if keep:
             survivors.append(file_uri)
             scanned_bytes += sz

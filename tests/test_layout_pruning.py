@@ -197,3 +197,67 @@ def test_build_update_batches_ranged_equivalence(spark, tmp_path_factory):
     assigned = _ranged_batch_assignment(o, n, seed=42, n_buckets=8)
     plan = assigned._jdf.queryExecution().executedPlan().toString()
     assert "SinglePartition" not in plan
+
+
+# --- Bloom-filter file skipping ---------------------------------------------
+
+
+def test_bloom_filter_basics():
+    from lakehouse_sfc_spark.layout.bloom import (
+        bloom_build,
+        bloom_may_contain,
+        bloom_params,
+    )
+
+    vals = list(range(0, 2000, 2))  # even keys
+    b = bloom_build(vals, fpp=0.01)
+    # no false negatives, ever
+    assert all(bloom_may_contain(b, v) for v in vals)
+    # false-positive rate on absent (odd) keys stays near target
+    fp = sum(bloom_may_contain(b, v) for v in range(1, 2000, 2))
+    assert fp / 1000 < 0.05, fp
+    # sizing: m grows with n, k >= 1
+    m1, k1 = bloom_params(100, 0.01)
+    m2, k2 = bloom_params(10_000, 0.01)
+    assert m2 > m1 and k1 >= 1 and k2 >= 1
+    # build/probe agree across int/float canonical forms
+    b2 = bloom_build([5, 7.5, "x"])
+    assert bloom_may_contain(b2, 5.0) and bloom_may_contain(b2, 7.5)
+    assert bloom_may_contain(b2, "x")
+
+
+def test_bloom_scan_prunes_hashed_files(spark, tmp_path):
+    """Hash-clustered table: min/max spans the domain in every file (no
+    range pruning possible), but the per-file Bloom prunes an IN-probe of K
+    keys to a handful of files."""
+    from lakehouse_sfc_spark.layout.stats import read_sidecar
+    from lakehouse_sfc_spark.sources.loader import load_table
+    from lakehouse_sfc_spark.table import Pred, SfcTable
+
+    li = load_table(spark, "/root/testdata/sf0.001", "lineitem")
+    path = str(tmp_path / "hashed_bloom")
+    tbl = SfcTable.write(
+        li,
+        path,
+        layout="hashed",
+        layout_cols=["l_orderkey"],
+        stats_cols=["l_orderkey"],
+        bloom_cols=["l_orderkey"],
+        num_files=16,
+    )
+    sidecar = read_sidecar(path)
+    assert sidecar["bloom_columns"] == ["l_orderkey"]
+    assert all("blooms" in f for f in sidecar["files"].values())
+
+    keys = [r[0] for r in li.select("l_orderkey").distinct().limit(3).collect()]
+    got = tbl.scan([Pred("l_orderkey", "in", keys)])
+    expect = li.filter(F.col("l_orderkey").isin(keys))
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, expect.collect()))
+    m = tbl.last_scan_metrics
+    # each key lives in exactly one file; 3 keys + fpp stragglers << 16
+    assert m["files_scanned"] <= 6, m
+    assert m["files_total"] == 16, m
+
+    # a key that exists in no file prunes to zero files
+    tbl.scan([Pred("l_orderkey", "==", 10**12)])
+    assert tbl.last_scan_metrics["files_scanned"] == 0
