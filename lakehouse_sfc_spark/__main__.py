@@ -171,6 +171,7 @@ def cmd_write_layout(args) -> int:
         target_file_mb=args.target_file_mb,
         num_files=args.num_files,
         stats_cols=_csv_list(args.stats_cols),
+        bloom_cols=_csv_list(args.bloom_cols),
     )
     print(json.dumps(summary))
     return 0
@@ -475,13 +476,20 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument(
         "--layout",
         default="baseline",
-        choices=["baseline", "no_layout", "linear", "zorder", "z-order", "hilbert"],
+        choices=[
+            "baseline", "no_layout", "hashed", "linear", "zorder",
+            "z-order", "hilbert",
+        ],
     )
     sp.add_argument("--layout-cols", default=None)
     sp.add_argument("--partition-by", default=None)
     sp.add_argument("--target-file-mb", type=int, default=128)
     sp.add_argument("--num-files", type=int, default=None)
     sp.add_argument("--stats-cols", default=None)
+    sp.add_argument(
+        "--bloom-cols", default=None,
+        help="per-file Bloom filters for point-key file skipping",
+    )
     sp.add_argument("--where", default=None, help="pre-write filter")
     sp.set_defaults(fn=cmd_write_layout)
 
