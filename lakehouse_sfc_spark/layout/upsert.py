@@ -151,9 +151,15 @@ def scoped_upsert(
     stats_cols = write_kwargs.pop(
         "stats_cols", list(sidecar["columns"])
     )
+    # preserve the table's Bloom indexes: rewritten files must carry the
+    # same per-file filters as the ones they replace, or point-probe
+    # pruning silently degrades after every upsert
+    bloom_cols = write_kwargs.pop(
+        "bloom_cols", sidecar.get("bloom_columns")
+    )
     layout_write(
         merged, tmp, layout=layout, layout_cols=layout_cols,
-        stats_cols=stats_cols, **write_kwargs,
+        stats_cols=stats_cols, bloom_cols=bloom_cols, **write_kwargs,
     )
     tmp_sidecar = read_sidecar(tmp)
 
@@ -194,6 +200,8 @@ def scoped_upsert(
             **new_files,
         },
     }
+    if bloom_cols:
+        merged_sidecar["bloom_columns"] = list(bloom_cols)
     with open(os.path.join(base_path, SIDECAR_NAME), "w") as fh:
         json.dump(merged_sidecar, fh, default=str)
     return {

@@ -261,3 +261,41 @@ def test_bloom_scan_prunes_hashed_files(spark, tmp_path):
     # a key that exists in no file prunes to zero files
     tbl.scan([Pred("l_orderkey", "==", 10**12)])
     assert tbl.last_scan_metrics["files_scanned"] == 0
+
+
+def test_scoped_upsert_preserves_blooms(spark, tmp_path):
+    """Rewritten files must carry the table's Bloom indexes — otherwise
+    point-probe pruning silently degrades after every upsert."""
+    from lakehouse_sfc_spark.layout.stats import read_sidecar
+    from lakehouse_sfc_spark.layout.upsert import scoped_upsert
+    from lakehouse_sfc_spark.sources.loader import load_table
+    from lakehouse_sfc_spark.table import Pred, SfcTable
+
+    li = load_table(spark, "/root/testdata/sf0.001", "lineitem")
+    path = str(tmp_path / "bloom_upsert")
+    SfcTable.write(
+        li, path,
+        layout="hashed", layout_cols=["l_orderkey"],
+        stats_cols=["l_orderkey"], bloom_cols=["l_orderkey"],
+        num_files=8,
+    )
+    key = li.select("l_orderkey").distinct().limit(1).collect()[0][0]
+    batch = li.filter(F.col("l_orderkey") == key).withColumn(
+        "l_quantity", F.col("l_quantity") + 1000
+    )
+    res = scoped_upsert(
+        path, batch, ["l_orderkey"], "l_extendedprice",
+        layout="hashed", layout_cols=["l_orderkey"],
+    )
+    assert res["scoped"] is True
+    assert res["files_rewritten"] >= 1
+
+    sidecar = read_sidecar(path)
+    assert sidecar["bloom_columns"] == ["l_orderkey"]
+    assert all("blooms" in f for f in sidecar["files"].values()), (
+        "rewritten files lost their Bloom filters"
+    )
+    tbl = SfcTable(spark, path)
+    rows = tbl.scan([Pred("l_orderkey", "==", key)]).collect()
+    assert rows and all(r["l_quantity"] > 1000 for r in rows)
+    assert tbl.last_scan_metrics["files_scanned"] < len(sidecar["files"])
