@@ -94,9 +94,25 @@ _SQL_JACCARD = (
 
 def _docs_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
+    # The n-gram construction (transform over every token position +
+    # array_distinct) is by far the heaviest per-row expression in the
+    # dedup family, and a small-file scan (one row group) would evaluate
+    # ALL of it on one core.  Two structural rules keep it parallel:
+    # 1. The non-empty guard is expressed as the CHEAP equivalent
+    #    precondition size(tokens) >= 3 (n-grams of >= 3 tokens are never
+    #    empty) and applied BEFORE the exchange — a filter written as
+    #    size(ng) > 0 would be predicate-pushed below the repartition and
+    #    re-inline the entire n-gram expression on the narrow side.
+    # 2. When the scan is narrower than the shuffle width, the (pruned,
+    #    still-raw) text is exchanged so the heavy projection runs at full
+    #    width.  At 100 TB the scan is already wide and this is a no-op.
+    d = d.filter(F.size(_tokens(F.col("text"))) >= 3)
+    shuffle_n = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    if d.rdd.getNumPartitions() < shuffle_n:
+        d = d.repartition(shuffle_n)
     return d.select(
         "doc_id", "source", _ngrams3(_tokens(F.col("text"))).alias("ng")
-    ).filter(F.size("ng") > 0)
+    )
 
 
 def _pair_jaccard() -> Column:
@@ -363,11 +379,18 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     Exchange discipline: the n-gram relation feeds FOUR consumers (document
     frequencies, the ranked index, and both verification sides), and the
     token relation two — without barriers each consumer would recompute the
-    regex/3-gram pipeline from the scan.  The two ``repartition`` calls
-    materialize each exactly once (identical exchange subtrees are deduped
-    by ReuseExchange), and partitioning the exploded tokens by ``g`` means
-    the frequency groupBy and the df-join consume it without re-shuffling."""
-    ngr = _docs_ngrams(spark, sf_dir).repartition("doc_id")
+    regex/3-gram pipeline from the scan.  ``localCheckpoint`` materializes
+    the n-gram relation exactly once (ReuseExchange only dedupes identical
+    sibling subtrees within one stage graph, not across all four consumer
+    paths), and partitioning the exploded tokens by ``g`` means the
+    frequency groupBy and the df-join consume it without re-shuffling.
+    Materializing a 4×-consumed relation is the right call at 100 TB too —
+    Spark has no automatic CTE materialization for DataFrames."""
+    ngr = (
+        _docs_ngrams(spark, sf_dir)
+        .repartition("doc_id")
+        .localCheckpoint(eager=False)
+    )
 
     exploded = ngr.select("doc_id", F.explode("ng").alias("g")).repartition("g")
     df = exploded.groupBy("g").agg(F.count(F.lit(1)).alias("df"))
