@@ -107,9 +107,11 @@ def _docs_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     #    still-raw) text is exchanged so the heavy projection runs at full
     #    width.  At 100 TB the scan is already wide and this is a no-op.
     d = d.filter(F.size(_tokens(F.col("text"))) >= 3)
-    shuffle_n = int(spark.conf.get("spark.sql.shuffle.partitions"))
-    if d.rdd.getNumPartitions() < shuffle_n:
-        d = d.repartition(shuffle_n)
+    from lakehouse_sfc_spark.sources.loader import compute_width
+
+    width = compute_width(spark)
+    if d.rdd.getNumPartitions() < width:
+        d = d.repartition(width)
     return d.select(
         "doc_id", "source", _ngrams3(_tokens(F.col("text"))).alias("ng")
     )

@@ -486,9 +486,11 @@ def tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load_table(spark, sf_dir, "orders")
     li = load_table(spark, sf_dir, "lineitem")
     li2 = li.select("l_orderkey", "l_quantity")
-    shuffle_n = int(spark.conf.get("spark.sql.shuffle.partitions"))
-    if li2.rdd.getNumPartitions() < shuffle_n:
-        li2 = li2.repartition(shuffle_n, "l_orderkey")
+    from lakehouse_sfc_spark.sources.loader import compute_width
+
+    width = compute_width(spark)
+    if li2.rdd.getNumPartitions() < width:
+        li2 = li2.repartition(width, "l_orderkey")
     big = (
         li2.groupBy("l_orderkey")
         .agg(F.sum(F.col("l_quantity").cast("decimal(18,2)")).alias("q"))

@@ -315,3 +315,15 @@ def register_tables(
         df.createOrReplaceTempView(name)
         out[name] = df
     return out
+
+
+def compute_width(spark) -> int:
+    """Parallelism target for spreading a COMPUTE-heavy projection over a
+    narrow scan: the cluster's core count (x2 for stragglers), capped by
+    the configured shuffle width.  An untuned session's 200 shuffle
+    partitions would just add per-partition overhead for a compute spread —
+    unlike a JOIN/AGG exchange, there is no data-size reason to go wider
+    than the cores."""
+    cores = spark.sparkContext.defaultParallelism
+    shuffle_n = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    return max(1, min(shuffle_n, cores * 2))
