@@ -997,54 +997,22 @@ def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     with the smallest doc_id in its component — what a dedup pipeline keeps
     as the canonical representative.
 
-    Spark-side: iterative min-label propagation — each round every node
-    takes min(own label, neighbors' labels); fixpoint in O(component
-    diameter) rounds (near-dup clusters are shallow; capped at 20 with a
-    cheap monotone checksum for convergence — sum(labels) strictly
-    decreases until fixpoint).  Each round is one join + one groupBy on the
-    edge list: at 100 TB this is the standard distributed CC loop
-    (GraphX/GraphFrames do the same dance); `localCheckpoint` truncates the
-    growing lineage each round.  The oracle is a DuckDB recursive CTE
-    computing min reachable label over the same exact pair graph."""
+    Spark-side: min-label propagation WITH POINTER DOUBLING — each round
+    (a) every node takes min(own label, neighbors' labels) — one edge join
+    + groupBy — then (b) compresses label chains by one self-join
+    (label <- label(label)).  Path halving makes the round count
+    O(log diameter) instead of O(diameter): round r covers distance 2^r,
+    so the 24-round cap handles components of diameter ~16M — effectively
+    any real graph — and the loop still exits early on the monotone
+    checksum (sum(labels) strictly decreases until fixpoint).
+    `localCheckpoint` truncates the growing lineage each round; at 100 TB
+    this is the GraphX/GraphFrames dance with the standard log-round
+    compression.  The oracle is a DuckDB recursive CTE computing min
+    reachable label over the same exact pair graph."""
+    from lakehouse_sfc_spark.operators.components import connected_components
+
     pairs = dedup_minhash_lsh(spark, sf_dir).select("a_id", "b_id")
-    edges = pairs.union(
-        pairs.select(F.col("b_id").alias("a_id"), F.col("a_id").alias("b_id"))
-    ).toDF("u", "v")
-    labels = (
-        edges.select(F.col("u").alias("node"))
-        .distinct()
-        .withColumn("label", F.col("node"))
-        .localCheckpoint()
-    )
-    edges = edges.localCheckpoint()
-    prev_sum = labels.agg(F.sum("label")).collect()[0][0]
-    max_rounds = 20
-    converged = False
-    for _ in range(max_rounds):
-        neigh = edges.join(
-            labels, edges["u"] == labels["node"], "inner"
-        ).select(F.col("v").alias("node"), "label")
-        labels = (
-            labels.union(neigh)
-            .groupBy("node")
-            .agg(F.min("label").alias("label"))
-            .localCheckpoint()
-        )
-        cur_sum = labels.agg(F.sum("label")).collect()[0][0]
-        if cur_sum == prev_sum:
-            converged = True
-            break
-        prev_sum = cur_sum
-    if not converged:
-        # A component with diameter > max_rounds would return WRONG (partially
-        # propagated) labels — fail loudly rather than silently.  Near-dup
-        # clusters are shallow, so hitting this means pathological input; at
-        # that point switch to pointer-doubling (O(log n) rounds).
-        raise RuntimeError(
-            f"dedup_components: label propagation did not converge within "
-            f"{max_rounds} rounds (component diameter too large); "
-            "use pointer-doubling for this graph"
-        )
+    labels = connected_components(pairs.toDF("u", "v"))
     return labels.select(
         F.col("node").alias("doc_id"), F.col("label").alias("component")
     )
