@@ -273,16 +273,20 @@ def decode_png(payload: bytes) -> "np.ndarray":
 
 
 def decode_image(payload: bytes) -> "np.ndarray":
-    """Image decode (bytes → uint8 array).  BMP and PNG (8-bit, zlib
-    DEFLATE via the stdlib) are decoded natively; JPEG would need a codec
-    library not in this container."""
+    """Image decode (bytes → uint8 array).  BMP, PNG (stdlib zlib DEFLATE)
+    and baseline JPEG (pure-numpy DCT + canonical Huffman,
+    operators/jpeg.py) all decode natively."""
     if payload[:2] == b"BM":
         return decode_bmp(payload)
     if payload[: len(_PNG_MAGIC)] == _PNG_MAGIC:
         return decode_png(payload)
+    if payload[:2] == b"\xff\xd8":
+        from lakehouse_sfc_spark.operators.jpeg import decode_jpeg
+
+        return decode_jpeg(payload)
     raise NotImplementedError(
-        "BMP and PNG decode natively; other compressed image codecs "
-        "(JPEG/...) are not available in this environment"
+        "BMP, PNG and baseline JPEG decode natively; other image formats "
+        "are not supported in this environment"
     )
 
 
@@ -328,6 +332,13 @@ def decode_real_batches(
                 out["frames"].append(1)
             elif b[: len(_PNG_MAGIC)] == _PNG_MAGIC:
                 px = decode_png(b)
+                out["height"].append(px.shape[0])
+                out["width"].append(px.shape[1])
+                out["frames"].append(1)
+            elif b[:2] == b"\xff\xd8":
+                from lakehouse_sfc_spark.operators.jpeg import decode_jpeg
+
+                px = decode_jpeg(b)
                 out["height"].append(px.shape[0])
                 out["width"].append(px.shape[1])
                 out["frames"].append(1)
@@ -502,6 +513,28 @@ def synth_png_batches(
     for pdf in batches:
         payloads = [
             encode_png(_synth_pixels(int(d), int(w), int(h)))
+            for d, w, h in zip(pdf["doc_id"], pdf["width"], pdf["height"])
+        ]
+        yield pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"].astype("int64"),
+                "payload": pd.Series(payloads, dtype="object"),
+                "width": pdf["width"].astype("int32"),
+                "height": pdf["height"].astype("int32"),
+            }
+        )
+
+
+def synth_jpeg_batches(
+    batches: Iterable[pd.DataFrame],
+) -> Iterator[pd.DataFrame]:
+    """(doc_id, width, height) → (doc_id, payload, width, height) with the
+    payload a REAL baseline JPEG of the deterministic grid."""
+    from lakehouse_sfc_spark.operators.jpeg import encode_jpeg
+
+    for pdf in batches:
+        payloads = [
+            encode_jpeg(_synth_pixels(int(d), int(w), int(h)), quality=90)
             for d, w, h in zip(pdf["doc_id"], pdf["width"], pdf["height"])
         ]
         yield pd.DataFrame(

@@ -481,3 +481,75 @@ def multimodal_png_real(spark: SparkSession, sf_dir: str) -> DataFrame:
     return encoded.mapInPandas(
         decode_real_stats_batches, DECODED_STATS_SCHEMA
     ).drop("n_bytes")
+
+
+@register(
+    "multimodal_jpeg_real",
+    oracle="""
+    SELECT doc_id,
+           (16 + doc_id % 17)::INTEGER AS width,
+           (8 + doc_id % 13)::INTEGER AS height,
+           1::INTEGER AS frames,
+           TRUE AS fidelity_ok
+    FROM documents WHERE doc_id % 7 = 0
+    """,
+)
+def multimodal_jpeg_real(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL baseline JPEG end-to-end: deterministic grids encoded with the
+    pure-numpy DCT + canonical-Huffman encoder (operators/jpeg.py), decoded
+    back through the production image-decode path.  JPEG is lossy, so the
+    oracle checks closed-form geometry plus ``fidelity_ok`` — PSNR of the
+    decoded pixels against the re-synthesized source grid >= 30 dB, a
+    threshold the codec clears by ~20 dB so float wobble can never flip the
+    row (the exact-PSNR distribution is asserted in pytest, and the
+    bit-exact content contracts live with the lossless codecs
+    multimodal_decode_real / multimodal_png_real)."""
+    import numpy as np
+    import pandas as pd
+
+    from lakehouse_sfc_spark.operators.jpeg import decode_jpeg
+    from lakehouse_sfc_spark.operators.multimodal import (
+        _synth_pixels,
+        synth_jpeg_batches,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    params = d.filter(F.col("doc_id") % 7 == 0).select(
+        "doc_id",
+        (F.pmod(F.col("doc_id"), F.lit(17)) + 16).cast("int").alias("width"),
+        (F.pmod(F.col("doc_id"), F.lit(13)) + 8).cast("int").alias("height"),
+    )
+    encoded = params.mapInPandas(
+        synth_jpeg_batches, "doc_id bigint, payload binary, width int, height int"
+    )
+
+    def _check(batches):
+        for pdf in batches:
+            rows = {"doc_id": [], "width": [], "height": [],
+                    "frames": [], "fidelity_ok": []}
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                px = decode_jpeg(bytes(payload))
+                src = _synth_pixels(
+                    int(doc_id), px.shape[1], px.shape[0]
+                )
+                mse = float(np.mean((px.astype(np.float64) - src) ** 2))
+                psnr = 99.0 if mse == 0 else 10 * np.log10(255.0**2 / mse)
+                rows["doc_id"].append(int(doc_id))
+                rows["width"].append(px.shape[1])
+                rows["height"].append(px.shape[0])
+                rows["frames"].append(1)
+                rows["fidelity_ok"].append(bool(psnr >= 30.0))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(rows["doc_id"], dtype="int64"),
+                    "width": pd.Series(rows["width"], dtype="int32"),
+                    "height": pd.Series(rows["height"], dtype="int32"),
+                    "frames": pd.Series(rows["frames"], dtype="int32"),
+                    "fidelity_ok": pd.Series(rows["fidelity_ok"], dtype="bool"),
+                }
+            )
+
+    return encoded.mapInPandas(
+        _check,
+        "doc_id bigint, width int, height int, frames int, fidelity_ok boolean",
+    )

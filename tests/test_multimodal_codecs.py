@@ -38,9 +38,10 @@ def test_bmp_roundtrip_exact():
 def test_bmp_rejects_unsupported():
     with pytest.raises(ValueError):
         decode_bmp(b"NOPE....")
-    # PNG decodes natively since round 4; JPEG still needs an external codec
+    # PNG and baseline JPEG decode natively since round 4; formats we have
+    # no codec for (e.g. GIF) still refuse loudly
     with pytest.raises(NotImplementedError):
-        decode_image(b"\xff\xd8\xff\xe0\x00\x10JFIF\x00")
+        decode_image(b"GIF89a......")
 
 
 def test_wav_roundtrip_exact():
