@@ -15,7 +15,7 @@ within the ASCII subset where Java regex and RE2 agree.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from lakehouse_sfc_spark.operators.multimodal import (
@@ -552,4 +552,149 @@ def multimodal_jpeg_real(spark: SparkSession, sf_dir: str) -> DataFrame:
     return encoded.mapInPandas(
         _check,
         "doc_id bigint, width int, height int, frames int, fidelity_ok boolean",
+    )
+
+
+# --- training-batch preparation ---------------------------------------------
+
+_CHUNK_W = 64  # tokens per chunk
+_CHUNK_S = 48  # stride (W - S = 16 tokens of overlap)
+
+
+@register(
+    "text_chunk",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, {_SQL_TOKENS} AS w FROM documents
+    ), c AS (
+      SELECT doc_id, len(w) AS n, k.k AS chunk_idx,
+             w[1 + k.k * {_CHUNK_S} :
+               LEAST(1 + k.k * {_CHUNK_S} + {_CHUNK_W} - 1, len(w))] AS chunk
+      FROM t, LATERAL (
+        SELECT unnest(range(0, ((len(w) - 1) // {_CHUNK_S}) + 1)) AS k
+      ) k
+      WHERE len(w) > 0
+    )
+    SELECT doc_id, chunk_idx,
+           len(chunk)::BIGINT AS n_tokens,
+           md5(array_to_string(chunk, ' ')) AS chunk_hash
+    FROM c
+    """,
+)
+def text_chunk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping token-window chunking (window 64, stride 48) — the
+    pre-training document splitter.  Pure built-ins: one sequence explode
+    per doc + array slice + md5 content hash, no shuffle (embarrassingly
+    parallel over docs); the hash gives the oracle an exact content check
+    on every chunk.  At 100 TB chunking is a map-only stage — exactly this
+    plan."""
+    d = load_table(spark, sf_dir, "documents")
+    w = _tokens(F.col("text"))
+    t = d.select("doc_id", w.alias("w")).filter(F.size("w") > 0)
+    k = F.explode(
+        F.sequence(
+            F.lit(0), F.floor((F.size("w") - 1) / _CHUNK_S).cast("long")
+        )
+    ).alias("chunk_idx")
+    c = t.select("doc_id", F.size("w").alias("n"), "w", k)
+    chunk = F.slice(F.col("w"), F.col("chunk_idx").cast("int") * _CHUNK_S + 1, _CHUNK_W)
+    return c.select(
+        "doc_id",
+        "chunk_idx",
+        F.size(chunk).cast("bigint").alias("n_tokens"),
+        F.md5(F.concat_ws(" ", chunk)).alias("chunk_hash"),
+    )
+
+
+_PACK_BUDGET = 4096  # tokens per packed sequence
+
+
+@register(
+    "pack_sequences",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, len({_SQL_TOKENS})::BIGINT AS n FROM documents
+    ), o AS (
+      SELECT doc_id, n,
+             COALESCE(SUM(n) OVER (ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS before
+      FROM t
+    )
+    SELECT before // {_PACK_BUDGET} AS pack_id,
+           COUNT(*) AS n_docs,
+           SUM(n)::BIGINT AS n_tokens
+    FROM o GROUP BY 1
+    """,
+)
+def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Budget-quantized sequence packing: documents in doc_id order are
+    assigned to fixed token-budget packs by exclusive-prefix-sum division —
+    the deterministic, fully-parallel cousin of greedy first-fit packing
+    (whose boundaries depend sequentially on every earlier pack; the
+    quantized rule overpacks a pack by at most one document, which training
+    pipelines handle by truncation).  One window over a global order: at
+    100 TB the order would be per-shard (doc_id ranges are shard-aligned),
+    making the prefix sum a per-partition scan."""
+    d = load_table(spark, sf_dir, "documents")
+    n = F.size(_tokens(F.col("text"))).cast("bigint")
+    t = d.select("doc_id", n.alias("n"))
+    wspec = (
+        Window.orderBy("doc_id").rowsBetween(Window.unboundedPreceding, -1)
+    )
+    o = t.select(
+        "doc_id",
+        "n",
+        F.coalesce(F.sum("n").over(wspec), F.lit(0)).alias("before"),
+    )
+    return (
+        o.select(
+            F.floor(F.col("before") / _PACK_BUDGET).cast("bigint").alias("pack_id"),
+            "n",
+        )
+        .groupBy("pack_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n").cast("bigint").alias("n_tokens"),
+        )
+    )
+
+
+@register(
+    "sample_split",
+    oracle="""
+    WITH b AS (
+      SELECT doc_id,
+             ('0x' || substr(md5(text), 1, 8))::BIGINT % 100 AS bucket
+      FROM documents
+    )
+    SELECT CASE WHEN bucket < 80 THEN 'train'
+                WHEN bucket < 90 THEN 'val'
+                ELSE 'test' END AS split,
+           COUNT(*) AS n_docs,
+           SUM(doc_id)::BIGINT AS id_checksum
+    FROM b GROUP BY 1
+    """,
+)
+def sample_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic content-hash train/val/test split (80/10/10): the
+    assignment depends only on the document text, so it is stable across
+    runs, engines, and re-shards — the property a leakage-free split needs
+    (row-number splits reshuffle membership whenever upstream order
+    changes).  Map-only + one tiny groupBy; the checksum pins the exact
+    membership, not just the counts."""
+    d = load_table(spark, sf_dir, "documents")
+    bucket = F.pmod(
+        F.conv(F.substring(F.md5(F.col("text")), 1, 8), 16, 10).cast("long"),
+        F.lit(100),
+    )
+    split = (
+        F.when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test")
+    )
+    return (
+        d.select("doc_id", split.alias("split"))
+        .groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("doc_id").cast("bigint").alias("id_checksum"),
+        )
     )
