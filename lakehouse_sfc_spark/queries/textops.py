@@ -632,20 +632,18 @@ def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     the deterministic, fully-parallel cousin of greedy first-fit packing
     (whose boundaries depend sequentially on every earlier pack; the
     quantized rule overpacks a pack by at most one document, which training
-    pipelines handle by truncation).  One window over a global order: at
-    100 TB the order would be per-shard (doc_id ranges are shard-aligned),
-    making the prefix sum a per-partition scan."""
+    pipelines handle by truncation).
+
+    The prefix sum is DISTRIBUTED (operators/prefix.py): range-partition on
+    doc_id, per-partition offsets to the driver, in-partition running sums
+    under a partition-id window — no Exchange SinglePartition anywhere
+    (plan-guarded), unlike the bare global-order window the oracle uses."""
+    from lakehouse_sfc_spark.operators.prefix import exclusive_prefix_sum
+
     d = load_table(spark, sf_dir, "documents")
     n = F.size(_tokens(F.col("text"))).cast("bigint")
     t = d.select("doc_id", n.alias("n"))
-    wspec = (
-        Window.orderBy("doc_id").rowsBetween(Window.unboundedPreceding, -1)
-    )
-    o = t.select(
-        "doc_id",
-        "n",
-        F.coalesce(F.sum("n").over(wspec), F.lit(0)).alias("before"),
-    )
+    o = exclusive_prefix_sum(t, "doc_id", "n", "before")
     return (
         o.select(
             F.floor(F.col("before") / _PACK_BUDGET).cast("bigint").alias("pack_id"),

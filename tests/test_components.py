@@ -43,3 +43,26 @@ def test_unconverged_raises(spark):
     )
     with pytest.raises(RuntimeError, match="did not converge"):
         connected_components(df, max_rounds=3)
+
+
+def test_exclusive_prefix_sum_matches_serial(spark):
+    """Distributed prefix sum == the serial definition, including ties-free
+    unique keys, zero-value rows, and a width smaller than the row count."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from lakehouse_sfc_spark.operators.prefix import exclusive_prefix_sum
+
+    rng = random.Random(7)
+    rows = [(i, rng.randrange(0, 50)) for i in range(500)]
+    rng.shuffle(rows)
+    df = spark.createDataFrame(rows, "k long, v long")
+    got = {
+        r["k"]: r["before"]
+        for r in exclusive_prefix_sum(df, "k", "v", num_partitions=7).collect()
+    }
+    acc = 0
+    for k, v in sorted(rows):
+        assert got[k] == acc, (k, got[k], acc)
+        acc += v

@@ -195,3 +195,11 @@ def test_embedding_topk_is_hash_join_on_cells(spark):
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
     assert "Window" in plan
+
+
+def test_pack_sequences_no_single_partition_window(spark):
+    """The packing prefix sum must be the distributed two-job shape
+    (operators/prefix.py), never a bare global-order window's
+    Exchange SinglePartition."""
+    plan = _plan(spark, "pack_sequences")
+    assert "SinglePartition" not in plan, plan
