@@ -12,5 +12,6 @@ from lakehouse_sfc_spark.queries import textops  # noqa: E402,F401
 from lakehouse_sfc_spark.queries import profilerq  # noqa: E402,F401
 from lakehouse_sfc_spark.queries import streamq  # noqa: E402,F401
 from lakehouse_sfc_spark.queries import layouts  # noqa: E402,F401
+from lakehouse_sfc_spark.queries import snapshotsq  # noqa: E402,F401
 
 __all__ = ["QUERIES", "queries", "oracles"]

@@ -1,0 +1,215 @@
+"""Snapshot-table queries: time travel, change data feed, and schema
+evolution over the native manifest-log table (`table/snapshots.py`) —
+driver-checkable parity with Delta `versionAsOf`/CDF, Hudi incremental
+pull, and Iceberg snapshot reads (the features the reference gets from its
+engines' transaction logs, SURVEY.md §1.4).
+
+Each query replays a deterministic four-commit history over `orders`:
+
+  v0  CREATE   all orders (linear layout on o_orderkey, 8 files)
+  v1  UPSERT   update  o_orderkey % 7 == 0  → o_totalprice + 1000
+               insert  o_orderkey % 97 == 0 → key + 100_000_000
+  v2  DELETE   o_orderdate < 1997-01-01   (retention delete, COW)
+  v3  APPEND   o_orderkey % 101 == 0 → key + 200_000_000, NEW column
+               o_channel = 'evolved'  (schema evolution)
+
+and the oracle reconstructs every version closed-form from the raw table —
+the same correctness-by-invariance strategy as the layout queries.  The
+built table chain is cached per dataset fingerprint and reused by all
+three queries (and across runs).
+"""
+
+from __future__ import annotations
+
+import datetime
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from lakehouse_sfc_spark.queries.layouts import _fingerprinted_dir
+from lakehouse_sfc_spark.queries.registry import dsum, register, sql_dsum
+from lakehouse_sfc_spark.sources.loader import load_table
+from lakehouse_sfc_spark.table import Pred
+from lakehouse_sfc_spark.table.snapshots import SnapshotTable, _manifest_path
+
+_VERSION = "v1"  # bump when the commit-chain semantics change
+_CUTOFF = datetime.datetime(1997, 1, 1)
+_COLS = ["o_orderkey", "o_custkey", "o_totalprice", "o_orderdate"]
+
+
+def _scratch_root() -> str:
+    repo = os.path.dirname(os.path.dirname(os.path.dirname(__file__)))
+    return os.path.join(repo, ".scratch", "snap_cache", _VERSION)
+
+
+def _snapshot_table(spark: SparkSession, sf_dir: str) -> SnapshotTable:
+    root = _fingerprinted_dir(_scratch_root(), sf_dir, ("orders",))
+    path = os.path.join(root, "orders_snap")
+    if os.path.exists(_manifest_path(path, 3)):
+        return SnapshotTable(spark, path)
+
+    import shutil
+
+    shutil.rmtree(path, ignore_errors=True)
+    orders = load_table(spark, sf_dir, "orders").select(*_COLS)
+    t = SnapshotTable.create(
+        orders,
+        path,
+        stats_cols=["o_orderkey", "o_orderdate"],
+        layout="linear",
+        layout_cols=["o_orderkey"],
+        num_files=8,
+    )
+    updates = orders.filter(F.col("o_orderkey") % 7 == 0).withColumn(
+        "o_totalprice", F.col("o_totalprice") + 1000.0
+    )
+    inserts = orders.filter(F.col("o_orderkey") % 97 == 0).withColumn(
+        "o_orderkey", F.col("o_orderkey") + 100_000_000
+    )
+    t.upsert(
+        updates.unionByName(inserts), ["o_orderkey"], "o_totalprice"
+    )
+    t.delete_where([Pred("o_orderdate", "<", _CUTOFF)])
+    appended = (
+        orders.filter(F.col("o_orderkey") % 101 == 0)
+        .withColumn("o_orderkey", F.col("o_orderkey") + 200_000_000)
+        .withColumn("o_channel", F.lit("evolved"))
+    )
+    t.append(appended)
+    return t
+
+
+_SQL_STATES = f"""
+    WITH state0 AS (
+        SELECT o_orderkey, o_custkey, o_totalprice, o_orderdate FROM orders
+    ),
+    state1 AS (
+        SELECT o_orderkey, o_custkey, o_totalprice, o_orderdate
+        FROM orders WHERE o_orderkey % 7 <> 0
+        UNION ALL
+        SELECT o_orderkey, o_custkey, o_totalprice + 1000.0, o_orderdate
+        FROM orders WHERE o_orderkey % 7 = 0
+        UNION ALL
+        SELECT o_orderkey + 100000000, o_custkey, o_totalprice, o_orderdate
+        FROM orders WHERE o_orderkey % 97 = 0
+    ),
+    state2 AS (
+        SELECT * FROM state1 WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+    ),
+    appended AS (
+        SELECT o_orderkey + 200000000 AS o_orderkey, o_custkey,
+               o_totalprice, o_orderdate
+        FROM orders WHERE o_orderkey % 101 = 0
+    )
+"""
+
+
+@register(
+    "snap_time_travel",
+    oracle=f"""
+    {_SQL_STATES}
+    SELECT CAST(0 AS INT) AS version, COUNT(*) AS cnt,
+           {sql_dsum("o_totalprice", "sum_price")} FROM state0
+    UNION ALL
+    SELECT CAST(1 AS INT), COUNT(*), {sql_dsum("o_totalprice", "sum_price")}
+    FROM state1
+    UNION ALL
+    SELECT CAST(2 AS INT), COUNT(*), {sql_dsum("o_totalprice", "sum_price")}
+    FROM state2
+    UNION ALL
+    SELECT CAST(3 AS INT), COUNT(*), {sql_dsum("o_totalprice", "sum_price")}
+    FROM (SELECT * FROM state2
+          UNION ALL SELECT * FROM appended)
+    ORDER BY version
+    """,
+)
+def snap_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time travel: aggregate EVERY historical version of the snapshot table
+    (Delta `versionAsOf` / Iceberg snapshot read).  Each version's file set
+    comes from its own manifest; the oracle recomputes the four states
+    closed-form from raw `orders`."""
+    t = _snapshot_table(spark, sf_dir)
+    parts = []
+    for v in range(4):
+        parts.append(
+            t.read(v).agg(
+                F.lit(v).cast("int").alias("version"),
+                F.count(F.lit(1)).alias("cnt"),
+                dsum("o_totalprice", "sum_price"),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.orderBy("version")
+
+
+@register(
+    "snap_cdf",
+    oracle=f"""
+    SELECT 'delete' AS _change_type, COUNT(*) AS cnt,
+           {sql_dsum("o_totalprice", "sum_price")}
+    FROM orders WHERE o_orderdate < TIMESTAMP '1997-01-01'
+    UNION ALL
+    SELECT 'insert', COUNT(*), {sql_dsum("o_totalprice", "sum_price")}
+    FROM orders
+    WHERE o_orderkey % 97 = 0 AND o_orderdate >= TIMESTAMP '1997-01-01'
+    UNION ALL
+    SELECT 'update', COUNT(*), {sql_dsum("o_totalprice + 1000.0", "sum_price")}
+    FROM orders
+    WHERE o_orderkey % 7 = 0 AND o_orderdate >= TIMESTAMP '1997-01-01'
+    ORDER BY _change_type
+    """,
+)
+def snap_cdf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Change data feed v0 → v2 (Delta CDF / Hudi incremental query): per
+    change type, row count and summed price over the post image (pre image
+    for deletes).  `changes` scans only files added or removed between the
+    manifests — O(changed data), the incremental-consumption contract.
+
+    Oracle: inserts = new keys still alive at v2; updates = %7 keys
+    surviving the retention delete (post price = original + 1000); deletes
+    = every v0 row older than the cutoff (pre price)."""
+    t = _snapshot_table(spark, sf_dir)
+    return (
+        t.changes(0, 2, ["o_orderkey"])
+        .groupBy("_change_type")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            dsum("o_totalprice", "sum_price"),
+        )
+        .orderBy("_change_type")
+    )
+
+
+@register(
+    "snap_schema_evolution",
+    oracle=f"""
+    {_SQL_STATES}
+    SELECT channel, COUNT(*) AS cnt, {sql_dsum("o_totalprice", "sum_price")}
+    FROM (
+        SELECT 'legacy' AS channel, o_totalprice FROM state2
+        UNION ALL
+        SELECT 'evolved' AS channel, o_totalprice FROM appended
+    )
+    GROUP BY channel
+    ORDER BY channel
+    """,
+)
+def snap_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema evolution: v3 appended a NEW `o_channel` column; the merged
+    read null-fills it for pre-evolution files (Delta/Iceberg add-column
+    semantics) and the aggregate groups on the coalesced value."""
+    t = _snapshot_table(spark, sf_dir)
+    return (
+        t.read(3)
+        .groupBy(
+            F.coalesce(F.col("o_channel"), F.lit("legacy")).alias("channel")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            dsum("o_totalprice", "sum_price"),
+        )
+        .orderBy("channel")
+    )

@@ -1,0 +1,183 @@
+"""SnapshotTable: time travel, COW scoping, CDF, schema evolution, vacuum.
+
+Parity targets (SURVEY.md §1.4): Delta versionAsOf + change data feed,
+Hudi commit timeline / incremental pull, Iceberg snapshots + expiry.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from lakehouse_sfc_spark.sources.loader import load_table
+from lakehouse_sfc_spark.table import Pred
+from lakehouse_sfc_spark.table.snapshots import SnapshotTable
+
+SF_SMALL = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def orders(spark):
+    return load_table(spark, SF_SMALL, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice", "o_orderdate"
+    )
+
+
+@pytest.fixture()
+def table(spark, orders, tmp_path):
+    return SnapshotTable.create(
+        orders,
+        str(tmp_path / "t"),
+        stats_cols=["o_orderkey"],
+        layout="linear",
+        layout_cols=["o_orderkey"],
+        num_files=8,
+    )
+
+
+def test_create_and_read(table, orders):
+    assert table.latest_version() == 0
+    assert table.read(0).count() == orders.count()
+    assert len(table.manifest(0)["files"]) == 8
+
+
+def test_upsert_is_scoped_and_time_travel_isolated(table, orders, spark):
+    n0 = orders.count()
+    # key-local batch: linear layout on o_orderkey makes files range-disjoint,
+    # so a narrow key range must rewrite ~1 of the 8 files, not the table
+    batch = (
+        orders.filter(F.col("o_orderkey") <= 100)
+        .withColumn("o_totalprice", F.col("o_totalprice") + 5.0)
+    )
+    m = table.upsert(batch, ["o_orderkey"], "o_totalprice")
+    assert m["files_rewritten"] < 4, "COW upsert rewrote most of the table"
+    # untouched files are carried by reference (no copies)
+    shared = set(table.manifest(0)["files"]) & set(table.manifest(1)["files"])
+    assert len(shared) == 8 - m["files_rewritten"]
+    # v1 content: updated rows bumped, count unchanged
+    v1 = table.read(1)
+    assert v1.count() == n0
+    bumped = (
+        v1.join(orders.select("o_orderkey", F.col("o_totalprice").alias("orig")),
+                "o_orderkey")
+        .filter(F.col("o_orderkey") <= 100)
+        .filter(F.col("o_totalprice") != F.col("orig") + 5.0)
+        .count()
+    )
+    assert bumped == 0
+    # time travel: v0 still returns the ORIGINAL prices
+    dec = F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+    v0_sum = table.read(0).agg(dec).collect()[0][0]
+    orig_sum = orders.agg(dec).collect()[0][0]
+    assert v0_sum == orig_sum
+
+
+def test_delete_where_scoped(table, orders):
+    m = table.delete_where([Pred("o_orderkey", ">", 10_000_000)])
+    # nothing matches: stats prune every file, zero rewrites
+    assert m["files_rewritten"] == 0
+    assert table.read().count() == orders.count()
+    m2 = table.delete_where([Pred("o_orderkey", "<=", 100)])
+    assert 0 < m2["files_rewritten"] < 4
+    assert (
+        table.read().count()
+        == orders.filter(F.col("o_orderkey") > 100).count()
+    )
+
+
+def test_cdf_insert_update_delete(table, orders, spark):
+    upd = (
+        orders.filter(F.col("o_orderkey").between(10, 20))
+        .withColumn("o_totalprice", F.col("o_totalprice") + 1.0)
+    )
+    ins = (
+        orders.filter(F.col("o_orderkey").between(30, 35))
+        .withColumn("o_orderkey", F.col("o_orderkey") + 1_000_000)
+    )
+    table.upsert(upd.unionByName(ins), ["o_orderkey"], "o_totalprice")
+    table.delete_where([Pred("o_orderkey", "between", (50, 60))])
+    cdf = table.changes(0, 2, ["o_orderkey"])
+    got = {
+        r["_change_type"]: r["cnt"]
+        for r in cdf.groupBy("_change_type")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .collect()
+    }
+    n_upd = orders.filter(F.col("o_orderkey").between(10, 20)).count()
+    n_ins = ins.count()
+    n_del = orders.filter(F.col("o_orderkey").between(50, 60)).count()
+    assert got.get("update", 0) == n_upd
+    assert got.get("insert", 0) == n_ins
+    assert got.get("delete", 0) == n_del
+    # CDF scans only changed files, not the whole table
+    scanned = {os.path.basename(f) for f in cdf.inputFiles()}
+    all_files = {
+        os.path.basename(f)
+        for v in (0, 1, 2)
+        for f in table.manifest(v)["files"]
+    }
+    assert len(scanned) < len(all_files)
+    # post image carries the new price; delete carries the pre image
+    post = cdf.filter(
+        (F.col("_change_type") == "update") & (F.col("o_orderkey") == 10)
+    ).collect()
+    orig = orders.filter(F.col("o_orderkey") == 10).collect()
+    if post and orig:
+        assert post[0]["o_totalprice"] == orig[0]["o_totalprice"] + 1.0
+
+
+def test_moved_but_unchanged_rows_not_in_cdf(table, orders):
+    # a COW rewrite carries every row of the file; only genuinely changed
+    # rows may surface in the CDF
+    upd = (
+        orders.filter(F.col("o_orderkey") == 5)
+        .withColumn("o_totalprice", F.col("o_totalprice") + 1.0)
+    )
+    table.upsert(upd, ["o_orderkey"], "o_totalprice")
+    cdf = table.changes(0, 1, ["o_orderkey"]).collect()
+    assert len(cdf) == 1
+    assert cdf[0]["_change_type"] == "update"
+    assert cdf[0]["o_orderkey"] == 5
+
+
+def test_schema_evolution_merged_read(table, orders):
+    ev = (
+        orders.limit(5)
+        .withColumn("o_orderkey", F.col("o_orderkey") + 2_000_000)
+        .withColumn("o_flag", F.lit("x"))
+    )
+    table.append(ev)
+    latest = table.read()
+    assert "o_flag" in latest.columns
+    assert latest.filter(F.col("o_flag").isNotNull()).count() == 5
+    # historical read keeps the narrow schema
+    assert "o_flag" not in table.read(0).columns
+
+
+def test_vacuum_expires_only_unreferenced(table, orders, spark):
+    table.delete_where([Pred("o_orderkey", "<=", 200)])
+    live_before = set(table.manifest(1)["files"])
+    res = table.vacuum(retain_last=1)
+    assert res["versions_expired"] == [0]
+    # latest still fully readable
+    assert (
+        table.read().count()
+        == orders.filter(F.col("o_orderkey") > 200).count()
+    )
+    # every file of the retained manifest still exists
+    for uri in live_before:
+        assert os.path.exists(uri.replace("file://", ""))
+    # expired version is gone
+    with pytest.raises(FileNotFoundError):
+        table.manifest(0)
+
+
+def test_empty_delete_everything(table, spark):
+    table.delete_where([Pred("o_orderkey", ">=", 0)])
+    assert table.read().count() == 0
+    # schema preserved for the empty snapshot
+    assert table.read().columns == [
+        "o_orderkey", "o_custkey", "o_totalprice", "o_orderdate"
+    ]
