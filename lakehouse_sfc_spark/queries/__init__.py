@@ -13,5 +13,7 @@ from lakehouse_sfc_spark.queries import profilerq  # noqa: E402,F401
 from lakehouse_sfc_spark.queries import streamq  # noqa: E402,F401
 from lakehouse_sfc_spark.queries import layouts  # noqa: E402,F401
 from lakehouse_sfc_spark.queries import snapshotsq  # noqa: E402,F401
+from lakehouse_sfc_spark.queries import sketchq  # noqa: E402,F401
+from lakehouse_sfc_spark.queries import graphq  # noqa: E402,F401
 
 __all__ = ["QUERIES", "queries", "oracles"]

@@ -640,3 +640,127 @@ def a_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
         "v",
     ).withColumn("measure", F.expr("substring(measure, 3)"))
     return long.groupBy("l_returnflag", "measure").agg(dsum("v", "total", 4))
+
+
+# --- time-series gap filling ------------------------------------------------
+
+
+@register(
+    "a_gap_fill",
+    oracle="""
+    WITH hourly AS (
+        SELECT event_type, CAST(DATE_TRUNC('hour', ts) AS TIMESTAMP) AS b,
+               COUNT(*) AS c
+        FROM events GROUP BY 1, 2
+    ),
+    bounds AS (
+        SELECT event_type, MIN(b) AS mn, MAX(b) AS mx FROM hourly GROUP BY 1
+    ),
+    grid AS (
+        SELECT event_type,
+               UNNEST(generate_series(mn, mx, INTERVAL '1 hour')) AS b
+        FROM bounds
+    ),
+    joined AS (
+        SELECT g.event_type, g.b, h.c,
+               ROW_NUMBER() OVER (PARTITION BY g.event_type ORDER BY g.b)
+                   AS idx
+        FROM grid g
+        LEFT JOIN hourly h ON h.event_type = g.event_type AND h.b = g.b
+    ),
+    marked AS (
+        SELECT *,
+            LAST_VALUE(c IGNORE NULLS) OVER w_prev AS prev_c,
+            LAST_VALUE(CASE WHEN c IS NOT NULL THEN idx END IGNORE NULLS)
+                OVER w_prev AS prev_idx,
+            FIRST_VALUE(c IGNORE NULLS) OVER w_next AS next_c,
+            FIRST_VALUE(CASE WHEN c IS NOT NULL THEN idx END IGNORE NULLS)
+                OVER w_next AS next_idx
+        FROM joined
+        WINDOW
+          w_prev AS (PARTITION BY event_type ORDER BY b
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+          w_next AS (PARTITION BY event_type ORDER BY b
+                     ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+    )
+    SELECT event_type, b AS bucket,
+           COALESCE(c, 0) AS cnt,
+           CAST(c IS NULL AS INTEGER) AS is_gap,
+           prev_c AS locf,
+           CASE WHEN c IS NOT NULL THEN CAST(c AS DOUBLE)
+                ELSE CAST(prev_c AS DOUBLE)
+                     + CAST((next_c - prev_c) * (idx - prev_idx) AS DOUBLE)
+                       / CAST(next_idx - prev_idx AS DOUBLE)
+           END AS interp
+    FROM marked
+    ORDER BY event_type, bucket
+    """,
+)
+def a_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series gap filling (timescale `time_bucket_gapfill` /
+    `generate_series` parity, beyond the reference): densify each event
+    type's hourly series over its own [min, max] hour range, then fill the
+    missing hours three ways — zero-fill, LOCF (last observation carried
+    forward), and linear interpolation between the neighboring observed
+    counts.
+
+    Scale shape: the grid is built per group from the (tiny) per-group
+    bounds via ``sequence``/``explode`` — never a driver loop — and the
+    fill is two windows over the (group, hour) series, one shuffle on the
+    group key.  Interpolation keeps an all-integer numerator and ONE
+    double division, so it is bit-identical across engines."""
+    ev = load_table(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        F.date_trunc("hour", "ts").alias("b"), "event_type"
+    ).agg(F.count(F.lit(1)).alias("c"))
+
+    bounds = hourly.groupBy("event_type").agg(
+        F.min("b").alias("mn"), F.max("b").alias("mx")
+    )
+    grid = bounds.select(
+        "event_type",
+        F.explode(
+            F.sequence("mn", "mx", F.expr("INTERVAL 1 HOUR"))
+        ).alias("b"),
+    )
+    joined = grid.join(hourly, ["event_type", "b"], "left").withColumn(
+        "idx",
+        F.row_number().over(
+            Window.partitionBy("event_type").orderBy("b")
+        ),
+    )
+    w_prev = (
+        Window.partitionBy("event_type")
+        .orderBy("b")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_next = (
+        Window.partitionBy("event_type")
+        .orderBy("b")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    idx_if_obs = F.when(F.col("c").isNotNull(), F.col("idx"))
+    marked = (
+        joined.withColumn("prev_c", F.last("c", ignorenulls=True).over(w_prev))
+        .withColumn("prev_idx", F.last(idx_if_obs, ignorenulls=True).over(w_prev))
+        .withColumn("next_c", F.first("c", ignorenulls=True).over(w_next))
+        .withColumn("next_idx", F.first(idx_if_obs, ignorenulls=True).over(w_next))
+    )
+    interp = F.when(
+        F.col("c").isNotNull(), F.col("c").cast("double")
+    ).otherwise(
+        F.col("prev_c").cast("double")
+        + (
+            (F.col("next_c") - F.col("prev_c"))
+            * (F.col("idx") - F.col("prev_idx"))
+        ).cast("double")
+        / (F.col("next_idx") - F.col("prev_idx")).cast("double")
+    )
+    return marked.select(
+        "event_type",
+        F.col("b").cast("timestamp_ntz").alias("bucket"),
+        F.coalesce("c", F.lit(0)).alias("cnt"),
+        F.col("c").isNull().cast("int").alias("is_gap"),
+        F.col("prev_c").alias("locf"),
+        interp.alias("interp"),
+    ).orderBy("event_type", "bucket")

@@ -696,3 +696,75 @@ def sample_split(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("doc_id").cast("bigint").alias("id_checksum"),
         )
     )
+
+
+# --- TF-IDF keyword extraction ---------------------------------------------
+
+
+@register(
+    "text_tfidf",
+    oracle=f"""
+    WITH terms AS (
+        SELECT doc_id, UNNEST({_SQL_TOKENS}) AS term FROM documents
+    ),
+    tf AS (
+        SELECT doc_id, term, COUNT(*) AS tf
+        FROM terms WHERE term <> '' GROUP BY 1, 2
+    ),
+    df AS (
+        SELECT term, COUNT(*) AS df FROM tf GROUP BY 1
+    ),
+    n AS (SELECT COUNT(*) AS n FROM documents),
+    scored AS (
+        SELECT tf.doc_id, tf.term, tf.tf, df.df,
+               tf.tf * n.n / df.df AS score
+        FROM tf JOIN df USING (term) CROSS JOIN n
+        WHERE tf.doc_id % 199 = 0
+    ),
+    ranked AS (
+        SELECT *, ROW_NUMBER() OVER (
+            PARTITION BY doc_id ORDER BY score DESC, term
+        ) AS rk
+        FROM scored
+    )
+    SELECT doc_id, term, tf, df, score, rk
+    FROM ranked WHERE rk <= 3
+    ORDER BY doc_id, rk
+    """,
+)
+def text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF keyword extraction: top-3 highest-scoring terms per sampled
+    document (doc_id % 199), with document frequencies computed over the
+    FULL corpus.  The idf factor is the linear ratio N/df rather than
+    ln(N/df): ln is evaluated by different libm implementations across
+    engines (not reproducible bit-for-bit), the ratio preserves the exact
+    same per-document ranking for single-term scores, and (tf·N)/df is an
+    all-integer numerator with ONE double division — cross-engine exact.
+
+    Scale shape: tf is one shuffle on (doc, term); df re-aggregates the
+    already-reduced tf relation (term key); the corpus size joins in as a
+    broadcast 1-row frame; ranking is a per-doc window after the sample
+    filter has cut the fact side.  No driver-side loops, no collects."""
+    docs = load_table(spark, sf_dir, "documents")
+    terms = docs.select(
+        "doc_id", F.explode(_tokens(F.col("text"))).alias("term")
+    ).filter(F.col("term") != "")
+    tf = terms.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n = docs.agg(F.count(F.lit(1)).alias("n"))
+    scored = (
+        tf.filter(F.col("doc_id") % 199 == 0)
+        .join(dfreq, "term")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id", "term", "tf", "df",
+            (F.col("tf") * F.col("n") / F.col("df")).alias("score"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("score"), "term")
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .select("doc_id", "term", "tf", "df", "score", "rk")
+        .orderBy("doc_id", "rk")
+    )
