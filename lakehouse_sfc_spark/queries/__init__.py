@@ -15,5 +15,7 @@ from lakehouse_sfc_spark.queries import layouts  # noqa: E402,F401
 from lakehouse_sfc_spark.queries import snapshotsq  # noqa: E402,F401
 from lakehouse_sfc_spark.queries import sketchq  # noqa: E402,F401
 from lakehouse_sfc_spark.queries import graphq  # noqa: E402,F401
+from lakehouse_sfc_spark.queries import behavior  # noqa: E402,F401
+from lakehouse_sfc_spark.queries import quality  # noqa: E402,F401
 
 __all__ = ["QUERIES", "queries", "oracles"]

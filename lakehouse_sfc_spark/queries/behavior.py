@@ -1,0 +1,192 @@
+"""Behavioural / event-sequence analytics over the events table — beyond
+the reference (its engines stop at scans/joins/aggregates; these are the
+sequence-aware queries a product-analytics or training-data pipeline runs
+on the same event stream the streaming operators ingest).
+
+Both queries are window-shaped: one hash shuffle on the partition key,
+then order-within-partition work the sort-based window operator does
+without further exchanges.  Nothing here collects to the driver.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from lakehouse_sfc_spark.queries.registry import register
+from lakehouse_sfc_spark.sources.loader import load_table
+
+
+@register(
+    "a_funnel",
+    oracle="""
+    WITH s1 AS (
+      SELECT user_id, ts, event_type,
+             MIN(CASE WHEN event_type = 'view' THEN ts END)
+               OVER (PARTITION BY user_id) AS t_view
+      FROM events
+    ),
+    s2 AS (
+      SELECT user_id, ts, event_type, t_view,
+             MIN(CASE WHEN event_type = 'click' AND ts > t_view THEN ts END)
+               OVER (PARTITION BY user_id) AS t_click
+      FROM s1
+    ),
+    s3 AS (
+      SELECT user_id, t_view, t_click,
+             MIN(CASE WHEN event_type = 'purchase' AND ts > t_click THEN ts END)
+               OVER (PARTITION BY user_id) AS t_purchase
+      FROM s2
+    ),
+    per_user AS (
+      SELECT user_id, MIN(t_view) AS t_view, MIN(t_click) AS t_click,
+             MIN(t_purchase) AS t_purchase
+      FROM s3 GROUP BY user_id
+    )
+    SELECT COUNT(*) AS n_users,
+           COUNT(t_view) AS n_view,
+           COUNT(t_click) AS n_click,
+           COUNT(t_purchase) AS n_purchase,
+           CAST(COUNT(t_click) AS DOUBLE) / COUNT(t_view) AS view_to_click,
+           CAST(COUNT(t_purchase) AS DOUBLE) / COUNT(t_click) AS click_to_purchase
+    FROM per_user
+    """,
+)
+def a_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered conversion funnel view -> click -> purchase: a user converts
+    a stage only with an event STRICTLY AFTER the previous stage's first
+    event (not merely having done both).  Computed as three chained
+    unbounded window aggregates over ONE events scan — all three share the
+    user_id hash partitioning, so the plan is one shuffle + one sort, and
+    the per-stage "first qualifying timestamp" never leaves the executor.
+    Conversion ratios are single double divisions of exact counts.
+
+    At 100 TB this is the shape you want: no self-joins of the event log
+    (the naive 3-way events-join is quadratic under hot users), state per
+    user is O(1), and the final global rollup reduces 1 row per user."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id")
+    t = F.col("event_type")
+    s1 = ev.select(
+        "user_id",
+        "ts",
+        "event_type",
+        F.min(F.when(t == "view", F.col("ts"))).over(w).alias("t_view"),
+    )
+    s2 = s1.withColumn(
+        "t_click",
+        F.min(
+            F.when(
+                (t == "click") & (F.col("ts") > F.col("t_view")), F.col("ts")
+            )
+        ).over(w),
+    )
+    s3 = s2.select(
+        "user_id",
+        "t_view",
+        "t_click",
+        F.min(
+            F.when(
+                (t == "purchase") & (F.col("ts") > F.col("t_click")),
+                F.col("ts"),
+            )
+        )
+        .over(w)
+        .alias("t_purchase"),
+    )
+    per_user = s3.groupBy("user_id").agg(
+        F.min("t_view").alias("t_view"),
+        F.min("t_click").alias("t_click"),
+        F.min("t_purchase").alias("t_purchase"),
+    )
+    return per_user.agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.count("t_view").alias("n_view"),
+        F.count("t_click").alias("n_click"),
+        F.count("t_purchase").alias("n_purchase"),
+        (F.count("t_click").cast("double") / F.count("t_view")).alias(
+            "view_to_click"
+        ),
+        (F.count("t_purchase").cast("double") / F.count("t_click")).alias(
+            "click_to_purchase"
+        ),
+    )
+
+
+@register(
+    "a_concurrent",
+    oracle="""
+    WITH bounds AS (
+      SELECT ts AS t, 1 AS delta FROM events
+      UNION ALL
+      SELECT ts + INTERVAL 1 HOUR, -1 FROM events
+    ),
+    pts AS (
+      SELECT CAST(t AS DATE) AS day, t, delta FROM bounds
+    ),
+    within AS (
+      SELECT day, t,
+             SUM(delta) OVER (PARTITION BY day ORDER BY t) AS cum_in_day
+      FROM pts
+    ),
+    day_tot AS (
+      SELECT day, SUM(delta) AS day_delta FROM pts GROUP BY day
+    ),
+    carry AS (
+      SELECT day,
+             SUM(day_delta) OVER (ORDER BY day ROWS BETWEEN UNBOUNDED
+               PRECEDING AND 1 PRECEDING) AS offset_in
+      FROM day_tot
+    )
+    SELECT w.day,
+           MAX(COALESCE(c.offset_in, 0) + w.cum_in_day) AS max_concurrent
+    FROM within w JOIN carry c ON w.day = c.day
+    GROUP BY w.day
+    ORDER BY w.day
+    """,
+)
+def a_concurrent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Peak concurrency per day (each event holds a resource for 1 hour):
+    the classic interval sweep-line, distributed.  Every interval emits a
+    +1 at its start and a -1 at its end; the running sum of deltas at any
+    instant is the live-interval count.
+
+    The naive sweep is one global sort (SinglePartition — the thing this
+    repo's plan guards exist to catch).  Instead the prefix sum is
+    DECOMPOSED: deltas cumulate within each day under a day-hash
+    partitioning (the default peer-inclusive RANGE frame makes equal-
+    timestamp rows deterministic in both engines — no tie-break needed),
+    and a second, tiny window over the per-day totals (one row per day)
+    supplies each day's carry-in from all earlier days.  Same two-pass
+    split as `build_update_batches_ranged` (layout/upsert.py): per-
+    partition scan plus a prefix over partition aggregates, so it holds at
+    1000 executors.  All arithmetic is integer — exact in both engines."""
+    ev = load_table(spark, sf_dir, "events")
+    starts = ev.select(F.col("ts").alias("t"), F.lit(1).alias("delta"))
+    ends = ev.select(
+        (F.col("ts") + F.expr("INTERVAL 1 HOUR")).alias("t"),
+        F.lit(-1).alias("delta"),
+    )
+    pts = starts.unionAll(ends).withColumn("day", F.col("t").cast("date"))
+    w_day = Window.partitionBy("day").orderBy("t")
+    within = pts.select(
+        "day", "t", F.sum("delta").over(w_day).alias("cum_in_day")
+    )
+    day_tot = pts.groupBy("day").agg(F.sum("delta").alias("day_delta"))
+    w_carry = Window.orderBy("day").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    carry = day_tot.select(
+        "day", F.sum("day_delta").over(w_carry).alias("offset_in")
+    )
+    return (
+        within.join(F.broadcast(carry), "day")
+        .groupBy("day")
+        .agg(
+            F.max(
+                F.coalesce(F.col("offset_in"), F.lit(0))
+                + F.col("cum_in_day")
+            ).alias("max_concurrent")
+        )
+        .orderBy("day")
+    )

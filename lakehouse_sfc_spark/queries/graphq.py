@@ -145,3 +145,121 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return out
+
+
+_PR_SCALE = 1_000_000_000_000  # 1e12: ranks as scaled integers -> exact math
+
+_SQL_PR_EDGES = """
+    SELECT DISTINCT c.c_nationkey AS src, s.s_nationkey AS dst
+    FROM lineitem l
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    WHERE c.c_nationkey <> s.s_nationkey
+"""
+
+_SQL_PR_ITER = """
+    SELECT n.node,
+           {base} + COALESCE(SUM(CAST(FLOOR(
+               r.rank_scaled * 85 / (100.0 * d.outdeg)
+           ) AS BIGINT)), 0) AS rank_scaled
+    FROM nodes n
+    LEFT JOIN edges e ON e.dst = n.node
+    LEFT JOIN {prev} r ON r.node = e.src
+    LEFT JOIN outd d ON d.src = e.src
+    GROUP BY n.node
+"""
+
+
+@register(
+    "graph_pagerank",
+    oracle=f"""
+    WITH edges AS ({_SQL_PR_EDGES}),
+    nodes AS (SELECT n_nationkey AS node FROM nation),
+    outd AS (SELECT src, COUNT(*) AS outdeg FROM edges GROUP BY src),
+    r0 AS (SELECT node, {_PR_SCALE // 25} AS rank_scaled FROM nodes),
+    r1 AS ({_SQL_PR_ITER.format(base=_PR_SCALE * 15 // 2500, prev="r0")}),
+    r2 AS ({_SQL_PR_ITER.format(base=_PR_SCALE * 15 // 2500, prev="r1")}),
+    r3 AS ({_SQL_PR_ITER.format(base=_PR_SCALE * 15 // 2500, prev="r2")})
+    SELECT r3.node, n.n_name, r3.rank_scaled,
+           CAST(r3.rank_scaled AS DOUBLE) / {_PR_SCALE} AS rank
+    FROM r3 JOIN nation n ON n.n_nationkey = r3.node
+    ORDER BY r3.rank_scaled DESC, r3.node
+    """,
+)
+def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank (damping 0.85, 3 fixed iterations) over the nation trade
+    graph: edge cust-nation -> supp-nation iff any order shipped between
+    them.  The expensive, data-sized stage is EDGE EXTRACTION — a
+    lineitem⋈orders⋈customer⋈supplier pipeline (dims broadcast, one fact
+    shuffle) reduced to ≤ 25×24 distinct pairs and localCheckpointed so
+    the 3 unrolled iterations never rescan the fact table.  Iterations
+    then run on the reduced graph (the standard big-graph split: heavy
+    extract once, iterate on vertices/edges only — same discipline as
+    dedup_components).
+
+    Cross-engine exactness without floats: ranks are integers scaled by
+    1e12.  Each contribution floor(r·85/(100·outdeg)) keeps every product
+    ≤ 8.5e13 < 2^53, so the doubles inside the division are exact, the
+    one division is correctly rounded, and floor lands both engines on
+    the same integer.  Dangling-node mass is dropped identically on both
+    sides (LEFT joins), so ranks sum below 1.0 — documented PageRank-
+    with-leak semantics, bit-identical."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    nation = load_table(spark, sf_dir, "nation")
+
+    edges = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .filter(c.c_nationkey != s.s_nationkey)
+        .select(
+            c.c_nationkey.alias("src"), s.s_nationkey.alias("dst")
+        )
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    nodes = nation.select(F.col("n_nationkey").alias("node"))
+    outd = edges.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
+
+    base = _PR_SCALE * 15 // 2500
+    ranks = nodes.select("node", F.lit(_PR_SCALE // 25).alias("rank_scaled"))
+    for _ in range(3):
+        contrib = (
+            edges.join(outd, "src")
+            .join(ranks.withColumnRenamed("node", "src"), "src")
+            .select(
+                "dst",
+                F.floor(
+                    F.col("rank_scaled") * 85 / (F.col("outdeg") * 100.0)
+                ).alias("contrib"),
+            )
+        )
+        ranks = (
+            nodes.join(
+                contrib.groupBy("dst").agg(F.sum("contrib").alias("in_mass")),
+                nodes.node == F.col("dst"),
+                "left",
+            )
+            .select(
+                "node",
+                (F.lit(base) + F.coalesce(F.col("in_mass"), F.lit(0))).alias(
+                    "rank_scaled"
+                ),
+            )
+        )
+    return (
+        ranks.join(
+            F.broadcast(nation), ranks.node == nation.n_nationkey
+        )
+        .select(
+            "node",
+            "n_name",
+            "rank_scaled",
+            (F.col("rank_scaled").cast("double") / _PR_SCALE).alias("rank"),
+        )
+        .orderBy(F.desc("rank_scaled"), "node")
+    )

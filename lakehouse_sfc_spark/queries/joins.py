@@ -301,3 +301,50 @@ def j_range(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count_distinct(F.col("event_id")).alias("n_events"),
         )
     )
+
+
+@register(
+    "j_skew_salted",
+    oracle=f"""
+    SELECT o.o_orderpriority,
+           {sql_dsum('l.l_extendedprice', 'revenue')},
+           COUNT(*) AS n_items
+    FROM lineitem l
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    GROUP BY o.o_orderpriority
+    ORDER BY o.o_orderpriority
+    """,
+)
+def j_skew_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fact-fact join executed through the explicit salting operator
+    (operators/skew.py::salted_join, factor 8): each l_orderkey's rows
+    spread over 8 shuffle tasks, the orders side replicated once per salt.
+    The RESULT is identical to the plain join (the salt column is internal
+    and dropped) — which is exactly what the oracle checks: salting must be
+    a pure physical rewrite.
+
+    This is the driver-visible proof of the skew path the brief's scale
+    checklist requires ("skewed keys hurt ... salting for skew"): on a
+    1000-executor cluster one hot order key (or a hot date/tenant key in a
+    real log) caps a plain shuffle join at single-task speed; the salted
+    plan bounds any key's share of work at 1/8 of a task's input per
+    occurrence.  AQE's skew-join split handles most of this at runtime —
+    salting is the planner-independent fallback for a single pathological
+    key."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_extendedprice"
+    )
+    o = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("l_orderkey"), "o_orderpriority"
+    )
+    from lakehouse_sfc_spark.operators.skew import salted_join
+
+    joined = salted_join(li, o, on="l_orderkey", factor=8)
+    return (
+        joined.groupBy("o_orderpriority")
+        .agg(
+            dsum("l_extendedprice", "revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+        .orderBy("o_orderpriority")
+    )

@@ -1,0 +1,159 @@
+"""Data-quality validation (Deequ/GreatExpectations-style) — beyond the
+reference: the constraint suite a training-data pipeline runs before a
+corpus or feature table is allowed downstream.
+
+One registry query evaluates a whole constraint suite in a FIXED number of
+passes (one aggregate per table + two anti-join counts), emitting one row
+per check: (check, metric, passed).  Metrics are exact counts or single
+double divisions of exact counts, so the oracle hash-matches bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from lakehouse_sfc_spark.queries.registry import register
+from lakehouse_sfc_spark.sources.loader import load_table
+
+_EVENT_TYPES = ("click", "view", "purchase", "signup", "error")
+
+
+@register(
+    "dq_checks",
+    oracle=f"""
+    WITH o AS (
+      SELECT COUNT(*) AS n,
+             COUNT(o_orderkey) AS n_key,
+             COUNT(DISTINCT o_orderkey) AS n_dist,
+             COUNT(*) FILTER (WHERE o_totalprice <= 0) AS n_nonpos
+      FROM orders
+    ),
+    c AS (
+      SELECT COUNT(*) AS n,
+             COUNT(*) FILTER (WHERE c_acctbal < 0) AS n_neg
+      FROM customer
+    ),
+    e AS (
+      SELECT COUNT(*) AS n,
+             COUNT(value) AS n_val,
+             COUNT(*) FILTER (
+               WHERE event_type NOT IN {tuple(_EVENT_TYPES)!r}
+             ) AS n_bad_type
+      FROM events
+    ),
+    li_orphans AS (
+      SELECT COUNT(*) AS n FROM lineitem l
+      WHERE NOT EXISTS (
+        SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey
+      )
+    ),
+    ord_orphans AS (
+      SELECT COUNT(*) AS n FROM orders o
+      WHERE NOT EXISTS (
+        SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey
+      )
+    )
+    SELECT * FROM (
+      SELECT 'orders.completeness(o_orderkey)' AS check_name,
+             CAST(o.n_key AS DOUBLE) / o.n AS metric,
+             o.n_key = o.n AS passed FROM o
+      UNION ALL
+      SELECT 'orders.uniqueness(o_orderkey)',
+             CAST(o.n_dist AS DOUBLE) / o.n, o.n_dist = o.n FROM o
+      UNION ALL
+      SELECT 'orders.positive(o_totalprice)',
+             CAST(o.n_nonpos AS DOUBLE), o.n_nonpos = 0 FROM o
+      UNION ALL
+      SELECT 'customer.nonneg(c_acctbal)',
+             CAST(c.n_neg AS DOUBLE) / c.n, c.n_neg = 0 FROM c
+      UNION ALL
+      SELECT 'events.completeness(value)',
+             CAST(e.n_val AS DOUBLE) / e.n, e.n_val = e.n FROM e
+      UNION ALL
+      SELECT 'events.domain(event_type)',
+             CAST(e.n_bad_type AS DOUBLE), e.n_bad_type = 0 FROM e
+      UNION ALL
+      SELECT 'lineitem.fk(orders)',
+             CAST(li_orphans.n AS DOUBLE), li_orphans.n = 0 FROM li_orphans
+      UNION ALL
+      SELECT 'orders.fk(customer)',
+             CAST(ord_orphans.n AS DOUBLE), ord_orphans.n = 0 FROM ord_orphans
+    )
+    ORDER BY check_name
+    """,
+)
+def dq_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Constraint-suite evaluation: completeness, uniqueness, value-domain,
+    range, and referential-integrity checks in one driver-visible result.
+
+    Execution shape (the Deequ trick): every per-table check folds into a
+    SINGLE full-scan aggregate of that table — completeness, domain and
+    range checks are conditional counts inside one agg, so adding a check
+    costs a column, not a scan.  The two FK checks are LEFT ANTI joins
+    (orders broadcastable; at 100 TB AQE picks the hash side) reduced to
+    counts.  Global single-row aggregates, then a literal-union of eight
+    one-row frames — no data-sized shuffle anywhere."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    e = load_table(spark, sf_dir, "events")
+    li = load_table(spark, sf_dir, "lineitem")
+
+    o_agg = o.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.count("o_orderkey").alias("n_key"),
+        F.count_distinct(F.col("o_orderkey")).alias("n_dist"),
+        F.count(F.when(F.col("o_totalprice") <= 0, 1)).alias("n_nonpos"),
+    )
+    c_agg = c.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.count(F.when(F.col("c_acctbal") < 0, 1)).alias("n_neg"),
+    )
+    e_agg = e.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.count("value").alias("n_val"),
+        F.count(
+            F.when(~F.col("event_type").isin(*_EVENT_TYPES), 1)
+        ).alias("n_bad_type"),
+    )
+    li_orph = (
+        li.join(o.select("o_orderkey"), li.l_orderkey == F.col("o_orderkey"), "left_anti")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    ord_orph = (
+        o.join(c.select("c_custkey"), o.o_custkey == F.col("c_custkey"), "left_anti")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+    def row(src: DataFrame, name: str, metric, passed) -> DataFrame:
+        return src.select(
+            F.lit(name).alias("check_name"),
+            metric.cast("double").alias("metric"),
+            passed.alias("passed"),
+        )
+
+    n, nk, nd, np_ = (F.col(x) for x in ("n", "n_key", "n_dist", "n_nonpos"))
+    checks = [
+        row(o_agg, "orders.completeness(o_orderkey)", nk.cast("double") / n, nk == n),
+        row(o_agg, "orders.uniqueness(o_orderkey)", nd.cast("double") / n, nd == n),
+        row(o_agg, "orders.positive(o_totalprice)", np_, np_ == 0),
+        row(
+            c_agg,
+            "customer.nonneg(c_acctbal)",
+            F.col("n_neg").cast("double") / n,
+            F.col("n_neg") == 0,
+        ),
+        row(
+            e_agg,
+            "events.completeness(value)",
+            F.col("n_val").cast("double") / n,
+            F.col("n_val") == n,
+        ),
+        row(e_agg, "events.domain(event_type)", F.col("n_bad_type"), F.col("n_bad_type") == 0),
+        row(li_orph, "lineitem.fk(orders)", n, n == 0),
+        row(ord_orph, "orders.fk(customer)", n, n == 0),
+    ]
+    out = checks[0]
+    for chk in checks[1:]:
+        out = out.unionAll(chk)
+    return out.orderBy("check_name")

@@ -768,3 +768,224 @@ def text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "term", "tf", "df", "score", "rk")
         .orderBy("doc_id", "rk")
     )
+
+
+# --- T6: BM25 keyword search -------------------------------------------------
+
+_BM25_TERMS = ("spark", "join", "scan")
+
+# Rational BM25 (k1 = 6/5, b = 3/4), cleared of fractions so every factor is
+# an exact BIGINT:  idf_lin = (2N - 2df + 1)/(2df + 1)  [Robertson idf with
+# the log dropped — ln is libm-dependent across engines and the per-term doc
+# ranking is unchanged by a monotone transform];  tf-norm multiplied through
+# by 10L:  22·tf·L / (10·L·tf + 3·L + 9·dl·N).  Two correctly-rounded double
+# divisions and one multiply — bit-identical in Spark and DuckDB.
+
+
+@register(
+    "text_bm25_topk",
+    oracle=f"""
+    WITH terms AS (
+        SELECT doc_id, UNNEST({_SQL_TOKENS}) AS term FROM documents
+    ),
+    toks AS (SELECT doc_id, term FROM terms WHERE term <> ''),
+    dl AS (SELECT doc_id, COUNT(*) AS dl FROM toks GROUP BY 1),
+    corpus AS (
+        SELECT COUNT(*) AS n, SUM(dl) AS l
+        FROM dl
+    ),
+    tf AS (
+        SELECT doc_id, term, COUNT(*) AS tf FROM toks
+        WHERE term IN {tuple(_BM25_TERMS)!r} GROUP BY 1, 2
+    ),
+    df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+    scored AS (
+        SELECT tf.term, tf.doc_id, tf.tf, dl.dl,
+               (CAST(2 * c.n - 2 * df.df + 1 AS DOUBLE) / (2 * df.df + 1))
+               * (CAST(22 * tf.tf * c.l AS DOUBLE)
+                  / (10 * c.l * tf.tf + 3 * c.l + 9 * dl.dl * c.n))
+                 AS score
+        FROM tf
+        JOIN df USING (term)
+        JOIN dl USING (doc_id)
+        CROSS JOIN corpus c
+    ),
+    ranked AS (
+        SELECT *, ROW_NUMBER() OVER (
+            PARTITION BY term ORDER BY score DESC, doc_id
+        ) AS rk
+        FROM scored
+    )
+    SELECT term, doc_id, tf, dl, score, rk
+    FROM ranked WHERE rk <= 10
+    ORDER BY term, rk
+    """,
+)
+def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 keyword search: top-10 documents per query term, scored with
+    length normalization (k1=1.2, b=0.75) against full-corpus statistics.
+
+    Cross-engine exactness: the score is evaluated as (a/b)·(c/d) where
+    a,b,c,d are exact BIGINT polynomials in (tf, df, dl, N, L) — see the
+    derivation above.  IEEE division and multiplication are correctly
+    rounded, so identical integer inputs + identical expression shape =>
+    identical doubles; only transcendental idf (ln) would break that, and
+    it is deliberately replaced by the monotone linear idf.
+
+    Scale shape: tokenization + dl is one shuffle on doc_id; tf keeps only
+    the query terms BEFORE shuffling (the filter cuts the fact side to
+    |terms|·|matching docs|); df re-aggregates tf; corpus stats broadcast
+    as a 1-row frame; the final ranking windows over |query terms|
+    partitions.  At true 100 TB the BIGINT products approach 2^63 — route
+    them through DECIMAL(38,0) at that point (documented, not needed at
+    bench scale)."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.explode(_tokens(F.col("text"))).alias("term")
+    ).filter(F.col("term") != "")
+    dl = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    corpus = dl.agg(
+        F.count(F.lit(1)).alias("n"), F.sum("dl").alias("l")
+    )
+    tf = (
+        toks.filter(F.col("term").isin(*_BM25_TERMS))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    scored = (
+        tf.join(dfreq, "term")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(corpus))
+        .select(
+            "term",
+            "doc_id",
+            "tf",
+            "dl",
+            (
+                (
+                    (2 * F.col("n") - 2 * F.col("df") + 1).cast("double")
+                    / (2 * F.col("df") + 1)
+                )
+                * (
+                    (22 * F.col("tf") * F.col("l")).cast("double")
+                    / (
+                        10 * F.col("l") * F.col("tf")
+                        + 3 * F.col("l")
+                        + 9 * F.col("dl") * F.col("n")
+                    )
+                )
+            ).alias("score"),
+        )
+    )
+    w = Window.partitionBy("term").orderBy(F.desc("score"), "doc_id")
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 10)
+        .select("term", "doc_id", "tf", "dl", "score", "rk")
+        .orderBy("term", "rk")
+    )
+
+
+# --- T7: PII detection / redaction ------------------------------------------
+
+_EMAIL_RE = "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}"
+_PHONE_RE = "[0-9]{3}-[0-9]{4}"
+
+# The synthetic corpus is word-salad with no real PII, so the query embeds a
+# deterministic PII payload derived from doc_id (same construction in both
+# engines) — the detection/redaction kernels then have real positives to
+# find, the same way multimodal_*_real derives payloads from doc_id.
+_SQL_PII_TEXT = """
+    text || CASE
+      WHEN doc_id % 3 = 0
+        THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com now'
+      WHEN doc_id % 5 = 0
+        THEN ' call 555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+      ELSE ''
+    END
+"""
+
+
+@register(
+    "text_pii_scan",
+    oracle=f"""
+    WITH pii AS (
+      SELECT doc_id, source, ({_SQL_PII_TEXT}) AS t FROM documents
+    ),
+    hits AS (
+      SELECT source,
+             len(regexp_extract_all(t, '{_EMAIL_RE}')) AS n_email,
+             len(regexp_extract_all(t, '{_PHONE_RE}')) AS n_phone,
+             length(regexp_replace(regexp_replace(t, '{_EMAIL_RE}',
+                      '[EMAIL]', 'g'), '{_PHONE_RE}', '[PHONE]', 'g'))
+               AS redacted_len
+      FROM pii
+    )
+    SELECT source,
+           COUNT(*) AS n_docs,
+           COUNT(*) FILTER (WHERE n_email > 0) AS docs_with_email,
+           COUNT(*) FILTER (WHERE n_phone > 0) AS docs_with_phone,
+           SUM(n_email) AS n_emails,
+           SUM(n_phone) AS n_phones,
+           SUM(redacted_len) AS redacted_len_sum
+    FROM hits
+    GROUP BY source
+    ORDER BY source
+    """,
+)
+def text_pii_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII detection + redaction audit per source: email/phone pattern
+    counts and the total length of the redacted corpus (a cheap exact
+    checksum that the redaction rewrote precisely the matched spans).
+
+    The regexes stick to explicit character classes and bounded
+    quantifiers — the subset where Java regex (Spark) and RE2 (DuckDB)
+    agree exactly; no backreferences, no shorthand classes.  Everything is
+    JVM-side codegen (regexp_count / regexp_replace); one shuffle on the
+    20-value source key.  At 100 TB this is the map-side-heavy shape you
+    want: the scan dominates, the aggregate is tiny."""
+    docs = load_table(spark, sf_dir, "documents")
+    pii_t = F.concat(
+        F.col("text"),
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.concat(
+                F.lit(" contact user"),
+                F.col("doc_id").cast("string"),
+                F.lit("@example.com now"),
+            ),
+        )
+        .when(
+            F.col("doc_id") % 5 == 0,
+            F.concat(
+                F.lit(" call 555-"),
+                F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+            ),
+        )
+        .otherwise(F.lit("")),
+    )
+    hits = docs.select(
+        "source",
+        F.regexp_count(pii_t, F.lit(_EMAIL_RE)).alias("n_email"),
+        F.regexp_count(pii_t, F.lit(_PHONE_RE)).alias("n_phone"),
+        F.length(
+            F.regexp_replace(
+                F.regexp_replace(pii_t, _EMAIL_RE, "[EMAIL]"),
+                _PHONE_RE,
+                "[PHONE]",
+            )
+        ).alias("redacted_len"),
+    )
+    return (
+        hits.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.count(F.when(F.col("n_email") > 0, 1)).alias("docs_with_email"),
+            F.count(F.when(F.col("n_phone") > 0, 1)).alias("docs_with_phone"),
+            F.sum("n_email").alias("n_emails"),
+            F.sum("n_phone").alias("n_phones"),
+            F.sum("redacted_len").alias("redacted_len_sum"),
+        )
+        .orderBy("source")
+    )

@@ -161,3 +161,83 @@ def w_sliding_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.count("value").over(w)
         ).alias("sliding_avg"),
     )
+
+
+@register(
+    "w_lead_lag",
+    oracle="""
+    SELECT user_id,
+           COUNT(*) AS n_gaps,
+           MAX(gap_us) AS max_gap_us,
+           CAST(SUM(gap_us) AS DOUBLE) / COUNT(*) AS avg_gap_us
+    FROM (
+      SELECT user_id,
+             epoch_us(ts) - LAG(epoch_us(ts)) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+             ) AS gap_us
+      FROM events
+    )
+    WHERE gap_us IS NOT NULL
+    GROUP BY user_id
+    """,
+)
+def w_lead_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user inter-arrival gaps via LAG: the event-time delta analysis
+    every behavioural pipeline starts with.  Timestamps are compared as
+    epoch MICROSECONDS (integers — ``unix_micros`` here, ``epoch_us`` in
+    the oracle — identical once the nanos parquet column is read at
+    microsecond precision by both engines); the per-user average is an
+    exact integer sum with ONE double division.  Ties are broken by
+    event_id so LAG is deterministic.  One shuffle on user_id; the window
+    and the aggregation share the same hash partitioning (no second
+    exchange)."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    # events.ts loads as TIMESTAMP_NTZ; the session tz is pinned UTC, so
+    # the LTZ reinterpretation is the identity and unix_micros is exact.
+    us = F.unix_micros(F.col("ts").cast("timestamp_ltz"))
+    gaps = ev.select(
+        "user_id",
+        (us - F.lag(us).over(w)).alias("gap_us"),
+    ).filter(F.col("gap_us").isNotNull())
+    return gaps.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_gaps"),
+        F.max("gap_us").alias("max_gap_us"),
+        (F.sum("gap_us").cast("double") / F.count(F.lit(1))).alias("avg_gap_us"),
+    )
+
+
+@register(
+    "w_percent_rank",
+    oracle="""
+    SELECT c_custkey, c_mktsegment,
+           PERCENT_RANK() OVER w AS pct_rank,
+           CUME_DIST() OVER w AS cume
+    FROM customer
+    WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal)
+    QUALIFY c_custkey % 97 = 0
+    ORDER BY c_custkey
+    """,
+)
+def w_percent_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PERCENT_RANK + CUME_DIST per market segment (distribution position
+    of every customer's balance inside its segment).  Both functions are
+    rank arithmetic with ONE double division — (rank-1)/(n-1) and
+    rows_le/n — bit-identical across engines, and ties collapse to the
+    same value by definition so no tie-break is needed for the ranking
+    itself.  The output is sampled AFTER ranking (the rank must see every
+    row).  Partitioning by segment keeps the sort distributed (5 segments
+    here; at 100 TB any within-partition global rank is a range-partition
+    sort — same shape Spark uses for a global orderBy)."""
+    c = load_table(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_mktsegment").orderBy("c_acctbal")
+    return (
+        c.select(
+            "c_custkey",
+            "c_mktsegment",
+            F.percent_rank().over(w).alias("pct_rank"),
+            F.cume_dist().over(w).alias("cume"),
+        )
+        .filter(F.col("c_custkey") % 97 == 0)
+        .orderBy("c_custkey")
+    )
