@@ -213,3 +213,70 @@ def snap_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("channel")
     )
+
+
+@register(
+    "snap_incremental_agg",
+    oracle=f"""
+    {_SQL_STATES}
+    SELECT o_custkey % 10 AS bucket, COUNT(*) AS cnt,
+           {sql_dsum("o_totalprice", "sum_price")}
+    FROM (SELECT * FROM state2 UNION ALL SELECT * FROM appended)
+    GROUP BY 1
+    ORDER BY 1
+    """,
+)
+def snap_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental materialized-view maintenance: an aggregate materialized
+    at v0 is brought to v3 by applying ONLY the change feed — no base-table
+    rescan — and must equal a from-scratch recompute (which is exactly what
+    the oracle does over the reconstructed final state).
+
+    Maintenance algebra: per group, inserts and update POST images add
+    (+count, +price), deletes and update PRE images retract (-count,
+    -price); sums ride exact DECIMAL so retraction is lossless.  This is
+    the streaming-MV contract (Delta CDF -> MERGE, Flink retract streams):
+    at 100 TB the base aggregate is touched once ever, and each refresh
+    costs O(changed rows) — `changes` reads only files that differ between
+    the manifests."""
+    t = _snapshot_table(spark, sf_dir)
+    price = F.col("o_totalprice").cast("decimal(18,2)")
+    bucket = (F.col("o_custkey") % 10).alias("bucket")
+
+    base = t.read(0).groupBy(bucket).agg(
+        F.count(F.lit(1)).alias("c0"),
+        F.sum(price).alias("s0"),
+    )
+    sign = (
+        F.when(
+            F.col("_change_type").isin("insert", "update_postimage"), F.lit(1)
+        )
+        .when(
+            F.col("_change_type").isin("delete", "update_preimage"), F.lit(-1)
+        )
+    )
+    delta = (
+        t.changes(0, 3, ["o_orderkey"], emit_pre=True)
+        .select(bucket, sign.alias("sign"), price.alias("p"))
+        .groupBy("bucket")
+        .agg(
+            F.sum("sign").alias("dc"),
+            F.sum(F.col("sign") * F.col("p")).alias("ds"),
+        )
+    )
+    zero = F.lit(0).cast("decimal(18,2)")
+    return (
+        base.join(delta, "bucket", "full_outer")
+        .select(
+            "bucket",
+            (F.coalesce(F.col("c0"), F.lit(0)) + F.coalesce(F.col("dc"), F.lit(0))).alias("cnt"),
+            (
+                F.coalesce(F.col("s0"), zero)
+                + F.coalesce(F.col("ds"), zero)
+            )
+            .cast("double")
+            .alias("sum_price"),
+        )
+        .filter(F.col("cnt") > 0)
+        .orderBy("bucket")
+    )

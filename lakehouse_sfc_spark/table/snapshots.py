@@ -337,11 +337,21 @@ class SnapshotTable:
         )
 
     def changes(
-        self, v_from: int, v_to: int, record_keys: list[str]
+        self,
+        v_from: int,
+        v_to: int,
+        record_keys: list[str],
+        emit_pre: bool = False,
     ) -> DataFrame:
         """Change data feed between two versions: one row per changed record
         with ``_change_type`` ∈ insert | update | delete and the POST image
         (pre image for deletes).
+
+        With ``emit_pre=True`` updates emit TWO rows — Delta CDF style
+        ``update_preimage`` (old values) + ``update_postimage`` (new values)
+        — which is what downstream incremental aggregate maintenance needs:
+        the pre image retracts the old contribution, the post image adds
+        the new one (see queries/snapshotsq.py::snap_incremental_agg).
 
         Scans only files added or removed between the versions — rows in
         files common to both manifests are identical by immutability, so
@@ -391,11 +401,29 @@ class SnapshotTable:
             F.coalesce(F.col(f"post.{c}"), F.col(f"pre.{c}")).alias(c)
             for c in schema_cols
         ]
-        return (
-            j.withColumn("_change_type", change)
-            .filter(F.col("_change_type").isNotNull())
-            .select(*out_cols, "_change_type")
+        if not emit_pre:
+            return (
+                j.withColumn("_change_type", change)
+                .filter(F.col("_change_type").isNotNull())
+                .select(*out_cols, "_change_type")
+            )
+        post_type = (
+            F.when(F.col("_change_type") == "update", F.lit("update_postimage"))
+            .otherwise(F.col("_change_type"))
         )
+        labelled = j.withColumn("_change_type", change).filter(
+            F.col("_change_type").isNotNull()
+        )
+        post_rows = labelled.select(
+            *out_cols, post_type.alias("_change_type")
+        )
+        pre_rows = labelled.filter(
+            F.col("_change_type") == "update"
+        ).select(
+            *[F.col(f"pre.{c}").alias(c) for c in schema_cols],
+            F.lit("update_preimage").alias("_change_type"),
+        )
+        return post_rows.unionByName(pre_rows)
 
     # --------------------------------------------------------------- vacuum
 

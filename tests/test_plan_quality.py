@@ -203,3 +203,45 @@ def test_pack_sequences_no_single_partition_window(spark):
     Exchange SinglePartition."""
     plan = _plan(spark, "pack_sequences")
     assert "SinglePartition" not in plan, plan
+
+
+def test_funnel_single_shuffle_on_user(spark):
+    """a_funnel's three chained windows + the per-user aggregate must share
+    ONE user_id hash exchange — stacking stages on an existing partitioning
+    is the whole point of the design."""
+    plan = _plan(spark, "a_funnel")
+    import re
+
+    exchanges = re.findall(r"Exchange (\w+)\(([^)]*)\)", plan)
+    data_sized = [e for e in exchanges if "hashpartitioning" in e[0]]
+    assert len(data_sized) == 1, exchanges
+    assert "user_id" in data_sized[0][1], exchanges
+
+
+def test_concurrent_sweep_is_day_partitioned(spark):
+    """a_concurrent's data-sized prefix sum must run under a day-hash
+    partitioning; the only SinglePartition exchange feeds the per-day
+    carry window (one row per day, not data-sized)."""
+    plan = _plan(spark, "a_concurrent")
+    assert "hashpartitioning(day" in plan
+    # the day-partitioned window must appear (running sum over t)
+    assert "windowspecdefinition(day" in plan
+
+
+def test_salted_join_keys_include_salt(spark):
+    """j_skew_salted must actually join on (key, salt) — if the salt column
+    were optimized away the skew spreading silently disappears."""
+    plan = _plan(spark, "j_skew_salted")
+    assert "__salt" in plan
+
+
+def test_pagerank_iterations_reuse_checkpointed_edges(spark):
+    """graph_pagerank unrolls 3 iterations; the fact-table join pipeline
+    must be cut off by the localCheckpoint so lineitem is scanned at most
+    once (the checkpoint itself), not once per iteration."""
+    df = QUERIES["graph_pagerank"].fn(spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("lineitem.parquet") == 0, (
+        "iterations re-derive edges from the fact table instead of the "
+        "checkpointed edge set"
+    )

@@ -181,3 +181,38 @@ def test_empty_delete_everything(table, spark):
     assert table.read().columns == [
         "o_orderkey", "o_custkey", "o_totalprice", "o_orderdate"
     ]
+
+
+def test_cdf_emit_pre_images(table, orders, spark):
+    """emit_pre=True turns each update into a retraction pair: preimage
+    with old values, postimage with new — and the signed sum of the pair
+    nets to exactly the price delta (the MV-maintenance contract)."""
+    upd = (
+        orders.filter(F.col("o_orderkey").between(10, 20))
+        .withColumn("o_totalprice", F.col("o_totalprice") + 1.0)
+    )
+    table.upsert(upd, ["o_orderkey"], "o_totalprice")
+    cdf = table.changes(0, 1, ["o_orderkey"], emit_pre=True)
+    counts = {
+        r["_change_type"]: r["cnt"]
+        for r in cdf.groupBy("_change_type")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .collect()
+    }
+    n_upd = orders.filter(F.col("o_orderkey").between(10, 20)).count()
+    assert counts.get("update_postimage", 0) == n_upd
+    assert counts.get("update_preimage", 0) == n_upd
+    assert "update" not in counts
+    # retraction algebra: sum(post) - sum(pre) == n_upd * 1.0 exactly
+    signed = cdf.select(
+        F.when(F.col("_change_type") == "update_postimage", 1)
+        .otherwise(-1)
+        .alias("sign"),
+        F.col("o_totalprice").cast("decimal(18,2)").alias("p"),
+    )
+    net = signed.agg(
+        F.sum(F.col("sign") * F.col("p")).alias("net")
+    ).collect()[0]["net"]
+    assert float(net) == pytest.approx(n_upd * 1.0)
+    # a key that wasn't touched must not appear at all
+    assert cdf.filter(F.col("o_orderkey") == 5).count() == 0
