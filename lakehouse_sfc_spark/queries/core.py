@@ -764,3 +764,48 @@ def a_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("prev_c").alias("locf"),
         interp.alias("interp"),
     ).orderBy("event_type", "bucket")
+
+
+@register(
+    "p_json_extract",
+    oracle="""
+    SELECT event_type,
+           COUNT(*) AS n,
+           COUNT(k) AS n_with_k,
+           SUM(k) AS sum_k,
+           COUNT(DISTINCT k) AS n_distinct_k,
+           COUNT(*) FILTER (WHERE k > 50) AS n_big_k
+    FROM (
+      SELECT event_type,
+             CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+      FROM events
+    )
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+)
+def p_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured access: extract an integer field from the JSON
+    `props` column (`get_json_object` — Spark's JVM-side JSON path
+    evaluator; `json_extract_string` in the oracle) and aggregate per
+    event type.  All metrics are exact integers, so the comparison is
+    hash-tight despite two different JSON parsers.
+
+    Scale note: JSON path extraction is codegen'd JVM work in the scan
+    projection — no Python, no UDF.  At 100 TB the right move is to
+    extract ONCE at ingest into a typed column (schema-on-write); this
+    query is the schema-on-read path for data you don't control."""
+    ev = load_table(spark, sf_dir, "events")
+    k = F.get_json_object(F.col("props"), "$.k").cast("bigint")
+    return (
+        ev.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.count("k").alias("n_with_k"),
+            F.sum("k").alias("sum_k"),
+            F.count_distinct(F.col("k")).alias("n_distinct_k"),
+            F.count(F.when(F.col("k") > 50, 1)).alias("n_big_k"),
+        )
+        .orderBy("event_type")
+    )

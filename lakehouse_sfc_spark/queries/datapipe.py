@@ -1182,3 +1182,88 @@ def dedup_embedding_topk(
             F.col("rank").cast("long").alias("rank"),
         )
     )
+
+
+# --- weighted sampling -------------------------------------------------------
+
+_PPS_BLOCK = 4096  # keys per prefix-sum block; ~tasks = keyspace/4096
+
+
+@register(
+    "sample_pps",
+    oracle="""
+    WITH w AS (
+      SELECT o_orderkey,
+             CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS w
+      FROM orders
+    ),
+    cum AS (
+      SELECT o_orderkey, w,
+             SUM(w) OVER (ORDER BY o_orderkey) AS cum
+      FROM w
+    ),
+    tot AS (
+      SELECT GREATEST(SUM(w) // 1000, 1) AS stride FROM w
+    )
+    SELECT o_orderkey, w, cum,
+           cum // stride - (cum - w) // stride AS n_hits
+    FROM cum, tot
+    WHERE cum // stride > (cum - w) // stride
+    ORDER BY o_orderkey
+    """,
+)
+def sample_pps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Systematic probability-proportional-to-size sampling: ~1000 orders
+    drawn with inclusion probability proportional to order value — the
+    standard importance-sampling step when curating a training mix (sample
+    documents by quality weight, examples by loss, tenants by volume).  A
+    row is selected iff its weight interval (cum-w, cum] on the cumulative
+    weight line covers a multiple of the stride W/1000; `n_hits` is its
+    multiplicity (heavy rows can win multiple slots).  Every quantity is a
+    BIGINT (prices routed through DECIMAL cents) and the only division is
+    integral DIV — bit-exact in both engines, no RNG.
+
+    The global cumulative sum does NOT run as one global sort: keys split
+    into 4096-key blocks, each block cumulates under a hash partitioning,
+    and a tiny window over per-block totals supplies each block's carry-in
+    (same decomposition as a_concurrent / build_update_batches_ranged).
+    The oracle computes the NAIVE global-window form — result identity is
+    the proof the decomposition is exact."""
+    o = load_table(spark, sf_dir, "orders")
+    w = o.select(
+        "o_orderkey",
+        (F.col("o_totalprice").cast("decimal(18,2)") * 100)
+        .cast("bigint")
+        .alias("w"),
+        (F.expr(f"o_orderkey DIV {_PPS_BLOCK}")).alias("blk"),
+    )
+    w_blk = Window.partitionBy("blk").orderBy("o_orderkey")
+    within = w.select(
+        "o_orderkey", "w", "blk", F.sum("w").over(w_blk).alias("cum_in_blk")
+    )
+    blk_tot = w.groupBy("blk").agg(F.sum("w").alias("blk_w"))
+    w_carry = Window.orderBy("blk").rowsBetween(Window.unboundedPreceding, -1)
+    carry = blk_tot.select(
+        "blk", F.coalesce(F.sum("blk_w").over(w_carry), F.lit(0)).alias("carry")
+    )
+    tot = w.agg(
+        F.greatest(F.expr("SUM(w) DIV 1000"), F.lit(1)).alias("stride")
+    )
+    cum = (
+        within.join(F.broadcast(carry), "blk")
+        .select(
+            "o_orderkey",
+            "w",
+            (F.col("carry") + F.col("cum_in_blk")).alias("cum"),
+        )
+        .crossJoin(F.broadcast(tot))
+    )
+    return (
+        cum.withColumn(
+            "n_hits",
+            F.expr("cum DIV stride - (cum - w) DIV stride"),
+        )
+        .filter(F.col("n_hits") > 0)
+        .select("o_orderkey", "w", "cum", "n_hits")
+        .orderBy("o_orderkey")
+    )
