@@ -22,6 +22,32 @@ if str(_REPO) not in sys.path:
     sys.path.insert(0, str(_REPO))
 
 
+def _cpu_calibration() -> float:
+    """Seconds for a fixed single-core workload (md5 over 48 MiB + a 256²
+    float matmul), the median of 3.  The VMs the driver schedules rounds on
+    differ several-fold in single-core speed (measured: one session's host
+    ran the identical headline set ~2.5× slower than the previous
+    session's, with this calibration at 0.25 s); comparing
+    value/cpu_calib_sec across rounds separates host speed from real
+    regressions."""
+    import hashlib
+
+    import numpy as np
+
+    a = np.full((256, 256), 1.5)
+    blob = bytes(8 << 20)
+    samples = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        h = hashlib.md5()
+        for _ in range(6):
+            h.update(blob)
+        for _ in range(8):
+            a @ a
+        samples.append(time.perf_counter() - t0)
+    return round(sorted(samples)[1], 4)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(Path(sf_dir).name.replace("sf", "") or 0.1)
@@ -68,6 +94,7 @@ def main() -> None:
                 "repeats": repeats,
                 "total_min": round(sum(s["min"] for s in spread.values()), 4),
                 "total_max": round(sum(s["max"] for s in spread.values()), 4),
+                "cpu_calib_sec": _cpu_calibration(),
                 "sf": sf,
             }
         )
