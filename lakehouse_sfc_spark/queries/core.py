@@ -809,3 +809,96 @@ def p_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@register(
+    "a_mode",
+    oracle="""
+    WITH seg_counts AS (
+      SELECT n.n_name, c.c_mktsegment, COUNT(*) AS cnt
+      FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+      GROUP BY 1, 2
+    ),
+    ranked AS (
+      SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY n_name ORDER BY cnt DESC, c_mktsegment
+      ) AS rk
+      FROM seg_counts
+    )
+    SELECT n_name, c_mktsegment AS mode_segment, cnt
+    FROM ranked WHERE rk = 1
+    ORDER BY n_name
+    """,
+)
+def a_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group mode (most frequent value): each nation's dominant market
+    segment.  Count per (group, value) — one shuffle that reduces to at
+    most |groups|·|domain| rows — then an argmax window over the tiny
+    counted relation, ties broken lexically so both engines pick the same
+    winner.  The window sorts |domain| rows per group, never data-sized
+    input; this is how mode should be computed at any scale (never
+    collect_list + driver-side counting)."""
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    counts = (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("n_name", "c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    w = Window.partitionBy("n_name").orderBy(F.desc("cnt"), "c_mktsegment")
+    return (
+        counts.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select("n_name", F.col("c_mktsegment").alias("mode_segment"), "cnt")
+        .orderBy("n_name")
+    )
+
+
+@register(
+    "a_cohort_retention",
+    oracle="""
+    WITH activity AS (
+      SELECT DISTINCT user_id,
+             CAST(DATE_TRUNC('month', ts) AS DATE) AS m
+      FROM events
+    ),
+    cohorts AS (
+      SELECT user_id, MIN(m) AS cohort_month FROM activity GROUP BY 1
+    )
+    SELECT c.cohort_month,
+           (YEAR(a.m) * 12 + MONTH(a.m))
+             - (YEAR(c.cohort_month) * 12 + MONTH(c.cohort_month))
+             AS month_offset,
+           COUNT(DISTINCT a.user_id) AS n_users
+    FROM activity a JOIN cohorts c ON a.user_id = c.user_id
+    GROUP BY 1, 2
+    ORDER BY 1, 2
+    """,
+)
+def a_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention matrix: users grouped by first-activity month, and
+    for each later month the count still active — the table every growth /
+    engagement dashboard is built on.  Shape: the event log reduces to
+    DISTINCT (user, month) FIRST (the only data-sized shuffle, and it
+    partitions by user so the per-user MIN reuses the partitioning); the
+    cohort join and the final (cohort, offset) rollup run on the reduced
+    user-month relation.  Month arithmetic is integer (year·12+month), so
+    every output cell is exact."""
+    ev = load_table(spark, sf_dir, "events")
+    activity = ev.select(
+        "user_id",
+        F.date_trunc("month", F.col("ts")).cast("date").alias("m"),
+    ).distinct()
+    cohorts = activity.groupBy("user_id").agg(
+        F.min("m").alias("cohort_month")
+    )
+    mo = F.year(F.col("m")) * 12 + F.month(F.col("m"))
+    co = F.year(F.col("cohort_month")) * 12 + F.month(F.col("cohort_month"))
+    return (
+        activity.join(cohorts, "user_id")
+        .groupBy(
+            "cohort_month", (mo - co).alias("month_offset")
+        )
+        .agg(F.count_distinct(F.col("user_id")).alias("n_users"))
+        .orderBy("cohort_month", "month_offset")
+    )

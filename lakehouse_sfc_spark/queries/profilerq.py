@@ -266,3 +266,54 @@ def profile_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("cnt"), F.asc("source"))
         .limit(5)
     )
+
+
+@register(
+    "profile_gini",
+    oracle="""
+    WITH et_n AS (SELECT SUM(c) AS n, SUM(c*c) AS sumsq,
+                    COUNT(*) AS n_distinct
+             FROM (SELECT COUNT(*) AS c FROM events GROUP BY event_type)),
+    seg_n AS (SELECT SUM(c) AS n, SUM(c*c) AS sumsq,
+                     COUNT(*) AS n_distinct
+              FROM (SELECT COUNT(*) AS c FROM customer GROUP BY c_mktsegment))
+    SELECT col_name, n, n_distinct,
+           CAST(n * n - sumsq AS DOUBLE) / (n * n) AS gini
+    FROM (
+      SELECT 'events.event_type' AS col_name, n, n_distinct, sumsq FROM et_n
+      UNION ALL
+      SELECT 'customer.c_mktsegment', n, n_distinct, sumsq FROM seg_n
+    )
+    ORDER BY col_name
+    """,
+)
+def profile_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini impurity of categorical columns (class-balance diagnostic for a
+    label or domain column): gini = 1 - Σ(cᵢ/n)² computed as the RATIONAL
+    (n² - Σcᵢ²)/n² — integer numerator and denominator, ONE double
+    division, bit-identical across engines (the naive per-class p²
+    summation would be float-order-dependent).  Two-level aggregation:
+    count per value (shuffle bounded by the domain size), then a 1-row
+    reduction — the scan dominates at any scale."""
+    ev = load_table(spark, sf_dir, "events")
+    cust = load_table(spark, sf_dir, "customer")
+
+    def gini_of(df: DataFrame, col: str, label: str) -> DataFrame:
+        counts = df.groupBy(col).agg(F.count(F.lit(1)).alias("c"))
+        return counts.agg(
+            F.lit(label).alias("col_name"),
+            F.sum("c").alias("n"),
+            F.count(F.lit(1)).alias("n_distinct"),
+            (
+                (
+                    F.sum("c") * F.sum("c") - F.sum(F.col("c") * F.col("c"))
+                ).cast("double")
+                / (F.sum("c") * F.sum("c"))
+            ).alias("gini"),
+        )
+
+    return (
+        gini_of(ev, "event_type", "events.event_type")
+        .unionAll(gini_of(cust, "c_mktsegment", "customer.c_mktsegment"))
+        .orderBy("col_name")
+    )

@@ -989,3 +989,69 @@ def text_pii_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# --- T8: n-gram statistics ---------------------------------------------------
+
+
+@register(
+    "text_ngram_stats",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id,
+             unnest({_SQL_TOKENS}) AS term,
+             generate_subscripts({_SQL_TOKENS}, 1) AS pos
+      FROM documents
+    ),
+    bigrams AS (
+      SELECT doc_id, term,
+             LEAD(term) OVER (PARTITION BY doc_id ORDER BY pos) AS nxt
+      FROM toks WHERE term <> ''
+    ),
+    counted AS (
+      SELECT term || ' ' || nxt AS bigram, COUNT(*) AS cnt
+      FROM bigrams WHERE nxt IS NOT NULL AND nxt <> ''
+      GROUP BY 1
+    ),
+    ranked AS (
+      SELECT *, ROW_NUMBER() OVER (ORDER BY cnt DESC, bigram) AS rk
+      FROM counted
+    )
+    SELECT bigram, cnt, rk FROM ranked WHERE rk <= 20 ORDER BY rk
+    """,
+)
+def text_ngram_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus bigram statistics: the 20 most frequent adjacent token pairs
+    — the building block of n-gram language models, collocation mining,
+    and the phrase tables quality classifiers are trained on.
+
+    Pairing uses posexplode + a per-document LEAD window (one shuffle on
+    doc_id, the natural text-processing partitioning) instead of a
+    position self-join — at 100 TB a (doc, pos)⋈(doc, pos+1) join would
+    shuffle the token stream twice and build a billion-row hash table;
+    the window streams each document's tokens once in sorted order.  The
+    global top-20 is a TakeOrdered over the counted relation (bounded by
+    vocabulary², reduced map-side first).  Ties break lexically; counts
+    are exact integers."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.posexplode(_tokens(F.col("text"))).alias("pos", "term")
+    ).filter(F.col("term") != "")
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    bigrams = toks.select(
+        "term", F.lead("term").over(w).alias("nxt")
+    ).filter(F.col("nxt").isNotNull() & (F.col("nxt") != ""))
+    counted = (
+        bigrams.select(
+            F.concat_ws(" ", "term", "nxt").alias("bigram")
+        )
+        .groupBy("bigram")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    # Take the global top-20 with TakeOrderedAndProject FIRST (partial
+    # per-partition top-k, no global sort of the counted relation), then
+    # rank the 20 survivors — the rank window runs on 20 rows, not on the
+    # vocabulary²-sized count table.
+    top = counted.orderBy(F.desc("cnt"), "bigram").limit(20)
+    w_rank = Window.orderBy(F.desc("cnt"), "bigram")
+    return top.withColumn("rk", F.row_number().over(w_rank)).orderBy("rk")
