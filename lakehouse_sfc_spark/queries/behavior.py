@@ -170,23 +170,24 @@ def a_concurrent(spark: SparkSession, sf_dir: str) -> DataFrame:
     pts = starts.unionAll(ends).withColumn("day", F.col("t").cast("date"))
     w_day = Window.partitionBy("day").orderBy("t")
     within = pts.select(
-        "day", "t", F.sum("delta").over(w_day).alias("cum_in_day")
+        "day", "delta", F.sum("delta").over(w_day).alias("cum_in_day")
     )
-    day_tot = pts.groupBy("day").agg(F.sum("delta").alias("day_delta"))
+    # ONE aggregate over the windowed frame yields BOTH per-day reductions
+    # (the in-day peak and the day's net delta); its distribution
+    # requirement is satisfied by the window's day-hash exchange, so the
+    # whole data-sized pipeline is: 2 scans (one per union branch), one
+    # exchange, one window, one agg.  Everything after is one row per day.
+    per_day = within.groupBy("day").agg(
+        F.max("cum_in_day").alias("peak_in_day"),
+        F.sum("delta").alias("day_delta"),
+    )
     w_carry = Window.orderBy("day").rowsBetween(
         Window.unboundedPreceding, -1
     )
-    carry = day_tot.select(
-        "day", F.sum("day_delta").over(w_carry).alias("offset_in")
-    )
-    return (
-        within.join(F.broadcast(carry), "day")
-        .groupBy("day")
-        .agg(
-            F.max(
-                F.coalesce(F.col("offset_in"), F.lit(0))
-                + F.col("cum_in_day")
-            ).alias("max_concurrent")
-        )
-        .orderBy("day")
-    )
+    return per_day.select(
+        "day",
+        (
+            F.coalesce(F.sum("day_delta").over(w_carry), F.lit(0))
+            + F.col("peak_in_day")
+        ).alias("max_concurrent"),
+    ).orderBy("day")

@@ -228,9 +228,15 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     base = _PR_SCALE * 15 // 2500
     ranks = nodes.select("node", F.lit(_PR_SCALE // 25).alias("rank_scaled"))
     for _ in range(3):
+        # outd / ranks / the contribution aggregate are all ≤ |V| rows —
+        # broadcast them so an iteration is 3 broadcast joins + one tiny
+        # aggregate, never a SortMergeJoin cascade (post-checkpoint Spark
+        # has no stats, so without hints it picks SMJ).
         contrib = (
-            edges.join(outd, "src")
-            .join(ranks.withColumnRenamed("node", "src"), "src")
+            edges.join(F.broadcast(outd), "src")
+            .join(
+                F.broadcast(ranks.withColumnRenamed("node", "src")), "src"
+            )
             .select(
                 "dst",
                 F.floor(
@@ -240,7 +246,11 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         ranks = (
             nodes.join(
-                contrib.groupBy("dst").agg(F.sum("contrib").alias("in_mass")),
+                F.broadcast(
+                    contrib.groupBy("dst").agg(
+                        F.sum("contrib").alias("in_mass")
+                    )
+                ),
                 nodes.node == F.col("dst"),
                 "left",
             )

@@ -339,7 +339,11 @@ def j_skew_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from lakehouse_sfc_spark.operators.skew import salted_join
 
-    joined = salted_join(li, o, on="l_orderkey", factor=8)
+    # Pin the shuffle-hash strategy: at bench SF the orders side fits the
+    # broadcast threshold and Catalyst would broadcast it — which never
+    # needs salting in the first place.  The operator exists for the
+    # too-big-to-broadcast case, so the demo exercises that shape.
+    joined = salted_join(li, o.hint("shuffle_hash"), on="l_orderkey", factor=8)
     return (
         joined.groupBy("o_orderpriority")
         .agg(
