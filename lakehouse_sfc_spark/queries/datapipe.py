@@ -1267,3 +1267,77 @@ def sample_pps(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("o_orderkey", "w", "cum", "n_hits")
         .orderBy("o_orderkey")
     )
+
+
+@register(
+    "dedup_keep_canonical",
+    oracle=f"""
+    WITH RECURSIVE g AS MATERIALIZED ({_SQL_NGRAMS_VIEW}),
+    p AS MATERIALIZED (
+      SELECT a.doc_id AS a_id, b.doc_id AS b_id
+      FROM g a JOIN g b ON a.doc_id < b.doc_id
+      WHERE len(a.ng) > 0 AND len(b.ng) > 0
+        AND {_SQL_JACCARD} >= {_MH_TAU}
+    ),
+    e AS MATERIALIZED (
+      SELECT a_id AS u, b_id AS v FROM p
+      UNION SELECT b_id, a_id FROM p
+    ),
+    reach(u, v) AS (
+      SELECT u, v FROM e
+      UNION
+      SELECT r.u, e.v FROM reach r JOIN e ON r.v = e.u
+    ),
+    comp AS (
+      SELECT u AS doc_id, LEAST(u, MIN(v)) AS component
+      FROM reach GROUP BY u
+    ),
+    dropped AS (SELECT doc_id FROM comp WHERE doc_id <> component)
+    SELECT d.source,
+           COUNT(*) AS n_docs,
+           COUNT(*) FILTER (WHERE dr.doc_id IS NULL) AS n_kept,
+           COUNT(dr.doc_id) AS n_dropped,
+           COALESCE(SUM(d.n_chars) FILTER (WHERE dr.doc_id IS NULL), 0)
+             AS kept_chars
+    FROM documents d LEFT JOIN dropped dr ON d.doc_id = dr.doc_id
+    GROUP BY d.source
+    ORDER BY d.source
+    """,
+)
+def dedup_keep_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The END of the dedup pipeline: the surviving corpus.  Every document
+    survives unless it sits in a near-duplicate cluster and is not that
+    cluster's canonical representative (the smallest doc_id — the same
+    label `dedup_components` assigns).  Reported per source as exact
+    counts + kept-character volume, the corpus-shrinkage accounting a
+    training-data run records.
+
+    Scale shape: candidate pairs come from the banded MinHash-LSH join
+    (key-equality shuffles only), cluster labels from the pointer-doubling
+    component loop (O(log diameter) rounds), and survival is one LEFT ANTI
+    join of the corpus against the dropped-id set — which is at most the
+    number of clustered documents, usually tiny next to the corpus, so it
+    broadcasts.  No stage touches all-pairs."""
+    labels = dedup_components(spark, sf_dir)
+    dropped = labels.filter(F.col("doc_id") != F.col("component")).select(
+        "doc_id"
+    )
+    d = load_table(spark, sf_dir, "documents")
+    kept_flag = F.col("dr_id").isNull()
+    return (
+        d.join(
+            F.broadcast(dropped.withColumnRenamed("doc_id", "dr_id")),
+            d.doc_id == F.col("dr_id"),
+            "left",
+        )
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.count(F.when(kept_flag, 1)).alias("n_kept"),
+            F.count("dr_id").alias("n_dropped"),
+            F.coalesce(
+                F.sum(F.when(kept_flag, F.col("n_chars"))), F.lit(0)
+            ).alias("kept_chars"),
+        )
+        .orderBy("source")
+    )

@@ -21,6 +21,7 @@ _ROWS_ONLY = sorted(n for n, s in QUERIES.items() if s.oracle is None)
 # sf0.1.  Deselect with -m "not heavy_oracle" for large-SF passes.
 _HEAVY_ORACLE = {
     "dedup_components",
+    "dedup_keep_canonical",
     "dedup_embedding_cosine",
     "dedup_minhash_lsh",
     "dedup_ngram_jaccard",
