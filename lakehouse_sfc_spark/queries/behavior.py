@@ -191,3 +191,54 @@ def a_concurrent(spark: SparkSession, sf_dir: str) -> DataFrame:
             + F.col("peak_in_day")
         ).alias("max_concurrent"),
     ).orderBy("day")
+
+
+@register(
+    "a_attribution",
+    oracle="""
+    WITH touched AS (
+      SELECT user_id, ts, event_type, value,
+             FIRST_VALUE(event_type) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+             ) AS first_touch
+      FROM events
+    )
+    SELECT first_touch,
+           COUNT(*) AS n_purchases,
+           CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+    FROM touched
+    WHERE event_type = 'purchase' AND value IS NOT NULL
+    GROUP BY first_touch
+    ORDER BY first_touch
+    """,
+)
+def a_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-touch attribution: every purchase's value is credited to the
+    event type that STARTED its user's journey (FIRST_VALUE over the
+    user's timeline, ties broken by event_id).  The acquisition-channel
+    report, here with event_type standing in for the channel column.
+
+    One shuffle on user_id feeds the window; the purchase filter cannot
+    run before it (the first touch must see every event) but the
+    projection is pruned to 4 columns, and the final rollup reduces to
+    |event types| rows.  Revenue rides exact DECIMAL."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    touched = ev.select(
+        "event_type",
+        "value",
+        F.first("event_type").over(w).alias("first_touch"),
+    )
+    return (
+        touched.filter(
+            (F.col("event_type") == "purchase") & F.col("value").isNotNull()
+        )
+        .groupBy("first_touch")
+        .agg(
+            F.count(F.lit(1)).alias("n_purchases"),
+            F.sum(F.col("value").cast("decimal(18,4)"))
+            .cast("double")
+            .alias("revenue"),
+        )
+        .orderBy("first_touch")
+    )
