@@ -317,3 +317,81 @@ def profile_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionAll(gini_of(cust, "c_mktsegment", "customer.c_mktsegment"))
         .orderBy("col_name")
     )
+
+
+@register(
+    "profile_outliers",
+    oracle="""
+    WITH r AS (
+      SELECT c_acctbal AS x,
+             ROW_NUMBER() OVER (ORDER BY c_acctbal) AS rn,
+             COUNT(*) OVER () AS n
+      FROM customer
+    ),
+    fences AS (
+      SELECT MIN(n) AS n,
+             MIN(CASE WHEN rn = CEIL(0.25 * n) THEN x END) AS q1,
+             MIN(CASE WHEN rn = CEIL(0.75 * n) THEN x END) AS q3
+      FROM r
+    ),
+    f2 AS (
+      SELECT n, q1, q3,
+             q1 - 1.5 * (q3 - q1) AS lo_fence,
+             q3 + 1.5 * (q3 - q1) AS hi_fence
+      FROM fences
+    )
+    SELECT f2.n, f2.q1, f2.q3, f2.lo_fence, f2.hi_fence,
+           COUNT(CASE WHEN c.c_acctbal < f2.lo_fence THEN 1 END) AS n_low,
+           COUNT(CASE WHEN c.c_acctbal > f2.hi_fence THEN 1 END) AS n_high
+    FROM customer c CROSS JOIN f2
+    GROUP BY 1, 2, 3, 4, 5
+    """,
+)
+def profile_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tukey-fence outlier audit on a numeric column: values outside
+    [q1 − 1.5·IQR, q3 + 1.5·IQR].  The robust-statistics alternative to
+    z-scores that needs NO sqrt/stddev — quantiles are exact type-1 data
+    values (ranks .25n/.75n are float-exact), and the fences use only
+    subtraction and one ×1.5, both correctly-rounded IEEE ops, so both
+    engines land on identical fences and identical counts.
+
+    Two passes: a rank pass pins q1/q3 (the profiler's bounded-sample
+    contract, same as profile_quantiles — production full-table quantiles
+    go through approx_percentile), then the fences broadcast into a
+    conditional-count scan.  The counting pass is the scalable one — a
+    plain map-side aggregate."""
+    c = load_table(spark, sf_dir, "customer")
+    from pyspark.sql import Window
+
+    r = c.select(
+        F.col("c_acctbal").alias("x"),
+        F.row_number().over(Window.orderBy("c_acctbal")).alias("rn"),
+        F.count(F.lit(1)).over(Window.partitionBy()).alias("n"),
+    )
+    fences = r.agg(
+        F.min("n").alias("n"),
+        F.min(
+            F.when(F.col("rn") == F.ceil(0.25 * F.col("n")), F.col("x"))
+        ).alias("q1"),
+        F.min(
+            F.when(F.col("rn") == F.ceil(0.75 * F.col("n")), F.col("x"))
+        ).alias("q3"),
+    ).select(
+        "n",
+        "q1",
+        "q3",
+        (F.col("q1") - 1.5 * (F.col("q3") - F.col("q1"))).alias("lo_fence"),
+        (F.col("q3") + 1.5 * (F.col("q3") - F.col("q1"))).alias("hi_fence"),
+    )
+    return (
+        c.crossJoin(F.broadcast(fences))
+        .groupBy("n", "q1", "q3", "lo_fence", "hi_fence")
+        .agg(
+            F.count(
+                F.when(F.col("c_acctbal") < F.col("lo_fence"), 1)
+            ).alias("n_low"),
+            F.count(
+                F.when(F.col("c_acctbal") > F.col("hi_fence"), 1)
+            ).alias("n_high"),
+        )
+    )
