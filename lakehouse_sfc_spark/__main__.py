@@ -424,6 +424,37 @@ def cmd_viz_results(args) -> int:
     return 0
 
 
+
+def cmd_query(args) -> int:
+    """Run one registry query by name (the same callable the driver
+    contract exposes through __spark_entry__.queries())."""
+    from lakehouse_sfc_spark.queries.registry import QUERIES
+    import lakehouse_sfc_spark.queries  # noqa: F401  (register all)
+
+    if args.list:
+        for name in sorted(QUERIES):
+            spec = QUERIES[name]
+            kind = "oracle" if spec.oracle else "rows-only"
+            print(f"{name}\t{kind}")
+        return 0
+    if args.name not in QUERIES:
+        print(f"unknown query {args.name!r}; --list shows all", file=sys.stderr)
+        return 2
+    spark = _spark(args)
+    df = QUERIES[args.name].fn(spark, args.sf_dir)
+    if args.explain:
+        df.explain("formatted")
+    if args.output_csv:
+        df.coalesce(1).write.mode("overwrite").option("header", True).csv(
+            args.output_csv
+        )
+        print(json.dumps({"query": args.name, "rows": df.count(),
+                          "out": args.output_csv}))
+    else:
+        df.show(args.max_rows, truncate=False)
+    return 0
+
+
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(
         prog="python -m lakehouse_sfc_spark",
@@ -500,6 +531,15 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("--layout-cols", default=None)
     sp.add_argument("--stats-cols", default=None)
     sp.set_defaults(fn=cmd_compact)
+
+    sp = sub.add_parser("query", help="run a registry query by name")
+    sp.add_argument("--name", default=None)
+    sp.add_argument("--sf-dir", default="/root/testdata/sf0.01")
+    sp.add_argument("--output-csv", default=None)
+    sp.add_argument("--max-rows", type=int, default=50)
+    sp.add_argument("--explain", action="store_true")
+    sp.add_argument("--list", action="store_true", help="list query names")
+    sp.set_defaults(fn=cmd_query)
 
     sp = sub.add_parser("run-queries", help="run a dir of .sql with metrics")
     sp.add_argument("--table-path", default=None, help="single table -> {{tbl}}")
