@@ -349,3 +349,39 @@ def test_gen_specs_cli(tmp_path):
     # 4 bands x 8 column configs x {range, point}
     assert len(files) == 64
     assert any("S1_l_shipdate_l_quantity_range" in f for f in files)
+
+
+def test_query_cli(spark, tmp_path, capsys):
+    # --list prints every registry name with its check kind
+    assert main(["query", "--list"]) == 0
+    out = capsys.readouterr().out
+    from lakehouse_sfc_spark.queries.registry import QUERIES
+
+    assert len(out.strip().splitlines()) == len(QUERIES)
+    assert "tpch_q1\toracle" in out
+
+    # unknown name is a usage error, not a crash
+    assert main(["query", "--name", "nope_not_a_query"]) == 2
+
+    # running a query to a CSV sink writes header + rows
+    dest = str(tmp_path / "mode_out")
+    assert (
+        main(
+            [
+                "query",
+                "--name",
+                "a_mode",
+                "--sf-dir",
+                SF,
+                "--output-csv",
+                dest,
+            ]
+        )
+        == 0
+    )
+    import glob
+
+    files = glob.glob(os.path.join(dest, "*.csv"))
+    assert files
+    body = open(files[0]).read()
+    assert body.startswith("n_name,mode_segment,cnt")
