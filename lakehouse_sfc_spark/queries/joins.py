@@ -352,3 +352,111 @@ def j_skew_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderpriority")
     )
+
+
+_SCD2_VERSIONS = (
+    # (version, filter-mod, balance-delta, valid_from) — deterministic SCD2
+    # history derived from the base customer table, identical in both
+    # engines: v0 covers everyone from the epoch; later versions apply to
+    # key subsets from their effective dates.
+    (0, 1, 0.0, "1992-01-01"),
+    (1, 5, 100.0, "1996-07-01"),
+    (2, 7, 200.0, "1997-06-01"),
+)
+
+
+@register(
+    "j_scd2_pit",
+    oracle=f"""
+    WITH dim AS (
+      {" UNION ALL ".join(
+          f"SELECT c_custkey, {v} AS version, c_acctbal + {d} AS balance, "
+          f"TIMESTAMP '{vf} 00:00:00' AS valid_from "
+          f"FROM customer WHERE c_custkey % {m} = 0"
+          for v, m, d, vf in _SCD2_VERSIONS
+      )}
+    ),
+    scd AS (
+      SELECT c_custkey, version, balance, valid_from,
+             LEAD(valid_from) OVER (
+               PARTITION BY c_custkey ORDER BY valid_from
+             ) AS valid_to
+      FROM dim
+    )
+    SELECT s.version,
+           COUNT(*) AS n_orders,
+           {sql_dsum('o.o_totalprice', 'revenue')},
+           {sql_davg('s.balance', 'avg_balance')}
+    FROM orders o
+    JOIN scd s
+      ON o.o_custkey = s.c_custkey
+     AND o.o_orderdate >= s.valid_from
+     AND (s.valid_to IS NULL OR o.o_orderdate < s.valid_to)
+    GROUP BY s.version
+    ORDER BY s.version
+    """,
+)
+def j_scd2_pit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD2 point-in-time join: every order joins the customer dimension
+    VERSION that was valid on its order date (slowly-changing-dimension
+    type 2 — the canonical lakehouse dimension-history query; Delta/Hudi
+    docs model it with MERGE + valid_from/valid_to ranges).
+
+    The oracle does the textbook interval join (valid_from <= d <
+    valid_to via LEAD).  The Spark side does NOT build intervals at all:
+    it reuses the as-of carry — union version rows and fact rows, one
+    hash shuffle on the customer key, one window pass carrying the latest
+    effective version forward in time order.  Interval construction,
+    range predicates, and their skew (hot customers × many versions)
+    disappear; the plan is the same single-shuffle shape as `j_asof` at
+    any fact size.  A version effective exactly on the order date applies
+    (dim rows sort before facts at equal timestamps)."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+
+    dims = None
+    for v, m, d, vf in _SCD2_VERSIONS:
+        part = c.filter(F.col("c_custkey") % m == 0).select(
+            F.col("c_custkey").alias("k"),
+            F.lit(f"{vf} 00:00:00").cast("timestamp").alias("ts"),
+            F.lit(1).alias("is_dim"),
+            F.lit(None).cast("double").alias("price"),
+            F.struct(
+                F.lit(v).alias("version"),
+                (F.col("c_acctbal") + F.lit(d)).alias("balance"),
+            ).alias("rec"),
+        )
+        dims = part if dims is None else dims.unionByName(part)
+
+    facts = o.select(
+        F.col("o_custkey").alias("k"),
+        F.col("o_orderdate").cast("timestamp").alias("ts"),
+        F.lit(0).alias("is_dim"),
+        F.col("o_totalprice").alias("price"),
+        F.lit(None).cast(
+            "struct<version:int,balance:double>"
+        ).alias("rec"),
+    )
+    w = (
+        Window.partitionBy("k")
+        .orderBy(F.col("ts").asc(), F.col("is_dim").desc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = dims.unionByName(facts).withColumn(
+        "cur", F.last("rec", ignorenulls=True).over(w)
+    )
+    return (
+        carried.filter((F.col("is_dim") == 0) & F.col("cur").isNotNull())
+        .select(
+            F.col("cur.version").alias("version"),
+            "price",
+            F.col("cur.balance").alias("balance"),
+        )
+        .groupBy("version")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            dsum("price", "revenue"),
+            davg("balance", "avg_balance"),
+        )
+        .orderBy("version")
+    )
