@@ -242,3 +242,109 @@ def a_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("first_touch")
     )
+
+
+@register(
+    "a_rolling_distinct",
+    oracle="""
+    WITH ud AS (
+      SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+    ),
+    contrib AS (
+      SELECT user_id, day + off AS day
+      FROM ud, (SELECT UNNEST(ARRAY[0,1,2,3,4,5,6]) AS off)
+    ),
+    active_days AS (SELECT DISTINCT day FROM ud)
+    SELECT c.day, COUNT(DISTINCT c.user_id) AS users_7d
+    FROM contrib c
+    JOIN active_days a ON c.day = a.day
+    GROUP BY c.day
+    ORDER BY c.day
+    """,
+)
+def a_rolling_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """7-day rolling distinct users per day (weekly-active-users by day) —
+    the metric COUNT(DISTINCT) OVER a RANGE frame cannot express scalably
+    (distinct is not decomposable over sliding frames).
+
+    The distributed form: dedup to (user, day) FIRST (the only data-sized
+    shuffle), then each user-day contributes to exactly the 7 window
+    endpoints it can influence — a bounded ×7 fanout of the REDUCED
+    relation, never of the event log — and a per-day distinct count
+    finishes.  Days with no activity are dropped (join against observed
+    days), matching the oracle.  At 100 TB: event log → user-day is a
+    massive reduction, the fanout is linear in it, and every stage is a
+    key-equality shuffle."""
+    ev = load_table(spark, sf_dir, "events")
+    ud = ev.select(
+        "user_id", F.col("ts").cast("date").alias("day")
+    ).distinct()
+    contrib = ud.select(
+        "user_id",
+        F.explode(
+            F.sequence(F.lit(0), F.lit(6))
+        ).alias("off"),
+        "day",
+    ).select("user_id", F.date_add(F.col("day"), F.col("off")).alias("day"))
+    active = ud.select("day").distinct()
+    return (
+        contrib.join(active, "day", "left_semi")
+        .groupBy("day")
+        .agg(F.count_distinct(F.col("user_id")).alias("users_7d"))
+        .orderBy("day")
+    )
+
+
+@register(
+    "a_rfm",
+    oracle="""
+    WITH per_cust AS (
+      SELECT o_custkey,
+             MAX(o_orderdate) AS last_order,
+             COUNT(*) AS freq,
+             SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS monetary
+      FROM orders GROUP BY o_custkey
+    ),
+    scored AS (
+      SELECT o_custkey,
+             NTILE(4) OVER (ORDER BY last_order, o_custkey) AS r,
+             NTILE(4) OVER (ORDER BY freq, o_custkey) AS f,
+             NTILE(4) OVER (ORDER BY monetary, o_custkey) AS m
+      FROM per_cust
+    )
+    SELECT r, f, m, COUNT(*) AS n_customers
+    FROM scored
+    GROUP BY 1, 2, 3
+    ORDER BY 1, 2, 3
+    """,
+)
+def a_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segmentation: customers quartiled by Recency (last order date),
+    Frequency (order count) and Monetary value (exact-decimal spend), then
+    counted per (r, f, m) cell — the classic marketing segmentation cube.
+
+    The fact scan reduces to one row per customer before any ranking, so
+    the three NTILE windows sort the REDUCED relation (|customers|, not
+    |orders|); ties break on the customer key, making every quartile
+    assignment deterministic in both engines.  Like w_ntile_batches, the
+    oracle keeps the global-sort ntile contract; the distributed
+    range-partition split (`build_update_batches_ranged`) is the proven
+    100 TB path for the same operation."""
+    o = load_table(spark, sf_dir, "orders")
+    per_cust = o.groupBy("o_custkey").agg(
+        F.max("o_orderdate").alias("last_order"),
+        F.count(F.lit(1)).alias("freq"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("monetary"),
+    )
+    scored = per_cust.select(
+        F.ntile(4)
+        .over(Window.orderBy("last_order", "o_custkey"))
+        .alias("r"),
+        F.ntile(4).over(Window.orderBy("freq", "o_custkey")).alias("f"),
+        F.ntile(4).over(Window.orderBy("monetary", "o_custkey")).alias("m"),
+    )
+    return (
+        scored.groupBy("r", "f", "m")
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+        .orderBy("r", "f", "m")
+    )
