@@ -273,3 +273,83 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.desc("rank_scaled"), "node")
     )
+
+
+@register(
+    "graph_basket_lift",
+    oracle="""
+    WITH op AS (
+      SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+    ),
+    n AS (SELECT COUNT(DISTINCT l_orderkey) AS n_orders FROM op),
+    pc AS (SELECT l_partkey, COUNT(*) AS c FROM op GROUP BY 1),
+    pairs AS (
+      SELECT a.l_partkey AS p1, b.l_partkey AS p2, COUNT(*) AS pair_cnt
+      FROM op a JOIN op b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY 1, 2
+    ),
+    scored AS (
+      SELECT p.p1, p.p2, p.pair_cnt,
+             CAST(p.pair_cnt * n.n_orders AS DOUBLE) / (ca.c * cb.c) AS lift
+      FROM pairs p
+      JOIN pc ca ON ca.l_partkey = p.p1
+      JOIN pc cb ON cb.l_partkey = p.p2
+      CROSS JOIN n
+      WHERE p.pair_cnt >= 2
+    )
+    SELECT p1, p2, pair_cnt, lift
+    FROM scored
+    ORDER BY lift DESC, p1, p2
+    LIMIT 20
+    """,
+)
+def graph_basket_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket affinity: the 20 part pairs with the highest lift
+    (P(a,b)/P(a)P(b)) among pairs bought together at least twice — the
+    statistic association-rule mining and co-purchase recommenders start
+    from.
+
+    lift = pair_cnt·N / (cₐ·c_b) is an integer ratio with ONE double
+    division — bit-identical across engines.  Pair generation is the
+    bounded per-order self-join (≤ 7 lineitems per TPC-H order → ≤ 21
+    pairs), never a part×part cross; the counts are two reductions of the
+    deduped (order, part) relation; the top-20 is TakeOrderedAndProject.
+    At 100 TB the same shape holds for session×item logs — the per-basket
+    fanout bound is what keeps it linear."""
+    li = load_table(spark, sf_dir, "lineitem")
+    op = li.select("l_orderkey", "l_partkey").distinct()
+    n = op.agg(F.count_distinct(F.col("l_orderkey")).alias("n_orders"))
+    pc = op.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("c"))
+    a, b = op.alias("a"), op.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("p1"),
+            F.col("b.l_partkey").alias("p2"),
+        )
+        .agg(F.count(F.lit(1)).alias("pair_cnt"))
+        .filter(F.col("pair_cnt") >= 2)
+    )
+    ca = pc.select(F.col("l_partkey").alias("p1"), F.col("c").alias("c1"))
+    cb = pc.select(F.col("l_partkey").alias("p2"), F.col("c").alias("c2"))
+    return (
+        pairs.join(F.broadcast(ca), "p1")
+        .join(F.broadcast(cb), "p2")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "p1",
+            "p2",
+            "pair_cnt",
+            (
+                (F.col("pair_cnt") * F.col("n_orders")).cast("double")
+                / (F.col("c1") * F.col("c2"))
+            ).alias("lift"),
+        )
+        .orderBy(F.desc("lift"), "p1", "p2")
+        .limit(20)
+    )
