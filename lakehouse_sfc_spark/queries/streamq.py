@@ -235,3 +235,39 @@ def stream_upsert_ingest_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from lakehouse_sfc_spark.streaming import stream_upsert_ingest
 
     return stream_upsert_ingest(spark, sf_dir)
+
+
+@register(
+    "stream_interval_join",
+    oracle="""
+    WITH pairs AS (
+      SELECT p.event_id AS p_id, p.value AS p_value, c.event_id AS c_id
+      FROM events p
+      JOIN events c
+        ON p.event_type = 'purchase' AND c.event_type = 'click'
+       AND p.user_id = c.user_id
+       AND c.ts >= p.ts - INTERVAL 1 HOUR
+       AND c.ts <= p.ts
+    ),
+    per_purchase AS (
+      SELECT p_id, COUNT(*) AS n_clicks, MIN(p_value) AS p_value
+      FROM pairs GROUP BY p_id
+    )
+    SELECT SUM(n_clicks) AS n_pairs,
+           COUNT(*) AS n_purchases_matched,
+           MAX(n_clicks) AS max_clicks_per_purchase,
+           CAST(SUM(CAST(p_value AS DECIMAL(18,4))) AS DOUBLE)
+             AS matched_value
+    FROM per_purchase
+    """,
+)
+def stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked stream-stream interval join (purchase ⋈ same-user
+    clicks in the preceding hour), driven over the full backlog with
+    AvailableNow; the appended join output reduced to attribution totals
+    must equal the batch interval join the oracle runs.  Both streams are
+    watermarked and the predicate bounds event time on both ends, so join
+    state expires — bounded memory on an unbounded stream."""
+    from lakehouse_sfc_spark.streaming import run_stream_interval_join
+
+    return run_stream_interval_join(spark, sf_dir)

@@ -7,6 +7,7 @@ from lakehouse_sfc_spark.streaming.pipeline import (
     run_stream_dedup,
     run_stream_static_join,
     run_sliding_agg,
+    run_stream_interval_join,
     run_tumbling_agg,
     sessionize_stateful,
     sessionize_stateful_complete,
@@ -18,6 +19,7 @@ __all__ = [
     "run_stream_dedup",
     "run_stream_static_join",
     "run_sliding_agg",
+    "run_stream_interval_join",
     "run_tumbling_agg",
     "sessionize_stateful",
     "sessionize_stateful_complete",

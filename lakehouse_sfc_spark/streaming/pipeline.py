@@ -613,3 +613,70 @@ def sessionize_stateful(
     return _replay_to_memory(
         spark, sessions, name, "lakehouse-sfc-sessions-", "append", timeout_s
     )
+
+
+def run_stream_interval_join(
+    spark: SparkSession,
+    sf_dir: str,
+    lookback: str = "1 hour",
+    watermark: str = "2 hours",
+    timeout_s: int = 300,
+) -> DataFrame:
+    """Stream-stream INTERVAL join: each purchase joins the same user's
+    clicks from the preceding hour — the attribution shape (conversion ⋈
+    recent impressions) that Structured Streaming's watermarked
+    stream-stream join exists for.
+
+    Both sides carry a watermark and the join predicate bounds event time
+    on BOTH ends, so the state store can expire rows older than
+    (watermark + lookback) — bounded state on an unbounded stream, the
+    only construction that survives a 100 TB backlog replay.  With the
+    finite backlog driven to completion (AvailableNow) the appended join
+    output equals the batch interval join, which is exactly what the
+    oracle checks.  The returned frame is the batch REDUCTION of the
+    sink (pair counts + per-purchase distinct), keeping the driver row
+    small and deterministic."""
+    name = f"ivjoin_{uuid.uuid4().hex[:8]}"
+    clicks = (
+        read_events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "click")
+        .select(
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("c_ts"),
+            F.col("event_id").alias("c_id"),
+        )
+        .withWatermark("c_ts", watermark)
+    )
+    purchases = (
+        read_events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("p_ts"),
+            F.col("event_id").alias("p_id"),
+            F.col("value").alias("p_value"),
+        )
+        .withWatermark("p_ts", watermark)
+    )
+    joined = purchases.join(
+        clicks,
+        (F.col("p_user") == F.col("c_user"))
+        & (F.col("c_ts") >= F.col("p_ts") - F.expr(f"INTERVAL {lookback}"))
+        & (F.col("c_ts") <= F.col("p_ts")),
+        "inner",
+    )
+    sink = _replay_to_memory(
+        spark, joined, name, "lakehouse-sfc-ivjoin-", "append", timeout_s
+    )
+    per_purchase = sink.groupBy("p_id").agg(
+        F.count(F.lit(1)).alias("n_clicks"),
+        F.min("p_value").alias("p_value"),
+    )
+    return per_purchase.agg(
+        F.sum("n_clicks").alias("n_pairs"),
+        F.count(F.lit(1)).alias("n_purchases_matched"),
+        F.max("n_clicks").alias("max_clicks_per_purchase"),
+        F.sum(F.col("p_value").cast("decimal(18,4)"))
+        .cast("double")
+        .alias("matched_value"),
+    )
