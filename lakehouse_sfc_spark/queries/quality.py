@@ -157,3 +157,50 @@ def dq_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
     for chk in checks[1:]:
         out = out.unionAll(chk)
     return out.orderBy("check_name")
+
+
+@register(
+    "dq_pseudonymize",
+    oracle="""
+    WITH mapped AS (
+      SELECT user_id,
+             sha256(CAST(user_id AS VARCHAR) || ':lakehouse-salt')
+               AS surrogate
+      FROM (SELECT DISTINCT user_id FROM events)
+    )
+    SELECT COUNT(*) AS n_users,
+           COUNT(DISTINCT surrogate) AS n_surrogates,
+           COUNT(*) - COUNT(DISTINCT surrogate) AS n_collisions,
+           MIN(surrogate) AS min_surrogate
+    FROM mapped
+    """,
+)
+def dq_pseudonymize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pseudonymization audit: every user_id maps to a salted SHA-256
+    surrogate key (the governance move that keeps joins working after the
+    raw identifier is removed), and the audit proves the mapping is
+    collision-free — surrogate cardinality equals user cardinality.
+
+    Deterministic across engines (sha256 of identical strings), and the
+    emitted min_surrogate pins the actual hash values, not just counts.
+    Shape: distinct on user_id (the only shuffle, on the reduced key set),
+    then a 1-row reduction — at 100 TB the mapping itself would be written
+    once as a keyed table; this query is its integrity check."""
+    ev = load_table(spark, sf_dir, "events")
+    mapped = ev.select("user_id").distinct().select(
+        "user_id",
+        F.sha2(
+            F.concat(
+                F.col("user_id").cast("string"), F.lit(":lakehouse-salt")
+            ),
+            256,
+        ).alias("surrogate"),
+    )
+    return mapped.agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.count_distinct(F.col("surrogate")).alias("n_surrogates"),
+        (
+            F.count(F.lit(1)) - F.count_distinct(F.col("surrogate"))
+        ).alias("n_collisions"),
+        F.min("surrogate").alias("min_surrogate"),
+    )
