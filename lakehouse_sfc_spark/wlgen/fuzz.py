@@ -102,4 +102,40 @@ def fuzz_cases(
                     f" {render_sql(':v', {'v': hi})}"
                 )
                 cases.append(FuzzCase(f"D{i}", sql))
+
+    # Template W: randomized WINDOW functions.  Determinism rules on top of
+    # the module-level ones: the window ORDER BY always ends with the
+    # table's unique key (l_orderkey, l_linenumber) so frames are total-
+    # ordered; SUM over doubles rides DECIMAL; the output is sampled AFTER
+    # the window so every rank/frame still sees the full partition.
+    uniq = "l_orderkey, l_linenumber"
+    for i in range(n):
+        part = rng.choice([categorical_col, f"{numeric_cols[-1]} % 7"])
+        ordc = rng.choice(list(numeric_cols))
+        x = rng.choice(list(numeric_cols))
+        fn = rng.choice(["wsum", "wcount", "rownum", "wmin"])
+        frame = rng.choice(
+            [
+                "ROWS BETWEEN 3 PRECEDING AND CURRENT ROW",
+                "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW",
+            ]
+        )
+        over = f"PARTITION BY {part} ORDER BY {ordc}, {uniq}"
+        if fn == "wsum":
+            expr = (
+                f"CAST(SUM(CAST({x} AS DECIMAL(18,4))) OVER"
+                f" ({over} {frame}) AS DOUBLE)"
+            )
+        elif fn == "wcount":
+            expr = f"COUNT(*) OVER ({over} {frame})"
+        elif fn == "wmin":
+            expr = f"MIN({x}) OVER ({over} {frame})"
+        else:
+            expr = f"ROW_NUMBER() OVER ({over})"
+        sql = (
+            f"SELECT * FROM (SELECT {uniq}, {part} AS pcol,"
+            f" {expr} AS wval"
+            f" FROM {table}) t WHERE l_orderkey % 47 = 0"
+        )
+        cases.append(FuzzCase(f"W{i}", sql))
     return cases

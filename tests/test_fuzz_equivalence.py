@@ -41,6 +41,7 @@ def _expected_names():
                 names.append(f"B{i}_agg")
             i += 1
     names += [f"D{i}" for i in range(FUZZ_N)]
+    names += [f"W{i}" for i in range(FUZZ_N)]
     return names
 
 
