@@ -138,4 +138,21 @@ def fuzz_cases(
             f" FROM {table}) t WHERE l_orderkey % 47 = 0"
         )
         cases.append(FuzzCase(f"W{i}", sql))
+
+    # Template G: randomized grouping sets.  Subtotal rows are unique per
+    # grouping set, and GROUPING() columns disambiguate a NULL group value
+    # from a rollup NULL — same semantics in both engines; the comparator's
+    # own row sort makes ORDER BY unnecessary.
+    g_cols = [categorical_col, f"{numeric_cols[-1]} % 5"]
+    for i in range(n):
+        kind = rng.choice(["ROLLUP", "CUBE"])
+        x = rng.choice(list(numeric_cols))
+        sql = (
+            f"SELECT {g_cols[0]} AS g1, {g_cols[1]} AS g2,"
+            f" GROUPING({g_cols[0]}) AS gf1, GROUPING({g_cols[1]}) AS gf2,"
+            f" COUNT(*) AS cnt,"
+            f" CAST(SUM(CAST({x} AS DECIMAL(18,4))) AS DOUBLE) AS s"
+            f" FROM {table} GROUP BY {kind}({g_cols[0]}, {g_cols[1]})"
+        )
+        cases.append(FuzzCase(f"G{i}", sql))
     return cases

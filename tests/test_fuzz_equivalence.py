@@ -42,6 +42,7 @@ def _expected_names():
             i += 1
     names += [f"D{i}" for i in range(FUZZ_N)]
     names += [f"W{i}" for i in range(FUZZ_N)]
+    names += [f"G{i}" for i in range(FUZZ_N)]
     return names
 
 
