@@ -280,3 +280,43 @@ def snap_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("cnt") > 0)
         .orderBy("bucket")
     )
+
+
+@register(
+    "snap_optimize_layout",
+    oracle=f"""
+    {_SQL_STATES}
+    SELECT o_custkey % 10 AS bucket, COUNT(*) AS cnt,
+           {sql_dsum("o_totalprice", "sum_price")},
+           4 AS n_files_opt
+    FROM (SELECT * FROM state2 UNION ALL SELECT * FROM appended)
+    GROUP BY 1
+    ORDER BY 1
+    """,
+)
+def snap_optimize_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OPTIMIZE as a snapshot commit (Delta ``OPTIMIZE ZORDER BY`` /
+    Iceberg ``rewrite_data_files``): the v3 table is rewritten into 4
+    z-ordered files as version 4, and the aggregate over the optimized
+    version must equal the closed-form final state — rewriting is a pure
+    physical operation, rows bit-identical, history intact (v0-v3 stay
+    time-travelable because their manifests still reference the old
+    files).  The emitted n_files_opt pins the rewrite's file budget."""
+    t = _snapshot_table(spark, sf_dir)
+    if 4 not in t.versions():
+        t.optimize(
+            layout="zorder",
+            layout_cols=["o_orderkey", "o_custkey"],
+            num_files=4,
+        )
+    n_files = len(t.manifest(4)["files"])
+    return (
+        t.read(4)
+        .groupBy((F.col("o_custkey") % 10).alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            dsum("o_totalprice", "sum_price"),
+        )
+        .withColumn("n_files_opt", F.lit(n_files))
+        .orderBy("bucket")
+    )

@@ -212,6 +212,51 @@ class SnapshotTable:
             parent["stats_cols"],
         )
 
+    def optimize(
+        self,
+        layout: str = "zorder",
+        layout_cols: list[str] | None = None,
+        num_files: int | None = None,
+        preds: list[Pred] | None = None,
+    ) -> dict:
+        """Re-layout live data as a NEW COMMIT (Delta ``OPTIMIZE ZORDER BY``
+        / Iceberg ``rewrite_data_files`` parity): rows are bit-identical
+        before and after, only the physical file layout changes, and every
+        earlier version stays time-travelable because the old files are
+        still referenced by the old manifests.
+
+        With ``preds`` the rewrite is file-scoped (only files whose min/max
+        ranges overlap are rewritten — the WHERE-scoped OPTIMIZE analog);
+        untouched files carry into the new manifest by reference."""
+        parent = self.manifest()
+        v = parent["version"] + 1
+        if preds:
+            affected = self._affected_files(parent, preds)
+            keep = {
+                uri: s
+                for uri, s in parent["files"].items()
+                if uri not in set(affected)
+            }
+        else:
+            affected = sorted(parent["files"])
+            keep = {}
+        if not affected:
+            return parent
+        df = (
+            self.spark.read.option("mergeSchema", "true")
+            .parquet(*affected)
+        )
+        new = self._stage(
+            df, v, parent["stats_cols"], layout, layout_cols, num_files
+        )
+        return self._publish(
+            v,
+            "OPTIMIZE",
+            {**keep, **new},
+            df.schema,
+            parent["stats_cols"],
+        )
+
     def _affected_files(self, parent: dict, preds: list[Pred]) -> list[str]:
         pseudo = {"columns": parent["stats_cols"], "files": parent["files"]}
         affected, _ = prune_files(pseudo, preds)

@@ -216,3 +216,43 @@ def test_cdf_emit_pre_images(table, orders, spark):
     assert float(net) == pytest.approx(n_upd * 1.0)
     # a key that wasn't touched must not appear at all
     assert cdf.filter(F.col("o_orderkey") == 5).count() == 0
+
+
+def test_optimize_rewrites_layout_preserving_data_and_history(
+    table, orders, spark
+):
+    """OPTIMIZE must be a pure physical rewrite: same rows, new files, old
+    versions still readable, scoped variant rewrites only overlapping
+    files."""
+    before = table.read(0)
+    n0 = before.count()
+    files_v0 = set(table.manifest(0)["files"])
+
+    m = table.optimize(
+        layout="zorder", layout_cols=["o_orderkey", "o_custkey"], num_files=3
+    )
+    assert m["operation"] == "OPTIMIZE"
+    v_opt = m["version"]
+    after = table.read(v_opt)
+    assert after.count() == n0
+    # row-level equality via anti-joins both ways
+    cols = before.columns
+    assert before.join(after, cols, "left_anti").count() == 0
+    assert after.join(before, cols, "left_anti").count() == 0
+    # all-new files at the optimized version, old manifest untouched
+    assert len(m["files"]) == 3
+    assert not (set(m["files"]) & files_v0)
+    assert set(table.manifest(0)["files"]) == files_v0
+    assert table.read(0).count() == n0
+
+    # scoped optimize: only files overlapping the predicate are rewritten
+    m2 = table.optimize(
+        layout="linear",
+        layout_cols=["o_orderkey"],
+        num_files=1,
+        preds=[Pred("o_orderkey", "between", (1, 50))],
+    )
+    assert m2["version"] == v_opt + 1
+    carried = set(m2["files"]) & set(m["files"])
+    assert carried, "scoped optimize should carry untouched files"
+    assert table.read(m2["version"]).count() == n0
