@@ -348,3 +348,86 @@ def a_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_customers"))
         .orderBy("r", "f", "m")
     )
+
+
+@register(
+    "a_anomaly_mad",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(ts AS DATE) AS day, COUNT(*) AS cnt
+      FROM events GROUP BY 1
+    ),
+    med AS (
+      SELECT cnt AS median_cnt FROM (
+        SELECT cnt, ROW_NUMBER() OVER (ORDER BY cnt, day) AS rn,
+               COUNT(*) OVER () AS n
+        FROM daily
+      ) WHERE rn = CEIL(0.5 * n)
+    ),
+    dev AS (
+      SELECT d.day, d.cnt, ABS(d.cnt - m.median_cnt) AS dv, m.median_cnt
+      FROM daily d CROSS JOIN med m
+    ),
+    mad AS (
+      SELECT dv AS mad FROM (
+        SELECT dv, ROW_NUMBER() OVER (ORDER BY dv, day) AS rn,
+               COUNT(*) OVER () AS n
+        FROM dev
+      ) WHERE rn = CEIL(0.5 * n)
+    )
+    SELECT COUNT(*) AS n_days,
+           MIN(d.median_cnt) AS median_cnt,
+           MIN(mad.mad) AS mad,
+           COUNT(*) FILTER (WHERE d.dv > 3 * mad.mad) AS n_anomalous,
+           MAX(d.cnt) AS max_cnt
+    FROM dev d CROSS JOIN mad
+    """,
+)
+def a_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust anomaly detection on the daily event volume: days whose
+    count deviates from the median by more than 3× the median absolute
+    deviation — the MAD rule, the robust-statistics alternative to
+    z-scores for monitoring pipeline throughput.  Counts, medians (exact
+    type-1 ranks with day tie-breaks), deviations and the 3×MAD threshold
+    are ALL integers — nothing to round, bit-identical in both engines.
+
+    Shape: the event log reduces to one row per day first (the only
+    data-sized aggregation); both median ranks and the final audit run on
+    the ~|days| relation, so the global rank windows sort thousands of
+    rows, not the log."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(F.col("ts").cast("date").alias("day")).agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+
+    def _median(df: DataFrame, col: str, tie: str, out: str) -> DataFrame:
+        w = Window.orderBy(col, tie)
+        ranked = df.select(
+            F.col(col),
+            F.row_number().over(w).alias("rn"),
+            F.count(F.lit(1)).over(Window.partitionBy()).alias("n"),
+        )
+        return ranked.filter(
+            F.col("rn") == F.ceil(0.5 * F.col("n"))
+        ).select(F.col(col).alias(out))
+
+    med = _median(daily, "cnt", "day", "median_cnt")
+    dev = daily.crossJoin(F.broadcast(med)).select(
+        "day",
+        "cnt",
+        "median_cnt",
+        F.abs(F.col("cnt") - F.col("median_cnt")).alias("dv"),
+    )
+    mad = _median(dev, "dv", "day", "mad")
+    return (
+        dev.crossJoin(F.broadcast(mad))
+        .agg(
+            F.count(F.lit(1)).alias("n_days"),
+            F.min("median_cnt").alias("median_cnt"),
+            F.min("mad").alias("mad"),
+            F.count(
+                F.when(F.col("dv") > 3 * F.col("mad"), 1)
+            ).alias("n_anomalous"),
+            F.max("cnt").alias("max_cnt"),
+        )
+    )
