@@ -431,3 +431,53 @@ def a_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("cnt").alias("max_cnt"),
         )
     )
+
+
+@register(
+    "a_path_mining",
+    oracle="""
+    WITH ordered AS (
+      SELECT user_id, event_type,
+             LEAD(event_type, 1) OVER w AS e2,
+             LEAD(event_type, 2) OVER w AS e3
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    paths AS (
+      SELECT event_type || '>' || e2 || '>' || e3 AS path, COUNT(*) AS cnt
+      FROM ordered WHERE e3 IS NOT NULL
+      GROUP BY 1
+    ),
+    ranked AS (
+      SELECT *, ROW_NUMBER() OVER (ORDER BY cnt DESC, path) AS rk
+      FROM paths
+    )
+    SELECT path, cnt, rk FROM ranked WHERE rk <= 10 ORDER BY rk
+    """,
+)
+def a_path_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Behavioural path mining: the 10 most common 3-event sequences across
+    all user timelines (the n-gram trick applied to event streams — what
+    journey-analysis and next-action models train on).  LEAD over the
+    per-user window generates each consecutive triple in one pass — one
+    user_id shuffle, no event-log self-joins (a (ts, ts+1, ts+2) 3-way
+    join would shuffle the log three times and melt under hot users).
+    The global top-10 is TakeOrdered over the ≤|event types|³ counted
+    relation; ranking happens after the limit, on 10 rows."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ordered = ev.select(
+        "event_type",
+        F.lead("event_type", 1).over(w).alias("e2"),
+        F.lead("event_type", 2).over(w).alias("e3"),
+    ).filter(F.col("e3").isNotNull())
+    paths = (
+        ordered.select(
+            F.concat_ws(">", "event_type", "e2", "e3").alias("path")
+        )
+        .groupBy("path")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    top = paths.orderBy(F.desc("cnt"), "path").limit(10)
+    w_rank = Window.orderBy(F.desc("cnt"), "path")
+    return top.withColumn("rk", F.row_number().over(w_rank)).orderBy("rk")

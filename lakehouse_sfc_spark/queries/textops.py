@@ -1055,3 +1055,61 @@ def text_ngram_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     top = counted.orderBy(F.desc("cnt"), "bigram").limit(20)
     w_rank = Window.orderBy(F.desc("cnt"), "bigram")
     return top.withColumn("rk", F.row_number().over(w_rank)).orderBy("rk")
+
+
+# --- T9: Python UDTF surface -------------------------------------------------
+
+_UDTF_SAMPLE_MOD = 199
+
+
+@register(
+    "text_tokenize_udtf",
+    oracle=f"""
+    WITH sampled AS (
+      SELECT doc_id, text FROM documents WHERE doc_id % {_UDTF_SAMPLE_MOD} = 0
+    ),
+    terms AS (
+      SELECT doc_id, UNNEST({_SQL_TOKENS}) AS term FROM sampled
+    )
+    SELECT doc_id, term, COUNT(*) AS tf
+    FROM terms WHERE term <> ''
+    GROUP BY 1, 2
+    ORDER BY doc_id, term
+    """,
+)
+def text_tokenize_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python UDTF surface (Spark 4 table-valued functions, SURVEY §2.10):
+    a LATERAL tokenizer UDTF expands each sampled document into its
+    (term, tf) vocabulary — the flatMap-with-schema shape UDTFs exist for
+    — and must agree with the pure-SQL tokenization the oracle runs.
+
+    The Python split-on-whitespace is semantically identical to the JVM
+    ``_tokens`` expression (collapse whitespace runs, drop empties), so
+    the UDTF row set hash-matches.  The sample filter runs BEFORE the
+    lateral join (pushed into the scan), keeping the Python-side row
+    volume tiny; the production tokenizer stays the codegen'd JVM path
+    (text_tfidf/text_token_count) — this entry proves the UDTF plumbing,
+    Arrow-serialized, end to end."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="term: string, tf: bigint")
+    class Tokenize:
+        def eval(self, text: str):
+            counts: dict[str, int] = {}
+            for t in (text or "").lower().split():
+                counts[t] = counts.get(t, 0) + 1
+            for term in sorted(counts):
+                yield term, counts[term]
+
+    spark.udtf.register("tokenize_udtf", Tokenize)
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") % _UDTF_SAMPLE_MOD == 0
+    )
+    docs.createOrReplaceTempView("_udtf_docs")
+    return spark.sql(
+        """
+        SELECT d.doc_id, t.term, t.tf
+        FROM _udtf_docs d, LATERAL tokenize_udtf(d.text) t
+        ORDER BY d.doc_id, t.term
+        """
+    )
