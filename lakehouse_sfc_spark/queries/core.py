@@ -902,3 +902,55 @@ def a_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count_distinct(F.col("user_id")).alias("n_users"))
         .orderBy("cohort_month", "month_offset")
     )
+
+
+@register(
+    "a_grouped_agg_pandas",
+    oracle="""
+    SELECT event_type,
+           SUM(CAST(FLOOR(value * 10000) AS BIGINT)) AS sum_ticks,
+           COUNT(value) AS n
+    FROM events
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+)
+def a_grouped_agg_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped-aggregate Pandas UDF (SURVEY §2.10 — the one Arrow UDF shape
+    not exercised elsewhere: scalar pandas_udf → sfc/hilbert, mapInPandas →
+    multimodal, applyInPandas → embedding blocks, applyInPandasWithState →
+    sessionizer, UDTF → text_tokenize_udtf).  The UDAF sums fixed-point
+    ticks floor(value·1e4) as int64 — integer accumulation is
+    order-independent, so the Python result is exact and hash-matches the
+    SQL oracle; a float-summing UDAF could never make that promise.
+
+    Plan shape: Spark runs this as partial Arrow batches per group under
+    an ordinary hash exchange (ObjectHashAggregate) — same single-shuffle
+    topology as the built-in SUM, with Arrow transfer as the only extra
+    cost."""
+    import numpy as np
+    from pyspark.sql.functions import PandasUDFType, pandas_udf
+
+    def _sum_ticks(v):
+        # annotations are unusable here (module-level `from __future__ import
+        # annotations` stringifies them and Spark's hint resolver balks), so
+        # the UDF type is passed explicitly.
+        ticks = np.floor(v.dropna().to_numpy() * 10000).astype("int64")
+        return int(ticks.sum())
+
+    sum_ticks = pandas_udf(_sum_ticks, "bigint", PandasUDFType.GROUPED_AGG)
+    # Spark refuses to mix grouped-agg pandas UDFs with built-in aggregates
+    # in one agg, so the count rides the same Arrow path.
+    n_vals = pandas_udf(
+        lambda v: int(v.notna().sum()), "bigint", PandasUDFType.GROUPED_AGG
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            sum_ticks(F.col("value")).alias("sum_ticks"),
+            n_vals(F.col("value")).alias("n"),
+        )
+        .orderBy("event_type")
+    )
