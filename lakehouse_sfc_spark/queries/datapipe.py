@@ -1341,3 +1341,85 @@ def dedup_keep_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# --- vector quantization -----------------------------------------------------
+
+
+@register(
+    "emb_quantize_int8",
+    oracle="""
+    WITH v AS (
+      SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings
+    ),
+    s AS (
+      SELECT vec_id, emb,
+             list_max(list_transform(emb, x -> abs(x))) / 127 AS scale
+      FROM v
+    ),
+    q AS (
+      SELECT vec_id,
+             len(emb) AS n_dims,
+             list_sum(list_transform(emb, x ->
+               CAST(FLOOR(x / scale + 0.5) AS BIGINT))) AS sum_q,
+             list_max(list_transform(emb, x ->
+               ABS(x - FLOOR(x / scale + 0.5) * scale))) AS max_err,
+             scale
+      FROM s
+    )
+    SELECT COUNT(*) AS n_vecs,
+           MIN(n_dims) AS n_dims,
+           CAST(SUM(sum_q) AS BIGINT) AS total_q,
+           MAX(max_err) AS max_abs_err,
+           CAST(SUM(CAST(scale AS DECIMAL(18,12))) AS DOUBLE) / COUNT(*)
+             AS avg_scale
+    FROM q
+    """,
+)
+def emb_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric int8 quantization audit for the embedding corpus — the
+    compression step a vector store applies before ANN serving (scale =
+    max|x|/127 per vector, q = round(x/scale)).  Emits corpus-level
+    integrity numbers: total quantized mass (exact BIGINT), the worst
+    per-element reconstruction error, and the mean scale.
+
+    Cross-engine exactness: every per-element value is a fixed IEEE
+    expression tree (divide, add 0.5, floor, multiply, abs — all
+    correctly rounded, no transcendental ops); per-vector reductions are
+    order-free (integer sum via an in-order fold, max over doubles);
+    corpus reductions are integer sums, double max, and one
+    decimal-routed mean.  All JVM-side codegen (higher-order array
+    functions) — the quantizer itself needs no Python."""
+    e = load_table(spark, sf_dir, "embeddings")
+    emb = F.col("embedding").cast("array<double>")
+    s = e.select("vec_id", emb.alias("emb")).withColumn(
+        "scale",
+        F.array_max(F.transform(F.col("emb"), lambda x: F.abs(x))) / 127,
+    )
+    qexpr = lambda x: F.floor(x / F.col("scale") + F.lit(0.5))  # noqa: E731
+    q = s.select(
+        "vec_id",
+        F.size("emb").alias("n_dims"),
+        F.aggregate(
+            F.transform(F.col("emb"), lambda x: qexpr(x).cast("bigint")),
+            F.lit(0).cast("bigint"),
+            lambda acc, x: acc + x,
+        ).alias("sum_q"),
+        F.array_max(
+            F.transform(
+                F.col("emb"),
+                lambda x: F.abs(x - qexpr(x) * F.col("scale")),
+            )
+        ).alias("max_err"),
+        "scale",
+    )
+    return q.agg(
+        F.count(F.lit(1)).alias("n_vecs"),
+        F.min("n_dims").alias("n_dims"),
+        F.sum("sum_q").alias("total_q"),
+        F.max("max_err").alias("max_abs_err"),
+        (
+            F.sum(F.col("scale").cast("decimal(18,12)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("avg_scale"),
+    )
