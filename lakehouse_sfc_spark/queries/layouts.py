@@ -304,3 +304,56 @@ def layout_bloom_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tbl.scan([Pred("l_orderkey", "in", _BLOOM_KEYS)]).agg(
         F.count(F.lit(1)).alias("cnt"), dsum("l_quantity", "sum_qty")
     )
+
+
+@register(
+    "layout_docs_partitioned_scan",
+    oracle="""
+    SELECT source,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars
+    FROM documents
+    WHERE lang IN ('en', 'es') AND n_chars >= 200
+    GROUP BY source
+    ORDER BY source
+    """,
+)
+def layout_docs_partitioned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The training-corpus layout: documents written hive-partitioned by
+    LANGUAGE (the first axis every corpus pipeline filters on — per-lang
+    mixture weights, per-lang dedup/quality passes), then an
+    English+Spanish slice whose lang predicate resolves as PARTITION
+    pruning — other language directories are never listed into the scan —
+    with the length cut pushed to the parquet row groups inside the
+    surviving partitions.  Must equal the plain filter over the raw table.
+
+    Same two-level skipping stack as layout_partitioned_scan, pointed at
+    the documents table; the PartitionFilters guard lives in
+    tests/test_plan_quality.py."""
+    path = os.path.join(
+        _fingerprinted_dir(
+            os.path.join(os.path.dirname(_scratch_root()), "docs_by_lang"),
+            sf_dir,
+            ("documents",),
+        ),
+        "documents",
+    )
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        d = load_table(spark, sf_dir, "documents")
+        (
+            d.repartition("lang")
+            .write.mode("overwrite")
+            .partitionBy("lang")
+            .parquet(path)
+        )
+    t = spark.read.parquet(path)
+    return (
+        t.filter(F.col("lang").isin("en", "es"))
+        .filter(F.col("n_chars") >= 200)
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+        )
+        .orderBy("source")
+    )

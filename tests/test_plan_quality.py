@@ -245,3 +245,18 @@ def test_pagerank_iterations_reuse_checkpointed_edges(spark):
         "iterations re-derive edges from the fact table instead of the "
         "checkpointed edge set"
     )
+
+
+def test_docs_lang_partitioned_scan_prunes_partitions(spark):
+    """layout_docs_partitioned_scan's lang predicate must resolve as
+    PartitionFilters (2 of 5 language dirs read), with the length cut
+    pushed to the parquet scan inside surviving partitions."""
+    df = QUERIES["layout_docs_partitioned_scan"].fn(spark, SF)
+    plan = spark.sparkContext._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+    pf = [ln for ln in plan.splitlines() if "PartitionFilters" in ln]
+    assert pf and any("lang" in ln for ln in pf), pf
+    assert "PushedFilters: [" in plan
+    pushed = plan.split("PushedFilters: [", 1)[1].split("]", 1)[0]
+    assert "n_chars" in pushed, pushed
