@@ -174,9 +174,11 @@ _SQL_PR_ITER = """
 @register(
     "graph_pagerank",
     oracle=f"""
-    WITH edges AS ({_SQL_PR_EDGES}),
+    WITH edges AS MATERIALIZED ({_SQL_PR_EDGES}),
     nodes AS (SELECT n_nationkey AS node FROM nation),
-    outd AS (SELECT src, COUNT(*) AS outdeg FROM edges GROUP BY src),
+    outd AS MATERIALIZED (
+        SELECT src, COUNT(*) AS outdeg FROM edges GROUP BY src
+    ),
     r0 AS (SELECT node, {_PR_SCALE // 25} AS rank_scaled FROM nodes),
     r1 AS ({_SQL_PR_ITER.format(base=_PR_SCALE * 15 // 2500, prev="r0")}),
     r2 AS ({_SQL_PR_ITER.format(base=_PR_SCALE * 15 // 2500, prev="r1")}),
