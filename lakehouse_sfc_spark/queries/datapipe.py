@@ -123,6 +123,46 @@ def _pair_jaccard() -> Column:
     return inter.cast("double") / union
 
 
+def _mh_bands(ngr):
+    """MinHash(64) signatures folded in one aggregate pass, exploded into
+    16 banded (doc_id, band, sig) rows — the shared candidate-generation
+    front end of the LSH family (see dedup_minhash_lsh for the full cost
+    discipline notes)."""
+    coef = F.array(
+        *[
+            F.struct(
+                F.lit(a).cast("long").alias("a"), F.lit(b).cast("long").alias("b")
+            )
+            for a, b in _MH_COEF
+        ]
+    )
+    mh_expr = F.aggregate(
+        F.transform(F.col("ng"), lambda g: _h32(g) % F.lit(_MH_P)),
+        F.array_repeat(F.lit(_MH_P).cast("long"), _MH_K),
+        lambda acc, h: F.zip_with(
+            acc, coef, lambda m, c: F.least(m, (h * c["a"] + c["b"]) % F.lit(_MH_P))
+        ),
+    )
+    mh = ngr.select("doc_id", mh_expr.alias("mh")).repartition("doc_id")
+    bands = mh.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(j).alias("band"),
+                        F.concat_ws(
+                            ",", F.slice(F.col("mh"), j * _MH_R + 1, _MH_R)
+                        ).alias("sig"),
+                    )
+                    for j in range(_MH_BANDS)
+                ]
+            )
+        ).alias("bs"),
+    ).select("doc_id", "bs.band", "bs.sig")
+    return bands
+
+
 # --- D1: exact dedup --------------------------------------------------------
 
 
@@ -193,38 +233,8 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     subtrees are instead deduped by ReuseExchange)."""
     ngr = _docs_ngrams(spark, sf_dir)
 
-    coef = F.array(
-        *[
-            F.struct(
-                F.lit(a).cast("long").alias("a"), F.lit(b).cast("long").alias("b")
-            )
-            for a, b in _MH_COEF
-        ]
-    )
-    mh_expr = F.aggregate(
-        F.transform(F.col("ng"), lambda g: _h32(g) % F.lit(_MH_P)),
-        F.array_repeat(F.lit(_MH_P).cast("long"), _MH_K),
-        lambda acc, h: F.zip_with(
-            acc, coef, lambda m, c: F.least(m, (h * c["a"] + c["b"]) % F.lit(_MH_P))
-        ),
-    )
-    mh = ngr.select("doc_id", mh_expr.alias("mh")).repartition("doc_id")
-    bands = mh.select(
-        "doc_id",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(j).alias("band"),
-                        F.concat_ws(
-                            ",", F.slice(F.col("mh"), j * _MH_R + 1, _MH_R)
-                        ).alias("sig"),
-                    )
-                    for j in range(_MH_BANDS)
-                ]
-            )
-        ).alias("bs"),
-    ).select("doc_id", "bs.band", "bs.sig")
+    bands = _mh_bands(ngr)
+
 
     cand = (
         bands.alias("x")
@@ -1422,4 +1432,60 @@ def emb_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("scale").cast("decimal(18,12)")).cast("double")
             / F.count(F.lit(1))
         ).alias("avg_scale"),
+    )
+
+
+@register(
+    "dedup_incremental",
+    oracle=f"""
+    WITH g AS MATERIALIZED ({_SQL_NGRAMS_VIEW})
+    SELECT a.doc_id AS batch_id, b.doc_id AS corpus_id,
+           round({_SQL_JACCARD}, 4) AS jac
+    FROM g a JOIN g b
+      ON a.doc_id % 10 = 0 AND b.doc_id % 10 <> 0
+    WHERE len(a.ng) > 0 AND len(b.ng) > 0
+      AND {_SQL_JACCARD} >= {_MH_TAU}
+    """,
+)
+def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental-ingest dedup — the PRODUCTION shape: a new batch of
+    documents (doc_id % 10 == 0 stands in for today's crawl) is checked for
+    near-duplicates AGAINST THE EXISTING CORPUS, not against itself.  At
+    100 TB this asymmetry is everything: the corpus's banded signatures are
+    computed once and kept as a table partitioned by (band, sig); each
+    day's batch computes only ITS signatures and hash-joins into the
+    standing index — ingest cost scales with the batch, never the corpus.
+
+    Here both sides derive from one signature pass (the corpus index
+    build), the candidate join is batch-bands ⋈ corpus-bands on (band,
+    sig) equality, and survivors are exact-Jaccard verified at τ=0.7
+    against the n-gram relation — LSH recall at this τ is verified perfect
+    against the exact join in the repo's recall tests, which is why the
+    banded path can match the oracle's exhaustive cross-side comparison."""
+    ngr = _docs_ngrams(spark, sf_dir)
+    bands = _mh_bands(ngr)
+    is_batch = F.col("doc_id") % 10 == 0
+    batch_bands = bands.filter(is_batch)
+    corpus_bands = bands.filter(~is_batch)
+    cand = (
+        batch_bands.alias("x")
+        .join(
+            corpus_bands.alias("y"),
+            on=[
+                F.col("x.band") == F.col("y.band"),
+                F.col("x.sig") == F.col("y.sig"),
+            ],
+        )
+        .select(
+            F.col("x.doc_id").alias("batch_id"),
+            F.col("y.doc_id").alias("corpus_id"),
+        )
+        .distinct()
+    )
+    jac = _pair_jaccard()
+    return (
+        cand.join(ngr.alias("a"), F.col("batch_id") == F.col("a.doc_id"))
+        .join(ngr.alias("b"), F.col("corpus_id") == F.col("b.doc_id"))
+        .filter(jac >= _MH_TAU)
+        .select("batch_id", "corpus_id", F.round(jac, 4).alias("jac"))
     )

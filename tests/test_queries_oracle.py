@@ -22,6 +22,7 @@ _ROWS_ONLY = sorted(n for n, s in QUERIES.items() if s.oracle is None)
 _HEAVY_ORACLE = {
     "dedup_components",
     "dedup_keep_canonical",
+    "dedup_incremental",
     "dedup_embedding_cosine",
     "dedup_minhash_lsh",
     "dedup_ngram_jaccard",
