@@ -320,3 +320,80 @@ def snap_optimize_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("n_files_opt", F.lit(n_files))
         .orderBy("bucket")
     )
+
+
+def _merge_table(spark: SparkSession, sf_dir: str) -> SnapshotTable:
+    """A dedicated chain for the MERGE demo (separate from the shared
+    4-version chain so the two caches never interfere): v0 = all orders,
+    v1 = one MERGE batch carrying updates (%11 keys, +500), deletes
+    (%13 keys, matched_delete condition) and inserts (%17 keys + 5e7)."""
+    root = _fingerprinted_dir(
+        os.path.join(os.path.dirname(_scratch_root()), "merge_chain"),
+        sf_dir,
+        ("orders",),
+    )
+    path = os.path.join(root, "orders_merge")
+    if os.path.exists(_manifest_path(path, 1)):
+        return SnapshotTable(spark, path)
+
+    import shutil
+
+    shutil.rmtree(path, ignore_errors=True)
+    orders = load_table(spark, sf_dir, "orders").select(*_COLS)
+    t = SnapshotTable.create(
+        orders,
+        path,
+        stats_cols=["o_orderkey", "o_orderdate"],
+        layout="linear",
+        layout_cols=["o_orderkey"],
+        num_files=8,
+    )
+    k = F.col("o_orderkey")
+    updates = orders.filter((k % 11 == 0) & (k % 13 != 0)).withColumn(
+        "o_totalprice", F.col("o_totalprice") + 500.0
+    )
+    deletes = orders.filter(k % 13 == 0)
+    inserts = orders.filter(k % 17 == 0).withColumn(
+        "o_orderkey", k + 50_000_000
+    )
+    src = updates.unionByName(deletes).unionByName(inserts)
+    t.merge_into(
+        src,
+        ["o_orderkey"],
+        matched_delete=(F.col("o_orderkey") % 13 == 0),
+    )
+    return t
+
+
+@register(
+    "snap_merge",
+    oracle=f"""
+    WITH final AS (
+      SELECT o_orderkey,
+             o_totalprice + CASE WHEN o_orderkey % 11 = 0 THEN 500.0
+                                 ELSE 0.0 END AS o_totalprice
+      FROM orders WHERE o_orderkey % 13 <> 0
+      UNION ALL
+      SELECT o_orderkey + 50000000, o_totalprice
+      FROM orders WHERE o_orderkey % 17 = 0
+    )
+    SELECT COUNT(*) AS cnt,
+           COUNT(DISTINCT o_orderkey) AS n_keys,
+           {sql_dsum("o_totalprice", "sum_price")},
+           MAX(o_orderkey) AS max_key
+    FROM final
+    """,
+)
+def snap_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full MERGE INTO in one commit — update, conditional delete, and
+    insert clauses together (Delta/Iceberg MERGE parity; `upsert` alone is
+    the latest-wins subset).  The oracle reconstructs the post-merge state
+    closed-form from raw orders: %13 keys deleted, %11 keys repriced,
+    %17 keys inserted under shifted keys, everything else untouched."""
+    t = _merge_table(spark, sf_dir)
+    return t.read(1).agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.count_distinct(F.col("o_orderkey")).alias("n_keys"),
+        dsum("o_totalprice", "sum_price"),
+        F.max("o_orderkey").alias("max_key"),
+    )

@@ -46,7 +46,7 @@ import shutil
 import time
 from urllib.parse import urlparse
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.types import StructType
 
@@ -307,6 +307,80 @@ class SnapshotTable:
             "UPSERT",
             {**untouched, **new},
             merged.schema,
+            parent["stats_cols"],
+            extra={"files_rewritten": len(affected)},
+        )
+
+    def merge_into(
+        self,
+        source: DataFrame,
+        record_keys: list[str],
+        matched_delete: Column | None = None,
+        insert_unmatched: bool = True,
+        num_files: int | None = None,
+    ) -> dict:
+        """Full MERGE INTO (Delta/Iceberg MERGE parity): source rows that
+        match a target key UPDATE it (replace the row) — unless
+        ``matched_delete`` (a boolean Column over source columns) holds, in
+        which case the target row is DELETED; unmatched source rows INSERT
+        when ``insert_unmatched``.  Target rows with no source match are
+        untouched.
+
+        Copy-on-write and file-scoped like ``upsert``: only files whose key
+        stats overlap the source's key bounds are rewritten, prior versions
+        keep referencing the replaced files (time travel).  The matched/
+        unmatched split is two hash joins against the source's key set — at
+        scale the source is the small side and broadcasts."""
+        parent = self.manifest()
+        v = parent["version"] + 1
+        bounds = source.agg(
+            *[F.min(k).alias(f"lo_{k}") for k in record_keys],
+            *[F.max(k).alias(f"hi_{k}") for k in record_keys],
+        ).collect()[0]
+        preds = [
+            Pred(k, "between", (bounds[f"lo_{k}"], bounds[f"hi_{k}"]))
+            for k in record_keys
+            if k in parent["stats_cols"]
+        ]
+        affected = (
+            self._affected_files(parent, preds)
+            if preds
+            else list(parent["files"])
+        )
+        untouched = {
+            f: info
+            for f, info in parent["files"].items()
+            if f not in set(affected)
+        }
+        tgt = (
+            self.spark.read.option("mergeSchema", "true").parquet(*affected)
+            if affected
+            else self.spark.createDataFrame([], self.read().schema)
+        )
+        src_keys = source.select(*record_keys).distinct()
+        kept_tgt = tgt.join(F.broadcast(src_keys), record_keys, "left_anti")
+        tgt_keys = tgt.select(*record_keys).distinct()
+        surviving_src = (
+            source.filter(~matched_delete) if matched_delete is not None
+            else source
+        )
+        src_matched = surviving_src.join(
+            F.broadcast(tgt_keys), record_keys, "left_semi"
+        )
+        out = kept_tgt.unionByName(src_matched, allowMissingColumns=True)
+        if insert_unmatched:
+            src_unmatched = source.join(
+                F.broadcast(tgt_keys), record_keys, "left_anti"
+            )
+            out = out.unionByName(src_unmatched, allowMissingColumns=True)
+        new = self._stage(
+            out, v, parent["stats_cols"], num_files=num_files
+        )
+        return self._publish(
+            v,
+            "MERGE",
+            {**untouched, **new},
+            out.schema,
             parent["stats_cols"],
             extra={"files_rewritten": len(affected)},
         )

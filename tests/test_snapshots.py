@@ -256,3 +256,43 @@ def test_optimize_rewrites_layout_preserving_data_and_history(
     carried = set(m2["files"]) & set(m["files"])
     assert carried, "scoped optimize should carry untouched files"
     assert table.read(m2["version"]).count() == n0
+
+
+def test_merge_into_update_delete_insert(table, orders, spark):
+    """MERGE clause semantics: matched+condition deletes, matched updates,
+    unmatched inserts, untouched targets survive — all in ONE commit."""
+    k = F.col("o_orderkey")
+    updates = orders.filter(k.between(10, 19)).withColumn(
+        "o_totalprice", F.col("o_totalprice") + 9.0
+    )
+    deletes = orders.filter(k.between(30, 39))
+    inserts = orders.filter(k.between(1, 5)).withColumn(
+        "o_orderkey", k + 1_000_000
+    )
+    src = updates.unionByName(deletes).unionByName(inserts)
+    m = table.merge_into(
+        src, ["o_orderkey"], matched_delete=k.between(30, 39)
+    )
+    assert m["operation"] == "MERGE"
+    after = table.read(m["version"])
+    n0 = orders.count()
+    n_del = orders.filter(k.between(30, 39)).count()
+    n_ins = inserts.count()
+    assert after.count() == n0 - n_del + n_ins
+    # deleted keys gone
+    assert after.filter(k.between(30, 39)).count() == 0
+    # updated row carries the new price
+    got = after.filter(k == 10).collect()
+    want = orders.filter(k == 10).collect()
+    if got and want:
+        assert got[0]["o_totalprice"] == want[0]["o_totalprice"] + 9.0
+    # inserted keys present
+    assert after.filter(k > 1_000_000).count() == n_ins
+    # untouched row unchanged
+    a50 = after.filter(k == 50).collect()
+    o50 = orders.filter(k == 50).collect()
+    assert [r["o_totalprice"] for r in a50] == [
+        r["o_totalprice"] for r in o50
+    ]
+    # v0 unaffected (time travel)
+    assert table.read(0).count() == n0
