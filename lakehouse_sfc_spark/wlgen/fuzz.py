@@ -155,4 +155,25 @@ def fuzz_cases(
             f" FROM {table} GROUP BY {kind}({g_cols[0]}, {g_cols[1]})"
         )
         cases.append(FuzzCase(f"G{i}", sql))
+
+    # Template S: randomized set operations between two filtered key sets.
+    # INTERSECT/EXCEPT/UNION are distinct-set results — unordered, unique
+    # rows — so exact comparison needs no tie-breaking.
+    dists2 = build_uni_dists(fact_stats)
+    set_cols = [c for c in numeric_cols if c in dists2] or list(dists2)
+    for i in range(n):
+        op = rng.choice(["UNION", "INTERSECT", "EXCEPT"])
+        col = rng.choice(set_cols)
+        lo1, hi1 = sample_between(dists2[col], target_sel, rng)
+        lo2, hi2 = sample_between(dists2[col], target_sel, rng)
+        sql = (
+            f"SELECT l_orderkey, l_linenumber FROM {table}"
+            f" WHERE {col} BETWEEN {render_sql(':v', {'v': lo1})}"
+            f" AND {render_sql(':v', {'v': hi1})}"
+            f" {op}"
+            f" SELECT l_orderkey, l_linenumber FROM {table}"
+            f" WHERE {col} BETWEEN {render_sql(':v', {'v': lo2})}"
+            f" AND {render_sql(':v', {'v': hi2})}"
+        )
+        cases.append(FuzzCase(f"S{i}", sql))
     return cases

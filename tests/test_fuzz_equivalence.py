@@ -43,6 +43,7 @@ def _expected_names():
     names += [f"D{i}" for i in range(FUZZ_N)]
     names += [f"W{i}" for i in range(FUZZ_N)]
     names += [f"G{i}" for i in range(FUZZ_N)]
+    names += [f"S{i}" for i in range(FUZZ_N)]
     return names
 
 
