@@ -150,6 +150,55 @@ class SnapshotTable:
         os.rename(tmp, _manifest_path(self.path, version))
         return m
 
+    # ----------------------------------------------------------- constraints
+
+    def set_constraint(self, name: str, expr: str) -> dict:
+        """Add a CHECK constraint (Delta ``ALTER TABLE ADD CONSTRAINT``
+        parity): a boolean SQL expression every subsequently WRITTEN row
+        must satisfy.  Existing data is validated once at add time; the
+        constraint rides the manifest so later commits (append/upsert/
+        merge) enforce it on their incoming rows.  Metadata-only commit —
+        no files rewritten."""
+        parent = self.manifest()
+        cons = dict(parent.get("constraints", {}))
+        cons[name] = expr
+        bad = self.read().filter(f"NOT ({expr})").limit(1).count()
+        if bad:
+            raise ValueError(
+                f"cannot add constraint {name!r}: existing rows violate "
+                f"({expr})"
+            )
+        v = parent["version"] + 1
+        return self._publish(
+            v,
+            "ADD CONSTRAINT",
+            parent["files"],
+            StructType.fromJson(parent["schema"]),
+            parent["stats_cols"],
+            extra={"constraints": cons},
+        )
+
+    @staticmethod
+    def _carry(parent: dict, extra: dict | None = None) -> dict:
+        """Commit metadata inherited across versions (constraints survive
+        every commit unless explicitly replaced)."""
+        out = dict(extra or {})
+        if parent.get("constraints") and "constraints" not in out:
+            out["constraints"] = parent["constraints"]
+        return out
+
+    def _enforce_constraints(self, parent: dict, incoming: DataFrame) -> None:
+        cons = parent.get("constraints", {})
+        for name, expr in cons.items():
+            sample = (
+                incoming.filter(f"NOT ({expr})").limit(1).collect()
+            )
+            if sample:
+                raise ValueError(
+                    f"CHECK constraint {name!r} violated by incoming row "
+                    f"{sample[0].asDict()} (expr: {expr})"
+                )
+
     # ----------------------------------------------------------------- write
 
     def _stage(
@@ -205,11 +254,12 @@ class SnapshotTable:
         allowed — historical files keep their narrower schema and reads
         merge (schema evolution)."""
         parent = self.manifest()
+        self._enforce_constraints(parent, df)
         v = parent["version"] + 1
         new = self._stage(df, v, parent["stats_cols"], num_files=num_files)
         return self._publish(
             v, "APPEND", {**parent["files"], **new}, df.schema,
-            parent["stats_cols"],
+            parent["stats_cols"], extra=self._carry(parent),
         )
 
     def optimize(
@@ -255,6 +305,7 @@ class SnapshotTable:
             {**keep, **new},
             df.schema,
             parent["stats_cols"],
+            extra=self._carry(parent),
         )
 
     def _affected_files(self, parent: dict, preds: list[Pred]) -> list[str]:
@@ -273,6 +324,7 @@ class SnapshotTable:
         key stats overlap the batch's key bounds are read and rewritten;
         prior versions keep referencing the replaced files (time travel)."""
         parent = self.manifest()
+        self._enforce_constraints(parent, batch)
         v = parent["version"] + 1
         bounds = batch.agg(
             *[F.min(k).alias(f"lo_{k}") for k in record_keys],
@@ -308,7 +360,7 @@ class SnapshotTable:
             {**untouched, **new},
             merged.schema,
             parent["stats_cols"],
-            extra={"files_rewritten": len(affected)},
+            extra=self._carry(parent, {"files_rewritten": len(affected)}),
         )
 
     def merge_into(
@@ -332,6 +384,7 @@ class SnapshotTable:
         unmatched split is two hash joins against the source's key set — at
         scale the source is the small side and broadcasts."""
         parent = self.manifest()
+        self._enforce_constraints(parent, source)
         v = parent["version"] + 1
         bounds = source.agg(
             *[F.min(k).alias(f"lo_{k}") for k in record_keys],
@@ -382,7 +435,7 @@ class SnapshotTable:
             {**untouched, **new},
             out.schema,
             parent["stats_cols"],
-            extra={"files_rewritten": len(affected)},
+            extra=self._carry(parent, {"files_rewritten": len(affected)}),
         )
 
     def delete_where(self, preds: list[Pred], num_files: int | None = None) -> dict:
@@ -420,7 +473,7 @@ class SnapshotTable:
             {**untouched, **new},
             schema,
             parent["stats_cols"],
-            extra={"files_rewritten": len(affected)},
+            extra=self._carry(parent, {"files_rewritten": len(affected)}),
         )
 
     # ------------------------------------------------------------------ read

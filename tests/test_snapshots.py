@@ -296,3 +296,37 @@ def test_merge_into_update_delete_insert(table, orders, spark):
     ]
     # v0 unaffected (time travel)
     assert table.read(0).count() == n0
+
+
+def test_check_constraints_enforced_on_writes(table, orders, spark):
+    """CHECK constraints: existing data validated at add time, violating
+    appends/upserts rejected, valid commits pass, and the constraint
+    survives unrelated commits (it rides the manifest)."""
+    m = table.set_constraint("price_positive", "o_totalprice > 0")
+    assert m["operation"] == "ADD CONSTRAINT"
+
+    bad = orders.limit(2).withColumn("o_totalprice", F.lit(-1.0))
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="price_positive"):
+        table.append(bad)
+    with _pytest.raises(ValueError, match="price_positive"):
+        table.upsert(bad, ["o_orderkey"], "o_totalprice")
+
+    ok = orders.limit(2).withColumn(
+        "o_orderkey", F.col("o_orderkey") + 2_000_000
+    )
+    m2 = table.append(ok)
+    assert m2["operation"] == "APPEND"
+    assert m2["constraints"] == {"price_positive": "o_totalprice > 0"}
+
+    # unrelated delete keeps carrying the constraint...
+    m3 = table.delete_where([Pred("o_orderkey", "between", (1, 3))])
+    assert m3["constraints"] == {"price_positive": "o_totalprice > 0"}
+    # ...so a later violating write still fails
+    with _pytest.raises(ValueError, match="price_positive"):
+        table.append(bad)
+
+    # adding a constraint the existing data violates is rejected outright
+    with _pytest.raises(ValueError, match="existing rows violate"):
+        table.set_constraint("impossible", "o_orderkey < 0")
