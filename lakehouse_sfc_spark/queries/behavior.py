@@ -481,3 +481,56 @@ def a_path_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
     top = paths.orderBy(F.desc("cnt"), "path").limit(10)
     w_rank = Window.orderBy(F.desc("cnt"), "path")
     return top.withColumn("rk", F.row_number().over(w_rank)).orderBy("rk")
+
+
+@register(
+    "w_streak",
+    oracle="""
+    WITH ud AS (
+      SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+    ),
+    isl AS (
+      SELECT user_id, day,
+             day - CAST(ROW_NUMBER() OVER (
+               PARTITION BY user_id ORDER BY day
+             ) AS INTEGER) AS grp
+      FROM ud
+    ),
+    streaks AS (
+      SELECT user_id, COUNT(*) AS len FROM isl GROUP BY user_id, grp
+    ),
+    best AS (
+      SELECT user_id, MAX(len) AS best_streak FROM streaks GROUP BY user_id
+    )
+    SELECT best_streak, COUNT(*) AS n_users
+    FROM best GROUP BY best_streak ORDER BY best_streak
+    """,
+)
+def w_streak(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Longest consecutive-day activity streak per user, reported as a
+    streak-length histogram — the gaps-and-islands pattern (day minus its
+    per-user rank is constant exactly within a consecutive run).  All
+    integer arithmetic; the event log reduces to distinct user-days first,
+    then every stage shares the user_id partitioning: the rank window, the
+    island groupBy and the per-user max pipeline into one shuffle, and the
+    final histogram reduces to a handful of rows."""
+    ev = load_table(spark, sf_dir, "events")
+    ud = ev.select(
+        "user_id", F.col("ts").cast("date").alias("day")
+    ).distinct()
+    w = Window.partitionBy("user_id").orderBy("day")
+    isl = ud.select(
+        "user_id",
+        F.date_sub(
+            F.col("day"), F.row_number().over(w)
+        ).alias("grp"),
+    )
+    streaks = isl.groupBy("user_id", "grp").agg(
+        F.count(F.lit(1)).alias("len")
+    )
+    best = streaks.groupBy("user_id").agg(F.max("len").alias("best_streak"))
+    return (
+        best.groupBy("best_streak")
+        .agg(F.count(F.lit(1)).alias("n_users"))
+        .orderBy("best_streak")
+    )

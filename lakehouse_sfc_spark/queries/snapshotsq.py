@@ -397,3 +397,74 @@ def snap_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         dsum("o_totalprice", "sum_price"),
         F.max("o_orderkey").alias("max_key"),
     )
+
+
+@register(
+    "snap_cdf_chained",
+    oracle=f"""
+    {_SQL_STATES}
+    SELECT o_custkey % 10 AS bucket, COUNT(*) AS cnt,
+           {sql_dsum("o_totalprice", "sum_price")}
+    FROM (SELECT * FROM state2 UNION ALL SELECT * FROM appended)
+    GROUP BY 1
+    ORDER BY 1
+    """,
+)
+def snap_cdf_chained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Commit-by-commit CDF consumption: the aggregate maintained by
+    applying each version's change feed AS IT LANDS — changes(0,1), then
+    changes(1,2), then changes(2,3) — must equal the from-scratch
+    recompute, exactly like `snap_incremental_agg`'s single 0→3 pull.
+    This is the contract a STREAMING maintenance consumer relies on:
+    per-commit deltas compose, so a subscriber that processes every
+    commit needs no full pull, ever.  Each pull reads only the files
+    differing between adjacent manifests."""
+    t = _snapshot_table(spark, sf_dir)
+    price = F.col("o_totalprice").cast("decimal(18,2)")
+    bucket = (F.col("o_custkey") % 10).alias("bucket")
+    sign = (
+        F.when(
+            F.col("_change_type").isin("insert", "update_postimage"), F.lit(1)
+        )
+        .when(
+            F.col("_change_type").isin("delete", "update_preimage"), F.lit(-1)
+        )
+    )
+    acc = t.read(0).groupBy(bucket).agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.sum(price).alias("s"),
+    )
+    zero = F.lit(0).cast("decimal(18,2)")
+    for v in range(3):
+        delta = (
+            t.changes(v, v + 1, ["o_orderkey"], emit_pre=True)
+            .select(bucket, sign.alias("sign"), price.alias("p"))
+            .groupBy("bucket")
+            .agg(
+                F.sum("sign").alias("dc"),
+                F.sum(F.col("sign") * F.col("p")).alias("ds"),
+            )
+        )
+        acc = (
+            acc.join(delta, "bucket", "full_outer")
+            .select(
+                "bucket",
+                (
+                    F.coalesce(F.col("cnt"), F.lit(0))
+                    + F.coalesce(F.col("dc"), F.lit(0))
+                ).alias("cnt"),
+                (
+                    F.coalesce(F.col("s"), zero)
+                    + F.coalesce(F.col("ds"), zero)
+                ).cast("decimal(18,2)").alias("s"),
+            )
+        )
+    return (
+        acc.filter(F.col("cnt") > 0)
+        .select(
+            "bucket",
+            "cnt",
+            F.col("s").cast("double").alias("sum_price"),
+        )
+        .orderBy("bucket")
+    )
