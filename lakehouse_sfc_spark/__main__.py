@@ -445,10 +445,15 @@ def cmd_query(args) -> int:
     if args.explain:
         df.explain("formatted")
     if args.output_csv:
-        df.coalesce(1).write.mode("overwrite").option("header", True).csv(
-            args.output_csv
-        )
-        print(json.dumps({"query": args.name, "rows": df.count(),
+        df.persist()
+        try:
+            df.coalesce(1).write.mode("overwrite").option(
+                "header", True
+            ).csv(args.output_csv)
+            n = df.count()  # served from the persisted result, no re-run
+        finally:
+            df.unpersist()
+        print(json.dumps({"query": args.name, "rows": n,
                           "out": args.output_csv}))
     else:
         df.show(args.max_rows, truncate=False)

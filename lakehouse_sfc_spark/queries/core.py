@@ -936,7 +936,8 @@ def a_grouped_agg_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
         # annotations` stringifies them and Spark's hint resolver balks), so
         # the UDF type is passed explicitly.
         ticks = np.floor(v.dropna().to_numpy() * 10000).astype("int64")
-        return int(ticks.sum())
+        # SQL SUM of an all-NULL group is NULL, not 0 — match it
+        return int(ticks.sum()) if len(ticks) else None
 
     sum_ticks = pandas_udf(_sum_ticks, "bigint", PandasUDFType.GROUPED_AGG)
     # Spark refuses to mix grouped-agg pandas UDFs with built-in aggregates

@@ -1256,8 +1256,10 @@ def sample_pps(spark: SparkSession, sf_dir: str) -> DataFrame:
     carry = blk_tot.select(
         "blk", F.coalesce(F.sum("blk_w").over(w_carry), F.lit(0)).alias("carry")
     )
-    tot = w.agg(
-        F.greatest(F.expr("SUM(w) DIV 1000"), F.lit(1)).alias("stride")
+    # total weight from the per-block sums already computed — never a
+    # second scan of the fact table
+    tot = blk_tot.agg(
+        F.greatest(F.expr("SUM(blk_w) DIV 1000"), F.lit(1)).alias("stride")
     )
     cum = (
         within.join(F.broadcast(carry), "blk")

@@ -215,6 +215,52 @@ def snap_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+
+# --- shared CDF-maintenance algebra (snap_incremental_agg / snap_cdf_chained)
+
+_CDF_ZERO = F.lit(0).cast("decimal(18,2)")
+
+
+def _cdf_delta(t: SnapshotTable, v_from: int, v_to: int) -> DataFrame:
+    """Per-bucket retraction delta from the change feed: +1/+price for
+    insert and update POST images, -1/-price for delete and update PRE
+    images — the maintenance algebra both incremental-agg queries share."""
+    price = F.col("o_totalprice").cast("decimal(18,2)")
+    bucket = (F.col("o_custkey") % 10).alias("bucket")
+    sign = (
+        F.when(
+            F.col("_change_type").isin("insert", "update_postimage"), F.lit(1)
+        )
+        .when(
+            F.col("_change_type").isin("delete", "update_preimage"), F.lit(-1)
+        )
+    )
+    return (
+        t.changes(v_from, v_to, ["o_orderkey"], emit_pre=True)
+        .select(bucket, sign.alias("sign"), price.alias("p"))
+        .groupBy("bucket")
+        .agg(
+            F.sum("sign").alias("dc"),
+            F.sum(F.col("sign") * F.col("p")).alias("ds"),
+        )
+    )
+
+
+def _apply_delta(acc: DataFrame, delta: DataFrame) -> DataFrame:
+    """acc(bucket, cnt, s) + delta(bucket, dc, ds), full-outer on bucket."""
+    return acc.join(delta, "bucket", "full_outer").select(
+        "bucket",
+        (
+            F.coalesce(F.col("cnt"), F.lit(0))
+            + F.coalesce(F.col("dc"), F.lit(0))
+        ).alias("cnt"),
+        (F.coalesce(F.col("s"), _CDF_ZERO) + F.coalesce(F.col("ds"), _CDF_ZERO))
+        .cast("decimal(18,2)")
+        .alias("s"),
+    )
+
+
 @register(
     "snap_incremental_agg",
     oracle=f"""
@@ -232,52 +278,24 @@ def snap_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     rescan — and must equal a from-scratch recompute (which is exactly what
     the oracle does over the reconstructed final state).
 
-    Maintenance algebra: per group, inserts and update POST images add
-    (+count, +price), deletes and update PRE images retract (-count,
-    -price); sums ride exact DECIMAL so retraction is lossless.  This is
-    the streaming-MV contract (Delta CDF -> MERGE, Flink retract streams):
-    at 100 TB the base aggregate is touched once ever, and each refresh
-    costs O(changed rows) — `changes` reads only files that differ between
-    the manifests."""
+    Maintenance algebra (shared `_cdf_delta`/`_apply_delta`): per group,
+    inserts and update POST images add (+count, +price), deletes and
+    update PRE images retract (-count, -price); sums ride exact DECIMAL so
+    retraction is lossless.  This is the streaming-MV contract (Delta CDF
+    -> MERGE, Flink retract streams): at 100 TB the base aggregate is
+    touched once ever, and each refresh costs O(changed rows) — `changes`
+    reads only files that differ between the manifests."""
     t = _snapshot_table(spark, sf_dir)
-    price = F.col("o_totalprice").cast("decimal(18,2)")
-    bucket = (F.col("o_custkey") % 10).alias("bucket")
-
-    base = t.read(0).groupBy(bucket).agg(
-        F.count(F.lit(1)).alias("c0"),
-        F.sum(price).alias("s0"),
+    base = t.read(0).groupBy((F.col("o_custkey") % 10).alias("bucket")).agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("s"),
     )
-    sign = (
-        F.when(
-            F.col("_change_type").isin("insert", "update_postimage"), F.lit(1)
-        )
-        .when(
-            F.col("_change_type").isin("delete", "update_preimage"), F.lit(-1)
-        )
-    )
-    delta = (
-        t.changes(0, 3, ["o_orderkey"], emit_pre=True)
-        .select(bucket, sign.alias("sign"), price.alias("p"))
-        .groupBy("bucket")
-        .agg(
-            F.sum("sign").alias("dc"),
-            F.sum(F.col("sign") * F.col("p")).alias("ds"),
-        )
-    )
-    zero = F.lit(0).cast("decimal(18,2)")
+    acc = _apply_delta(base, _cdf_delta(t, 0, 3))
     return (
-        base.join(delta, "bucket", "full_outer")
+        acc.filter(F.col("cnt") > 0)
         .select(
-            "bucket",
-            (F.coalesce(F.col("c0"), F.lit(0)) + F.coalesce(F.col("dc"), F.lit(0))).alias("cnt"),
-            (
-                F.coalesce(F.col("s0"), zero)
-                + F.coalesce(F.col("ds"), zero)
-            )
-            .cast("double")
-            .alias("sum_price"),
+            "bucket", "cnt", F.col("s").cast("double").alias("sum_price")
         )
-        .filter(F.col("cnt") > 0)
         .orderBy("bucket")
     )
 
@@ -420,51 +438,16 @@ def snap_cdf_chained(spark: SparkSession, sf_dir: str) -> DataFrame:
     commit needs no full pull, ever.  Each pull reads only the files
     differing between adjacent manifests."""
     t = _snapshot_table(spark, sf_dir)
-    price = F.col("o_totalprice").cast("decimal(18,2)")
-    bucket = (F.col("o_custkey") % 10).alias("bucket")
-    sign = (
-        F.when(
-            F.col("_change_type").isin("insert", "update_postimage"), F.lit(1)
-        )
-        .when(
-            F.col("_change_type").isin("delete", "update_preimage"), F.lit(-1)
-        )
-    )
-    acc = t.read(0).groupBy(bucket).agg(
+    acc = t.read(0).groupBy((F.col("o_custkey") % 10).alias("bucket")).agg(
         F.count(F.lit(1)).alias("cnt"),
-        F.sum(price).alias("s"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("s"),
     )
-    zero = F.lit(0).cast("decimal(18,2)")
     for v in range(3):
-        delta = (
-            t.changes(v, v + 1, ["o_orderkey"], emit_pre=True)
-            .select(bucket, sign.alias("sign"), price.alias("p"))
-            .groupBy("bucket")
-            .agg(
-                F.sum("sign").alias("dc"),
-                F.sum(F.col("sign") * F.col("p")).alias("ds"),
-            )
-        )
-        acc = (
-            acc.join(delta, "bucket", "full_outer")
-            .select(
-                "bucket",
-                (
-                    F.coalesce(F.col("cnt"), F.lit(0))
-                    + F.coalesce(F.col("dc"), F.lit(0))
-                ).alias("cnt"),
-                (
-                    F.coalesce(F.col("s"), zero)
-                    + F.coalesce(F.col("ds"), zero)
-                ).cast("decimal(18,2)").alias("s"),
-            )
-        )
+        acc = _apply_delta(acc, _cdf_delta(t, v, v + 1))
     return (
         acc.filter(F.col("cnt") > 0)
         .select(
-            "bucket",
-            "cnt",
-            F.col("s").cast("double").alias("sum_price"),
+            "bucket", "cnt", F.col("s").cast("double").alias("sum_price")
         )
         .orderBy("bucket")
     )

@@ -1092,12 +1092,19 @@ def text_tokenize_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
     Arrow-serialized, end to end."""
     from pyspark.sql.functions import udtf
 
+    import re
+
+    ws = re.compile(r"\s+", re.ASCII)  # Python .split() would also break on
+    # Unicode whitespace (\u00a0, \u2028) that Java/RE2 \s+ does NOT treat
+    # as a boundary — the ASCII regex is the exact common semantics
+
     @udtf(returnType="term: string, tf: bigint")
     class Tokenize:
         def eval(self, text: str):
             counts: dict[str, int] = {}
-            for t in (text or "").lower().split():
-                counts[t] = counts.get(t, 0) + 1
+            for t in ws.split((text or "").lower().strip()):
+                if t:
+                    counts[t] = counts.get(t, 0) + 1
             for term in sorted(counts):
                 yield term, counts[term]
 

@@ -303,7 +303,11 @@ class SnapshotTable:
             v,
             "OPTIMIZE",
             {**keep, **new},
-            df.schema,
+            # the parent's schema, NOT df.schema: a predicate-scoped rewrite
+            # reads only overlapping files, and publishing their (possibly
+            # pre-evolution) narrower schema would drop evolved columns from
+            # the manifest even though carried files still hold them
+            StructType.fromJson(parent["schema"]),
             parent["stats_cols"],
             extra=self._carry(parent),
         )
@@ -384,7 +388,6 @@ class SnapshotTable:
         unmatched split is two hash joins against the source's key set — at
         scale the source is the small side and broadcasts."""
         parent = self.manifest()
-        self._enforce_constraints(parent, source)
         v = parent["version"] + 1
         bounds = source.agg(
             *[F.min(k).alias(f"lo_{k}") for k in record_keys],
@@ -413,16 +416,21 @@ class SnapshotTable:
         src_keys = source.select(*record_keys).distinct()
         kept_tgt = tgt.join(F.broadcast(src_keys), record_keys, "left_anti")
         tgt_keys = tgt.select(*record_keys).distinct()
+        # delete markers are COMMANDS, not data: they neither update nor
+        # insert, and CHECK constraints apply only to rows actually WRITTEN
+        # (Delta semantics) — a sentinel payload on a delete row must not
+        # trip them.
         surviving_src = (
             source.filter(~matched_delete) if matched_delete is not None
             else source
         )
+        self._enforce_constraints(parent, surviving_src)
         src_matched = surviving_src.join(
             F.broadcast(tgt_keys), record_keys, "left_semi"
         )
         out = kept_tgt.unionByName(src_matched, allowMissingColumns=True)
         if insert_unmatched:
-            src_unmatched = source.join(
+            src_unmatched = surviving_src.join(
                 F.broadcast(tgt_keys), record_keys, "left_anti"
             )
             out = out.unionByName(src_unmatched, allowMissingColumns=True)
@@ -569,8 +577,14 @@ class SnapshotTable:
             .when(F.col(pk).isNull(), F.lit("delete"))
             .when(F.col("pre.__fp") != F.col("post.__fp"), F.lit("update"))
         )  # NULL (dropped below) when fingerprints match: moved, not changed
+        # pre image for deletes (post side absent), PURE post image for
+        # everything else: a coalesce(post, pre) here would back-fill a
+        # column an update set to NULL with its OLD value, silently breaking
+        # the +post/-pre retraction algebra downstream MV maintenance runs.
         out_cols = [
-            F.coalesce(F.col(f"post.{c}"), F.col(f"pre.{c}")).alias(c)
+            F.when(F.col(pk).isNull(), F.col(f"pre.{c}"))
+            .otherwise(F.col(f"post.{c}"))
+            .alias(c)
             for c in schema_cols
         ]
         if not emit_pre:

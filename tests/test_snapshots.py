@@ -330,3 +330,55 @@ def test_check_constraints_enforced_on_writes(table, orders, spark):
     # adding a constraint the existing data violates is rejected outright
     with _pytest.raises(ValueError, match="existing rows violate"):
         table.set_constraint("impossible", "o_orderkey < 0")
+
+
+def test_cdf_postimage_preserves_nulled_columns(table, orders, spark):
+    """An update that sets a column to NULL must surface NULL in the
+    update_postimage row — a coalesce-with-preimage backfill would break
+    +post/-pre retraction algebra downstream."""
+    # bump the precombine column so the update WINS latest-wins, while
+    # NULLing a different column — the one whose post image must stay NULL
+    upd = (
+        orders.filter(F.col("o_orderkey").between(10, 12))
+        .withColumn("o_totalprice", F.col("o_totalprice") + 1.0)
+        .withColumn("o_custkey", F.lit(None).cast("bigint"))
+    )
+    table.upsert(upd, ["o_orderkey"], "o_totalprice")
+    cdf = table.changes(0, 1, ["o_orderkey"], emit_pre=True)
+    post = cdf.filter(
+        (F.col("_change_type") == "update_postimage")
+        & F.col("o_orderkey").between(10, 12)
+    ).collect()
+    assert post, "expected update_postimage rows"
+    assert all(r["o_custkey"] is None for r in post), post
+    pre = cdf.filter(
+        (F.col("_change_type") == "update_preimage")
+        & F.col("o_orderkey").between(10, 12)
+    ).collect()
+    assert all(r["o_custkey"] is not None for r in pre), pre
+
+
+def test_merge_delete_markers_skip_constraints_and_inserts(
+    table, orders, spark
+):
+    """Delete markers are commands, not data: a sentinel payload on them
+    must not trip CHECK constraints, and unmatched delete markers must not
+    be inserted."""
+    table.set_constraint("price_positive", "o_totalprice > 0")
+    k = F.col("o_orderkey")
+    # matched delete with a constraint-violating sentinel payload
+    del_matched = orders.filter(k.between(20, 22)).withColumn(
+        "o_totalprice", F.lit(-1.0)
+    )
+    # unmatched delete marker (key does not exist): must be a no-op
+    del_unmatched = orders.filter(k == 1).withColumn(
+        "o_orderkey", k + 9_000_000
+    ).withColumn("o_totalprice", F.lit(-1.0))
+    src = del_matched.unionByName(del_unmatched)
+    m = table.merge_into(
+        src, ["o_orderkey"], matched_delete=F.col("o_totalprice") < 0
+    )
+    after = table.read(m["version"])
+    assert after.filter(k.between(20, 22)).count() == 0
+    assert after.filter(k > 9_000_000).count() == 0
+    assert after.filter(F.col("o_totalprice") < 0).count() == 0
