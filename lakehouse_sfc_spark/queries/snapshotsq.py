@@ -219,9 +219,6 @@ def snap_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- shared CDF-maintenance algebra (snap_incremental_agg / snap_cdf_chained)
 
-_CDF_ZERO = F.lit(0).cast("decimal(18,2)")
-
-
 def _cdf_delta(t: SnapshotTable, v_from: int, v_to: int) -> DataFrame:
     """Per-bucket retraction delta from the change feed: +1/+price for
     insert and update POST images, -1/-price for delete and update PRE
@@ -249,13 +246,16 @@ def _cdf_delta(t: SnapshotTable, v_from: int, v_to: int) -> DataFrame:
 
 def _apply_delta(acc: DataFrame, delta: DataFrame) -> DataFrame:
     """acc(bucket, cnt, s) + delta(bucket, dc, ds), full-outer on bucket."""
+    # column exprs built inside the function: module-level F.lit would run
+    # at import time, before any SparkSession exists (pytest collection)
+    zero = F.lit(0).cast("decimal(18,2)")
     return acc.join(delta, "bucket", "full_outer").select(
         "bucket",
         (
             F.coalesce(F.col("cnt"), F.lit(0))
             + F.coalesce(F.col("dc"), F.lit(0))
         ).alias("cnt"),
-        (F.coalesce(F.col("s"), _CDF_ZERO) + F.coalesce(F.col("ds"), _CDF_ZERO))
+        (F.coalesce(F.col("s"), zero) + F.coalesce(F.col("ds"), zero))
         .cast("decimal(18,2)")
         .alias("s"),
     )
