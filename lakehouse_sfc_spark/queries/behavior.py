@@ -534,3 +534,72 @@ def w_streak(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_users"))
         .orderBy("best_streak")
     )
+
+
+@register(
+    "a_drill_across",
+    oracle="""
+    WITH ev AS (
+      SELECT c.c_mktsegment,
+             COUNT(DISTINCT e.user_id) AS n_active_users,
+             COUNT(*) AS n_events,
+             CAST(SUM(CASE WHEN e.event_type = 'purchase'
+                           THEN CAST(e.value AS DECIMAL(18,4)) END)
+                  AS DOUBLE) AS event_purchase_value
+      FROM events e JOIN customer c ON e.user_id = c.c_custkey
+      GROUP BY 1
+    ),
+    ord AS (
+      SELECT c.c_mktsegment,
+             COUNT(*) AS n_orders,
+             CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+               AS order_revenue
+      FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+      GROUP BY 1
+    )
+    SELECT ev.c_mktsegment, n_active_users, n_events,
+           event_purchase_value, n_orders, order_revenue
+    FROM ev JOIN ord ON ev.c_mktsegment = ord.c_mktsegment
+    ORDER BY ev.c_mktsegment
+    """,
+)
+def a_drill_across(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Drill-across: TWO fact tables (the clickstream and the order book)
+    conformed through one dimension (customer → market segment) and
+    compared side by side — the multi-fact report shape conformed-
+    dimension warehouses exist for.  Each fact aggregates INDEPENDENTLY to
+    the segment grain before the facts meet (never fact⋈fact on raw rows —
+    that join would be a many-to-many explosion); the final join is 5 rows
+    ⋈ 5 rows.  The customer dim broadcasts into both pipelines."""
+    ev = load_table(spark, sf_dir, "events")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment"
+    )
+    ev_agg = (
+        ev.join(F.broadcast(c), ev.user_id == c.c_custkey)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count_distinct(F.col("user_id")).alias("n_active_users"),
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(
+                F.when(
+                    F.col("event_type") == "purchase",
+                    F.col("value").cast("decimal(18,4)"),
+                )
+            )
+            .cast("double")
+            .alias("event_purchase_value"),
+        )
+    )
+    ord_agg = (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("order_revenue"),
+        )
+    )
+    return ev_agg.join(ord_agg, "c_mktsegment").orderBy("c_mktsegment")
