@@ -204,3 +204,53 @@ def dq_pseudonymize(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("n_collisions"),
         F.min("surrogate").alias("min_surrogate"),
     )
+
+
+@register(
+    "dq_freshness",
+    oracle="""
+    WITH g AS (SELECT MAX(ts) AS global_max FROM events)
+    SELECT event_type,
+           COUNT(*) AS n,
+           MAX(ts) AS latest,
+           CAST((epoch_us(g.global_max) - epoch_us(MAX(ts))) // 3600000000
+                AS BIGINT) AS staleness_hours,
+           (epoch_us(g.global_max) - epoch_us(MAX(ts)))
+             // 3600000000 <= 24 AS fresh_24h
+    FROM events CROSS JOIN g
+    GROUP BY event_type, g.global_max
+    ORDER BY event_type
+    """,
+)
+def dq_freshness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Freshness audit — the standard data-SLA check: how far each event
+    stream lags behind the newest data in the table.  Staleness is
+    measured against the corpus's own global max timestamp (never
+    wall-clock, which would be unreproducible), in integer epoch-
+    microsecond arithmetic with integral division — exact in both
+    engines.  Two tiny aggregates: a 1-row global max broadcast into a
+    per-type rollup; the scan dominates at any scale."""
+    ev = load_table(spark, sf_dir, "events")
+    g = ev.agg(F.max("ts").alias("global_max"))
+    lag_h = F.expr(
+        "(unix_micros(CAST(global_max AS TIMESTAMP_LTZ))"
+        " - unix_micros(CAST(latest AS TIMESTAMP_LTZ))) DIV 3600000000"
+    )
+    per_type = (
+        ev.crossJoin(F.broadcast(g))
+        .groupBy("event_type", "global_max")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.max("ts").alias("latest"),
+        )
+    )
+    return (
+        per_type.select(
+            "event_type",
+            "n",
+            "latest",
+            lag_h.cast("bigint").alias("staleness_hours"),
+            (lag_h <= 24).alias("fresh_24h"),
+        )
+        .orderBy("event_type")
+    )
