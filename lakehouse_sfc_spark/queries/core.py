@@ -955,3 +955,73 @@ def a_grouped_agg_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@register(
+    "a_calendar_dim",
+    oracle="""
+    WITH span AS (
+      SELECT CAST(MIN(o_orderdate) AS DATE) AS d0,
+             CAST(MAX(o_orderdate) AS DATE) AS d1
+      FROM orders
+    ),
+    cal AS (
+      SELECT CAST(UNNEST(generate_series(d0, d1, INTERVAL 1 DAY)) AS DATE)
+               AS day
+      FROM span
+    ),
+    caldow AS (
+      SELECT dayofweek(day) AS dow, COUNT(*) AS n_days FROM cal GROUP BY 1
+    ),
+    orddow AS (
+      SELECT dayofweek(CAST(o_orderdate AS DATE)) AS dow,
+             COUNT(*) AS n_orders
+      FROM orders GROUP BY 1
+    )
+    SELECT c.dow, c.n_days, COALESCE(o.n_orders, 0) AS n_orders,
+           CAST(COALESCE(o.n_orders, 0) AS DOUBLE) / c.n_days
+             AS orders_per_day
+    FROM caldow c LEFT JOIN orddow o ON c.dow = o.dow
+    ORDER BY c.dow
+    """,
+)
+def a_calendar_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Generated calendar dimension: a complete day spine materialized with
+    a sequence generator (no calendar table on disk — the dbt/warehouse
+    date-spine pattern), rolled up by day-of-week and joined against the
+    order volume so zero-activity days still count in the denominator.
+    DuckDB's dayofweek is 0-6 Sunday-first; Spark's dayofweek is 1-7
+    Sunday-first — the Spark side subtracts 1 for identical keys.  All
+    integer counts + one double division.  The generator produces ~2500
+    rows on the driver-side 1-row span — nothing data-sized explodes."""
+    o = load_table(spark, sf_dir, "orders")
+    span = o.agg(
+        F.min(F.col("o_orderdate").cast("date")).alias("d0"),
+        F.max(F.col("o_orderdate").cast("date")).alias("d1"),
+    )
+    cal = span.select(
+        F.explode(
+            F.sequence(
+                F.col("d0"), F.col("d1"), F.expr("INTERVAL 1 DAY")
+            )
+        ).alias("day")
+    )
+    caldow = cal.groupBy(
+        (F.dayofweek(F.col("day")) - 1).alias("dow")
+    ).agg(F.count(F.lit(1)).alias("n_days"))
+    orddow = o.groupBy(
+        (F.dayofweek(F.col("o_orderdate").cast("date")) - 1).alias("dow")
+    ).agg(F.count(F.lit(1)).alias("n_orders"))
+    return (
+        caldow.join(orddow, "dow", "left")
+        .select(
+            "dow",
+            "n_days",
+            F.coalesce(F.col("n_orders"), F.lit(0)).alias("n_orders"),
+            (
+                F.coalesce(F.col("n_orders"), F.lit(0)).cast("double")
+                / F.col("n_days")
+            ).alias("orders_per_day"),
+        )
+        .orderBy("dow")
+    )
