@@ -1491,3 +1491,87 @@ def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(jac >= _MH_TAU)
         .select("batch_id", "corpus_id", F.round(jac, 4).alias("jac"))
     )
+
+
+_MIX_N = 1000  # total sample budget to apportion across sources
+
+
+@register(
+    "sample_mixture",
+    oracle=f"""
+    WITH per_src AS (
+      SELECT source, COUNT(*) AS n_docs,
+             CAST(SUM(n_chars) AS BIGINT) AS chars
+      FROM documents GROUP BY source
+    ),
+    tot AS (SELECT SUM(chars) AS w FROM per_src),
+    quota AS (
+      SELECT p.source, p.n_docs, p.chars,
+             ({_MIX_N} * p.chars) // t.w AS base_quota,
+             ({_MIX_N} * p.chars) % t.w AS frac
+      FROM per_src p CROSS JOIN tot t
+    ),
+    ranked AS (
+      SELECT *,
+             ROW_NUMBER() OVER (ORDER BY frac DESC, source) AS frac_rank,
+             {_MIX_N} - SUM(base_quota) OVER () AS n_extra
+      FROM quota
+    )
+    SELECT source, n_docs, chars, base_quota,
+           CASE WHEN frac_rank <= n_extra THEN 1 ELSE 0 END AS extra,
+           base_quota + CASE WHEN frac_rank <= n_extra THEN 1 ELSE 0 END
+             AS n_target
+    FROM ranked
+    ORDER BY source
+    """,
+)
+def sample_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-mix apportionment: a sample budget of {n} documents split
+    across sources PROPORTIONAL TO their character volume using the
+    largest-remainder method — the deterministic integer algorithm
+    election systems use, and exactly what a data-mixture config needs
+    (quotas sum to the budget EXACTLY, no float drift, reproducible on
+    any engine).  base quota = floor(N·wᵢ/W); the N − Σfloor leftover
+    seats go to the largest integer remainders (N·wᵢ mod W), ties broken
+    by source name.
+
+    Every quantity is a BIGINT (integral DIV/mod) — nothing to round.
+    The data-sized stage is one per-source aggregate; the apportionment
+    itself runs on the |sources|-row relation (the rank window there is
+    trivially small).  Downstream, `sample_stratified`-style per-source
+    top-k draws each source's n_target rows.""".format(n=_MIX_N)
+    d = load_table(spark, sf_dir, "documents")
+    per_src = d.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("chars"),
+    )
+    tot = per_src.agg(F.sum("chars").alias("w"))
+    quota = per_src.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "n_docs",
+        "chars",
+        F.expr(f"({_MIX_N} * chars) DIV w").alias("base_quota"),
+        F.expr(f"({_MIX_N} * chars) % w").alias("frac"),
+    )
+    w_rank = Window.orderBy(F.desc("frac"), "source")
+    w_all = Window.partitionBy()
+    ranked = quota.select(
+        "source",
+        "n_docs",
+        "chars",
+        "base_quota",
+        F.row_number().over(w_rank).alias("frac_rank"),
+        (F.lit(_MIX_N) - F.sum("base_quota").over(w_all)).alias("n_extra"),
+    )
+    extra = F.when(F.col("frac_rank") <= F.col("n_extra"), 1).otherwise(0)
+    return (
+        ranked.select(
+            "source",
+            "n_docs",
+            "chars",
+            "base_quota",
+            extra.alias("extra"),
+            (F.col("base_quota") + extra).alias("n_target"),
+        )
+        .orderBy("source")
+    )

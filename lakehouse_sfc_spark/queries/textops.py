@@ -1120,3 +1120,70 @@ def text_tokenize_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY d.doc_id, t.term
         """
     )
+
+
+# --- T10: vocabulary construction -------------------------------------------
+
+_VOCAB_CAP = 1000
+
+
+@register(
+    "text_vocab_encode",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, UNNEST({_SQL_TOKENS}) AS term FROM documents
+    ),
+    counts AS (
+      SELECT term, COUNT(*) AS tf FROM toks WHERE term <> '' GROUP BY 1
+    ),
+    ranked AS (
+      SELECT term, tf,
+             ROW_NUMBER() OVER (ORDER BY tf DESC, term) AS vocab_id
+      FROM counts
+    )
+    SELECT COUNT(*) AS vocab_size,
+           CAST(SUM(tf) AS BIGINT) AS total_tokens,
+           COUNT(*) FILTER (WHERE vocab_id <= {_VOCAB_CAP})
+             AS in_vocab_terms,
+           CAST(SUM(CASE WHEN vocab_id > {_VOCAB_CAP} THEN tf ELSE 0 END)
+                AS BIGINT) AS oov_tokens,
+           MIN(CASE WHEN vocab_id = 1 THEN term END) AS top_term,
+           CAST(MIN(CASE WHEN vocab_id = 1 THEN tf END) AS BIGINT)
+             AS top_term_tf
+    FROM ranked
+    """,
+)
+def text_vocab_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary construction — the tokenizer-building step of a training
+    pipeline: every distinct token gets a stable integer id by (frequency
+    DESC, term) rank, the id table is capped at {cap}, and the audit
+    reports coverage: how many tokens the capped vocabulary explains and
+    how many fall out-of-vocabulary.  All integer counts; the id
+    assignment rank runs on the REDUCED term-count relation (vocabulary-
+    sized, not corpus-sized — the only data-sized work is the one
+    (doc, term) count shuffle).  At 100 TB the ranked vocab is written
+    once as a broadcastable mapping table; this query is its build +
+    coverage audit.""".format(cap=_VOCAB_CAP)
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        F.explode(_tokens(F.col("text"))).alias("term")
+    ).filter(F.col("term") != "")
+    counts = toks.groupBy("term").agg(F.count(F.lit(1)).alias("tf"))
+    w = Window.orderBy(F.desc("tf"), "term")
+    ranked = counts.withColumn("vocab_id", F.row_number().over(w))
+    return ranked.agg(
+        F.count(F.lit(1)).alias("vocab_size"),
+        F.sum("tf").alias("total_tokens"),
+        F.count(
+            F.when(F.col("vocab_id") <= _VOCAB_CAP, 1)
+        ).alias("in_vocab_terms"),
+        F.sum(
+            F.when(F.col("vocab_id") > _VOCAB_CAP, F.col("tf")).otherwise(0)
+        ).alias("oov_tokens"),
+        F.min(F.when(F.col("vocab_id") == 1, F.col("term"))).alias(
+            "top_term"
+        ),
+        F.min(F.when(F.col("vocab_id") == 1, F.col("tf"))).alias(
+            "top_term_tf"
+        ),
+    )
