@@ -1575,3 +1575,96 @@ def sample_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+@register(
+    "sample_mixture_draw",
+    oracle=f"""
+    WITH per_src AS (
+      SELECT source, CAST(SUM(n_chars) AS BIGINT) AS chars
+      FROM documents GROUP BY source
+    ),
+    tot AS (SELECT SUM(chars) AS w FROM per_src),
+    quota AS (
+      SELECT p.source,
+             ({_MIX_N} * p.chars) // t.w AS base_quota,
+             ({_MIX_N} * p.chars) % t.w AS frac
+      FROM per_src p CROSS JOIN tot t
+    ),
+    targets AS (
+      SELECT source,
+             base_quota + CASE WHEN ROW_NUMBER() OVER (
+               ORDER BY frac DESC, source
+             ) <= {_MIX_N} - SUM(base_quota) OVER () THEN 1 ELSE 0 END
+               AS n_target
+      FROM quota
+    ),
+    ranked_docs AS (
+      SELECT doc_id, source, n_chars,
+             ROW_NUMBER() OVER (
+               PARTITION BY source
+               ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+             ) AS rn
+      FROM documents
+    ),
+    drawn AS (
+      SELECT r.source, r.doc_id, r.n_chars
+      FROM ranked_docs r JOIN targets t ON r.source = t.source
+      WHERE r.rn <= t.n_target
+    )
+    SELECT source, COUNT(*) AS n_drawn,
+           CAST(SUM(n_chars) AS BIGINT) AS drawn_chars,
+           CAST(MIN(doc_id) AS BIGINT) AS min_doc_id
+    FROM drawn GROUP BY source ORDER BY source
+    """,
+)
+def sample_mixture_draw(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The mixture MATERIALIZED: each source contributes exactly its
+    apportioned n_target documents (largest-remainder quotas from
+    `sample_mixture`), drawn in deterministic md5 order (seedless, the
+    `sample_stratified` trick) — the complete
+    weigh → apportion → draw pipeline a training-mix job runs, end to
+    end in one plan.  The quota table is |sources| rows and broadcasts
+    into the per-source top-k window; the only data-sized work is one
+    source-partitioned rank."""
+    d = load_table(spark, sf_dir, "documents")
+    per_src = d.groupBy("source").agg(F.sum("n_chars").alias("chars"))
+    tot = per_src.agg(F.sum("chars").alias("w"))
+    quota = per_src.crossJoin(F.broadcast(tot)).select(
+        "source",
+        F.expr(f"({_MIX_N} * chars) DIV w").alias("base_quota"),
+        F.expr(f"({_MIX_N} * chars) % w").alias("frac"),
+    )
+    w_rank = Window.orderBy(F.desc("frac"), "source")
+    w_all = Window.partitionBy()
+    targets = quota.select(
+        "source",
+        (
+            F.col("base_quota")
+            + F.when(
+                F.row_number().over(w_rank)
+                <= F.lit(_MIX_N) - F.sum("base_quota").over(w_all),
+                1,
+            ).otherwise(0)
+        ).alias("n_target"),
+    )
+    w_doc = Window.partitionBy("source").orderBy(
+        F.md5(F.col("doc_id").cast("string")), F.col("doc_id")
+    )
+    ranked = d.select(
+        "doc_id",
+        "source",
+        "n_chars",
+        F.row_number().over(w_doc).alias("rn"),
+    )
+    return (
+        ranked.join(F.broadcast(targets), "source")
+        .filter(F.col("rn") <= F.col("n_target"))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_drawn"),
+            F.sum("n_chars").alias("drawn_chars"),
+            F.min("doc_id").alias("min_doc_id"),
+        )
+        .orderBy("source")
+    )
