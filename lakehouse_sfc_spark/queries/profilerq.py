@@ -395,3 +395,61 @@ def profile_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("n_high"),
         )
     )
+
+
+_H2D_BINS = 8
+
+
+@register(
+    "profile_histogram_2d",
+    oracle=f"""
+    WITH mm AS (
+      SELECT MIN(l_quantity) AS qlo, MAX(l_quantity) AS qhi,
+             MIN(l_discount) AS dlo, MAX(l_discount) AS dhi
+      FROM lineitem
+    )
+    SELECT LEAST(FLOOR((l_quantity - qlo) / (qhi - qlo) * {_H2D_BINS}),
+                 {_H2D_BINS - 1})::BIGINT AS qbin,
+           LEAST(FLOOR((l_discount - dlo) / (dhi - dlo) * {_H2D_BINS}),
+                 {_H2D_BINS - 1})::BIGINT AS dbin,
+           COUNT(*) AS cnt
+    FROM lineitem, mm
+    GROUP BY 1, 2
+    ORDER BY 1, 2
+    """,
+)
+def profile_histogram_2d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Joint 2-D histogram of a feature pair (quantity × discount) — the
+    cross-distribution a feature-drift monitor or a mutual-information
+    screen starts from; the 1-D marginals (`profile_histogram`) cannot
+    expose interactions.  Same np.histogram bin semantics (max value in
+    the last bin), same shape: 1-row min/max frame broadcast into a
+    map-side bucket aggregate — one scan, no wide shuffle, at most
+    bins² output rows at any data size."""
+    li = load_table(spark, sf_dir, "lineitem")
+    mm = li.agg(
+        F.min("l_quantity").alias("qlo"),
+        F.max("l_quantity").alias("qhi"),
+        F.min("l_discount").alias("dlo"),
+        F.max("l_discount").alias("dhi"),
+    )
+
+    def bucket(col: str, lo: str, hi: str):
+        return F.least(
+            F.floor(
+                (F.col(col) - F.col(lo))
+                / (F.col(hi) - F.col(lo))
+                * _H2D_BINS
+            ),
+            F.lit(_H2D_BINS - 1).cast("bigint"),
+        )
+
+    return (
+        li.crossJoin(F.broadcast(mm))
+        .groupBy(
+            bucket("l_quantity", "qlo", "qhi").alias("qbin"),
+            bucket("l_discount", "dlo", "dhi").alias("dbin"),
+        )
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy("qbin", "dbin")
+    )
