@@ -603,3 +603,27 @@ def audio_real_stats_batches(
                 "sum_samples": pd.Series(sums, dtype="int64"),
             }
         )
+
+
+def resize_real_stats_batches(
+    batches: Iterable[pd.DataFrame],
+) -> Iterator[pd.DataFrame]:
+    """Run the REAL nearest-neighbor ``resize_bmp`` to half size, then the
+    production decode kernel over the resized payloads + pixel_sum content
+    check — the end-to-end proof that the resize samples exactly the
+    np.arange(out)·src//out grid (the oracle recomputes that sum closed
+    form)."""
+    for pdf in batches:
+        resized = []
+        for p, w, h in zip(pdf["payload"], pdf["width"], pdf["height"]):
+            nw, nh = max(int(w) // 2, 1), max(int(h) // 2, 1)
+            resized.append(resize_bmp(bytes(p), nw, nh))
+        out = pdf.copy()
+        out["payload"] = resized
+        meta = next(decode_real_batches([out]))
+        meta["pixel_sum"] = pd.Series(
+            [int(decode_image(bytes(p)).astype("int64").sum())
+             for p in resized],
+            dtype="int64",
+        )
+        yield meta.drop(columns=["checksum"])

@@ -1187,3 +1187,56 @@ def text_vocab_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
             "top_term_tf"
         ),
     )
+
+
+@register(
+    "multimodal_resize_real",
+    oracle="""
+    WITH p AS (
+      SELECT doc_id,
+             (16 + doc_id % 17)::INTEGER AS w,
+             (8 + doc_id % 13)::INTEGER AS h,
+             greatest((16 + doc_id % 17) // 2, 1)::INTEGER AS nw,
+             greatest((8 + doc_id % 13) // 2, 1)::INTEGER AS nh
+      FROM documents WHERE doc_id % 7 = 0
+    ),
+    g AS (
+      SELECT p.doc_id, p.w, p.h, p.nw, p.nh, x.r AS x2, y.r AS y2
+      FROM p, LATERAL (SELECT unnest(range(0, p.nw)) AS r) x,
+              LATERAL (SELECT unnest(range(0, p.nh)) AS r) y
+    )
+    SELECT doc_id,
+           (54 + ((MIN(nw)*3 + 3) - ((MIN(nw)*3 + 3) % 4))
+                 * MIN(nh))::BIGINT AS n_bytes,
+           MIN(nw)::INTEGER AS width,
+           MIN(nh)::INTEGER AS height,
+           1::INTEGER AS frames,
+           SUM(3 * ((3 * ((x2 * w) // nw) + 7 * ((y2 * h) // nh) + doc_id)
+                    % 251))::BIGINT AS pixel_sum
+    FROM g GROUP BY doc_id
+    """,
+)
+def multimodal_resize_real(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL resize end-to-end: the deterministic BMP grid is decoded,
+    nearest-neighbor downsampled to half size (``resize_bmp``:
+    src = dst·size_src // size_dst index sampling), re-encoded, decoded
+    again, and content-checked — the oracle recomputes the resized pixel
+    sum closed-form from the same index mapping, so any off-by-one in the
+    sampling grid, row order, or padding shows up in pixel_sum.  Two Arrow
+    mapInPandas stages, no shuffle — the embarrassingly-parallel media
+    lane with a real transform in the middle."""
+    d = load_table(spark, sf_dir, "documents")
+    params = d.filter(F.col("doc_id") % 7 == 0).select(
+        "doc_id",
+        (F.pmod(F.col("doc_id"), F.lit(17)) + 16).cast("int").alias("width"),
+        (F.pmod(F.col("doc_id"), F.lit(13)) + 8).cast("int").alias("height"),
+    )
+    encoded = params.mapInPandas(
+        synth_image_batches,
+        "doc_id bigint, payload binary, width int, height int",
+    )
+    from lakehouse_sfc_spark.operators.multimodal import (
+        resize_real_stats_batches,
+    )
+
+    return encoded.mapInPandas(resize_real_stats_batches, DECODED_STATS_SCHEMA)
