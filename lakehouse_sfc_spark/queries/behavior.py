@@ -603,3 +603,61 @@ def a_drill_across(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return ev_agg.join(ord_agg, "c_mktsegment").orderBy("c_mktsegment")
+
+
+@register(
+    "a_mom_growth",
+    oracle="""
+    WITH monthly AS (
+      SELECT c.c_mktsegment,
+             CAST(DATE_TRUNC('month', o.o_orderdate) AS DATE) AS month,
+             COUNT(*) AS n_orders,
+             CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+               AS revenue
+      FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+      GROUP BY 1, 2
+    )
+    SELECT c_mktsegment, month, n_orders, revenue,
+           revenue - LAG(revenue) OVER w AS revenue_delta,
+           n_orders - LAG(n_orders) OVER w AS orders_delta
+    FROM monthly
+    WINDOW w AS (PARTITION BY c_mktsegment ORDER BY month)
+    ORDER BY c_mktsegment, month
+    """,
+)
+def a_mom_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Month-over-month growth per segment: a LAG window over the ALREADY
+    AGGREGATED monthly series — the two-level shape every KPI dashboard
+    compiles to, and the one worth getting right at scale: the window
+    never sees fact rows, only |segments|×|months| aggregates, and its
+    partitioning is a subset of the aggregation's grouping so no second
+    data-sized exchange is needed.  Revenue rides exact decimals; the
+    deltas are single double subtractions — deterministic IEEE ops."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment"
+    )
+    monthly = (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy(
+            "c_mktsegment",
+            F.date_trunc("month", F.col("o_orderdate"))
+            .cast("date")
+            .alias("month"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("revenue"),
+        )
+    )
+    w = Window.partitionBy("c_mktsegment").orderBy("month")
+    return monthly.select(
+        "c_mktsegment",
+        "month",
+        "n_orders",
+        "revenue",
+        (F.col("revenue") - F.lag("revenue").over(w)).alias("revenue_delta"),
+        (F.col("n_orders") - F.lag("n_orders").over(w)).alias("orders_delta"),
+    ).orderBy("c_mktsegment", "month")
