@@ -33,7 +33,7 @@ from lakehouse_sfc_spark.sources.loader import load_table
 from lakehouse_sfc_spark.table import Pred
 from lakehouse_sfc_spark.table.snapshots import SnapshotTable, _manifest_path
 
-_VERSION = "v1"  # bump when the commit-chain semantics change
+_VERSION = "v2"  # bump when the commit-chain semantics change
 _CUTOFF = datetime.datetime(1997, 1, 1)
 _COLS = ["o_orderkey", "o_custkey", "o_totalprice", "o_orderdate"]
 
@@ -346,7 +346,9 @@ def _merge_table(spark: SparkSession, sf_dir: str) -> SnapshotTable:
     v1 = one MERGE batch carrying updates (%11 keys, +500), deletes
     (%13 keys, matched_delete condition) and inserts (%17 keys + 5e7)."""
     root = _fingerprinted_dir(
-        os.path.join(os.path.dirname(_scratch_root()), "merge_chain"),
+        # under _scratch_root() so a _VERSION bump invalidates this cache
+        # along with the shared chain — semantics changes rebuild tables.
+        os.path.join(_scratch_root(), "merge_chain"),
         sf_dir,
         ("orders",),
     )

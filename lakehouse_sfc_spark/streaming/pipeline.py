@@ -102,7 +102,20 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming read of the events table; ts arrives as TIMESTAMP_NTZ
     microseconds (identical to the batch loader's schema) and is cast to
     TIMESTAMP_LTZ because event-time watermarks require it — the session
-    timezone is pinned to UTC, so the cast is wall-clock-preserving."""
+    timezone is pinned to UTC, so the cast is wall-clock-preserving.
+
+    ORDERING CONTRACT: the backlog is a single parquet file, and the file
+    source ingests whole files per micro-batch — so the entire backlog
+    lands in ONE micro-batch and the watermark only advances after all
+    rows are in state.  That is what makes the AvailableNow replays
+    bit-equal to their batch oracles (stream-stream interval join,
+    dropDuplicatesWithinWatermark, stateful sessionization) REGARDLESS of
+    row order inside the file.  If this reader ever ingests a multi-file
+    backlog, files must be time-ordered with cross-file disorder smaller
+    than the smallest consumer watermark (2h), or rows later than the
+    watermark get dropped from join state while the batch oracle keeps
+    them.  tests/test_streaming.py::test_events_backlog_single_file pins
+    the single-file precondition."""
     # pin the session tz so the NTZ->LTZ cast is wall-clock-preserving even
     # under a driver session that didn't set it (runtime-settable conf)
     spark.conf.set("spark.sql.session.timeZone", "UTC")

@@ -414,26 +414,43 @@ class SnapshotTable:
             else self.spark.createDataFrame([], self.read().schema)
         )
         src_keys = source.select(*record_keys).distinct()
+        n_src, n_src_keys = source.agg(
+            F.count(F.lit(1)), F.count_distinct(*record_keys)
+        ).collect()[0]
+        if n_src != n_src_keys:
+            # Delta/Iceberg MERGE raises when multiple source rows match
+            # the same target row — the outcome would be order-dependent.
+            raise ValueError(
+                f"merge_into: source has {n_src - n_src_keys} duplicate "
+                f"record keys ({record_keys}); MERGE requires each target "
+                "row to match at most one source row"
+            )
         kept_tgt = tgt.join(F.broadcast(src_keys), record_keys, "left_anti")
         tgt_keys = tgt.select(*record_keys).distinct()
-        # delete markers are COMMANDS, not data: they neither update nor
-        # insert, and CHECK constraints apply only to rows actually WRITTEN
-        # (Delta semantics) — a sentinel payload on a delete row must not
-        # trip them.
-        surviving_src = (
-            source.filter(~matched_delete) if matched_delete is not None
-            else source
-        )
-        self._enforce_constraints(parent, surviving_src)
-        src_matched = surviving_src.join(
+        # ``matched_delete`` is a WHEN MATCHED ... DELETE clause: it applies
+        # ONLY to source rows that matched a target key.  An unmatched
+        # source row satisfying the same predicate still INSERTs (Delta
+        # semantics) — so the matched/unmatched split happens on the raw
+        # source, and the delete filter applies to the matched half only.
+        src_matched = source.join(
             F.broadcast(tgt_keys), record_keys, "left_semi"
         )
+        if matched_delete is not None:
+            src_matched = src_matched.filter(~matched_delete)
         out = kept_tgt.unionByName(src_matched, allowMissingColumns=True)
+        written_src = src_matched
         if insert_unmatched:
-            src_unmatched = surviving_src.join(
+            src_unmatched = source.join(
                 F.broadcast(tgt_keys), record_keys, "left_anti"
             )
             out = out.unionByName(src_unmatched, allowMissingColumns=True)
+            written_src = written_src.unionByName(
+                src_unmatched, allowMissingColumns=True
+            )
+        # delete markers are COMMANDS, not data: CHECK constraints apply
+        # only to rows actually WRITTEN (Delta semantics) — a sentinel
+        # payload on a delete row must not trip them.
+        self._enforce_constraints(parent, written_src)
         new = self._stage(
             out, v, parent["stats_cols"], num_files=num_files
         )

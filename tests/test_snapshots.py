@@ -358,27 +358,53 @@ def test_cdf_postimage_preserves_nulled_columns(table, orders, spark):
     assert all(r["o_custkey"] is not None for r in pre), pre
 
 
-def test_merge_delete_markers_skip_constraints_and_inserts(
-    table, orders, spark
-):
-    """Delete markers are commands, not data: a sentinel payload on them
-    must not trip CHECK constraints, and unmatched delete markers must not
-    be inserted."""
+def test_merge_matched_delete_scope(table, orders, spark):
+    """WHEN MATCHED ... DELETE applies only to MATCHED rows (Delta
+    semantics): a matched delete row's sentinel payload is never written,
+    so it must not trip CHECK constraints; an UNMATCHED source row that
+    happens to satisfy the same predicate still INSERTS — and, being a
+    written row, IS constraint-checked."""
     table.set_constraint("price_positive", "o_totalprice > 0")
     k = F.col("o_orderkey")
-    # matched delete with a constraint-violating sentinel payload
+    # matched delete with a constraint-violating sentinel payload: the row
+    # is a command, never written, so the constraint must not fire
     del_matched = orders.filter(k.between(20, 22)).withColumn(
         "o_totalprice", F.lit(-1.0)
     )
-    # unmatched delete marker (key does not exist): must be a no-op
-    del_unmatched = orders.filter(k == 1).withColumn(
-        "o_orderkey", k + 9_000_000
-    ).withColumn("o_totalprice", F.lit(-1.0))
-    src = del_matched.unionByName(del_unmatched)
     m = table.merge_into(
-        src, ["o_orderkey"], matched_delete=F.col("o_totalprice") < 0
+        del_matched, ["o_orderkey"], matched_delete=F.col("o_totalprice") < 0
     )
     after = table.read(m["version"])
     assert after.filter(k.between(20, 22)).count() == 0
-    assert after.filter(k > 9_000_000).count() == 0
     assert after.filter(F.col("o_totalprice") < 0).count() == 0
+
+    # unmatched row satisfying the delete predicate: INSERTS under Delta
+    # semantics; its payload is written, so the CHECK constraint applies
+    ins_bad = orders.filter(k == 1).withColumn(
+        "o_orderkey", k + 9_000_000
+    ).withColumn("o_totalprice", F.lit(-1.0))
+    with pytest.raises(ValueError, match="price_positive"):
+        table.merge_into(
+            ins_bad, ["o_orderkey"], matched_delete=F.col("o_totalprice") < 0
+        )
+    # with a valid payload the unmatched row inserts even though it
+    # satisfies matched_delete — the clause never applies to unmatched rows
+    ins_ok = orders.filter(k == 1).withColumn(
+        "o_orderkey", k + 9_000_000
+    ).withColumn("o_totalprice", F.lit(123.0))
+    m2 = table.merge_into(
+        ins_ok, ["o_orderkey"], matched_delete=F.lit(True)
+    )
+    after2 = table.read(m2["version"])
+    assert after2.filter(k > 9_000_000).count() == 1
+
+
+def test_merge_rejects_duplicate_source_keys(table, orders, spark):
+    """Multiple source rows matching the same target key is an ambiguous
+    MERGE (Delta/Iceberg raise); we raise rather than writing duplicates."""
+    k = F.col("o_orderkey")
+    dup = orders.filter(k.between(10, 12)).unionByName(
+        orders.filter(k == 10)
+    )
+    with pytest.raises(ValueError, match="duplicate record keys"):
+        table.merge_into(dup, ["o_orderkey"])

@@ -81,3 +81,20 @@ def test_stateful_sessionizer_complete_equals_batch(spark):
     }
     assert f == b
     assert len(f) > 0
+
+
+def test_events_backlog_single_file():
+    """Pins the ordering contract documented at read_events_stream: the
+    events backlog is ONE parquet file, so every AvailableNow replay
+    ingests it as a single micro-batch and the watermark cannot drop rows
+    mid-replay — the precondition for stream==batch oracle parity."""
+    import glob
+
+    for sf in ("sf0.001", "sf0.01", "sf0.1"):
+        path = f"/root/testdata/{sf}/events.parquet"
+        files = (
+            glob.glob(f"{path}/*.parquet")
+            if __import__("os").path.isdir(path)
+            else [path]
+        )
+        assert len(files) == 1, (sf, files)
