@@ -777,7 +777,8 @@ def a_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
            COUNT(*) FILTER (WHERE k > 50) AS n_big_k
     FROM (
       SELECT event_type,
-             CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+             CAST(FLOOR(TRY_CAST(json_extract_string(props, '$.k')
+                                 AS DOUBLE)) AS BIGINT) AS k
       FROM events
     )
     GROUP BY event_type
@@ -791,12 +792,23 @@ def p_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     event type.  All metrics are exact integers, so the comparison is
     hash-tight despite two different JSON parsers.
 
+    Cross-engine ladder: BOTH sides normalize string → DOUBLE → FLOOR →
+    BIGINT.  A direct string→int cast is engine-divergent ("3.0", "1e2",
+    quoted numbers: DuckDB accepts, Spark NULLs; "true": DuckDB errors,
+    Spark NULLs) — IEEE-754 parse + floor is the one ladder both engines
+    compute identically, adversarial fixtures in
+    tests/test_json_fixture.py.
+
     Scale note: JSON path extraction is codegen'd JVM work in the scan
     projection — no Python, no UDF.  At 100 TB the right move is to
     extract ONCE at ingest into a typed column (schema-on-write); this
     query is the schema-on-read path for data you don't control."""
     ev = load_table(spark, sf_dir, "events")
-    k = F.get_json_object(F.col("props"), "$.k").cast("bigint")
+    # try_cast, not cast: ANSI mode (Spark 4 default, and whatever the
+    # driver's untuned session runs) throws on non-numeric JSON values
+    k = F.floor(
+        F.get_json_object(F.col("props"), "$.k").try_cast("double")
+    ).try_cast("bigint")
     return (
         ev.select("event_type", k.alias("k"))
         .groupBy("event_type")
@@ -908,8 +920,11 @@ def a_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     "a_grouped_agg_pandas",
     oracle="""
     SELECT event_type,
-           SUM(CAST(FLOOR(value * 10000) AS BIGINT)) AS sum_ticks,
-           COUNT(value) AS n
+           SUM(CASE WHEN isfinite(value)
+                    THEN CAST(FLOOR(CAST(value AS DOUBLE) * 10000)
+                              AS BIGINT) END)
+             AS sum_ticks,
+           COUNT(CASE WHEN isfinite(value) THEN value END) AS n
     FROM events
     GROUP BY event_type
     ORDER BY event_type
@@ -920,31 +935,31 @@ def a_grouped_agg_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
     not exercised elsewhere: scalar pandas_udf → sfc/hilbert, mapInPandas →
     multimodal, applyInPandas → embedding blocks, applyInPandasWithState →
     sessionizer, UDTF → text_tokenize_udtf).  The UDAF sums fixed-point
-    ticks floor(value·1e4) as int64 — integer accumulation is
-    order-independent, so the Python result is exact and hash-matches the
-    SQL oracle; a float-summing UDAF could never make that promise.
+    ticks floor(value·1e4) as int64 over FINITE float64 values — integer
+    accumulation is order-independent and the dtype/NaN surface is pinned
+    (see operators/pandas_aggs.py), so the Python result is exact and
+    hash-matches the SQL oracle across engine versions; a float-summing or
+    dtype-inheriting UDAF could never make that promise.  The oracle
+    mirrors the finite filter (`FILTER (WHERE isfinite(value))`).
 
-    Plan shape: Spark runs this as partial Arrow batches per group under
-    an ordinary hash exchange (ObjectHashAggregate) — same single-shuffle
-    topology as the built-in SUM, with Arrow transfer as the only extra
-    cost."""
-    import numpy as np
-    from pyspark.sql.functions import PandasUDFType, pandas_udf
+    Plan shape: same single hash-exchange topology as the built-in SUM
+    (ObjectHashAggregate), with Arrow transfer as the extra cost — but
+    GROUPED_AGG materializes the WHOLE group per call, so it requires
+    bounded groups (here: |event_type| ≈ 5).  For unbounded groups use
+    the built-in `F.sum(F.floor(value*1e4).cast('long'))` instead."""
+    from pyspark.sql.functions import pandas_udf
 
-    def _sum_ticks(v):
-        # annotations are unusable here (module-level `from __future__ import
-        # annotations` stringifies them and Spark's hint resolver balks), so
-        # the UDF type is passed explicitly.
-        ticks = np.floor(v.dropna().to_numpy() * 10000).astype("int64")
-        # SQL SUM of an all-NULL group is NULL, not 0 — match it
-        return int(ticks.sum()) if len(ticks) else None
+    from lakehouse_sfc_spark.operators.pandas_aggs import (
+        count_finite_kernel,
+        sum_ticks_kernel,
+    )
 
-    sum_ticks = pandas_udf(_sum_ticks, "bigint", PandasUDFType.GROUPED_AGG)
+    # type-hint eval-type inference (pd.Series -> scalar ⇒ GROUPED_AGG);
+    # the deprecated PandasUDFType constant is gone.
+    sum_ticks = pandas_udf(sum_ticks_kernel, "bigint")
     # Spark refuses to mix grouped-agg pandas UDFs with built-in aggregates
     # in one agg, so the count rides the same Arrow path.
-    n_vals = pandas_udf(
-        lambda v: int(v.notna().sum()), "bigint", PandasUDFType.GROUPED_AGG
-    )
+    n_vals = pandas_udf(count_finite_kernel, "bigint")
 
     ev = load_table(spark, sf_dir, "events")
     return (
