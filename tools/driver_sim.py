@@ -127,7 +127,12 @@ def main() -> int:
                                 print(f"  spark : {a}\n  oracle: {b}")
                                 break
                 else:
-                    print(f"RESULT {name} MATCH {dt:.1f}s", flush=True)
+                    suffix = (
+                        f" hash={value_hash(cols, rows)[:16]}"
+                        if os.environ.get("PRINT_HASH")
+                        else ""
+                    )
+                    print(f"RESULT {name} MATCH {dt:.1f}s{suffix}", flush=True)
             else:
                 dt = time.time() - t0
                 timings[name] = dt
