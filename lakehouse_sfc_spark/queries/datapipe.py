@@ -1112,13 +1112,57 @@ def ann_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _DETK_K = 5  # neighbors kept per vector
 _DETK_RADIUS = 2  # probe cells within this hamming distance
+# Sign-bit count B scales with the corpus so per-cell occupancy stays
+# bounded (≈_DETK_OCC) instead of growing with n — a FIXED cell space makes
+# probe-candidate volume ∝ n·(n/2^B), i.e. quadratic (the round-4 4.7×/100×
+# superlinear tail).  B = clamp(ceil(log2(ceil(n/occ))), 8, 24), computed
+# by integer bit-length (no transcendentals, so Spark and DuckDB derive the
+# IDENTICAL B from the same COUNT(*)).
+_DETK_OCC = 2
+_DETK_MINB = 8
+_DETK_MAXB = 24  # embeddings have 64 dims; 24 bits caps mask fan-out at 301
+
+
+def _detk_bits(n: int) -> int:
+    t = max(1, -(-n // _DETK_OCC))  # ceil(n / occ)
+    return max(_DETK_MINB, min(_DETK_MAXB, (t - 1).bit_length()))
+
+
+# same clamp as _detk_bits, as a SQL CASE over COUNT(*): smallest B in
+# [MINB, MAXB) with n <= occ·2^B, else MAXB
+_DETK_BITS_SQL = (
+    "CASE "
+    + " ".join(
+        f"WHEN COUNT(*) <= {_DETK_OCC * (1 << b)} THEN {b}"
+        for b in range(_DETK_MINB, _DETK_MAXB)
+    )
+    + f" ELSE {_DETK_MAXB} END"
+)
+
+_SQL_CELL_B = (
+    "list_sum(list_transform(range(0, {b}),"
+    " j -> CASE WHEN {e}[j+1] > 0 THEN (1::BIGINT << j) ELSE 0 END))::BIGINT"
+)
+
+
+def _cell_bits(emb: Column, bits: int) -> Column:
+    """Sign quantizer over the first ``bits`` dims (generalized _cell)."""
+    return reduce(
+        add,
+        [
+            F.when(F.get(emb, j) > 0, F.lit(1 << j)).otherwise(F.lit(0))
+            for j in range(bits)
+        ],
+    ).cast("long")
 
 
 @register(
     "dedup_embedding_topk",
     oracle=f"""
-    WITH c AS (SELECT vec_id, emb, nrm, {_SQL_CELL.format(e="emb")} AS cell
-               FROM ({_SQL_EMB_CTE})),
+    WITH nb AS (SELECT {_DETK_BITS_SQL} AS b FROM embeddings),
+         c AS (SELECT vec_id, emb, nrm,
+                      {_SQL_CELL_B.format(e="emb", b="nb.b")} AS cell
+               FROM ({_SQL_EMB_CTE}) CROSS JOIN nb),
          scored AS (
            SELECT q.vec_id AS a_id, c.vec_id AS b_id,
                   round({_sql_cos("c", "q")}, 6) AS score,
@@ -1126,7 +1170,7 @@ _DETK_RADIUS = 2  # probe cells within this hamming distance
                     PARTITION BY q.vec_id
                     ORDER BY {_sql_cos("c", "q")} DESC, c.vec_id) AS rank
            FROM c q JOIN c
-             ON bit_count(xor(c.cell::BIGINT, q.cell::BIGINT)) <= {_DETK_RADIUS}
+             ON bit_count(xor(c.cell, q.cell)) <= {_DETK_RADIUS}
             AND c.vec_id != q.vec_id
            WHERE {_sql_cos("c", "q")} >= {_COS_TAU}
          )
@@ -1149,10 +1193,23 @@ def dedup_embedding_topk(
     recall; the exact operator remains the oracle-grade contract).  The
     approximation itself is DETERMINISTIC (sign cells + fixed probe set), so
     the DuckDB oracle reproduces it exactly — the driver row checks the
-    machinery, the recall table documents the quality."""
-    c = _emb(spark, sf_dir).withColumn("cell", _cell(F.col("emb")))
+    machinery, the recall table documents the quality.
+
+    The sign-bit count B grows with COUNT(*) (see _detk_bits — integer
+    bit-length, so the oracle's SQL CASE derives the identical B), keeping
+    per-cell occupancy ≈_DETK_OCC: probe-candidate volume is
+    n · (1+B+B(B−1)/2) · occupancy — linear·polylog in n, where a fixed
+    2^8 cell space was quadratic.  The COUNT(*) collect is one scalar, the
+    same pattern as ann_ivf_kmeans_topk's data-dependent K."""
+    import itertools
+
+    emb = _emb(spark, sf_dir)
+    bits = _detk_bits(emb.count())
+    c = emb.withColumn("cell", _cell_bits(F.col("emb"), bits))
     masks = [
-        m for m in range(1 << _IVF_DIMS) if bin(m).count("1") <= probe_radius
+        sum(1 << b for b in combo)
+        for r in range(probe_radius + 1)
+        for combo in itertools.combinations(range(bits), r)
     ]
     q = c.select(
         F.col("vec_id").alias("a_id"),
@@ -1165,10 +1222,7 @@ def dedup_embedding_topk(
         F.explode(
             F.array(
                 *[
-                    F.col("qcell")
-                    .cast("long")
-                    .bitwiseXOR(F.lit(m))
-                    .cast("int")
+                    F.col("qcell").bitwiseXOR(F.lit(m).cast("long"))
                     for m in masks
                 ]
             )
