@@ -86,6 +86,16 @@ _SQL_NGRAMS_VIEW = f"""
     FROM (SELECT doc_id, source, {_SQL_TOKENS} AS w FROM documents)
 """
 
+
+# Sound pair prefilter: J(A,B) >= t  =>  min(|A|,|B|)/max(|A|,|B|) >= t
+# (since |A∩B| <= min and |A∪B| >= max).  Integer arithmetic, so it prunes
+# the O(n²) oracle pair join without ever changing its result.
+def _sql_len_ratio(tau_num: int, tau_den: int) -> str:
+    return (
+        f"{tau_den} * LEAST(len(a.ng), len(b.ng))"
+        f" >= {tau_num} * GREATEST(len(a.ng), len(b.ng))"
+    )
+
 _SQL_JACCARD = (
     "len(list_intersect(a.ng, b.ng))::DOUBLE"
     " / (len(a.ng) + len(b.ng) - len(list_intersect(a.ng, b.ng)))"
@@ -212,6 +222,7 @@ _MH_COEF = [
            round({_SQL_JACCARD}, 4) AS jac
     FROM g a JOIN g b ON a.doc_id < b.doc_id
     WHERE len(a.ng) > 0 AND len(b.ng) > 0
+      AND {_sql_len_ratio(7, 10)}
       AND {_SQL_JACCARD} >= {_MH_TAU}
     """,
 )
@@ -377,6 +388,7 @@ _NJ_TAU = 0.8
            round({_SQL_JACCARD}, 4) AS jac
     FROM g a JOIN g b ON a.doc_id < b.doc_id
     WHERE len(a.ng) > 0 AND len(b.ng) > 0
+      AND {_sql_len_ratio(4, 5)}
       AND {_SQL_JACCARD} >= {_NJ_TAU}
     """,
 )
@@ -986,7 +998,8 @@ def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT a.doc_id AS a_id, b.doc_id AS b_id
       FROM g a JOIN g b ON a.doc_id < b.doc_id
       WHERE len(a.ng) > 0 AND len(b.ng) > 0
-        AND {_SQL_JACCARD} >= {_MH_TAU}
+        AND {_sql_len_ratio(7, 10)}
+      AND {_SQL_JACCARD} >= {_MH_TAU}
     ),
     e AS MATERIALIZED (
       SELECT a_id AS u, b_id AS v FROM p
@@ -1343,7 +1356,8 @@ def sample_pps(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT a.doc_id AS a_id, b.doc_id AS b_id
       FROM g a JOIN g b ON a.doc_id < b.doc_id
       WHERE len(a.ng) > 0 AND len(b.ng) > 0
-        AND {_SQL_JACCARD} >= {_MH_TAU}
+        AND {_sql_len_ratio(7, 10)}
+      AND {_SQL_JACCARD} >= {_MH_TAU}
     ),
     e AS MATERIALIZED (
       SELECT a_id AS u, b_id AS v FROM p
@@ -1500,6 +1514,7 @@ def emb_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM g a JOIN g b
       ON a.doc_id % 10 = 0 AND b.doc_id % 10 <> 0
     WHERE len(a.ng) > 0 AND len(b.ng) > 0
+      AND {_sql_len_ratio(7, 10)}
       AND {_SQL_JACCARD} >= {_MH_TAU}
     """,
 )
