@@ -627,3 +627,85 @@ def resize_real_stats_batches(
             dtype="int64",
         )
         yield meta.drop(columns=["checksum"])
+
+
+# --- real MJPEG-in-AVI video frame sampling --------------------------------
+
+VIDEO_FRAMES_SCHEMA = (
+    "doc_id bigint, frame_idx int, ts_ms bigint, "
+    "width int, height int, fidelity_ok boolean"
+)
+
+_AVI_FPS = 10  # integer fps => exact integer frame timestamps (ms)
+
+
+def _frame_seed(doc_id: int, frame_idx: int) -> int:
+    """Per-frame pixel seed: frames within a video must differ, or a demuxer
+    that returns the first frame N times would pass the fidelity check."""
+    return doc_id * 31 + frame_idx
+
+
+def synth_avi_batches(
+    batches: Iterable[pd.DataFrame],
+) -> Iterator[pd.DataFrame]:
+    """(doc_id, n_frames, width, height) → (doc_id, payload) with payload a
+    REAL MJPEG AVI whose frame f holds _synth_pixels(_frame_seed(d, f))."""
+    from lakehouse_sfc_spark.operators.avi import encode_avi_mjpeg
+
+    for pdf in batches:
+        payloads = [
+            encode_avi_mjpeg(
+                [
+                    _synth_pixels(_frame_seed(int(d), f), int(w), int(h))
+                    for f in range(int(n))
+                ],
+                fps=_AVI_FPS,
+            )
+            for d, n, w, h in zip(
+                pdf["doc_id"], pdf["n_frames"], pdf["width"], pdf["height"]
+            )
+        ]
+        yield pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"].astype("int64"),
+                "payload": pd.Series(payloads, dtype="object"),
+            }
+        )
+
+
+def avi_frames_stats_batches(
+    batches: Iterable[pd.DataFrame],
+) -> Iterator[pd.DataFrame]:
+    """Demux + decode every frame of each AVI payload; one output row per
+    frame with its integer timestamp and a PSNR>=30dB fidelity check against
+    the re-synthesized source grid (same contract as multimodal_jpeg_real —
+    JPEG is lossy, the codec clears 30dB by ~25dB)."""
+    from lakehouse_sfc_spark.operators.avi import decode_avi_mjpeg
+
+    for pdf in batches:
+        rows = {"doc_id": [], "frame_idx": [], "ts_ms": [],
+                "width": [], "height": [], "fidelity_ok": []}
+        for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+            fps, frames = decode_avi_mjpeg(bytes(payload))
+            for f, px in enumerate(frames):
+                src = _synth_pixels(
+                    _frame_seed(int(doc_id), f), px.shape[1], px.shape[0]
+                )
+                mse = float(np.mean((px.astype(np.float64) - src) ** 2))
+                psnr = 99.0 if mse == 0 else 10 * np.log10(255.0**2 / mse)
+                rows["doc_id"].append(int(doc_id))
+                rows["frame_idx"].append(f)
+                rows["ts_ms"].append(f * 1000 // fps)
+                rows["width"].append(px.shape[1])
+                rows["height"].append(px.shape[0])
+                rows["fidelity_ok"].append(bool(psnr >= 30.0))
+        yield pd.DataFrame(
+            {
+                "doc_id": pd.Series(rows["doc_id"], dtype="int64"),
+                "frame_idx": pd.Series(rows["frame_idx"], dtype="int32"),
+                "ts_ms": pd.Series(rows["ts_ms"], dtype="int64"),
+                "width": pd.Series(rows["width"], dtype="int32"),
+                "height": pd.Series(rows["height"], dtype="int32"),
+                "fidelity_ok": pd.Series(rows["fidelity_ok"], dtype="bool"),
+            }
+        )

@@ -555,6 +555,61 @@ def multimodal_jpeg_real(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "multimodal_frames_real",
+    oracle="""
+    WITH p AS (
+      SELECT doc_id,
+             (3 + doc_id % 5)::INTEGER AS n_frames,
+             (16 + doc_id % 9)::INTEGER AS width,
+             (12 + doc_id % 7)::INTEGER AS height
+      FROM documents WHERE doc_id % 7 = 0
+    )
+    SELECT doc_id, f.fi::INTEGER AS frame_idx, (f.fi * 100)::BIGINT AS ts_ms,
+           width, height, TRUE AS fidelity_ok
+    FROM p, LATERAL (SELECT unnest(range(0, n_frames)) AS fi) f
+    WHERE f.fi % 2 = 0
+    """,
+)
+def multimodal_frames_real(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL video frame sampling end-to-end: deterministic per-frame RGB
+    grids are encoded as genuine MJPEG-in-AVI containers (RIFF chunk
+    layout + per-frame baseline JPEG, ``operators/avi.py``), demuxed and
+    decoded back through the production chunk walker + JPEG decoder, and
+    every 2nd frame is kept — replacing ``multimodal_frame_sample``'s
+    metadata stub with the full container→codec→sample path (reference
+    video ingestion parity; completes the BMP/WAV/PNG/JPEG real-codec
+    family).  Frame count, geometry, and integer timestamps (fps=10 →
+    ts_ms = 100·frame_idx) are closed-form in doc_id; pixel content is
+    PSNR-checked per frame against the re-synthesized grid with a unique
+    seed per (doc, frame) so a demuxer that repeated or reordered frames
+    would fail fidelity_ok.
+
+    Plan shape: two Arrow mapInPandas stages (encode, demux+decode) and a
+    JVM-side sample filter — embarrassingly parallel, no shuffle; at
+    100 TB this is the standard frame-extraction lane with the container
+    parser swapped for ffmpeg bindings."""
+    from lakehouse_sfc_spark.operators.multimodal import (
+        VIDEO_FRAMES_SCHEMA,
+        avi_frames_stats_batches,
+        synth_avi_batches,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    params = d.filter(F.col("doc_id") % 7 == 0).select(
+        "doc_id",
+        (F.pmod(F.col("doc_id"), F.lit(5)) + 3).cast("int").alias("n_frames"),
+        (F.pmod(F.col("doc_id"), F.lit(9)) + 16).cast("int").alias("width"),
+        (F.pmod(F.col("doc_id"), F.lit(7)) + 12).cast("int").alias("height"),
+    )
+    encoded = params.mapInPandas(
+        synth_avi_batches, "doc_id bigint, payload binary"
+    )
+    return encoded.mapInPandas(
+        avi_frames_stats_batches, VIDEO_FRAMES_SCHEMA
+    ).filter(F.col("frame_idx") % 2 == 0)
+
+
 # --- training-batch preparation ---------------------------------------------
 
 _CHUNK_W = 64  # tokens per chunk

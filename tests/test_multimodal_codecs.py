@@ -236,3 +236,86 @@ def test_png_registry_query(spark):
             3 * ((3 * x + 7 * y + d) % 251) for x in range(w) for y in range(h)
         )
         assert r["pixel_sum"] == expect
+
+
+# --- MJPEG-in-AVI container -------------------------------------------------
+
+
+def test_avi_mjpeg_roundtrip():
+    import numpy as np
+
+    from lakehouse_sfc_spark.operators.avi import (
+        decode_avi_mjpeg,
+        encode_avi_mjpeg,
+    )
+    from lakehouse_sfc_spark.operators.multimodal import _synth_pixels
+
+    frames = [_synth_pixels(1000 + 31 * f, 24, 16) for f in range(6)]
+    payload = encode_avi_mjpeg(frames, fps=25)
+    fps, dec = decode_avi_mjpeg(payload)
+    assert fps == 25
+    assert len(dec) == 6
+    for src, px in zip(frames, dec):
+        assert px.shape == src.shape
+        mse = float(np.mean((px.astype(np.float64) - src) ** 2))
+        psnr = 99.0 if mse == 0 else 10 * np.log10(255.0**2 / mse)
+        assert psnr >= 30.0, psnr
+
+
+def test_avi_frames_are_distinct():
+    """A demuxer bug that returned frame 0 N times must be detectable: the
+    per-frame seeds produce distinct decoded content."""
+    import numpy as np
+
+    from lakehouse_sfc_spark.operators.avi import (
+        decode_avi_mjpeg,
+        encode_avi_mjpeg,
+    )
+    from lakehouse_sfc_spark.operators.multimodal import _synth_pixels
+
+    frames = [_synth_pixels(7 * 31 + f, 20, 12) for f in range(4)]
+    _, dec = decode_avi_mjpeg(encode_avi_mjpeg(frames))
+    sums = [int(px.astype(np.int64).sum()) for px in dec]
+    assert len(set(sums)) == len(sums), sums
+
+
+def test_avi_rejects_garbage():
+    import pytest
+
+    from lakehouse_sfc_spark.operators.avi import (
+        decode_avi_mjpeg,
+        encode_avi_mjpeg,
+    )
+    from lakehouse_sfc_spark.operators.multimodal import _synth_pixels
+
+    with pytest.raises(ValueError, match="RIFF"):
+        decode_avi_mjpeg(b"\x00" * 64)
+    with pytest.raises(ValueError, match="at least one frame"):
+        encode_avi_mjpeg([])
+    with pytest.raises(ValueError, match="share geometry"):
+        encode_avi_mjpeg(
+            [_synth_pixels(1, 16, 16), _synth_pixels(2, 20, 16)]
+        )
+    # truncated container: a chunk overruns the buffer
+    good = encode_avi_mjpeg([_synth_pixels(3, 16, 16)])
+    with pytest.raises(ValueError):
+        decode_avi_mjpeg(good[: len(good) // 2])
+
+
+def test_avi_skips_unknown_chunks():
+    """Real demuxer behavior: foreign chunks (e.g. 'JUNK') are skipped by
+    size, frames still decode."""
+    import struct
+
+    from lakehouse_sfc_spark.operators.avi import (
+        decode_avi_mjpeg,
+        encode_avi_mjpeg,
+    )
+    from lakehouse_sfc_spark.operators.multimodal import _synth_pixels
+
+    payload = bytearray(encode_avi_mjpeg([_synth_pixels(5, 16, 12)] , fps=10))
+    junk = b"JUNK" + struct.pack("<I", 6) + b"abcdef"
+    out = bytes(payload[:12]) + junk + bytes(payload[12:])
+    out = out[:4] + struct.pack("<I", len(out) - 8) + out[8:]
+    fps, dec = decode_avi_mjpeg(out)
+    assert fps == 10 and len(dec) == 1
