@@ -271,9 +271,33 @@ def ensure_package_on_executors(spark: SparkSession) -> None:
         pass
 
 
+# Analyzed-relation cache (the catalog pattern every engine uses): building
+# a parquet relation costs a file listing + footer read + schema resolution
+# per call — ~0.1 s per table on this host, paid on EVERY query build since
+# queries are declared fresh each run.  DataFrames are immutable, so reuse
+# is safe; the key carries the file's (size, mtime_ns) so a regenerated
+# dataset can never serve a stale relation, and the applicationId scopes
+# entries to the live SparkContext.  At 100 TB the same caching amortizes
+# object-store LIST calls across a session's queries.
+_TABLE_CACHE: dict[tuple, DataFrame] = {}
+_TABLE_CACHE_MAX = 256
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     ensure_package_on_executors(spark)
     path = os.path.join(sf_dir, f"{name}.parquet")
+    try:
+        st = os.stat(path)
+        key = (
+            spark.sparkContext.applicationId,
+            os.path.abspath(path),
+            st.st_size,
+            st.st_mtime_ns,
+        )
+    except OSError:
+        key = None  # let the Spark reader raise its own error path
+    if key is not None and key in _TABLE_CACHE:
+        return _TABLE_CACHE[key]
     nanos_cols = _NANOS_TS_COLS.get(name, ())
     if nanos_cols:
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
@@ -281,6 +305,10 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     for c in nanos_cols:
         if isinstance(df.schema[c].dataType, T.LongType):
             df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
+    if key is not None:
+        if len(_TABLE_CACHE) >= _TABLE_CACHE_MAX:
+            _TABLE_CACHE.clear()  # bounded: entries are cheap to rebuild
+        _TABLE_CACHE[key] = df
     return df
 
 
