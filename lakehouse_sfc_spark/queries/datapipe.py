@@ -470,7 +470,10 @@ _IVF_DIMS = 8  # sign-quantizer bits
 
 
 def _dot(a: Column, b: Column) -> Column:
-    """Left-to-right double fold — bit-identical to DuckDB list_reduce."""
+    """Left-to-right double fold — bit-identical to DuckDB list_reduce.
+    (An unrolled 64-term multiply-add chain was tried and is ~3× SLOWER:
+    the giant expression tree breaks whole-stage codegen and loses the
+    fold's single array traversal.)"""
     return F.aggregate(
         F.zip_with(a, b, lambda x, y: x * y),
         F.lit(0.0),
@@ -1131,7 +1134,7 @@ _DETK_RADIUS = 2  # probe cells within this hamming distance
 # superlinear tail).  B = clamp(ceil(log2(ceil(n/occ))), 8, 24), computed
 # by integer bit-length (no transcendentals, so Spark and DuckDB derive the
 # IDENTICAL B from the same COUNT(*)).
-_DETK_OCC = 2
+_DETK_OCC = 1
 _DETK_MINB = 8
 _DETK_MAXB = 24  # embeddings have 64 dims; 24 bits caps mask fan-out at 301
 
