@@ -55,18 +55,22 @@ def _tokens(c: Column) -> Column:
     return F.split(F.trim(F.regexp_replace(F.lower(c), _NORM_WS, " ")), " ")
 
 
-def _ngrams3(w: Column) -> Column:
-    """Distinct word 3-grams.  Guarded: Spark's sequence(1, n) descends when
+def _ngrams(w: Column, k: int) -> Column:
+    """Distinct word k-grams.  Guarded: Spark's sequence(1, n) descends when
     n < 1, unlike DuckDB's range, so short docs get an explicit empty array."""
     grams = F.transform(
-        F.sequence(F.lit(1), F.size(w) - 2),
+        F.sequence(F.lit(1), F.size(w) - (k - 1)),
         lambda i: F.concat_ws(
-            " ", F.element_at(w, i), F.element_at(w, i + 1), F.element_at(w, i + 2)
+            " ", *[F.element_at(w, i + j) for j in range(k)]
         ),
     )
     return F.array_distinct(
-        F.when(F.size(w) >= 3, grams).otherwise(F.array().cast("array<string>"))
+        F.when(F.size(w) >= k, grams).otherwise(F.array().cast("array<string>"))
     )
+
+
+def _ngrams3(w: Column) -> Column:
+    return _ngrams(w, 3)
 
 
 def _h32(c: Column) -> Column:
@@ -1739,4 +1743,163 @@ def sample_mixture_draw(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("doc_id").alias("min_doc_id"),
         )
         .orderBy("source")
+    )
+
+
+# --- train-test decontamination ---------------------------------------------
+
+_DECON_K = 5  # shingle width: long enough that chance overlap is signal
+_DECON_MOD = 23  # doc_id % 23 == 0 plays the held-out benchmark set
+
+_SQL_DECON_SHINGLE = " || ' ' || ".join(f"w[i+{j}]" for j in range(_DECON_K))
+
+
+@register(
+    "text_decontaminate",
+    oracle=f"""
+    WITH g AS (
+      SELECT doc_id,
+             list_distinct(list_transform(range(1, len(w)-{_DECON_K - 2}),
+               i -> {_SQL_DECON_SHINGLE})) AS ng
+      FROM (SELECT doc_id, {_SQL_TOKENS} AS w FROM documents)
+    ),
+    bench AS (SELECT doc_id AS b_id, unnest(ng) AS s
+              FROM g WHERE doc_id % {_DECON_MOD} = 0),
+    train AS (SELECT doc_id, len(ng) AS n_sh, unnest(ng) AS s
+              FROM g WHERE doc_id % {_DECON_MOD} <> 0)
+    SELECT t.doc_id,
+           COUNT(DISTINCT t.s) AS n_hit,
+           COUNT(DISTINCT b.b_id) AS n_bench_docs,
+           COUNT(DISTINCT t.s)::DOUBLE / MIN(t.n_sh) AS ratio
+    FROM train t JOIN bench b ON t.s = b.s
+    GROUP BY t.doc_id
+    ORDER BY t.doc_id
+    """,
+)
+def text_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train-test DECONTAMINATION — the pre-training hygiene step every
+    serious data pipeline runs (GPT-3 §2.2 / PaLM-style 13-gram filtering,
+    here 5-token shingles sized to the synthetic corpus): flag every
+    training document sharing at least one shingle with the held-out
+    benchmark set, with the hit count, how many benchmark docs it collides
+    with, and the contaminated fraction of its shingles.
+
+    Scale shape: the benchmark side is an eval suite — thousands of rows
+    against billions — so its exploded shingle set BROADCASTS and the
+    training corpus streams through a broadcast hash join with zero
+    shuffle of the big side; the per-doc aggregate shuffles only the hit
+    pairs (rare by construction).  The ratio divides two exact integers,
+    so the double is bit-identical across engines."""
+    d = load_table(spark, sf_dir, "documents")
+    d = d.filter(F.size(_tokens(F.col("text"))) >= _DECON_K)
+    from lakehouse_sfc_spark.sources.loader import compute_width
+
+    width = compute_width(spark)
+    if d.rdd.getNumPartitions() < width:
+        d = d.repartition(width)  # heavy shingle projection at full width
+    g = d.select(
+        "doc_id", _ngrams(_tokens(F.col("text")), _DECON_K).alias("ng")
+    )
+    mod = F.col("doc_id") % _DECON_MOD
+    bench = (
+        g.filter(mod == 0)
+        .select(F.col("doc_id").alias("b_id"), F.explode("ng").alias("s"))
+    )
+    train = g.filter(mod != 0).select(
+        "doc_id", F.size("ng").alias("n_sh"), F.explode("ng").alias("s")
+    )
+    return (
+        train.join(F.broadcast(bench), "s")
+        .groupBy("doc_id")
+        .agg(
+            F.count_distinct("s").alias("n_hit"),
+            F.count_distinct("b_id").alias("n_bench_docs"),
+            (
+                F.count_distinct("s").cast("double") / F.min("n_sh")
+            ).alias("ratio"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+# --- semantic dedup: keep one representative per embedding cluster ----------
+
+_KC_TICK = 1_000_000  # fixed-point scale for exact cross-engine arithmetic
+
+
+@register(
+    "dedup_embedding_keep_centroid",
+    oracle=f"""
+    WITH c AS (SELECT vec_id, emb, {_SQL_CELL.format(e="emb")} AS cell
+               FROM (SELECT vec_id, embedding::DOUBLE[] AS emb
+                     FROM embeddings)),
+    t AS (SELECT vec_id, cell, j.j AS pos,
+                 CAST(FLOOR(emb[j.j+1] * {_KC_TICK}) AS BIGINT) AS tick
+          FROM c, LATERAL (SELECT unnest(range(0, 64)) AS j) j),
+    s AS (SELECT cell, pos, SUM(tick)::BIGINT AS cs FROM t GROUP BY 1, 2),
+    sc AS (SELECT t.vec_id, t.cell, SUM(t.tick * s.cs)::BIGINT AS score
+           FROM t JOIN s ON t.cell = s.cell AND t.pos = s.pos
+           GROUP BY 1, 2),
+    r AS (SELECT *, ROW_NUMBER() OVER (
+            PARTITION BY cell ORDER BY score DESC, vec_id) AS rk
+          FROM sc),
+    m AS (SELECT cell, COUNT(*) AS n_members FROM c GROUP BY 1)
+    SELECT r.cell::BIGINT AS cell, r.vec_id AS kept_vec, r.score,
+           m.n_members
+    FROM r JOIN m ON r.cell = m.cell WHERE rk = 1
+    ORDER BY cell
+    """,
+)
+def dedup_embedding_keep_centroid(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """SEMANTIC dedup reduction: cluster embeddings by sign cell and keep
+    one representative per cluster — the vector most aligned with the
+    cluster's mean direction (argmax of dot(v, Σ_cluster v), the centroid-
+    nearest member up to normalization) — the embedding-space sibling of
+    ``dedup_keep_canonical``'s text-side keep rule, i.e. SemDeDup-style
+    'one doc per semantic cluster' curation.
+
+    Exactness: every quantity is integer — per-dim fixed-point ticks
+    floor(v·1e6), per-cell tick sums, and the alignment score
+    Σ_j tick_vj · cellsum_j (bounded: |tick| ≤ 1e6 · occupancy ≤ 4e9 ·
+    64 dims « 2^63) — so argmax + vec_id tie-break is bit-deterministic in
+    both engines, no float comparisons anywhere.
+
+    Scale shape: posexplode fans each vector into 64 (cell, dim) rows;
+    the centroid is a (cell, dim)-keyed aggregation, the score a
+    (cell, dim)-keyed join + (vec)-keyed aggregation, the keep an argmax
+    window over |cells| partitions — every stage key-equality, nothing
+    quadratic.  At 100 TB, scale the cell bits with n exactly as
+    dedup_embedding_topk does."""
+    c = _emb(spark, sf_dir).withColumn("cell", _cell(F.col("emb")))
+    t = c.select(
+        "vec_id",
+        "cell",
+        F.posexplode("emb").alias("pos", "v"),
+    ).select(
+        "vec_id",
+        "cell",
+        "pos",
+        F.floor(F.col("v") * _KC_TICK).cast("long").alias("tick"),
+    )
+    s = t.groupBy("cell", "pos").agg(F.sum("tick").alias("cs"))
+    sc = (
+        t.join(s, ["cell", "pos"])
+        .groupBy("vec_id", "cell")
+        .agg(F.sum(F.col("tick") * F.col("cs")).alias("score"))
+    )
+    w = Window.partitionBy("cell").orderBy(F.desc("score"), "vec_id")
+    m = c.groupBy("cell").agg(F.count(F.lit(1)).alias("n_members"))
+    return (
+        sc.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .join(m, "cell")
+        .select(
+            F.col("cell").cast("bigint").alias("cell"),
+            F.col("vec_id").alias("kept_vec"),
+            "score",
+            "n_members",
+        )
+        .orderBy("cell")
     )

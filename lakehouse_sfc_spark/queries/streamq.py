@@ -86,6 +86,46 @@ _GAP_MIN = 30
 
 
 @register(
+    "stream_session_window",
+    oracle=f"""
+    WITH o AS (
+      SELECT user_id, ts, value,
+             lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+      FROM events
+    ), marked AS (
+      SELECT user_id, ts, value,
+             CASE WHEN prev_ts IS NULL
+                       OR ts - prev_ts > INTERVAL {_GAP_MIN} MINUTES
+                  THEN 1 ELSE 0 END AS is_start
+      FROM o
+    ), sess AS (
+      SELECT user_id, ts, value,
+             SUM(is_start) OVER (PARTITION BY user_id ORDER BY ts
+                                 ROWS UNBOUNDED PRECEDING) AS sid
+      FROM marked
+    )
+    SELECT user_id,
+           MIN(ts) AS session_start,
+           MAX(ts) + INTERVAL {_GAP_MIN} MINUTES AS session_end,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+    FROM sess
+    GROUP BY user_id, sid
+    """,
+)
+def stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap sessionization via the BUILT-IN streaming ``session_window``
+    operator (state-store session merging) — the API-coverage complement to
+    ``sessionize_stateful``'s custom applyInPandasWithState path.  Spark's
+    emitted window end is last_event_ts + gap by contract, mirrored in the
+    oracle as MAX(ts) + 30 minutes; the complete-mode AvailableNow replay
+    emits every session including open tails, so stream == batch."""
+    from lakehouse_sfc_spark.streaming import run_session_window_agg
+
+    return run_session_window_agg(spark, sf_dir)
+
+
+@register(
     "sessionize_events",
     oracle=f"""
     WITH o AS (

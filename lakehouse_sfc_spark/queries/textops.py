@@ -1295,3 +1295,68 @@ def multimodal_resize_real(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     return encoded.mapInPandas(resize_real_stats_batches, DECODED_STATS_SCHEMA)
+
+
+@register(
+    "text_repetition_ratio",
+    oracle=f"""
+    WITH g AS (
+      SELECT doc_id,
+             unnest(list_transform(range(1, len(w)-1),
+               i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS gram
+      FROM (SELECT doc_id, {_SQL_TOKENS} AS w FROM documents)
+      WHERE len(w) >= 3
+    ),
+    c AS (SELECT doc_id, gram, COUNT(*) AS cnt FROM g GROUP BY 1, 2)
+    SELECT doc_id,
+           SUM(cnt)::BIGINT AS n_grams,
+           COUNT(*) AS n_distinct,
+           MAX(cnt) AS max_cnt,
+           MAX(cnt)::DOUBLE / SUM(cnt)::DOUBLE AS rep_ratio,
+           COUNT(*)::DOUBLE / SUM(cnt)::DOUBLE AS distinct_ratio
+    FROM c GROUP BY doc_id
+    ORDER BY doc_id
+    """,
+)
+def text_repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repetition-based quality scoring (the Gopher/RefinedWeb-style
+    'repetitive documents are low quality' filter): per document, the share
+    of 3-gram OCCURRENCES taken by the single most frequent 3-gram
+    (rep_ratio — boilerplate and keyword-stuffed docs score high) and the
+    distinct/total 3-gram ratio (low = repetitive).  All-integer counts
+    with one exact int→double division, so bit-identical across engines.
+
+    Scale shape: occurrences shuffle once on (doc_id, gram) for the count,
+    then reduce per doc — both key-equality aggregations; no windows over
+    raw text, no Python."""
+    d = load_table(spark, sf_dir, "documents")
+    w = _tokens(F.col("text"))
+    grams = F.transform(
+        F.sequence(F.lit(1), F.size(w) - 2),
+        lambda i: F.concat_ws(
+            " ",
+            F.element_at(w, i),
+            F.element_at(w, i + 1),
+            F.element_at(w, i + 2),
+        ),
+    )
+    g = (
+        d.filter(F.size(w) >= 3)
+        .select("doc_id", F.explode(grams).alias("gram"))
+    )
+    c = g.groupBy("doc_id", "gram").agg(F.count(F.lit(1)).alias("cnt"))
+    return (
+        c.groupBy("doc_id")
+        .agg(
+            F.sum("cnt").alias("n_grams"),
+            F.count(F.lit(1)).alias("n_distinct"),
+            F.max("cnt").alias("max_cnt"),
+            (
+                F.max("cnt").cast("double") / F.sum("cnt").cast("double")
+            ).alias("rep_ratio"),
+            (
+                F.count(F.lit(1)).cast("double") / F.sum("cnt").cast("double")
+            ).alias("distinct_ratio"),
+        )
+        .orderBy("doc_id")
+    )

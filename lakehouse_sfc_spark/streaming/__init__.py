@@ -6,6 +6,7 @@ from lakehouse_sfc_spark.streaming.pipeline import (
     read_events_stream,
     run_stream_dedup,
     run_stream_static_join,
+    run_session_window_agg,
     run_sliding_agg,
     run_stream_interval_join,
     run_tumbling_agg,
@@ -18,6 +19,7 @@ __all__ = [
     "read_events_stream",
     "run_stream_dedup",
     "run_stream_static_join",
+    "run_session_window_agg",
     "run_sliding_agg",
     "run_stream_interval_join",
     "run_tumbling_agg",

@@ -203,6 +203,47 @@ def run_sliding_agg(
     )
 
 
+def run_session_window_agg(
+    spark: SparkSession,
+    sf_dir: str,
+    gap: str = "30 minutes",
+    watermark: str = "2 hours",
+    timeout_s: int = 300,
+) -> DataFrame:
+    """Gap-based sessionization via the BUILT-IN ``session_window`` operator
+    (the state-store-merging API — complements the custom
+    applyInPandasWithState sessionizer, which exists for semantics the
+    built-in can't express).  Sessions merge while events are within
+    ``gap``; the emitted window end is Spark's contract last_ts + gap, and
+    the oracle mirrors MAX(ts) + gap on the batch side.  Complete output
+    over the AvailableNow replay emits every session including each user's
+    open tail, so the result equals the batch gap sessionization exactly."""
+    name = f"sesswin_{uuid.uuid4().hex[:8]}"
+    agg = (
+        read_events_stream(spark, sf_dir)
+        .withWatermark("ts", watermark)
+        .groupBy(
+            F.session_window("ts", gap).alias("w"), F.col("user_id")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,4)"))
+            .cast("double")
+            .alias("sum_value"),
+        )
+        .select(
+            "user_id",
+            F.col("w.start").cast("timestamp_ntz").alias("session_start"),
+            F.col("w.end").cast("timestamp_ntz").alias("session_end"),
+            "n_events",
+            "sum_value",
+        )
+    )
+    return _replay_to_memory(
+        spark, agg, name, "lakehouse-sfc-sesswin-", "complete", timeout_s
+    )
+
+
 def run_stream_dedup(
     spark: SparkSession,
     sf_dir: str,
