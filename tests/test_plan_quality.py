@@ -260,3 +260,31 @@ def test_docs_lang_partitioned_scan_prunes_partitions(spark):
     assert "PushedFilters: [" in plan
     pushed = plan.split("PushedFilters: [", 1)[1].split("]", 1)[0]
     assert "n_chars" in pushed, pushed
+
+
+def test_decontaminate_broadcasts_benchmark_side(spark):
+    """text_decontaminate must stream the (huge) training corpus through a
+    BroadcastHashJoin against the (tiny) benchmark shingle set — a shuffle
+    or nested-loop pairing would not survive a 100 TB corpus."""
+    plan = _plan(spark, "text_decontaminate")
+    assert "BroadcastHashJoin" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_keep_centroid_is_key_equality_throughout(spark):
+    """dedup_embedding_keep_centroid: centroid build + alignment scoring
+    must be key-equality joins/aggregations over (cell, dim) — never an
+    all-pairs vector comparison — with the per-cell keep as a window."""
+    plan = _plan(spark, "dedup_embedding_keep_centroid")
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "Window" in plan
+
+
+def test_repetition_ratio_is_two_keyed_aggregations(spark):
+    """text_repetition_ratio: explode → (doc, gram) count → per-doc reduce;
+    no window over raw occurrences, no join at all."""
+    plan = _plan(spark, "text_repetition_ratio")
+    assert "Join" not in plan
+    assert plan.count("HashAggregate") >= 2

@@ -38,6 +38,7 @@ SENSITIVE = [
     "stream_tumbling_agg",
     "stream_dedup",
     "stream_interval_join",
+    "stream_session_window",
 ]
 
 
