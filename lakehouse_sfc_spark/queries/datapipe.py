@@ -1903,3 +1903,100 @@ def dedup_embedding_keep_centroid(
         )
         .orderBy("cell")
     )
+
+
+# --- asymmetric containment dedup -------------------------------------------
+
+_CT_TAU = 0.6  # containment |A∩B|/|A| threshold
+
+
+@register(
+    "dedup_containment",
+    # ng is list_distinct, so COUNT(*) of the n-gram equality self-join is
+    # exactly len(list_intersect(a.ng, b.ng)) — same semantics as the
+    # all-pairs formulation but O(co-occurring pairs), not O(n²).  The
+    # threshold compare stays double division to mirror the Spark side.
+    oracle=f"""
+    WITH g AS MATERIALIZED ({_SQL_NGRAMS_VIEW}),
+    e AS MATERIALIZED (
+      SELECT doc_id, unnest(ng) AS gr FROM g
+    ),
+    c AS MATERIALIZED (
+      SELECT x.doc_id AS a_id, y.doc_id AS b_id, COUNT(*) AS shared
+      FROM e x JOIN e y ON x.gr = y.gr AND x.doc_id <> y.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT c.a_id, c.b_id,
+           round(c.shared::DOUBLE / len(a.ng), 4) AS containment
+    FROM c JOIN g a ON c.a_id = a.doc_id
+    WHERE c.shared::DOUBLE / len(a.ng) >= {_CT_TAU}
+    """,
+)
+def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ASYMMETRIC near-dup: containment C(A,B) = |A∩B|/|A| ≥ 0.6 flags
+    documents largely CONTAINED in another (quotes, boilerplate wrappers,
+    excerpt pages) — pairs symmetric Jaccard misses whenever the container
+    is much longer than the contained doc.  Exact, via the containment
+    prefix filter: C ≥ τ ⇒ at most |A|−⌈τ|A|⌉ of A's n-grams fall outside
+    B, so ANY |A|−⌈τ|A|⌉+1 of them must hit B — index only that many of
+    A's RAREST n-grams (global-df order) against the full inverted index,
+    then verify candidates exactly.
+
+    Scale shape: only rare n-grams fan out on the prefix side (the filter
+    is sound for any ordering; df-order makes it cheap), candidates join
+    on n-gram equality, verification touches candidate pairs only.  The
+    oracle's length conjunct (|B| ≥ τ|A|) is implied by C ≥ τ — pure
+    O(n²)-side pruning, never a semantic difference."""
+    ngr = (
+        _docs_ngrams(spark, sf_dir)
+        .repartition("doc_id")
+        .localCheckpoint(eager=False)
+    )
+    exploded = ngr.select(
+        "doc_id", F.explode("ng").alias("g")
+    ).repartition("g")
+    dfreq = exploded.groupBy("g").agg(F.count(F.lit(1)).alias("df"))
+    ranked = (
+        exploded.join(dfreq, "g")
+        .groupBy("doc_id")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct(F.col("df"), F.col("g")))
+            ).alias("ordered"),
+        )
+        .select(
+            "doc_id",
+            F.transform(F.col("ordered"), lambda s: s["g"]).alias("ordered_g"),
+        )
+    )
+    prefix_len = (
+        F.size("ordered_g")
+        - F.ceil(F.size("ordered_g") * F.lit(_CT_TAU))
+        + 1
+    ).cast("int")
+    prefix = ranked.select(
+        "doc_id",
+        F.explode(F.slice(F.col("ordered_g"), 1, prefix_len)).alias("g"),
+    )
+    cand = (
+        prefix.alias("x")
+        .join(
+            exploded.alias("y"),
+            on=[
+                F.col("x.g") == F.col("y.g"),
+                F.col("x.doc_id") != F.col("y.doc_id"),
+            ],
+        )
+        .select(F.col("x.doc_id").alias("a_id"), F.col("y.doc_id").alias("b_id"))
+        .distinct()
+    )
+    cont = (
+        F.size(F.array_intersect(F.col("a.ng"), F.col("b.ng"))).cast("double")
+        / F.size(F.col("a.ng"))
+    )
+    return (
+        cand.join(ngr.alias("a"), F.col("a_id") == F.col("a.doc_id"))
+        .join(ngr.alias("b"), F.col("b_id") == F.col("b.doc_id"))
+        .filter(cont >= _CT_TAU)
+        .select("a_id", "b_id", F.round(cont, 4).alias("containment"))
+    )

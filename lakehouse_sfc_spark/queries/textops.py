@@ -1360,3 +1360,71 @@ def text_repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# --- batch padding efficiency -----------------------------------------------
+
+_LB_MIN_B = 4  # smallest bucket 2^4 = 16 tokens
+_LB_MAX_B = 12  # largest bucket 2^12 = 4096 tokens
+
+_SQL_LB_CASE = (
+    "CASE "
+    + " ".join(
+        f"WHEN n <= {1 << b} THEN {1 << b}"
+        for b in range(_LB_MIN_B, _LB_MAX_B)
+    )
+    + f" ELSE {1 << _LB_MAX_B} END"
+)
+
+
+@register(
+    "pack_length_buckets",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, len({_SQL_TOKENS})::BIGINT AS n FROM documents
+    ),
+    b AS (SELECT doc_id, n, {_SQL_LB_CASE} AS bucket FROM t)
+    SELECT bucket, COUNT(*) AS n_docs,
+           SUM(n)::BIGINT AS sum_tokens,
+           (bucket * COUNT(*) - SUM(n))::BIGINT AS padding_tokens,
+           CAST(SUM(n) AS DOUBLE) / (bucket * COUNT(*)) AS fill_ratio
+    FROM b GROUP BY bucket
+    ORDER BY bucket
+    """,
+)
+def pack_length_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length-bucketed batch efficiency — the padding-waste analysis behind
+    bucketed batching (pad each doc to the next power-of-two token length,
+    16..4096): per bucket, document count, real tokens, padding tokens,
+    and fill ratio.  The bucket function is an integer CASE ladder in both
+    engines (no log2 — transcendentals are cross-engine poison), and
+    fill_ratio divides two exact integers.
+
+    Scale shape: one narrow projection + one tiny groupBy; the per-doc
+    token count is the only real work and rides the scan."""
+    d = load_table(spark, sf_dir, "documents")
+    n = F.size(_tokens(F.col("text"))).cast("bigint")
+    bucket = F.lit(1 << _LB_MAX_B)
+    for b in range(_LB_MAX_B - 1, _LB_MIN_B - 1, -1):
+        bucket = F.when(n <= (1 << b), F.lit(1 << b)).otherwise(bucket)
+    t = d.select("doc_id", n.alias("n"), bucket.alias("bucket"))
+    return (
+        t.groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n").alias("sum_tokens"),
+        )
+        .select(
+            "bucket",
+            "n_docs",
+            "sum_tokens",
+            (F.col("bucket") * F.col("n_docs") - F.col("sum_tokens"))
+            .cast("bigint")
+            .alias("padding_tokens"),
+            (
+                F.col("sum_tokens").cast("double")
+                / (F.col("bucket") * F.col("n_docs"))
+            ).alias("fill_ratio"),
+        )
+        .orderBy("bucket")
+    )

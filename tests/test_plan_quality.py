@@ -288,3 +288,24 @@ def test_repetition_ratio_is_two_keyed_aggregations(spark):
     plan = _plan(spark, "text_repetition_ratio")
     assert "Join" not in plan
     assert plan.count("HashAggregate") >= 2
+
+
+def test_containment_candidates_are_gram_equality(spark):
+    """dedup_containment: the prefix-filter candidate join must pair docs
+    on n-gram EQUALITY (hash-partitionable at 100 TB) — never an all-pairs
+    nested-loop — and verification must touch candidate pairs only."""
+    plan = _plan(spark, "dedup_containment")
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan or (
+        "BroadcastHashJoin" in plan
+    )
+
+
+def test_pack_length_buckets_single_agg_no_join(spark):
+    """pack_length_buckets: one keyed aggregation over a narrow projection;
+    the CASE-ladder bucket must not introduce joins or windows."""
+    plan = _plan(spark, "pack_length_buckets")
+    assert "Join" not in plan
+    assert "Window" not in plan
+    assert "HashAggregate" in plan
