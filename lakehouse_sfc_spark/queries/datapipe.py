@@ -2000,3 +2000,310 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(cont >= _CT_TAU)
         .select("a_id", "b_id", F.round(cont, 4).alias("containment"))
     )
+
+
+# --- exact-duplicate cluster profile ----------------------------------------
+
+
+@register(
+    "dedup_cluster_sizes",
+    oracle="""
+    WITH c AS (
+      SELECT md5(text) AS h, COUNT(*) AS sz, MIN(doc_id) AS canonical
+      FROM documents GROUP BY 1
+    )
+    SELECT sz AS cluster_size,
+           COUNT(*) AS n_clusters,
+           (sz * COUNT(*))::BIGINT AS n_docs,
+           MIN(canonical) AS min_canonical_id
+    FROM c GROUP BY 1 ORDER BY 1
+    """,
+)
+def dedup_cluster_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-duplicate cluster-size histogram — the first report a corpus
+    audit wants: how much of the corpus is byte-identical copies, and in
+    clusters of what size (size 1 = unique docs; the tail is boilerplate).
+    Two keyed aggregations (content hash → cluster size → histogram), both
+    map-side combinable; no joins, no windows — scan-bound at any scale."""
+    d = load_table(spark, sf_dir, "documents")
+    c = d.groupBy(F.md5("text").alias("h")).agg(
+        F.count(F.lit(1)).alias("sz"),
+        F.min("doc_id").alias("canonical"),
+    )
+    return (
+        c.groupBy(F.col("sz").alias("cluster_size"))
+        .agg(
+            F.count(F.lit(1)).alias("n_clusters"),
+            F.min("canonical").alias("min_canonical_id"),
+        )
+        .select(
+            "cluster_size",
+            "n_clusters",
+            (F.col("cluster_size") * F.col("n_clusters"))
+            .cast("bigint")
+            .alias("n_docs"),
+            "min_canonical_id",
+        )
+        .orderBy("cluster_size")
+    )
+
+
+# --- per-label embedding centroids (exact, fixed-point) ---------------------
+
+_CEN_SCALE = 1_000_000  # fixed-point quantum: 1e-6 per unit
+
+
+@register(
+    "emb_centroid_per_label",
+    oracle=f"""
+    WITH u AS (
+      SELECT label,
+             generate_subscripts(embedding, 1) - 1 AS dim,
+             unnest(embedding)::DOUBLE AS x
+      FROM embeddings
+    ),
+    e AS (
+      SELECT label, CAST(dim AS BIGINT) AS dim,
+             CAST(FLOOR(x * {_CEN_SCALE} + 0.5) AS BIGINT) AS q
+      FROM u
+    )
+    SELECT label, dim,
+           COUNT(*) AS n_vecs,
+           SUM(q)::BIGINT AS sum_q,
+           CAST(SUM(q) AS DOUBLE) / ({_CEN_SCALE}.0 * COUNT(*)) AS centroid
+    FROM e GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+)
+def emb_centroid_per_label(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-class embedding centroid (the vector a drift monitor or a
+    nearest-centroid classifier needs), computed EXACTLY: each coordinate is
+    fixed-point quantized (floor(x·1e6 + 0.5) — half-up in both engines,
+    float→double widening is exact) and summed as integers, so the result is
+    independent of summation order — the property a raw double SUM lacks.
+    The final centroid divides two exactly-agreed numbers once.
+
+    Scale shape: posexplode fans each vector into |dims| rows, then one
+    map-side-combinable groupBy on (label, dim) — a shuffle of
+    |labels|·|dims| partial sums per task, not of the data."""
+    e = load_table(spark, sf_dir, "embeddings")
+    q = F.floor(F.col("x") * _CEN_SCALE + F.lit(0.5)).cast("bigint")
+    return (
+        e.select(
+            "label",
+            F.posexplode(F.col("embedding").cast("array<double>")).alias(
+                "dim", "x"
+            ),
+        )
+        .select("label", F.col("dim").cast("bigint").alias("dim"), q.alias("q"))
+        .groupBy("label", "dim")
+        .agg(
+            F.count(F.lit(1)).alias("n_vecs"),
+            F.sum("q").cast("bigint").alias("sum_q"),
+        )
+        .select(
+            "label",
+            "dim",
+            "n_vecs",
+            "sum_q",
+            (
+                F.col("sum_q").cast("double")
+                / (F.lit(float(_CEN_SCALE)) * F.col("n_vecs"))
+            ).alias("centroid"),
+        )
+        .orderBy("label", "dim")
+    )
+
+
+# --- cosine range search (threshold, multi-query) ----------------------------
+
+_RS_TAU = 0.3  # cosine threshold
+_RS_QMOD = 53  # query set: vec_id % _RS_QMOD == 0
+
+
+@register(
+    "ann_range_search",
+    oracle=f"""
+    WITH nb AS (SELECT {_DETK_BITS_SQL} AS b FROM embeddings),
+         c AS (SELECT vec_id, emb, nrm,
+                      {_SQL_CELL_B.format(e="emb", b="nb.b")} AS cell
+               FROM ({_SQL_EMB_CTE}) CROSS JOIN nb)
+    SELECT q.vec_id AS q_id, c.vec_id AS vec_id,
+           round({_sql_cos("c", "q")}, 6) AS score
+    FROM c q JOIN c
+      ON bit_count(xor(c.cell, q.cell)) <= 1
+     AND c.vec_id != q.vec_id
+    WHERE q.vec_id % {_RS_QMOD} = 0
+      AND {_sql_cos("c", "q")} >= {_RS_TAU}
+    """,
+)
+def ann_range_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE similarity search: for every vector in a query set, ALL corpus
+    neighbors with cosine ≥ τ — the retrieval primitive for threshold-based
+    filtering (dedupe against a blocklist, fetch everything similar enough)
+    where top-k's fixed k is wrong.  Same deterministic cell-probe contract
+    as ``dedup_embedding_topk``: each query probes its own sign cell plus
+    the B radius-1 flips, candidates join on cell EQUALITY, exact cosine
+    verifies — so the DuckDB oracle reproduces the approximation exactly.
+
+    Scale shape: the query side (n/{_RS_QMOD} rows × (B+1) probes) is tiny
+    and broadcast; the corpus never moves — each query-probe row hash-joins
+    into bounded-occupancy cells (B grows with log₂ n, see _detk_bits), so
+    per-query work is (B+1)·occupancy, independent of corpus size."""
+    emb = _emb(spark, sf_dir)
+    bits = _detk_bits(emb.count())
+    c = emb.withColumn("cell", _cell_bits(F.col("emb"), bits))
+    masks = [0] + [1 << b for b in range(bits)]
+    probes = (
+        c.filter(F.col("vec_id") % _RS_QMOD == 0)
+        .select(
+            F.col("vec_id").alias("q_id"),
+            F.col("emb").alias("q_emb"),
+            F.col("nrm").alias("q_nrm"),
+            F.explode(
+                F.array(*[F.lit(m) for m in masks])
+            ).alias("mask"),
+            F.col("cell"),
+        )
+        .select(
+            "q_id",
+            "q_emb",
+            "q_nrm",
+            F.col("cell").bitwiseXOR(F.col("mask")).alias("pcell"),
+        )
+    )
+    cos = _dot(F.col("emb"), F.col("q_emb")) / (F.col("nrm") * F.col("q_nrm"))
+    return (
+        c.join(
+            F.broadcast(probes),
+            on=[
+                F.col("cell") == F.col("pcell"),
+                F.col("vec_id") != F.col("q_id"),
+            ],
+        )
+        .filter(cos >= _RS_TAU)
+        .select("q_id", "vec_id", F.round(cos, 6).alias("score"))
+    )
+
+
+# --- train/test split leakage audit -----------------------------------------
+
+_LK_TAU = 0.8  # near-dup threshold across the split boundary
+
+
+@register(
+    "sample_split_leakage",
+    # Same intersection-via-equality-join trick as dedup_containment's
+    # oracle: ng is distinct, so the per-pair join count IS |A∩B|.
+    oracle=f"""
+    WITH s AS MATERIALIZED (
+      SELECT doc_id,
+             list_distinct(
+               list_transform(range(1, len(w)-1),
+                              i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS ng,
+             CASE WHEN bucket < 80 THEN 'train'
+                  WHEN bucket < 90 THEN 'val'
+                  ELSE 'test' END AS split
+      FROM (SELECT doc_id,
+                   {_SQL_TOKENS} AS w,
+                   ('0x' || substr(md5(text), 1, 8))::BIGINT % 100 AS bucket
+            FROM documents)
+    ),
+    e AS MATERIALIZED (SELECT doc_id, unnest(ng) AS gr FROM s),
+    c AS MATERIALIZED (
+      SELECT x.doc_id AS a_id, y.doc_id AS b_id, COUNT(*) AS shared
+      FROM e x JOIN e y ON x.gr = y.gr AND x.doc_id < y.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT c.a_id, c.b_id, a.split AS a_split, b.split AS b_split,
+           round(c.shared::DOUBLE
+                 / (len(a.ng) + len(b.ng) - c.shared), 4) AS jac
+    FROM c JOIN s a ON c.a_id = a.doc_id
+           JOIN s b ON c.b_id = b.doc_id
+    WHERE a.split <> b.split
+      AND c.shared::DOUBLE / (len(a.ng) + len(b.ng) - c.shared)
+            >= {_LK_TAU}
+    """,
+)
+def sample_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split-contamination audit: near-duplicate pairs (Jaccard ≥ 0.8 on
+    3-gram shingles) that CROSS the deterministic train/val/test boundary —
+    exactly the leakage that inflates eval numbers when a test document has
+    a near-copy in training data.  Composes ``sample_split``'s content-hash
+    assignment with ``dedup_ngram_jaccard``'s exact prefix-filter join; the
+    cross-split filter applies after candidate verification, so the pair
+    discovery is the same sound machinery.
+
+    Scale shape: identical to dedup_ngram_jaccard (rarest-gram prefix index,
+    equality-join candidates, per-pair verify) plus one broadcast-sized
+    (doc_id, split) projection joined onto the verified pairs."""
+    d = load_table(spark, sf_dir, "documents")
+    d = d.filter(F.size(_tokens(F.col("text"))) >= 3)
+    from lakehouse_sfc_spark.sources.loader import compute_width
+
+    width = compute_width(spark)
+    if d.rdd.getNumPartitions() < width:
+        d = d.repartition(width)
+    bucket = F.pmod(
+        F.conv(F.substring(F.md5(F.col("text")), 1, 8), 16, 10).cast("long"),
+        F.lit(100),
+    )
+    split = (
+        F.when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test")
+    )
+    ngr = (
+        d.select(
+            "doc_id",
+            _ngrams3(_tokens(F.col("text"))).alias("ng"),
+            split.alias("split"),
+        )
+        .repartition("doc_id")
+        .localCheckpoint(eager=False)
+    )
+
+    exploded = ngr.select("doc_id", F.explode("ng").alias("g")).repartition("g")
+    dfreq = exploded.groupBy("g").agg(F.count(F.lit(1)).alias("df"))
+    ranked = (
+        exploded.join(dfreq, "g")
+        .groupBy("doc_id")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct(F.col("df"), F.col("g")))
+            ).alias("ordered"),
+        )
+        .select(
+            "doc_id",
+            F.transform(F.col("ordered"), lambda s: s["g"]).alias("ordered_g"),
+        )
+    )
+    prefix_len = (
+        F.size("ordered_g") - F.ceil(F.size("ordered_g") * F.lit(_LK_TAU)) + 1
+    ).cast("int")
+    prefix = ranked.select(
+        "doc_id", F.explode(F.slice(F.col("ordered_g"), 1, prefix_len)).alias("g")
+    )
+    cand = (
+        prefix.alias("x")
+        .join(
+            prefix.alias("y"),
+            on=[
+                F.col("x.g") == F.col("y.g"),
+                F.col("x.doc_id") < F.col("y.doc_id"),
+            ],
+        )
+        .select(F.col("x.doc_id").alias("a_id"), F.col("y.doc_id").alias("b_id"))
+        .distinct()
+    )
+    jac = _pair_jaccard()
+    return (
+        cand.join(ngr.alias("a"), F.col("a_id") == F.col("a.doc_id"))
+        .join(ngr.alias("b"), F.col("b_id") == F.col("b.doc_id"))
+        .filter(jac >= _LK_TAU)
+        .filter(F.col("a.split") != F.col("b.split"))
+        .select(
+            "a_id",
+            "b_id",
+            F.col("a.split").alias("a_split"),
+            F.col("b.split").alias("b_split"),
+            F.round(jac, 4).alias("jac"),
+        )
+    )

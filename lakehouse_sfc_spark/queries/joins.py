@@ -460,3 +460,99 @@ def j_scd2_pit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("version")
     )
+
+
+@register(
+    "j_asof_tolerance",
+    oracle=f"""
+    WITH m AS (
+      SELECT user_id, ts, value,
+             ROW_NUMBER() OVER (PARTITION BY user_id, ts
+                                ORDER BY event_id DESC) AS rn
+      FROM events WHERE event_type = 'purchase'
+    ), marker AS (SELECT user_id, ts, value FROM m WHERE rn = 1),
+    picked AS (
+      SELECT e.event_type, e.ts AS e_ts, mk.ts AS m_ts, mk.value AS m_value
+      FROM events e
+      ASOF LEFT JOIN marker mk
+        ON e.user_id = mk.user_id AND e.ts >= mk.ts
+    )
+    SELECT event_type,
+           COUNT(*) AS cnt,
+           COUNT(CASE WHEN m_ts >= e_ts - INTERVAL 2 HOUR
+                      THEN 1 END) AS n_fresh,
+           {sql_davg(
+               "CASE WHEN m_ts >= e_ts - INTERVAL 2 HOUR THEN m_value END",
+               "avg_fresh", 4)}
+    FROM picked
+    GROUP BY 1
+    """,
+)
+def j_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AS-OF join with a STALENESS BOUND — the feature-store contract: an
+    event may only use the latest same-user purchase if it is at most 2
+    hours old, otherwise the feature is NULL (never silently falls back to
+    an even older value).  Same single-shuffle union+window composition as
+    ``j_asof``; the carried struct keeps the marker's timestamp alongside
+    its value so the tolerance check applies AFTER the as-of pick —
+    matching ASOF-then-filter semantics exactly.
+
+    Scale shape: identical to j_asof — one hash shuffle on user_id, one
+    window pass, no range join, no per-row probes."""
+    ev = load_table(spark, sf_dir, "events")
+    marker = (
+        ev.filter(F.col("event_type") == "purchase")
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("user_id", "ts").orderBy(
+                    F.col("event_id").desc()
+                )
+            ),
+        )
+        .filter(F.col("rn") == 1)
+        .select("user_id", "ts", F.col("value").alias("m_value"))
+    )
+    facts_tagged = ev.select(
+        F.col("user_id").alias("k"),
+        "ts",
+        F.lit(0).alias("is_dim"),
+        "event_type",
+        F.lit(None)
+        .cast("struct<m_ts:timestamp,m_value:double>")
+        .alias("m_rec"),
+    )
+    dims_tagged = marker.select(
+        F.col("user_id").alias("k"),
+        "ts",
+        F.lit(1).alias("is_dim"),
+        F.lit(None).cast("string").alias("event_type"),
+        F.struct(
+            F.col("ts").alias("m_ts"), F.col("m_value")
+        ).alias("m_rec"),
+    )
+    w = (
+        Window.partitionBy("k")
+        .orderBy(F.col("ts").asc(), F.col("is_dim").desc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = facts_tagged.unionByName(dims_tagged).withColumn(
+        "c_rec", F.last("m_rec", ignorenulls=True).over(w)
+    )
+    # n_fresh counts every within-tolerance marker match, value-NULL or not
+    # (the oracle's CASE tests m_ts only), so the freshness test and the
+    # carried value are separate columns.
+    is_fresh = F.col("c_rec.m_ts") >= F.col("ts") - F.expr("INTERVAL 2 HOURS")
+    return (
+        carried.filter(F.col("is_dim") == 0)
+        .withColumn("is_fresh", is_fresh)
+        .withColumn(
+            "fresh_value", F.when(F.col("is_fresh"), F.col("c_rec.m_value"))
+        )
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.count(F.when(F.col("is_fresh"), 1)).alias("n_fresh"),
+            davg("fresh_value", "avg_fresh", 4),
+        )
+    )

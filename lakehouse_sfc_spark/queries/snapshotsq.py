@@ -453,3 +453,83 @@ def snap_cdf_chained(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bucket")
     )
+
+
+def _restore_table(spark: SparkSession, sf_dir: str) -> SnapshotTable:
+    """CREATE → UPSERT → DELETE → RESTORE(1) chain for snap_restore, cached
+    like the main chain (own root — restore mutates history, so it must not
+    share the table the other snapshot queries replay)."""
+    root = _fingerprinted_dir(_scratch_root(), sf_dir, ("orders",))
+    path = os.path.join(root, "orders_restore")
+    if os.path.exists(_manifest_path(path, 3)):
+        return SnapshotTable(spark, path)
+
+    import shutil
+
+    shutil.rmtree(path, ignore_errors=True)
+    orders = load_table(spark, sf_dir, "orders").select(*_COLS)
+    t = SnapshotTable.create(
+        orders,
+        path,
+        stats_cols=["o_orderkey", "o_orderdate"],
+        layout="linear",
+        layout_cols=["o_orderkey"],
+        num_files=8,
+    )
+    updates = orders.filter(F.col("o_orderkey") % 7 == 0).withColumn(
+        "o_totalprice", F.col("o_totalprice") + 1000.0
+    )
+    inserts = orders.filter(F.col("o_orderkey") % 97 == 0).withColumn(
+        "o_orderkey", F.col("o_orderkey") + 100_000_000
+    )
+    t.upsert(updates.unionByName(inserts), ["o_orderkey"], "o_totalprice")
+    t.delete_where([Pred("o_orderdate", "<", _CUTOFF)])
+    t.restore(1)
+    return t
+
+
+@register(
+    "snap_restore",
+    oracle=f"""
+    {_SQL_STATES}
+    SELECT CAST(0 AS INT) AS version, 'CREATE' AS op,
+           COUNT(*) AS cnt, {sql_dsum("o_totalprice", "sum_price")}
+    FROM state0
+    UNION ALL
+    SELECT CAST(1 AS INT), 'UPSERT', COUNT(*),
+           {sql_dsum("o_totalprice", "sum_price")} FROM state1
+    UNION ALL
+    SELECT CAST(2 AS INT), 'DELETE', COUNT(*),
+           {sql_dsum("o_totalprice", "sum_price")} FROM state2
+    UNION ALL
+    SELECT CAST(3 AS INT), 'RESTORE', COUNT(*),
+           {sql_dsum("o_totalprice", "sum_price")} FROM state1
+    ORDER BY version
+    """,
+)
+def snap_restore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RESTORE TABLE TO VERSION (Delta parity): an accidental retention
+    delete (v2) is undone by restoring to v1 — a metadata-only commit that
+    re-points the manifest at v1's immutable files, so the table's live
+    state at v3 must aggregate EXACTLY like v1 while the mistaken v2 stays
+    time-travelable.  The oracle replays every state closed-form; v3
+    re-uses state1, which is the restore contract itself."""
+    t = _restore_table(spark, sf_dir)
+    out = None
+    for v in t.versions():
+        m = t.manifest(v)
+        agg = (
+            t.read(v)
+            .agg(
+                F.count(F.lit(1)).alias("cnt"),
+                dsum("o_totalprice", "sum_price"),
+            )
+            .select(
+                F.lit(v).cast("int").alias("version"),
+                F.lit(m["operation"]).alias("op"),
+                "cnt",
+                "sum_price",
+            )
+        )
+        out = agg if out is None else out.unionByName(agg)
+    return out.orderBy("version")

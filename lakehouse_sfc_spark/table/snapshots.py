@@ -630,6 +630,27 @@ class SnapshotTable:
 
     # --------------------------------------------------------------- vacuum
 
+    def restore(self, version: int) -> dict:
+        """Delta ``RESTORE TABLE ... TO VERSION`` parity: a METADATA-ONLY
+        commit whose file set and schema are the target version's.  Data
+        files are immutable and shared across manifests, so no bytes move;
+        history is preserved — the restore is a NEW version on top, not a
+        rollback, so time travel to the mistaken versions still works and
+        CDF across the restore shows the net row changes.  Constraints
+        added after the target version carry forward: a restore rewinds
+        data, not governance."""
+        parent = self.manifest()
+        target = self.manifest(version)
+        v = parent["version"] + 1
+        return self._publish(
+            v,
+            "RESTORE",
+            target["files"],
+            StructType.fromJson(target["schema"]),
+            target["stats_cols"],
+            extra=self._carry(parent, {"restored_from": version}),
+        )
+
     def vacuum(self, retain_last: int = 1) -> dict:
         """Expire old snapshots (Iceberg `expire_snapshots` / Delta VACUUM):
         keep the newest ``retain_last`` manifests, delete files referenced

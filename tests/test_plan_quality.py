@@ -309,3 +309,46 @@ def test_pack_length_buckets_single_agg_no_join(spark):
     assert "Join" not in plan
     assert "Window" not in plan
     assert "HashAggregate" in plan
+
+
+def test_range_search_broadcasts_query_probes(spark):
+    """ann_range_search: the query-probe side is tiny and must broadcast
+    into a cell-equality hash join; the corpus never moves."""
+    plan = _plan(spark, "ann_range_search")
+    assert "BroadcastHashJoin" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_centroid_is_explode_plus_one_agg(spark):
+    """emb_centroid_per_label: posexplode + one map-side-combinable keyed
+    aggregation; no joins, no windows."""
+    plan = _plan(spark, "emb_centroid_per_label")
+    assert "Join" not in plan
+    assert "Window" not in plan
+    assert "Generate" in plan  # the posexplode
+    assert "HashAggregate" in plan
+
+
+def test_cluster_sizes_two_aggs_no_join(spark):
+    """dedup_cluster_sizes: hash → cluster size → histogram, no joins."""
+    plan = _plan(spark, "dedup_cluster_sizes")
+    assert "Join" not in plan
+    assert plan.count("HashAggregate") >= 2
+
+
+def test_split_leakage_no_allpairs(spark):
+    """sample_split_leakage: candidates must come from the prefix-filter
+    equality join, never an all-pairs comparison."""
+    plan = _plan(spark, "sample_split_leakage")
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_asof_tolerance_single_shuffle_window(spark):
+    """j_asof_tolerance: union + ONE keyed window carry — no range join,
+    no nested-loop."""
+    plan = _plan(spark, "j_asof_tolerance")
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "Window" in plan

@@ -408,3 +408,34 @@ def test_merge_rejects_duplicate_source_keys(table, orders, spark):
     )
     with pytest.raises(ValueError, match="duplicate record keys"):
         table.merge_into(dup, ["o_orderkey"])
+
+
+def test_restore_is_metadata_only_and_keeps_history(table, orders):
+    """RESTORE re-points the manifest at the target version's files without
+    moving bytes; the mistaken versions stay time-travelable."""
+    n0 = orders.count()
+    table.delete_where([Pred("o_orderkey", "<", 1000)])
+    assert table.read().count() < n0
+    m = table.restore(0)
+    assert m["operation"] == "RESTORE"
+    assert m["restored_from"] == 0
+    # live state == v0 exactly, file set shared byte-for-byte
+    assert table.read().count() == n0
+    assert table.manifest(2)["files"] == table.manifest(0)["files"]
+    # history preserved: the delete's state is still readable
+    assert table.read(1).count() < n0
+    assert table.versions() == [0, 1, 2]
+
+
+def test_restore_carries_constraints_forward(table):
+    """A restore rewinds data, not governance: constraints added after the
+    target version still bind post-restore writes."""
+    table.set_constraint("pos_price", "o_totalprice >= 0")
+    table.restore(0)
+    import pytest as _pytest
+
+    bad = table.read().limit(1).withColumn(
+        "o_totalprice", F.lit(-5.0)
+    )
+    with _pytest.raises(ValueError, match="pos_price"):
+        table.append(bad)
