@@ -254,3 +254,152 @@ def dq_freshness(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@register(
+    "dq_referential_integrity",
+    oracle="""
+    SELECT 'lineitem.l_orderkey->orders' AS fk_edge,
+           (SELECT COUNT(*) FROM lineitem) AS n_child,
+           (SELECT COUNT(*) FROM lineitem l
+            WHERE NOT EXISTS (SELECT 1 FROM orders o
+                              WHERE o.o_orderkey = l.l_orderkey)) AS n_orphans
+    UNION ALL
+    SELECT 'orders.o_custkey->customer',
+           (SELECT COUNT(*) FROM orders),
+           (SELECT COUNT(*) FROM orders o
+            WHERE NOT EXISTS (SELECT 1 FROM customer c
+                              WHERE c.c_custkey = o.o_custkey))
+    UNION ALL
+    SELECT 'lineitem.l_partkey->part',
+           (SELECT COUNT(*) FROM lineitem),
+           (SELECT COUNT(*) FROM lineitem l
+            WHERE NOT EXISTS (SELECT 1 FROM part p
+                              WHERE p.p_partkey = l.l_partkey))
+    UNION ALL
+    SELECT 'customer.c_nationkey->nation',
+           (SELECT COUNT(*) FROM customer),
+           (SELECT COUNT(*) FROM customer c
+            WHERE NOT EXISTS (SELECT 1 FROM nation n
+                              WHERE n.n_nationkey = c.c_nationkey))
+    ORDER BY fk_edge
+    """,
+)
+def dq_referential_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Referential-integrity audit over the star schema's FK edges: child
+    row count and orphan count (child keys with no parent) per edge — the
+    constraint check a warehouse load runs after every ingest, since
+    parquet lakes enforce nothing.
+
+    Scale shape: each edge is one LEFT ANTI join on the key.  The parent
+    side ships only its distinct key column; small dims broadcast, the
+    orders side stays a hash join — both orders of magnitude cheaper than
+    the naive NOT IN (which would also be NULL-unsafe)."""
+
+    def edge(child: DataFrame, ckey: str, parent: DataFrame, pkey: str,
+             name: str, bcast: bool) -> DataFrame:
+        pk = parent.select(pkey).distinct()
+        if bcast:
+            pk = F.broadcast(pk)
+        orphans = child.join(
+            pk, child[ckey] == pk[pkey], "left_anti"
+        ).agg(F.count(F.lit(1)).alias("n_orphans"))
+        total = child.agg(F.count(F.lit(1)).alias("n_child"))
+        return (
+            total.crossJoin(orphans)
+            .select(
+                F.lit(name).alias("fk_edge"), "n_child", "n_orphans"
+            )
+        )
+
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    p = load_table(spark, sf_dir, "part")
+    n = load_table(spark, sf_dir, "nation")
+    edges = [
+        edge(li, "l_orderkey", o, "o_orderkey",
+             "lineitem.l_orderkey->orders", False),
+        edge(o, "o_custkey", c, "c_custkey",
+             "orders.o_custkey->customer", True),
+        edge(li, "l_partkey", p, "p_partkey",
+             "lineitem.l_partkey->part", True),
+        edge(c, "c_nationkey", n, "n_nationkey",
+             "customer.c_nationkey->nation", True),
+    ]
+    out = edges[0]
+    for e in edges[1:]:
+        out = out.unionByName(e)
+    return out.orderBy("fk_edge")
+
+
+@register(
+    "profile_drift",
+    # Chi-square-style per-bucket drift table between two event streams.
+    # Every per-row expression is a single IEEE evaluation of exact integer
+    # inputs (no cross-row double sums), so both engines agree bit-for-bit.
+    oracle="""
+    WITH b AS (
+      SELECT CAST(FLOOR(value / 50.0) AS BIGINT) AS bucket,
+             COUNT(*) FILTER (event_type = 'view') AS cnt_a,
+             COUNT(*) FILTER (event_type = 'purchase') AS cnt_b
+      FROM events
+      WHERE event_type IN ('view', 'purchase')
+      GROUP BY 1
+    ),
+    t AS (SELECT SUM(cnt_a) AS na, SUM(cnt_b) AS nb FROM b)
+    SELECT bucket, cnt_a, cnt_b,
+           round(cnt_a::DOUBLE / na, 6) AS frac_a,
+           round(cnt_b::DOUBLE / nb, 6) AS frac_b,
+           round(
+             (cnt_a::DOUBLE / na - cnt_b::DOUBLE / nb)
+             * (cnt_a::DOUBLE / na - cnt_b::DOUBLE / nb)
+             / ((cnt_a + cnt_b)::DOUBLE / (na + nb)), 6) AS chi2_term
+    FROM b CROSS JOIN t
+    ORDER BY bucket
+    """,
+)
+def profile_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-drift profile between two event populations ('view' as
+    the reference, 'purchase' as the candidate): per value-bucket counts,
+    normalized frequencies, and the chi-square contribution — the
+    drift-monitoring table behind a PSI/chi-square alert, WITHOUT the
+    cross-engine-poisonous logarithm PSI needs (chi-square ranks buckets
+    identically for alerting).
+
+    Scale shape: one keyed aggregation over a filtered scan, a 1-row total
+    broadcast back over the bucket table (|buckets| rows).  The chi-square
+    SUM is deliberately NOT taken — per-bucket terms are each a single
+    deterministic IEEE expression, while a cross-row double sum would be
+    order-dependent; a consumer can sum the exact terms it needs."""
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("view", "purchase")
+    )
+    b = ev.groupBy(
+        F.floor(F.col("value") / 50.0).cast("bigint").alias("bucket")
+    ).agg(
+        F.count(F.when(F.col("event_type") == "view", 1)).alias("cnt_a"),
+        F.count(F.when(F.col("event_type") == "purchase", 1)).alias("cnt_b"),
+    )
+    t = b.agg(
+        F.sum("cnt_a").alias("na"), F.sum("cnt_b").alias("nb")
+    )
+    fa = F.col("cnt_a").cast("double") / F.col("na")
+    fb = F.col("cnt_b").cast("double") / F.col("nb")
+    chi = (
+        (fa - fb) * (fa - fb)
+        / ((F.col("cnt_a") + F.col("cnt_b")).cast("double")
+           / (F.col("na") + F.col("nb")))
+    )
+    return (
+        b.crossJoin(F.broadcast(t))
+        .select(
+            "bucket",
+            "cnt_a",
+            "cnt_b",
+            F.round(fa, 6).alias("frac_a"),
+            F.round(fb, 6).alias("frac_b"),
+            F.round(chi, 6).alias("chi2_term"),
+        )
+        .orderBy("bucket")
+    )

@@ -1435,3 +1435,54 @@ def pack_length_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bucket")
     )
+
+
+# --- shared-boilerplate prefix detection ------------------------------------
+
+_BP_K = 8  # leading tokens that define the boilerplate key
+
+
+@register(
+    "text_boilerplate_prefix",
+    oracle=f"""
+    WITH p AS (
+      SELECT doc_id, source,
+             md5(array_to_string(w[1:{_BP_K}], ' ')) AS prefix_key
+      FROM (SELECT doc_id, source, {_SQL_TOKENS} AS w FROM documents)
+      WHERE len(w) >= {_BP_K}
+    )
+    SELECT prefix_key,
+           COUNT(*) AS n_docs,
+           COUNT(DISTINCT source) AS n_sources,
+           MIN(doc_id) AS min_doc_id
+    FROM p GROUP BY 1 HAVING COUNT(*) >= 2
+    ORDER BY n_docs DESC, prefix_key
+    """,
+)
+def text_boilerplate_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared-boilerplate detection by leading-token prefix: documents whose
+    first {k} tokens are identical (site headers, license banners, template
+    intros) cluster on the hashed prefix — the cheap first pass a corpus
+    cleaner runs before any expensive near-dup join, since stripping a
+    shared prefix fixes whole families at once.
+
+    Scale shape: one narrow projection (hash of the first tokens only — the
+    full token array is never materialized past the slice) and one
+    map-side-combinable groupBy; HAVING >= 2 keeps only real clusters."""
+    d = load_table(spark, sf_dir, "documents")
+    w = _tokens(F.col("text"))
+    p = d.filter(F.size(w) >= _BP_K).select(
+        "doc_id",
+        "source",
+        F.md5(F.array_join(F.slice(w, 1, _BP_K), " ")).alias("prefix_key"),
+    )
+    return (
+        p.groupBy("prefix_key")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.count_distinct("source").alias("n_sources"),
+            F.min("doc_id").alias("min_doc_id"),
+        )
+        .filter(F.col("n_docs") >= 2)
+        .orderBy(F.desc("n_docs"), "prefix_key")
+    )

@@ -352,3 +352,34 @@ def test_asof_tolerance_single_shuffle_window(spark):
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
     assert "Window" in plan
+
+
+def test_referential_integrity_anti_joins_broadcast_dims(spark):
+    """dq_referential_integrity: orphan checks are LEFT ANTI hash joins
+    with the parent key set broadcast.  The BroadcastNestedLoopJoins in
+    this plan are the 1-row scalar (total x orphan-count) cross joins —
+    the footnoted acceptable pattern — so the guard checks the anti joins
+    are hash-based rather than banning BNLJ outright."""
+    plan = _plan(spark, "dq_referential_integrity")
+    assert "CartesianProduct" not in plan
+    assert plan.count("LeftAnti") == 4
+    # every anti join is a broadcast HASH join, never nested-loop
+    for ln in plan.splitlines():
+        if "LeftAnti" in ln:
+            assert "BroadcastHashJoin" in ln, ln
+
+
+def test_profile_drift_single_agg_tiny_broadcast(spark):
+    """profile_drift: one keyed aggregation + a 1-row totals broadcast; the
+    only joins are the scalar cross joins."""
+    plan = _plan(spark, "profile_drift")
+    assert plan.count("HashAggregate") >= 2
+    assert "SortMergeJoin" not in plan
+    assert "ShuffledHashJoin" not in plan
+
+
+def test_boilerplate_prefix_no_join(spark):
+    """text_boilerplate_prefix: narrow hash projection + one groupBy."""
+    plan = _plan(spark, "text_boilerplate_prefix")
+    assert "Join" not in plan
+    assert "HashAggregate" in plan
