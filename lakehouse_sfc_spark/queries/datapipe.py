@@ -2321,3 +2321,97 @@ def sample_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(jac, 4).alias("jac"),
         )
     )
+
+
+# --- incremental semantic dedup: new batch vs standing corpus ---------------
+
+_SI_MOD = 19  # vec_id % _SI_MOD == 0 plays the incoming batch
+
+
+@register(
+    "dedup_semantic_incremental",
+    oracle=f"""
+    WITH nb AS (SELECT {_DETK_BITS_SQL} AS b FROM embeddings),
+         c AS (SELECT vec_id, emb, nrm,
+                      {_SQL_CELL_B.format(e="emb", b="nb.b")} AS cell
+               FROM ({_SQL_EMB_CTE}) CROSS JOIN nb),
+         bt AS (SELECT * FROM c WHERE vec_id % {_SI_MOD} = 0),
+         k  AS (SELECT * FROM c WHERE vec_id % {_SI_MOD} <> 0),
+         m AS (
+           SELECT bt.vec_id AS b_id, k.vec_id AS k_id,
+                  {_sql_cos("k", "bt")} AS score
+           FROM bt JOIN k ON bit_count(xor(k.cell, bt.cell)) <= 1
+           WHERE {_sql_cos("k", "bt")} >= {_COS_TAU}
+         ),
+         agg AS (
+           SELECT b_id, COUNT(*) AS n_matches,
+                  MIN(k_id ORDER BY score DESC, k_id) AS best_id,
+                  round(MAX(score), 6) AS best_score
+           FROM m GROUP BY b_id
+         )
+    SELECT bt.vec_id AS b_id,
+           COALESCE(agg.n_matches, 0) AS n_matches,
+           agg.best_id, agg.best_score,
+           (agg.b_id IS NOT NULL) AS is_dup
+    FROM bt LEFT JOIN agg ON bt.vec_id = agg.b_id
+    ORDER BY b_id
+    """,
+)
+def dedup_semantic_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INCREMENTAL semantic dedup — the production ingest shape for
+    embeddings: an incoming batch (vec_id % {mod} == 0) is checked against
+    the standing corpus for near-duplicates (cosine ≥ τ), emitting per new
+    vector its match count, best-matching corpus vector, and a keep/drop
+    verdict.  The batch-vs-corpus asymmetry is the same as
+    ``dedup_incremental``'s: the corpus is never self-joined.
+
+    Scale shape: the small batch explodes its radius-1 cell probes and
+    BROADCASTS; the corpus streams through a cell-equality hash join with
+    bounded occupancy (B from _detk_bits), so per-ingest cost is
+    |batch|·(B+1)·occupancy regardless of corpus size.  Deterministic
+    best-match: max (score, then lowest vec_id) — both engines pick
+    identically on exact doubles."""
+    emb = _emb(spark, sf_dir)
+    bits = _detk_bits(emb.count())
+    c = emb.withColumn("cell", _cell_bits(F.col("emb"), bits))
+    batch = c.filter(F.col("vec_id") % _SI_MOD == 0)
+    corpus = c.filter(F.col("vec_id") % _SI_MOD != 0)
+    masks = [0] + [1 << b for b in range(bits)]
+    probes = batch.select(
+        F.col("vec_id").alias("b_id"),
+        F.col("emb").alias("b_emb"),
+        F.col("nrm").alias("b_nrm"),
+        F.explode(F.array(*[F.lit(m) for m in masks])).alias("mask"),
+        F.col("cell"),
+    ).select(
+        "b_id",
+        "b_emb",
+        "b_nrm",
+        F.col("cell").bitwiseXOR(F.col("mask")).alias("pcell"),
+    )
+    score = _dot(F.col("emb"), F.col("b_emb")) / (
+        F.col("nrm") * F.col("b_nrm")
+    )
+    m = (
+        corpus.join(F.broadcast(probes), F.col("cell") == F.col("pcell"))
+        .select("b_id", F.col("vec_id").alias("k_id"), score.alias("score"))
+        .filter(F.col("score") >= _COS_TAU)
+    )
+    agg = m.groupBy("b_id").agg(
+        F.count(F.lit(1)).alias("n_matches"),
+        F.max(
+            F.struct(F.col("score"), (-F.col("k_id")).alias("neg_id"))
+        ).alias("best"),
+    )
+    return (
+        batch.select(F.col("vec_id").alias("b_id"))
+        .join(agg, "b_id", "left")
+        .select(
+            "b_id",
+            F.coalesce(F.col("n_matches"), F.lit(0)).alias("n_matches"),
+            (-F.col("best.neg_id")).cast("bigint").alias("best_id"),
+            F.round(F.col("best.score"), 6).alias("best_score"),
+            F.col("n_matches").isNotNull().alias("is_dup"),
+        )
+        .orderBy("b_id")
+    )

@@ -383,3 +383,13 @@ def test_boilerplate_prefix_no_join(spark):
     plan = _plan(spark, "text_boilerplate_prefix")
     assert "Join" not in plan
     assert "HashAggregate" in plan
+
+
+def test_semantic_incremental_broadcasts_batch_probes(spark):
+    """dedup_semantic_incremental: the batch probe side broadcasts into a
+    cell-equality hash join; the corpus is never self-joined or
+    nested-looped."""
+    plan = _plan(spark, "dedup_semantic_incremental")
+    assert "BroadcastHashJoin" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
