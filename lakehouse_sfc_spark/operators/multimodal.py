@@ -284,9 +284,13 @@ def decode_image(payload: bytes) -> "np.ndarray":
         from lakehouse_sfc_spark.operators.jpeg import decode_jpeg
 
         return decode_jpeg(payload)
+    if payload[:6] in (b"GIF87a", b"GIF89a"):
+        from lakehouse_sfc_spark.operators.gif import decode_gif
+
+        return decode_gif(payload)
     raise NotImplementedError(
-        "BMP, PNG and baseline JPEG decode natively; other image formats "
-        "are not supported in this environment"
+        "BMP, PNG, GIF and baseline JPEG decode natively; other image "
+        "formats are not supported in this environment"
     )
 
 
@@ -339,6 +343,13 @@ def decode_real_batches(
                 from lakehouse_sfc_spark.operators.jpeg import decode_jpeg
 
                 px = decode_jpeg(b)
+                out["height"].append(px.shape[0])
+                out["width"].append(px.shape[1])
+                out["frames"].append(1)
+            elif b[:6] in (b"GIF87a", b"GIF89a"):
+                from lakehouse_sfc_spark.operators.gif import decode_gif
+
+                px = decode_gif(b)
                 out["height"].append(px.shape[0])
                 out["width"].append(px.shape[1])
                 out["frames"].append(1)
@@ -535,6 +546,30 @@ def synth_jpeg_batches(
     for pdf in batches:
         payloads = [
             encode_jpeg(_synth_pixels(int(d), int(w), int(h)), quality=90)
+            for d, w, h in zip(pdf["doc_id"], pdf["width"], pdf["height"])
+        ]
+        yield pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"].astype("int64"),
+                "payload": pd.Series(payloads, dtype="object"),
+                "width": pdf["width"].astype("int32"),
+                "height": pdf["height"].astype("int32"),
+            }
+        )
+
+
+def synth_gif_batches(
+    batches: Iterable[pd.DataFrame],
+) -> Iterator[pd.DataFrame]:
+    """(doc_id, width, height) → (doc_id, payload, width, height) with the
+    payload a REAL LZW-compressed GIF87a of the deterministic grid (the
+    grid is grayscale, so the index image under the grayscale palette IS
+    the pixel value — decode returns it in all three channels)."""
+    from lakehouse_sfc_spark.operators.gif import encode_gif
+
+    for pdf in batches:
+        payloads = [
+            encode_gif(_synth_pixels(int(d), int(w), int(h))[:, :, 0])
             for d, w, h in zip(pdf["doc_id"], pdf["width"], pdf["height"])
         ]
         yield pd.DataFrame(

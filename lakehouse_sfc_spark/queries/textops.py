@@ -30,6 +30,7 @@ from lakehouse_sfc_spark.operators.multimodal import (
     decode_real_stats_batches,
     resize_stub_batches,
     synth_audio_batches,
+    synth_gif_batches,
     synth_image_batches,
     synth_png_batches,
 )
@@ -1486,3 +1487,48 @@ def text_boilerplate_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("n_docs") >= 2)
         .orderBy(F.desc("n_docs"), "prefix_key")
     )
+
+
+@register(
+    "multimodal_gif_real",
+    oracle="""
+    WITH p AS (
+      SELECT doc_id,
+             (16 + doc_id % 17)::INTEGER AS width,
+             (8 + doc_id % 13)::INTEGER AS height
+      FROM documents WHERE doc_id % 7 = 0
+    ),
+    g AS (
+      SELECT p.doc_id, p.width, p.height, x.r AS x, y.r AS y
+      FROM p, LATERAL (SELECT unnest(range(0, p.width)) AS r) x,
+              LATERAL (SELECT unnest(range(0, p.height)) AS r) y
+    )
+    SELECT doc_id,
+           MIN(width)::INTEGER AS width,
+           MIN(height)::INTEGER AS height,
+           1::INTEGER AS frames,
+           SUM(3 * ((3*x + 7*y + doc_id) % 251))::BIGINT AS pixel_sum
+    FROM g GROUP BY doc_id
+    """,
+)
+def multimodal_gif_real(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL LZW codec end-to-end: the deterministic grids encoded as genuine
+    GIF87a (variable-width LZW, 256-entry palette, sub-block framing —
+    operators/gif.py) and decoded back through the production image kernel,
+    completing the classic-compression coverage: DEFLATE (PNG), DCT+Huffman
+    (JPEG), and now LZW.  The grid is grayscale so the palette-index image
+    IS the value plane; geometry and the full pixel content check are
+    closed-form, and n_bytes is excluded (LZW output length is an encoder
+    implementation detail, though THIS encoder is deterministic)."""
+    d = load_table(spark, sf_dir, "documents")
+    params = d.filter(F.col("doc_id") % 7 == 0).select(
+        "doc_id",
+        (F.pmod(F.col("doc_id"), F.lit(17)) + 16).cast("int").alias("width"),
+        (F.pmod(F.col("doc_id"), F.lit(13)) + 8).cast("int").alias("height"),
+    )
+    encoded = params.mapInPandas(
+        synth_gif_batches, "doc_id bigint, payload binary, width int, height int"
+    )
+    return encoded.mapInPandas(
+        decode_real_stats_batches, DECODED_STATS_SCHEMA
+    ).drop("n_bytes")

@@ -38,10 +38,10 @@ def test_bmp_roundtrip_exact():
 def test_bmp_rejects_unsupported():
     with pytest.raises(ValueError):
         decode_bmp(b"NOPE....")
-    # PNG and baseline JPEG decode natively since round 4; formats we have
-    # no codec for (e.g. GIF) still refuse loudly
+    # PNG/JPEG (r4) and GIF (r5) decode natively; formats we have no codec
+    # for (e.g. TIFF) still refuse loudly
     with pytest.raises(NotImplementedError):
-        decode_image(b"GIF89a......")
+        decode_image(b"II*\x00........")
 
 
 def test_wav_roundtrip_exact():
@@ -319,3 +319,63 @@ def test_avi_skips_unknown_chunks():
     out = out[:4] + struct.pack("<I", len(out) - 8) + out[8:]
     fps, dec = decode_avi_mjpeg(out)
     assert fps == 10 and len(dec) == 1
+
+
+# --- GIF (LZW) ---------------------------------------------------------------
+
+
+def test_gif_roundtrip_exact():
+    from lakehouse_sfc_spark.operators.gif import decode_gif, encode_gif
+
+    rng = np.random.RandomState(11)
+    for h, w in [(1, 1), (8, 16), (33, 61), (64, 200)]:
+        idx = rng.randint(0, 251, (h, w)).astype(np.uint8)
+        out = decode_gif(encode_gif(idx))
+        assert out.shape == (h, w, 3)
+        for c in range(3):  # grayscale palette: every channel == index
+            assert (out[:, :, c] == idx).all()
+
+
+def test_gif_lzw_dict_reset_and_kwkwk():
+    """Images long enough to overflow the 4096-code table exercise the
+    clear-code reset; constant images exercise the KwKwK decoder case."""
+    from lakehouse_sfc_spark.operators.gif import decode_gif, encode_gif
+
+    big = np.tile(np.arange(256, dtype=np.uint8), (40, 30))[:40, :2000]
+    assert (decode_gif(encode_gif(big))[:, :, 0] == big).all()
+    const = np.full((50, 300), 7, dtype=np.uint8)
+    assert (decode_gif(encode_gif(const))[:, :, 0] == const).all()
+
+
+def test_gif_rejects_unsupported():
+    from lakehouse_sfc_spark.operators.gif import decode_gif, encode_gif
+
+    with pytest.raises(ValueError, match="not a GIF"):
+        decode_gif(b"NOPE" * 4)
+    # interlace flag set -> explicit NotImplementedError
+    g = bytearray(encode_gif(np.zeros((4, 4), dtype=np.uint8)))
+    desc = g.index(0x2C, 13 + 768)
+    g[desc + 9] |= 0x40
+    with pytest.raises(NotImplementedError, match="interlaced"):
+        decode_gif(bytes(g))
+
+
+def test_gif_skips_extension_blocks():
+    """GIF89a graphic-control extensions before the image must be skipped."""
+    from lakehouse_sfc_spark.operators.gif import decode_gif, encode_gif
+
+    idx = np.arange(16, dtype=np.uint8).reshape(4, 4)
+    g = encode_gif(idx)
+    head, rest = g[: 13 + 768], g[13 + 768 :]
+    gce = b"\x21\xf9\x04\x00\x00\x00\x00\x00"
+    patched = b"GIF89a" + head[6:] + gce + rest
+    assert (decode_gif(patched)[:, :, 0] == idx).all()
+
+
+def test_gif_dispatches_through_decode_image():
+    from lakehouse_sfc_spark.operators.gif import encode_gif
+
+    idx = np.arange(64, dtype=np.uint8).reshape(8, 8)
+    out = decode_image(encode_gif(idx))
+    assert out.shape == (8, 8, 3)
+    assert (out[:, :, 0] == idx).all()
