@@ -403,3 +403,141 @@ def profile_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bucket")
     )
+
+
+@register(
+    "dq_uniqueness",
+    oracle="""
+    SELECT 'customer.c_custkey' AS key_col,
+           (SELECT COUNT(*) FROM customer) AS n_rows,
+           (SELECT COUNT(DISTINCT c_custkey) FROM customer) AS n_distinct,
+           (SELECT COUNT(*) FROM customer)
+             - (SELECT COUNT(DISTINCT c_custkey) FROM customer) AS n_dup_rows
+    UNION ALL
+    SELECT 'documents.doc_id',
+           (SELECT COUNT(*) FROM documents),
+           (SELECT COUNT(DISTINCT doc_id) FROM documents),
+           (SELECT COUNT(*) FROM documents)
+             - (SELECT COUNT(DISTINCT doc_id) FROM documents)
+    UNION ALL
+    SELECT 'events.event_id',
+           (SELECT COUNT(*) FROM events),
+           (SELECT COUNT(DISTINCT event_id) FROM events),
+           (SELECT COUNT(*) FROM events)
+             - (SELECT COUNT(DISTINCT event_id) FROM events)
+    UNION ALL
+    SELECT 'lineitem.(l_orderkey,l_linenumber)',
+           (SELECT COUNT(*) FROM lineitem),
+           (SELECT COUNT(*) FROM
+              (SELECT DISTINCT l_orderkey, l_linenumber FROM lineitem)),
+           (SELECT COUNT(*) FROM lineitem)
+             - (SELECT COUNT(*) FROM
+                  (SELECT DISTINCT l_orderkey, l_linenumber FROM lineitem))
+    ORDER BY key_col
+    """,
+)
+def dq_uniqueness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Primary-key uniqueness audit (the twin of dq_referential_integrity):
+    per declared key, total rows vs distinct keys and the duplicate-row
+    surplus — including one COMPOSITE key.  A lake enforces no PKs, so this
+    is the post-ingest assertion every pipeline schedules.
+
+    Scale shape: each check is one map-side-combinable distinct-aggregate
+    on the key column(s) — no joins; COUNT(DISTINCT) over a single shuffle
+    per table."""
+
+    def check(df: DataFrame, cols: list[str], name: str) -> DataFrame:
+        return df.agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.count_distinct(*[F.col(c) for c in cols]).alias("n_distinct"),
+        ).select(
+            F.lit(name).alias("key_col"),
+            "n_rows",
+            "n_distinct",
+            (F.col("n_rows") - F.col("n_distinct")).alias("n_dup_rows"),
+        )
+
+    checks = [
+        check(load_table(spark, sf_dir, "customer"), ["c_custkey"],
+              "customer.c_custkey"),
+        check(load_table(spark, sf_dir, "documents"), ["doc_id"],
+              "documents.doc_id"),
+        check(load_table(spark, sf_dir, "events"), ["event_id"],
+              "events.event_id"),
+        check(load_table(spark, sf_dir, "lineitem"),
+              ["l_orderkey", "l_linenumber"],
+              "lineitem.(l_orderkey,l_linenumber)"),
+    ]
+    out = checks[0]
+    for c in checks[1:]:
+        out = out.unionByName(c)
+    return out.orderBy("key_col")
+
+
+# Benford's-law expected first-digit frequencies log10(1 + 1/d), pinned as
+# LITERALS so neither engine evaluates a logarithm (transcendentals are
+# cross-engine poison; identical literals compare identically).
+_BENFORD = [
+    0.30103, 0.176091, 0.124939, 0.09691, 0.079181,
+    0.066947, 0.057992, 0.051153, 0.045757,
+]
+
+_SQL_BENFORD_CASE = (
+    "CASE digit "
+    + " ".join(f"WHEN {d + 1} THEN {p}" for d, p in enumerate(_BENFORD))
+    + " END"
+)
+
+
+@register(
+    "profile_benford",
+    oracle=f"""
+    WITH d AS (
+      SELECT CAST(substr(CAST(CAST(FLOOR(o_totalprice) AS BIGINT) AS VARCHAR),
+                  1, 1) AS BIGINT) AS digit
+      FROM orders WHERE o_totalprice >= 1
+    ),
+    c AS (SELECT digit, COUNT(*) AS cnt FROM d GROUP BY 1),
+    t AS (SELECT SUM(cnt) AS n FROM c)
+    SELECT digit, cnt,
+           round(cnt::DOUBLE / n, 6) AS observed,
+           CAST({_SQL_BENFORD_CASE} AS DOUBLE) AS expected,
+           round(cnt::DOUBLE / n
+                 - CAST({_SQL_BENFORD_CASE} AS DOUBLE), 6) AS deviation
+    FROM c CROSS JOIN t
+    ORDER BY digit
+    """,
+)
+def profile_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford first-significant-digit profile of order totals — the
+    classic anomaly screen for fabricated or truncated numeric data.  The
+    leading digit comes from integer/string arithmetic (truncate, cast,
+    first char), the expected frequencies are pinned literals, and
+    observed/deviation are single IEEE divisions of exact integers — no
+    logarithm is ever evaluated at query time in either engine.
+
+    Scale shape: one map-side-combinable groupBy on 9 keys + a 1-row total
+    broadcast; the digit extraction rides the scan."""
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_totalprice") >= 1)
+    d = o.select(
+        F.substring(
+            F.floor(F.col("o_totalprice")).cast("bigint").cast("string"), 1, 1
+        ).cast("bigint").alias("digit")
+    )
+    c = d.groupBy("digit").agg(F.count(F.lit(1)).alias("cnt"))
+    t = c.agg(F.sum("cnt").alias("n"))
+    expected = F.lit(None).cast("double")
+    for i, p in enumerate(_BENFORD):
+        expected = F.when(F.col("digit") == i + 1, F.lit(p)).otherwise(expected)
+    obs = F.col("cnt").cast("double") / F.col("n")
+    return (
+        c.crossJoin(F.broadcast(t))
+        .select(
+            "digit",
+            "cnt",
+            F.round(obs, 6).alias("observed"),
+            expected.alias("expected"),
+            F.round(obs - expected, 6).alias("deviation"),
+        )
+        .orderBy("digit")
+    )

@@ -393,3 +393,18 @@ def test_semantic_incremental_broadcasts_batch_probes(spark):
     assert "BroadcastHashJoin" in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_uniqueness_is_distinct_aggregates_no_join(spark):
+    """dq_uniqueness: one distinct-aggregate per table, no joins at all."""
+    plan = _plan(spark, "dq_uniqueness")
+    assert "Join" not in plan
+    assert "HashAggregate" in plan
+
+
+def test_benford_single_agg_tiny_broadcast(spark):
+    """profile_benford: one 9-key groupBy + a 1-row totals broadcast."""
+    plan = _plan(spark, "profile_benford")
+    assert plan.count("HashAggregate") >= 2
+    assert "SortMergeJoin" not in plan
+    assert "ShuffledHashJoin" not in plan
