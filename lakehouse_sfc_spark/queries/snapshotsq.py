@@ -533,3 +533,51 @@ def snap_restore(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         out = agg if out is None else out.unionByName(agg)
     return out.orderBy("version")
+
+
+@register(
+    "snap_tags",
+    oracle=f"""
+    {_SQL_STATES}
+    SELECT 'initial' AS tag, CAST(0 AS INT) AS version,
+           COUNT(*) AS cnt, {sql_dsum("o_totalprice", "sum_price")}
+    FROM state0
+    UNION ALL
+    SELECT 'post-upsert', CAST(1 AS INT), COUNT(*),
+           {sql_dsum("o_totalprice", "sum_price")} FROM state1
+    UNION ALL
+    SELECT 'restored', CAST(3 AS INT), COUNT(*),
+           {sql_dsum("o_totalprice", "sum_price")} FROM state1
+    ORDER BY tag
+    """,
+)
+def snap_tags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Named refs (Iceberg tag / Delta named-version parity): versions of
+    the restore chain are tagged ('initial' → v0, 'post-upsert' → v1,
+    'restored' → v3) and each tag is read back BY NAME — proving refs
+    resolve through the same manifest machinery as numeric time travel.
+    'restored' aggregates exactly like 'post-upsert': a tag on a RESTORE
+    commit sees the restored (v1) data, which the oracle asserts by
+    reusing state1 for both."""
+    t = _restore_table(spark, sf_dir)
+    t.set_tag("initial", 0)
+    t.set_tag("post-upsert", 1)
+    t.set_tag("restored", 3)
+    out = None
+    for name in sorted(t.tags()):
+        v = t.tags()[name]
+        agg = (
+            t.read_tag(name)
+            .agg(
+                F.count(F.lit(1)).alias("cnt"),
+                dsum("o_totalprice", "sum_price"),
+            )
+            .select(
+                F.lit(name).alias("tag"),
+                F.lit(v).cast("int").alias("version"),
+                "cnt",
+                "sum_price",
+            )
+        )
+        out = agg if out is None else out.unionByName(agg)
+    return out.orderBy("tag")

@@ -630,6 +630,43 @@ class SnapshotTable:
 
     # --------------------------------------------------------------- vacuum
 
+    # ----------------------------------------------------------------- refs
+
+    def _refs_path(self) -> str:
+        return os.path.join(self.path, _LOG_DIR, "refs.json")
+
+    def tags(self) -> dict[str, int]:
+        """Named refs → versions (Iceberg tag parity)."""
+        try:
+            with open(self._refs_path()) as fh:
+                return {k: int(v) for k, v in json.load(fh).items()}
+        except FileNotFoundError:
+            return {}
+
+    def set_tag(self, name: str, version: int | None = None) -> dict[str, int]:
+        """Tag a version with a stable name (Iceberg ``create_tag``): a
+        metadata-only ref, atomically rewritten, resolvable by ``read``.
+        Tagging pins nothing new — manifests are already immutable — it
+        just gives a version a meaningful name ('prod-2024-06', 'pre-GDPR-
+        purge') that survives later commits."""
+        v = self.latest_version() if version is None else version
+        if not os.path.exists(_manifest_path(self.path, v)):
+            raise FileNotFoundError(f"no version {v} to tag at {self.path}")
+        refs = self.tags()
+        refs[name] = v
+        tmp = self._refs_path() + ".tmp"
+        with open(tmp, "w") as fh:
+            json.dump(refs, fh)
+        os.rename(tmp, self._refs_path())
+        return refs
+
+    def read_tag(self, name: str) -> DataFrame:
+        """Time travel by NAME (Delta ``VERSION AS OF`` a tag)."""
+        refs = self.tags()
+        if name not in refs:
+            raise KeyError(f"unknown tag {name!r}; have {sorted(refs)}")
+        return self.read(refs[name])
+
     def restore(self, version: int) -> dict:
         """Delta ``RESTORE TABLE ... TO VERSION`` parity: a METADATA-ONLY
         commit whose file set and schema are the target version's.  Data

@@ -439,3 +439,21 @@ def test_restore_carries_constraints_forward(table):
     )
     with _pytest.raises(ValueError, match="pos_price"):
         table.append(bad)
+
+
+def test_tags_resolve_and_survive_commits(table, orders):
+    """Named refs point at immutable versions; later commits don't move
+    them, and reading by name equals reading by number."""
+    n0 = orders.count()
+    table.set_tag("initial")  # defaults to latest (v0)
+    table.delete_where([Pred("o_orderkey", "<", 1000)])
+    table.set_tag("post-delete", 1)
+    assert table.tags() == {"initial": 0, "post-delete": 1}
+    assert table.read_tag("initial").count() == n0
+    assert table.read_tag("post-delete").count() == table.read(1).count()
+    import pytest as _pytest
+
+    with _pytest.raises(KeyError, match="unknown tag"):
+        table.read_tag("nope")
+    with _pytest.raises(FileNotFoundError):
+        table.set_tag("future", 99)
