@@ -2415,3 +2415,38 @@ def dedup_semantic_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("b_id")
     )
+
+
+# --- embedding norm distribution --------------------------------------------
+
+
+@register(
+    "emb_norm_histogram",
+    oracle=f"""
+    WITH c AS ({_SQL_EMB_CTE})
+    SELECT CAST(FLOOR(nrm * 10.0) AS BIGINT) AS norm_decile,
+           COUNT(*) AS n_vecs,
+           MIN(vec_id) AS min_vec_id
+    FROM c GROUP BY 1 ORDER BY 1
+    """,
+)
+def emb_norm_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding L2-norm distribution in 0.1-wide buckets — the sanity
+    check before any cosine-based pipeline (zero-norm and outlier-norm
+    vectors break normalization and distort ANN cell geometry).  The norm
+    is sqrt of the deterministic left-to-right dot fold; IEEE sqrt is
+    correctly rounded in both engines, and the only other operation is a
+    floor-truncated scaling.
+
+    Scale shape: map-only norm + one tiny-keyed histogram aggregation."""
+    c = _emb(spark, sf_dir)
+    return (
+        c.groupBy(
+            F.floor(F.col("nrm") * 10.0).cast("bigint").alias("norm_decile")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_vecs"),
+            F.min("vec_id").alias("min_vec_id"),
+        )
+        .orderBy("norm_decile")
+    )

@@ -241,3 +241,54 @@ def w_percent_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("c_custkey") % 97 == 0)
         .orderBy("c_custkey")
     )
+
+
+@register(
+    "w_gap_histogram",
+    oracle="""
+    WITH g AS (
+      SELECT user_id,
+             epoch_us(ts) - LAG(epoch_us(ts)) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+             ) AS gap_us
+      FROM events
+    )
+    SELECT CAST(FLOOR(gap_us / 3600000000.0) AS BIGINT) AS gap_hours,
+           COUNT(*) AS n_gaps,
+           COUNT(DISTINCT user_id) AS n_users,
+           MIN(gap_us) AS min_gap_us,
+           MAX(gap_us) AS max_gap_us
+    FROM g WHERE gap_us IS NOT NULL
+    GROUP BY 1 ORDER BY 1
+    """,
+)
+def w_gap_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-arrival gap DISTRIBUTION (the sessionization-tuning view: the
+    histogram's first valley is where the session gap threshold belongs):
+    per-user LAG deltas in epoch microseconds, bucketed into whole hours.
+    All-integer pipeline — the only double is the bucketing division,
+    floor-truncated identically by both engines.
+
+    Scale shape: one user_id shuffle shared by the window, then a
+    map-side-combinable histogram aggregation on the bucket key."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    us = F.unix_micros(F.col("ts").cast("timestamp_ltz"))
+    gaps = ev.select(
+        "user_id",
+        (us - F.lag(us).over(w)).alias("gap_us"),
+    ).filter(F.col("gap_us").isNotNull())
+    return (
+        gaps.groupBy(
+            F.floor(F.col("gap_us") / 3600000000.0)
+            .cast("bigint")
+            .alias("gap_hours")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_gaps"),
+            F.count_distinct("user_id").alias("n_users"),
+            F.min("gap_us").alias("min_gap_us"),
+            F.max("gap_us").alias("max_gap_us"),
+        )
+        .orderBy("gap_hours")
+    )
