@@ -2450,3 +2450,122 @@ def emb_norm_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("norm_decile")
     )
+
+
+# --- temporal train/eval split ----------------------------------------------
+
+_TS_CUTOFF = "1995-06-01 00:00:00"
+
+
+@register(
+    "sample_temporal_split",
+    oracle=f"""
+    WITH s AS (
+      SELECT user_id, event_id,
+             CASE WHEN ts < TIMESTAMP '{_TS_CUTOFF}'
+                  THEN 'train' ELSE 'eval' END AS split
+      FROM events
+    ),
+    spanning AS (
+      SELECT user_id FROM s GROUP BY user_id
+      HAVING COUNT(DISTINCT split) = 2
+    )
+    SELECT split,
+           COUNT(*) AS n_events,
+           COUNT(DISTINCT user_id) AS n_users,
+           SUM(event_id)::BIGINT AS id_checksum,
+           (SELECT COUNT(*) FROM spanning) AS n_spanning_users
+    FROM s GROUP BY split ORDER BY split
+    """,
+)
+def sample_temporal_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TEMPORAL train/eval split — the split a forecasting or
+    recommendation pipeline must use (random splits leak the future into
+    training): events strictly before the cutoff train, the rest evaluate.
+    Alongside the per-side counts and membership checksum it reports
+    n_spanning_users — users with events on BOTH sides, the population
+    whose train-side history makes eval-side predictions non-cold-start
+    (and the one to audit for feature leakage).
+
+    Scale shape: map-only split tag + one keyed agg; the spanning-user
+    count is a second aggregate on the (user, split) pair relation,
+    broadcast back as a 1-row scalar."""
+    ev = load_table(spark, sf_dir, "events")
+    split = F.when(
+        F.col("ts") < F.lit(_TS_CUTOFF).cast("timestamp_ntz"), "train"
+    ).otherwise("eval")
+    s = ev.select("user_id", "event_id", split.alias("split"))
+    spanning = (
+        s.groupBy("user_id")
+        .agg(F.count_distinct("split").alias("k"))
+        .filter(F.col("k") == 2)
+        .agg(F.count(F.lit(1)).alias("n_spanning_users"))
+    )
+    return (
+        s.groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.count_distinct("user_id").alias("n_users"),
+            F.sum("event_id").cast("bigint").alias("id_checksum"),
+        )
+        .crossJoin(F.broadcast(spanning))
+        .orderBy("split")
+    )
+
+
+# --- event-type transition matrix -------------------------------------------
+
+
+@register(
+    "a_markov_transitions",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, event_type,
+             LEAD(event_type) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+             ) AS next_type
+      FROM events
+    ),
+    c AS (
+      SELECT event_type AS from_type, next_type AS to_type, COUNT(*) AS cnt
+      FROM seq WHERE next_type IS NOT NULL
+      GROUP BY 1, 2
+    ),
+    t AS (SELECT from_type, SUM(cnt) AS row_n FROM c GROUP BY 1)
+    SELECT c.from_type, c.to_type, c.cnt,
+           round(c.cnt::DOUBLE / t.row_n, 6) AS p
+    FROM c JOIN t ON c.from_type = t.from_type
+    ORDER BY c.from_type, c.to_type
+    """,
+)
+def a_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order behavioural transition matrix: P(next event type |
+    current), from per-user LEAD pairs — the input to funnel diagnosis,
+    next-action models, and anomalous-flow alerts.  Counts are exact; each
+    probability is one double division.
+
+    Scale shape: one user_id shuffle for the window, then two
+    map-side-combinable aggregations on the 25-cell key space; the
+    row-total join is a broadcast of |event types| rows."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        F.col("event_type").alias("from_type"),
+        F.lead("event_type").over(w).alias("to_type"),
+    ).filter(F.col("to_type").isNotNull())
+    c = seq.groupBy("from_type", "to_type").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    t = c.groupBy("from_type").agg(F.sum("cnt").alias("row_n"))
+    return (
+        c.join(F.broadcast(t), "from_type")
+        .select(
+            "from_type",
+            "to_type",
+            "cnt",
+            F.round(
+                F.col("cnt").cast("double") / F.col("row_n"), 6
+            ).alias("p"),
+        )
+        .orderBy("from_type", "to_type")
+    )
