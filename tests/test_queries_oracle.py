@@ -93,3 +93,36 @@ def test_embedding_topk_recall(spark):
     assert r2 / len(exact) >= 0.4, (
         f"default-radius recall regressed: {r2}/{len(exact)}"
     )
+
+
+def test_pq_shortlist_recall_floor(spark):
+    """ann_pq_topk's exact re-rank can only return what the ADC shortlist
+    retained: assert the documented recall floor vs the exact-L2 top-k on
+    this corpus (1.0 at sf0.001/0.01-scale data; the docstring records 0.8
+    at sf0.1)."""
+    from pyspark.sql import functions as F
+
+    from lakehouse_sfc_spark.queries.datapipe import (
+        _ANN_QUERY_ID,
+        _emb,
+        _l2,
+    )
+    from lakehouse_sfc_spark.queries.registry import QUERIES
+
+    sf = "/root/testdata/sf0.01"
+    c = _emb(spark, sf)
+    q = c.filter(F.col("vec_id") == _ANN_QUERY_ID).select(
+        F.col("emb").alias("qe")
+    )
+    exact = (
+        c.filter(F.col("vec_id") != _ANN_QUERY_ID)
+        .join(F.broadcast(q))
+        .select("vec_id", _l2(F.col("emb"), F.col("qe")).alias("d"))
+        .orderBy("d", "vec_id")
+        .limit(10)
+        .collect()
+    )
+    ex = {r.vec_id for r in exact}
+    pq = {r.vec_id for r in QUERIES["ann_pq_topk"].fn(spark, sf).collect()}
+    recall = len(ex & pq) / len(ex)
+    assert recall >= 0.9, f"PQ re-rank recall {recall} fell below floor"
