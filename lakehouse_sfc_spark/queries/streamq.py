@@ -17,6 +17,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from lakehouse_sfc_spark.queries.registry import register
+from lakehouse_sfc_spark.queries.textops import _SQL_TOKENS
 from lakehouse_sfc_spark.sources.loader import load_table
 
 
@@ -311,3 +312,38 @@ def stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     from lakehouse_sfc_spark.streaming import run_stream_interval_join
 
     return run_stream_interval_join(spark, sf_dir)
+
+
+@register(
+    "stream_decontaminate",
+    oracle=f"""
+    WITH g AS (
+      SELECT doc_id,
+             list_distinct(list_transform(range(1, len(w)-3),
+               i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' ||
+                    w[i+3] || ' ' || w[i+4])) AS ng
+      FROM (SELECT doc_id, {_SQL_TOKENS} AS w FROM documents)
+    ),
+    bench AS (SELECT doc_id AS b_id, unnest(ng) AS s
+              FROM g WHERE doc_id % 23 = 0),
+    train AS (SELECT doc_id, unnest(ng) AS s
+              FROM g WHERE doc_id % 23 <> 0)
+    SELECT t.doc_id,
+           COUNT(DISTINCT t.s) AS n_hit,
+           COUNT(DISTINCT b.b_id) AS n_bench_docs
+    FROM train t JOIN bench b ON t.s = b.s
+    GROUP BY t.doc_id
+    ORDER BY t.doc_id
+    """,
+)
+def stream_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming decontamination: contaminated documents are flagged at
+    INGEST (stream-side shingles vs a broadcast static benchmark set)
+    instead of in a batch sweep — the shape a continuously-fed training
+    corpus needs.  Replaying the backlog must reproduce the batch
+    ``text_decontaminate`` hit counts exactly."""
+    from lakehouse_sfc_spark.streaming.pipeline import (
+        run_stream_decontaminate,
+    )
+
+    return run_stream_decontaminate(spark, sf_dir).orderBy("doc_id")

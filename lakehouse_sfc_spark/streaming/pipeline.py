@@ -734,3 +734,89 @@ def run_stream_interval_join(
         .cast("double")
         .alias("matched_value"),
     )
+
+
+_DOCS_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("text", T.StringType()),
+        T.StructField("lang", T.StringType()),
+        T.StructField("source", T.StringType()),
+        T.StructField("n_chars", T.LongType()),
+    ]
+)
+
+
+def read_docs_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming read of the documents table (file source, whole-file
+    micro-batches like read_events_stream; documents carry no event time,
+    so consumers aggregate in complete mode rather than with watermarks)."""
+    return (
+        spark.readStream.schema(_DOCS_SCHEMA)
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(sf_dir)
+    )
+
+
+def run_stream_decontaminate(
+    spark: SparkSession,
+    sf_dir: str,
+    k: int = 5,
+    mod: int = 23,
+    timeout_s: int = 300,
+) -> DataFrame:
+    """INGEST-TIME decontamination: the document stream's k-shingles join a
+    STATIC benchmark shingle set (built once from the batch side — the eval
+    suite is fixed while the corpus streams), flagging contaminated
+    documents with hit counts as they arrive.  Stream-static inner join
+    per micro-batch plus a complete-mode aggregate; with the backlog
+    replayed the result equals the batch ``text_decontaminate`` contract.
+
+    Scale shape: the benchmark side is tiny and broadcast into every
+    micro-batch; the stream side never shuffles before the join, and the
+    aggregate state is bounded by the number of CONTAMINATED docs."""
+    from lakehouse_sfc_spark.queries.datapipe import _ngrams, _tokens
+    from lakehouse_sfc_spark.sources.loader import load_table
+
+    name = f"decon_{uuid.uuid4().hex[:8]}"
+    mod_col = F.col("doc_id") % mod
+
+    bench = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.size(_tokens(F.col("text"))) >= k)
+        .filter(mod_col == 0)
+        .select(
+            F.col("doc_id").alias("b_id"),
+            F.explode(_ngrams(_tokens(F.col("text")), k)).alias("s"),
+        )
+        .localCheckpoint(eager=False)  # build the static side exactly once
+    )
+    from lakehouse_sfc_spark.sources.loader import compute_width
+
+    # whole-file micro-batches arrive as ONE partition; exchange the pruned
+    # raw rows to full width so the shingle projection parallelizes (the
+    # same single-core-pre-shuffle fix as the batch text operators)
+    train = (
+        read_docs_stream(spark, sf_dir)
+        .filter(F.size(_tokens(F.col("text"))) >= k)
+        .filter(mod_col != 0)
+        .repartition(compute_width(spark))
+        .select(
+            "doc_id",
+            F.explode(_ngrams(_tokens(F.col("text")), k)).alias("s"),
+        )
+    )
+    # streaming aggs forbid COUNT(DISTINCT); collect_set + size is the
+    # supported equivalent (state = the distinct hit shingles per doc,
+    # bounded by each contaminated doc's shingle count)
+    flagged = (
+        train.join(F.broadcast(bench), "s")
+        .groupBy("doc_id")
+        .agg(
+            F.size(F.collect_set("s")).alias("n_hit"),
+            F.size(F.collect_set("b_id")).alias("n_bench_docs"),
+        )
+    )
+    return _replay_to_memory(
+        spark, flagged, name, "lakehouse-sfc-decon-", "complete", timeout_s
+    )

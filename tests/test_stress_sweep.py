@@ -39,6 +39,7 @@ SENSITIVE = [
     "stream_dedup",
     "stream_interval_join",
     "stream_session_window",
+    "stream_decontaminate",
 ]
 
 
