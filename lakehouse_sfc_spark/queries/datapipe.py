@@ -2756,3 +2756,98 @@ def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(_ANN_K)
         .select("vec_id", F.round(F.col("l2"), 6).alias("l2_exact"))
     )
+
+
+# --- dedup-aware sampling weights -------------------------------------------
+
+
+@register(
+    "sample_dedup_weights",
+    oracle="""
+    WITH c AS (
+      SELECT doc_id, source,
+             COUNT(*) OVER (PARTITION BY md5(text)) AS sz
+      FROM documents
+    )
+    SELECT source,
+           COUNT(*) AS n_docs,
+           SUM(CASE WHEN sz = 1 THEN 1 ELSE 0 END) AS n_unique,
+           CAST(SUM(CAST(1.0 / sz AS DECIMAL(18,12))) AS DOUBLE)
+             AS effective_docs
+    FROM c GROUP BY source ORDER BY source
+    """,
+)
+def sample_dedup_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup-AWARE sampling weights: each document weighs 1/|its exact-dup
+    cluster|, so a source's 'effective_docs' is its deduplicated mass —
+    the number a training-mix designer should weigh sources by instead of
+    raw counts (raw counts over-reward boilerplate-heavy sources).  Each
+    1/sz term is one deterministic IEEE division; the SUM routes through
+    DECIMAL(18,12) (the repo-wide dsum discipline) so the total is
+    order-independent and bit-identical across engines — a raw double SUM
+    here would be the exact round-4 failure class.
+
+    Scale shape: one hash-window (equivalently a groupBy+join) on the
+    content key, then a per-source reduce."""
+    d = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy(F.md5("text"))
+    c = d.select(
+        "doc_id", "source", F.count(F.lit(1)).over(w).alias("sz")
+    )
+    return (
+        c.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.when(F.col("sz") == 1, 1).otherwise(0)).alias("n_unique"),
+            F.sum((F.lit(1.0) / F.col("sz")).cast("decimal(18,12)"))
+            .cast("double")
+            .alias("effective_docs"),
+        )
+        .orderBy("source")
+    )
+
+
+# --- ANN cell-occupancy diagnostics -----------------------------------------
+
+
+@register(
+    "emb_cell_occupancy",
+    oracle=f"""
+    WITH nb AS (SELECT {_DETK_BITS_SQL} AS b FROM embeddings),
+         c AS (SELECT vec_id,
+                      {_SQL_CELL_B.format(e="emb", b="nb.b")} AS cell
+               FROM (SELECT vec_id, embedding::DOUBLE[] AS emb
+                     FROM embeddings) CROSS JOIN nb),
+         occ AS (SELECT cell, COUNT(*) AS n FROM c GROUP BY 1)
+    SELECT n AS occupancy,
+           COUNT(*) AS n_cells,
+           (n * COUNT(*))::BIGINT AS n_vecs
+    FROM occ GROUP BY 1 ORDER BY 1
+    """,
+)
+def emb_cell_occupancy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sign-cell OCCUPANCY histogram — the observability for the ANN cell
+    machinery: per-cell vector counts under the data-scaled bit count
+    (_detk_bits), histogrammed.  A healthy index shows occupancy
+    concentrated near the design target (≈1 here); a fat tail means probe
+    candidate volume is growing superlinearly — exactly the round-4
+    dedup_embedding_topk failure mode, now monitorable as a query.
+
+    Scale shape: map-only cell assignment + two tiny keyed aggregations."""
+    emb = _emb(spark, sf_dir)
+    bits = _detk_bits(emb.count())
+    occ = (
+        emb.select(_cell_bits(F.col("emb"), bits).alias("cell"))
+        .groupBy("cell")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    return (
+        occ.groupBy(F.col("n").alias("occupancy"))
+        .agg(F.count(F.lit(1)).alias("n_cells"))
+        .select(
+            "occupancy",
+            "n_cells",
+            (F.col("occupancy") * F.col("n_cells")).cast("bigint").alias("n_vecs"),
+        )
+        .orderBy("occupancy")
+    )
