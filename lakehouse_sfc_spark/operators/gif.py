@@ -176,21 +176,32 @@ def decode_gif(payload: bytes) -> "np.ndarray":
     through the palette -> HxWx3 uint8 RGB."""
     if payload[:6] not in _GIF_MAGICS:
         raise ValueError("not a GIF payload")
+    if len(payload) < 13:
+        raise ValueError("truncated GIF: header cut short")
     sw, sh, packed, _bg, _aspect = struct.unpack_from("<HHBBB", payload, 6)
     pos = 13
     palette = None
     if packed & 0x80:
         n = 2 ** ((packed & 0x07) + 1)
+        if pos + 3 * n > len(payload):
+            raise ValueError("truncated GIF: global color table cut short")
         palette = payload[pos : pos + 3 * n]
         pos += 3 * n
+    def _at(p: int) -> int:
+        if p >= len(payload):
+            raise ValueError("truncated GIF: sub-block overruns payload")
+        return payload[p]
+
     while pos < len(payload):
         b = payload[pos]
         if b == 0x21:  # extension: label + sub-blocks
             pos += 2
-            while payload[pos]:
+            while _at(pos):
                 pos += 1 + payload[pos]
             pos += 1
         elif b == 0x2C:  # image descriptor
+            if pos + 10 > len(payload):
+                raise ValueError("truncated GIF: image descriptor cut short")
             _l, _t, w, h, ipacked = struct.unpack_from("<HHHHB", payload, pos + 1)
             pos += 10
             if ipacked & 0x40:
@@ -199,11 +210,13 @@ def decode_gif(payload: bytes) -> "np.ndarray":
                 raise NotImplementedError("local color tables not supported")
             if palette is None:
                 raise NotImplementedError("GIF without a global color table")
-            min_code = payload[pos]
+            min_code = _at(pos)
             pos += 1
             data = bytearray()
-            while payload[pos]:
+            while _at(pos):
                 ln = payload[pos]
+                if pos + 1 + ln > len(payload):
+                    raise ValueError("truncated GIF: data sub-block cut short")
                 data += payload[pos + 1 : pos + 1 + ln]
                 pos += 1 + ln
             pos += 1

@@ -777,9 +777,13 @@ def a_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
            COUNT(*) FILTER (WHERE k > 50) AS n_big_k
     FROM (
       SELECT event_type,
-             CAST(FLOOR(TRY_CAST(json_extract_string(props, '$.k')
-                                 AS DOUBLE)) AS BIGINT) AS k
-      FROM events
+             CASE WHEN isfinite(v) AND abs(v) < 1e15
+                  THEN CAST(FLOOR(v) AS BIGINT) END AS k
+      FROM (
+        SELECT event_type,
+               TRY_CAST(json_extract_string(props, '$.k') AS DOUBLE) AS v
+        FROM events
+      )
     )
     GROUP BY event_type
     ORDER BY event_type
@@ -792,11 +796,14 @@ def p_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     event type.  All metrics are exact integers, so the comparison is
     hash-tight despite two different JSON parsers.
 
-    Cross-engine ladder: BOTH sides normalize string → DOUBLE → FLOOR →
-    BIGINT.  A direct string→int cast is engine-divergent ("3.0", "1e2",
-    quoted numbers: DuckDB accepts, Spark NULLs; "true": DuckDB errors,
-    Spark NULLs) — IEEE-754 parse + floor is the one ladder both engines
-    compute identically, adversarial fixtures in
+    Cross-engine ladder: BOTH sides normalize string → DOUBLE, then keep
+    only FINITE values with |v| < 1e15 before FLOOR → BIGINT.  A direct
+    string→int cast is engine-divergent ("3.0", "1e2", quoted numbers:
+    DuckDB accepts, Spark NULLs; "true": DuckDB errors, Spark NULLs), and
+    the unguarded double→BIGINT tail diverges too (NaN/Infinity/≥2^63:
+    Spark try_cast saturates or zeroes, DuckDB CAST errors) — the
+    finite-and-in-range guard is what makes the ladder engine-identical
+    end to end.  Adversarial fixtures incl. NaN/Infinity/1e20 in
     tests/test_json_fixture.py.
 
     Scale note: JSON path extraction is codegen'd JVM work in the scan
@@ -806,9 +813,10 @@ def p_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     # try_cast, not cast: ANSI mode (Spark 4 default, and whatever the
     # driver's untuned session runs) throws on non-numeric JSON values
-    k = F.floor(
-        F.get_json_object(F.col("props"), "$.k").try_cast("double")
-    ).try_cast("bigint")
+    v = F.get_json_object(F.col("props"), "$.k").try_cast("double")
+    k = F.when(~F.isnan(v) & (F.abs(v) < 1e15), F.floor(v)).try_cast(
+        "bigint"
+    )
     return (
         ev.select("event_type", k.alias("k"))
         .groupBy("event_type")

@@ -137,6 +137,58 @@ def _pair_jaccard() -> Column:
     return inter.cast("double") / union
 
 
+def _prefix_candidates(ngr: DataFrame, tau: float, symmetric: bool) -> DataFrame:
+    """SOUND prefix-filter candidate pairs for a set-overlap join at
+    threshold ``tau``: order each doc's n-grams by GLOBAL document
+    frequency (rarest first), index only the first |x|−⌈τ·|x|⌉+1 of them,
+    and join the inverted index on gram equality.  A qualifying pair
+    (Jaccard ≥ τ, or containment C(A,B) ≥ τ with A as the prefix side)
+    must share a prefix gram, so this prunes without ever changing the
+    verified result — while only rare n-grams fan out, which is what
+    survives a 100 TB corpus where a plain ngram-explode join blows up on
+    stopword-grams.
+
+    ``symmetric=True`` pairs prefix↔prefix with a_id < b_id (Jaccard-style
+    joins); ``symmetric=False`` pairs prefix↔FULL index with a_id != b_id
+    (asymmetric containment, where only the A side may be pruned).
+    Shared by dedup_ngram_jaccard / dedup_containment /
+    sample_split_leakage — one implementation to fix, not three."""
+    exploded = ngr.select("doc_id", F.explode("ng").alias("g")).repartition("g")
+    dfreq = exploded.groupBy("g").agg(F.count(F.lit(1)).alias("df"))
+    ranked = (
+        exploded.join(dfreq, "g")
+        .groupBy("doc_id")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct(F.col("df"), F.col("g")))
+            ).alias("ordered"),
+        )
+        .select(
+            "doc_id",
+            F.transform(F.col("ordered"), lambda s: s["g"]).alias("ordered_g"),
+        )
+    )
+    prefix_len = (
+        F.size("ordered_g") - F.ceil(F.size("ordered_g") * F.lit(tau)) + 1
+    ).cast("int")
+    prefix = ranked.select(
+        "doc_id",
+        F.explode(F.slice(F.col("ordered_g"), 1, prefix_len)).alias("g"),
+    )
+    other = prefix if symmetric else exploded
+    pair_cond = (
+        F.col("x.doc_id") < F.col("y.doc_id")
+        if symmetric
+        else F.col("x.doc_id") != F.col("y.doc_id")
+    )
+    return (
+        prefix.alias("x")
+        .join(other.alias("y"), on=[F.col("x.g") == F.col("y.g"), pair_cond])
+        .select(F.col("x.doc_id").alias("a_id"), F.col("y.doc_id").alias("b_id"))
+        .distinct()
+    )
+
+
 def _mh_bands(ngr):
     """MinHash(64) signatures folded in one aggregate pass, exploded into
     16 banded (doc_id, band, sig) rows — the shared candidate-generation
@@ -419,43 +471,7 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         .repartition("doc_id")
         .localCheckpoint(eager=False)
     )
-
-    exploded = ngr.select("doc_id", F.explode("ng").alias("g")).repartition("g")
-    df = exploded.groupBy("g").agg(F.count(F.lit(1)).alias("df"))
-
-    ranked = (
-        exploded.join(df, "g")
-        .groupBy("doc_id")
-        .agg(
-            F.array_sort(
-                F.collect_list(F.struct(F.col("df"), F.col("g")))
-            ).alias("ordered"),
-        )
-        .select(
-            "doc_id",
-            F.transform(F.col("ordered"), lambda s: s["g"]).alias("ordered_g"),
-        )
-    )
-    prefix_len = (
-        F.size("ordered_g") - F.ceil(F.size("ordered_g") * F.lit(_NJ_TAU)) + 1
-    ).cast("int")
-    prefix = ranked.select(
-        "doc_id", F.explode(F.slice(F.col("ordered_g"), 1, prefix_len)).alias("g")
-    )
-
-    cand = (
-        prefix.alias("x")
-        .join(
-            prefix.alias("y"),
-            on=[
-                F.col("x.g") == F.col("y.g"),
-                F.col("x.doc_id") < F.col("y.doc_id"),
-            ],
-        )
-        .select(F.col("x.doc_id").alias("a_id"), F.col("y.doc_id").alias("b_id"))
-        .distinct()
-    )
-
+    cand = _prefix_candidates(ngr, _NJ_TAU, symmetric=True)
     jac = _pair_jaccard()
     return (
         cand.join(ngr.alias("a"), F.col("a_id") == F.col("a.doc_id"))
@@ -1966,44 +1982,7 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
         .repartition("doc_id")
         .localCheckpoint(eager=False)
     )
-    exploded = ngr.select(
-        "doc_id", F.explode("ng").alias("g")
-    ).repartition("g")
-    dfreq = exploded.groupBy("g").agg(F.count(F.lit(1)).alias("df"))
-    ranked = (
-        exploded.join(dfreq, "g")
-        .groupBy("doc_id")
-        .agg(
-            F.array_sort(
-                F.collect_list(F.struct(F.col("df"), F.col("g")))
-            ).alias("ordered"),
-        )
-        .select(
-            "doc_id",
-            F.transform(F.col("ordered"), lambda s: s["g"]).alias("ordered_g"),
-        )
-    )
-    prefix_len = (
-        F.size("ordered_g")
-        - F.ceil(F.size("ordered_g") * F.lit(_CT_TAU))
-        + 1
-    ).cast("int")
-    prefix = ranked.select(
-        "doc_id",
-        F.explode(F.slice(F.col("ordered_g"), 1, prefix_len)).alias("g"),
-    )
-    cand = (
-        prefix.alias("x")
-        .join(
-            exploded.alias("y"),
-            on=[
-                F.col("x.g") == F.col("y.g"),
-                F.col("x.doc_id") != F.col("y.doc_id"),
-            ],
-        )
-        .select(F.col("x.doc_id").alias("a_id"), F.col("y.doc_id").alias("b_id"))
-        .distinct()
-    )
+    cand = _prefix_candidates(ngr, _CT_TAU, symmetric=False)
     cont = (
         F.size(F.array_intersect(F.col("a.ng"), F.col("b.ng"))).cast("double")
         / F.size(F.col("a.ng"))
@@ -2274,39 +2253,7 @@ def sample_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
         .localCheckpoint(eager=False)
     )
 
-    exploded = ngr.select("doc_id", F.explode("ng").alias("g")).repartition("g")
-    dfreq = exploded.groupBy("g").agg(F.count(F.lit(1)).alias("df"))
-    ranked = (
-        exploded.join(dfreq, "g")
-        .groupBy("doc_id")
-        .agg(
-            F.array_sort(
-                F.collect_list(F.struct(F.col("df"), F.col("g")))
-            ).alias("ordered"),
-        )
-        .select(
-            "doc_id",
-            F.transform(F.col("ordered"), lambda s: s["g"]).alias("ordered_g"),
-        )
-    )
-    prefix_len = (
-        F.size("ordered_g") - F.ceil(F.size("ordered_g") * F.lit(_LK_TAU)) + 1
-    ).cast("int")
-    prefix = ranked.select(
-        "doc_id", F.explode(F.slice(F.col("ordered_g"), 1, prefix_len)).alias("g")
-    )
-    cand = (
-        prefix.alias("x")
-        .join(
-            prefix.alias("y"),
-            on=[
-                F.col("x.g") == F.col("y.g"),
-                F.col("x.doc_id") < F.col("y.doc_id"),
-            ],
-        )
-        .select(F.col("x.doc_id").alias("a_id"), F.col("y.doc_id").alias("b_id"))
-        .distinct()
-    )
+    cand = _prefix_candidates(ngr, _LK_TAU, symmetric=True)
     jac = _pair_jaccard()
     return (
         cand.join(ngr.alias("a"), F.col("a_id") == F.col("a.doc_id"))

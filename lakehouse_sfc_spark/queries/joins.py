@@ -519,7 +519,12 @@ def j_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(0).alias("is_dim"),
         "event_type",
         F.lit(None)
-        .cast("struct<m_ts:timestamp,m_value:double>")
+        # NTZ, not LTZ: events.ts loads as TIMESTAMP_NTZ, and an LTZ struct
+        # member would make unionByName coerce the whole column through the
+        # SESSION TIMEZONE — under a non-UTC driver session the 2h freshness
+        # compare then crosses DST transitions differently from the pure-NTZ
+        # oracle arithmetic (1995 spring-forward wall times flip the verdict)
+        .cast("struct<m_ts:timestamp_ntz,m_value:double>")
         .alias("m_rec"),
     )
     dims_tagged = marker.select(

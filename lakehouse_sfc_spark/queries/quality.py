@@ -447,9 +447,19 @@ def dq_uniqueness(spark: SparkSession, sf_dir: str) -> DataFrame:
     per table."""
 
     def check(df: DataFrame, cols: list[str], name: str) -> DataFrame:
+        # single key: COUNT(DISTINCT col) skips NULLs in BOTH engines.
+        # composite key: the oracle counts DISTINCT ROWS (a tuple with a
+        # NULL component still counts), so count the distinct STRUCT —
+        # bare multi-arg count_distinct would skip any NULL-component row
+        # and diverge the moment the data grows a NULL key part.
+        distinct = (
+            F.count_distinct(F.col(cols[0]))
+            if len(cols) == 1
+            else F.count_distinct(F.struct(*cols))
+        )
         return df.agg(
             F.count(F.lit(1)).alias("n_rows"),
-            F.count_distinct(*[F.col(c) for c in cols]).alias("n_distinct"),
+            distinct.alias("n_distinct"),
         ).select(
             F.lit(name).alias("key_col"),
             "n_rows",

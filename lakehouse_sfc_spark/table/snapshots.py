@@ -414,8 +414,15 @@ class SnapshotTable:
             else self.spark.createDataFrame([], self.read().schema)
         )
         src_keys = source.select(*record_keys).distinct()
+        # count_distinct over a STRUCT, not the bare columns: bare
+        # count_distinct skips rows with any NULL key component, which
+        # would make a single NULL-keyed source row look like a duplicate
+        # (n_src=1 vs n_distinct=0) and raise spuriously.  The struct is
+        # itself non-null, so NULL-keyed rows count as distinct tuples —
+        # the same semantics as the DISTINCT in src_keys above.
         n_src, n_src_keys = source.agg(
-            F.count(F.lit(1)), F.count_distinct(*record_keys)
+            F.count(F.lit(1)),
+            F.count_distinct(F.struct(*record_keys)),
         ).collect()[0]
         if n_src != n_src_keys:
             # Delta/Iceberg MERGE raises when multiple source rows match

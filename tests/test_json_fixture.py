@@ -43,6 +43,15 @@ _ROWS = [
     # 1e12 is large but inside the tick contract |value| < 2^63/1e4
     # (≈9.2e14) — beyond it int64 fixed-point overflows in ANY engine.
     ("buy", 1e12, None),                     # NULL props
+    # the guarded double→BIGINT tail: Spark try_cast saturates/zeroes on
+    # these where DuckDB CAST errors — the finite-and-|v|<1e15 guard must
+    # NULL them identically on both sides.
+    ("tail", 1.0, '{"k": "NaN"}'),           # NaN — NULL both sides
+    ("tail", 2.0, '{"k": "Infinity"}'),      # +Inf — NULL both sides
+    ("tail", 3.0, '{"k": "-Infinity"}'),     # -Inf — NULL both sides
+    ("tail", 4.0, '{"k": 1e20}'),            # ≥2^63 — NULL both sides
+    ("tail", 5.0, '{"k": -1e20}'),           # ≤-2^63 — NULL both sides
+    ("tail", 6.0, '{"k": 999999999999999.0}'),  # just inside 1e15 — kept
 ]
 
 

@@ -379,3 +379,14 @@ def test_gif_dispatches_through_decode_image():
     out = decode_image(encode_gif(idx))
     assert out.shape == (8, 8, 3)
     assert (out[:, :, 0] == idx).all()
+
+
+def test_gif_truncated_payloads_raise_valueerror():
+    """Truncation anywhere (header, palette, descriptor, sub-blocks) must
+    raise the codec-family ValueError contract, never IndexError."""
+    from lakehouse_sfc_spark.operators.gif import decode_gif, encode_gif
+
+    g = encode_gif(np.arange(64, dtype=np.uint8).reshape(8, 8))
+    for cut in (8, 100, 13 + 768 + 5, len(g) - 3):
+        with pytest.raises(ValueError, match="truncated GIF|no image"):
+            decode_gif(g[:cut])
