@@ -1532,3 +1532,54 @@ def multimodal_gif_real(spark: SparkSession, sf_dir: str) -> DataFrame:
     return encoded.mapInPandas(
         decode_real_stats_batches, DECODED_STATS_SCHEMA
     ).drop("n_bytes")
+
+
+@register(
+    "text_ttr",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, lang,
+             len(w) AS n_tokens,
+             len(list_distinct(w)) AS n_types
+      FROM (SELECT doc_id, lang, {_SQL_TOKENS} AS w FROM documents)
+      WHERE len(w) >= 1 AND w <> ['']
+    )
+    SELECT lang,
+           COUNT(*) AS n_docs,
+           SUM(n_tokens)::BIGINT AS total_tokens,
+           SUM(n_types)::BIGINT AS total_types,
+           MIN(CAST(n_types AS DOUBLE) / n_tokens) AS min_ttr,
+           MAX(CAST(n_types AS DOUBLE) / n_tokens) AS max_ttr
+    FROM t GROUP BY lang ORDER BY lang
+    """,
+)
+def text_ttr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Type-token ratio (lexical diversity) per language — the vocabulary-
+    richness quality signal that separates natural prose from keyword
+    stuffing and template spam (low TTR) at a glance.  Integer counts with
+    per-doc single divisions aggregated by MIN/MAX (order-free — the only
+    reductions over doubles are min/max, which are associative and exact).
+
+    Scale shape: one narrow projection + one tiny groupBy on lang."""
+    d = load_table(spark, sf_dir, "documents")
+    w = _tokens(F.col("text"))
+    t = (
+        d.filter((F.size(w) >= 1) & (w != F.array(F.lit(""))))
+        .select(
+            "lang",
+            F.size(w).alias("n_tokens"),
+            F.size(F.array_distinct(w)).alias("n_types"),
+        )
+    )
+    ttr = F.col("n_types").cast("double") / F.col("n_tokens")
+    return (
+        t.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").cast("bigint").alias("total_tokens"),
+            F.sum("n_types").cast("bigint").alias("total_types"),
+            F.min(ttr).alias("min_ttr"),
+            F.max(ttr).alias("max_ttr"),
+        )
+        .orderBy("lang")
+    )
