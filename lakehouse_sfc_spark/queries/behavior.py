@@ -139,7 +139,8 @@ def a_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM day_tot
     )
     SELECT w.day,
-           MAX(COALESCE(c.offset_in, 0) + w.cum_in_day) AS max_concurrent
+           CAST(MAX(COALESCE(c.offset_in, 0) + w.cum_in_day) AS BIGINT)
+             AS max_concurrent
     FROM within w JOIN carry c ON w.day = c.day
     GROUP BY w.day
     ORDER BY w.day

@@ -772,7 +772,7 @@ def a_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT event_type,
            COUNT(*) AS n,
            COUNT(k) AS n_with_k,
-           SUM(k) AS sum_k,
+           CAST(SUM(k) AS BIGINT) AS sum_k,
            COUNT(DISTINCT k) AS n_distinct_k,
            COUNT(*) FILTER (WHERE k > 50) AS n_big_k
     FROM (
@@ -928,9 +928,9 @@ def a_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     "a_grouped_agg_pandas",
     oracle="""
     SELECT event_type,
-           SUM(CASE WHEN isfinite(value)
+           CAST(SUM(CASE WHEN isfinite(value)
                     THEN CAST(FLOOR(CAST(value AS DOUBLE) * 10000)
-                              AS BIGINT) END)
+                              AS BIGINT) END) AS BIGINT)
              AS sum_ticks,
            COUNT(CASE WHEN isfinite(value) THEN value END) AS n
     FROM events

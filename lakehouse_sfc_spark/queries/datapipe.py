@@ -1299,14 +1299,14 @@ _PPS_BLOCK = 4096  # keys per prefix-sum block; ~tasks = keyspace/4096
     ),
     cum AS (
       SELECT o_orderkey, w,
-             SUM(w) OVER (ORDER BY o_orderkey) AS cum
+             CAST(SUM(w) OVER (ORDER BY o_orderkey) AS BIGINT) AS cum
       FROM w
     ),
     tot AS (
-      SELECT GREATEST(SUM(w) // 1000, 1) AS stride FROM w
+      SELECT CAST(GREATEST(SUM(w) // 1000, 1) AS BIGINT) AS stride FROM w
     )
     SELECT o_orderkey, w, cum,
-           cum // stride - (cum - w) // stride AS n_hits
+           CAST(cum // stride - (cum - w) // stride AS BIGINT) AS n_hits
     FROM cum, tot
     WHERE cum // stride > (cum - w) // stride
     ORDER BY o_orderkey
@@ -1400,8 +1400,8 @@ def sample_pps(spark: SparkSession, sf_dir: str) -> DataFrame:
            COUNT(*) AS n_docs,
            COUNT(*) FILTER (WHERE dr.doc_id IS NULL) AS n_kept,
            COUNT(dr.doc_id) AS n_dropped,
-           COALESCE(SUM(d.n_chars) FILTER (WHERE dr.doc_id IS NULL), 0)
-             AS kept_chars
+           CAST(COALESCE(SUM(d.n_chars) FILTER (WHERE dr.doc_id IS NULL), 0)
+                AS BIGINT) AS kept_chars
     FROM documents d LEFT JOIN dropped dr ON d.doc_id = dr.doc_id
     GROUP BY d.source
     ORDER BY d.source
@@ -1596,10 +1596,10 @@ _MIX_N = 1000  # total sample budget to apportion across sources
              CAST(SUM(n_chars) AS BIGINT) AS chars
       FROM documents GROUP BY source
     ),
-    tot AS (SELECT SUM(chars) AS w FROM per_src),
+    tot AS (SELECT CAST(SUM(chars) AS BIGINT) AS w FROM per_src),
     quota AS (
       SELECT p.source, p.n_docs, p.chars,
-             ({_MIX_N} * p.chars) // t.w AS base_quota,
+             CAST(({_MIX_N} * p.chars) // t.w AS BIGINT) AS base_quota,
              ({_MIX_N} * p.chars) % t.w AS frac
       FROM per_src p CROSS JOIN tot t
     ),
@@ -1611,7 +1611,8 @@ _MIX_N = 1000  # total sample budget to apportion across sources
     )
     SELECT source, n_docs, chars, base_quota,
            CASE WHEN frac_rank <= n_extra THEN 1 ELSE 0 END AS extra,
-           base_quota + CASE WHEN frac_rank <= n_extra THEN 1 ELSE 0 END
+           CAST(base_quota
+                + CASE WHEN frac_rank <= n_extra THEN 1 ELSE 0 END AS BIGINT)
              AS n_target
     FROM ranked
     ORDER BY source
@@ -2718,7 +2719,8 @@ def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT source,
            COUNT(*) AS n_docs,
-           SUM(CASE WHEN sz = 1 THEN 1 ELSE 0 END) AS n_unique,
+           CAST(SUM(CASE WHEN sz = 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_unique,
            CAST(SUM(CAST(1.0 / sz AS DECIMAL(18,12))) AS DOUBLE)
              AS effective_docs
     FROM c GROUP BY source ORDER BY source

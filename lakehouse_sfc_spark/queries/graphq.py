@@ -160,9 +160,9 @@ _SQL_PR_EDGES = """
 
 _SQL_PR_ITER = """
     SELECT n.node,
-           {base} + COALESCE(SUM(CAST(FLOOR(
+           CAST({base} + COALESCE(SUM(CAST(FLOOR(
                r.rank_scaled * 85 / (100.0 * d.outdeg)
-           ) AS BIGINT)), 0) AS rank_scaled
+           ) AS BIGINT)), 0) AS BIGINT) AS rank_scaled
     FROM nodes n
     LEFT JOIN edges e ON e.dst = n.node
     LEFT JOIN {prev} r ON r.node = e.src

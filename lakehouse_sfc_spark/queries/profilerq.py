@@ -20,7 +20,8 @@ _NUM_COLS = ("l_quantity", "l_extendedprice", "l_discount", "l_tax")
 def _stat_select(col: str) -> str:
     return (
         f"SELECT '{col}' AS col_name, COUNT(*) AS cnt,"
-        f" SUM(CASE WHEN {col} IS NULL THEN 1 ELSE 0 END) AS nulls,"
+        f" CAST(SUM(CASE WHEN {col} IS NULL THEN 1 ELSE 0 END)"
+        f" AS BIGINT) AS nulls,"
         f" MIN({col}) AS min_v, MAX({col}) AS max_v,"
         f" COUNT(DISTINCT {col}) AS n_distinct FROM lineitem"
     )
@@ -271,10 +272,12 @@ def profile_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "profile_gini",
     oracle="""
-    WITH et_n AS (SELECT SUM(c) AS n, SUM(c*c) AS sumsq,
+    WITH et_n AS (SELECT CAST(SUM(c) AS BIGINT) AS n,
+                    CAST(SUM(c*c) AS BIGINT) AS sumsq,
                     COUNT(*) AS n_distinct
              FROM (SELECT COUNT(*) AS c FROM events GROUP BY event_type)),
-    seg_n AS (SELECT SUM(c) AS n, SUM(c*c) AS sumsq,
+    seg_n AS (SELECT CAST(SUM(c) AS BIGINT) AS n,
+                     CAST(SUM(c*c) AS BIGINT) AS sumsq,
                      COUNT(*) AS n_distinct
               FROM (SELECT COUNT(*) AS c FROM customer GROUP BY c_mktsegment))
     SELECT col_name, n, n_distinct,

@@ -294,7 +294,7 @@ def stream_upsert_ingest_q(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT p_id, COUNT(*) AS n_clicks, MIN(p_value) AS p_value
       FROM pairs GROUP BY p_id
     )
-    SELECT SUM(n_clicks) AS n_pairs,
+    SELECT CAST(SUM(n_clicks) AS BIGINT) AS n_pairs,
            COUNT(*) AS n_purchases_matched,
            MAX(n_clicks) AS max_clicks_per_purchase,
            CAST(SUM(CAST(p_value AS DECIMAL(18,4))) AS DOUBLE)

@@ -676,7 +676,7 @@ _PACK_BUDGET = 4096  # tokens per packed sequence
                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS before
       FROM t
     )
-    SELECT before // {_PACK_BUDGET} AS pack_id,
+    SELECT CAST(before // {_PACK_BUDGET} AS BIGINT) AS pack_id,
            COUNT(*) AS n_docs,
            SUM(n)::BIGINT AS n_tokens
     FROM o GROUP BY 1
@@ -982,9 +982,9 @@ _SQL_PII_TEXT = """
            COUNT(*) AS n_docs,
            COUNT(*) FILTER (WHERE n_email > 0) AS docs_with_email,
            COUNT(*) FILTER (WHERE n_phone > 0) AS docs_with_phone,
-           SUM(n_email) AS n_emails,
-           SUM(n_phone) AS n_phones,
-           SUM(redacted_len) AS redacted_len_sum
+           CAST(SUM(n_email) AS BIGINT) AS n_emails,
+           CAST(SUM(n_phone) AS BIGINT) AS n_phones,
+           CAST(SUM(redacted_len) AS BIGINT) AS redacted_len_sum
     FROM hits
     GROUP BY source
     ORDER BY source

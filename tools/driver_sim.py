@@ -46,6 +46,18 @@ def canon(v):
     return f"{type(v).__name__}:{v!r}"
 
 
+def render_divergent_cols(cols, rows_a, rows_b):
+    """Column names whose canonical values differ between two renders of
+    the same DuckDB result (fetchall vs Arrow)."""
+    bad = []
+    for j, c in enumerate(cols):
+        for ra, rb in zip(rows_a, rows_b):
+            if canon(ra[j]) != canon(rb[j]):
+                bad.append(c)
+                break
+    return bad
+
+
 def value_hash(cols, rows):
     order = sorted(range(len(cols)), key=lambda i: cols[i])
     lines = sorted(
@@ -98,9 +110,28 @@ def main() -> int:
                 orc = con.execute(oracles[name])
                 ocols = [d[0] for d in orc.description]
                 orows = [tuple(r) for r in orc.fetchall()]
+                # Render-parity guard (round-6): the driver fetches oracle
+                # rows through an Arrow/pandas path, where e.g. an uncast
+                # SUM(BIGINT) (DuckDB HUGEINT) renders as Decimal/float64
+                # while fetchall() gives int — a hash divergence invisible
+                # to a fetchall-only sim.  Hash BOTH renders and fail on
+                # any disagreement so the class is locally reproducible.
+                atbl = con.execute(oracles[name]).arrow()
+                arows = [
+                    tuple(d[c] for c in ocols) for d in atbl.to_pylist()
+                ]
                 dt = time.time() - t0
                 timings[name] = dt
-                if sorted(cols) != sorted(ocols):
+                if value_hash(ocols, orows) != value_hash(ocols, arows):
+                    bad = render_divergent_cols(ocols, orows, arows)
+                    print(
+                        f"RESULT {name} MISMATCH(render) {dt:.1f}s "
+                        f"fetchall vs arrow disagree on cols={bad} "
+                        "(uncast SUM/HUGEINT-style oracle output?)",
+                        flush=True,
+                    )
+                    fails.append(name)
+                elif sorted(cols) != sorted(ocols):
                     print(
                         f"RESULT {name} MISMATCH(schema) {dt:.1f}s "
                         f"spark={sorted(cols)} oracle={sorted(ocols)}",
