@@ -220,9 +220,19 @@ def decode_gif(payload: bytes) -> "np.ndarray":
                 data += payload[pos + 1 : pos + 1 + ln]
                 pos += 1 + ln
             pos += 1
-            idx = np.frombuffer(
-                _lzw_decode(bytes(data), min_code), dtype=np.uint8
-            )[: w * h].reshape(h, w)
+            decoded = _lzw_decode(bytes(data), min_code)
+            # _lzw_decode returns partial output when the code stream ends
+            # early (some encoders omit EOI after complete data, so raising
+            # there would reject valid files) — an image that is actually
+            # SHORT of pixels is surfaced here, not as a reshape error.
+            if len(decoded) < w * h:
+                raise ValueError(
+                    f"truncated GIF LZW stream: decoded {len(decoded)} of "
+                    f"{w * h} pixels"
+                )
+            idx = np.frombuffer(decoded, dtype=np.uint8)[: w * h].reshape(
+                h, w
+            )
             pal = np.frombuffer(palette, dtype=np.uint8).reshape(-1, 3)
             return pal[idx]
         elif b == 0x3B:

@@ -2293,7 +2293,10 @@ _SI_MOD = 19  # vec_id % _SI_MOD == 0 plays the incoming batch
          ),
          agg AS (
            SELECT b_id, COUNT(*) AS n_matches,
-                  MIN(k_id ORDER BY score DESC, k_id) AS best_id,
+                  -- order-SENSITIVE aggregate: argmax by (score, lowest id).
+                  -- MIN(x ORDER BY ...) is a no-op in DuckDB (MIN is
+                  -- order-insensitive); first() honors the ORDER BY.
+                  first(k_id ORDER BY score DESC, k_id) AS best_id,
                   round(MAX(score), 6) AS best_score
            FROM m GROUP BY b_id
          )

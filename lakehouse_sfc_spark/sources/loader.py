@@ -288,11 +288,27 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     path = os.path.join(sf_dir, f"{name}.parquet")
     try:
         st = os.stat(path)
+        # Directory-backed datasets: a directory's own (size, mtime) may
+        # not change when a part file is overwritten IN PLACE, so fold the
+        # max child (mtime_ns, size) into the key.  Single files (the
+        # testdata shape) keep the cheap one-stat key.
+        child_key = None
+        if os.path.isdir(path):
+            children = [
+                os.stat(os.path.join(path, f))
+                for f in os.listdir(path)
+                if not f.startswith((".", "_"))
+            ]
+            child_key = max(
+                ((c.st_mtime_ns, c.st_size) for c in children),
+                default=None,
+            )
         key = (
             spark.sparkContext.applicationId,
             os.path.abspath(path),
             st.st_size,
             st.st_mtime_ns,
+            child_key,
         )
     except OSError:
         key = None  # let the Spark reader raise its own error path

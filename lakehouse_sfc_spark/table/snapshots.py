@@ -414,24 +414,6 @@ class SnapshotTable:
             else self.spark.createDataFrame([], self.read().schema)
         )
         src_keys = source.select(*record_keys).distinct()
-        # count_distinct over a STRUCT, not the bare columns: bare
-        # count_distinct skips rows with any NULL key component, which
-        # would make a single NULL-keyed source row look like a duplicate
-        # (n_src=1 vs n_distinct=0) and raise spuriously.  The struct is
-        # itself non-null, so NULL-keyed rows count as distinct tuples —
-        # the same semantics as the DISTINCT in src_keys above.
-        n_src, n_src_keys = source.agg(
-            F.count(F.lit(1)),
-            F.count_distinct(F.struct(*record_keys)),
-        ).collect()[0]
-        if n_src != n_src_keys:
-            # Delta/Iceberg MERGE raises when multiple source rows match
-            # the same target row — the outcome would be order-dependent.
-            raise ValueError(
-                f"merge_into: source has {n_src - n_src_keys} duplicate "
-                f"record keys ({record_keys}); MERGE requires each target "
-                "row to match at most one source row"
-            )
         kept_tgt = tgt.join(F.broadcast(src_keys), record_keys, "left_anti")
         tgt_keys = tgt.select(*record_keys).distinct()
         # ``matched_delete`` is a WHEN MATCHED ... DELETE clause: it applies
@@ -442,6 +424,27 @@ class SnapshotTable:
         src_matched = source.join(
             F.broadcast(tgt_keys), record_keys, "left_semi"
         )
+        # Delta-parity duplicate guard: MERGE raises only when multiple
+        # SOURCE rows match the same TARGET row (the outcome would be
+        # order-dependent); duplicate keys among unmatched (insert-only)
+        # source rows are legal — they all insert.  Hence the count runs
+        # over the MATCHED half, before any matched_delete filter.
+        # count_distinct over a STRUCT, not the bare columns: bare
+        # count_distinct skips rows with any NULL key component, which
+        # would make a single NULL-keyed source row look like a duplicate
+        # (n=1 vs n_distinct=0) and raise spuriously.  (NULL-keyed rows
+        # never equality-match a target, so they land in the insert half.)
+        n_matched, n_matched_keys = src_matched.agg(
+            F.count(F.lit(1)),
+            F.count_distinct(F.struct(*record_keys)),
+        ).collect()[0]
+        if n_matched != n_matched_keys:
+            raise ValueError(
+                f"merge_into: source has {n_matched - n_matched_keys} "
+                f"duplicate record keys ({record_keys}) matching the same "
+                "target row; MERGE requires each target row to match at "
+                "most one source row"
+            )
         if matched_delete is not None:
             src_matched = src_matched.filter(~matched_delete)
         out = kept_tgt.unionByName(src_matched, allowMissingColumns=True)

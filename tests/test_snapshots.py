@@ -410,6 +410,19 @@ def test_merge_rejects_duplicate_source_keys(table, orders, spark):
         table.merge_into(dup, ["o_orderkey"])
 
 
+def test_merge_allows_duplicate_insert_only_keys(table, orders):
+    """Delta's duplicate-match rule applies to MATCHED rows only: multiple
+    unmatched source rows sharing a key are a legal insert-only merge —
+    they all insert (no target row has an ambiguous update)."""
+    k = F.col("o_orderkey")
+    fresh = orders.filter(k == 20).withColumn(
+        "o_orderkey", k + 8_000_000
+    )
+    dup_inserts = fresh.unionByName(fresh)
+    m = table.merge_into(dup_inserts, ["o_orderkey"])
+    assert table.read(m["version"]).filter(k == 8_000_020).count() == 2
+
+
 def test_restore_is_metadata_only_and_keeps_history(table, orders):
     """RESTORE re-points the manifest at the target version's files without
     moving bytes; the mistaken versions stay time-travelable."""
