@@ -171,20 +171,66 @@ def _prefix_candidates(ngr: DataFrame, tau: float, symmetric: bool) -> DataFrame
     prefix_len = (
         F.size("ordered_g") - F.ceil(F.size("ordered_g") * F.lit(tau)) + 1
     ).cast("int")
+    if symmetric:
+        prefix = ranked.select(
+            "doc_id",
+            F.explode(F.slice(F.col("ordered_g"), 1, prefix_len)).alias("g"),
+        )
+        return (
+            prefix.alias("x")
+            .join(
+                prefix.alias("y"),
+                on=[
+                    F.col("x.g") == F.col("y.g"),
+                    F.col("x.doc_id") < F.col("y.doc_id"),
+                ],
+            )
+            .select(
+                F.col("x.doc_id").alias("a_id"),
+                F.col("y.doc_id").alias("b_id"),
+            )
+            .distinct()
+        )
+    # Asymmetric (containment) path: ppjoin-style positional + length
+    # pruning.  Both sides keep their grams in the SAME global df order, so
+    # for a qualifying pair's FIRST shared gram (A-position i, B-position
+    # j, 0-based) every other shared gram sits at later positions on both
+    # sides: shared <= min(|A|-i, |B|-j).  shared >= tau*|A| therefore
+    # implies that row passes min(|A|-i, |B|-j) >= tau*|A|, so filtering
+    # join ROWS by the bound (0.5 slack absorbs double rounding; shared is
+    # an integer) never drops a qualifying PAIR — Spark-side pruning only,
+    # the exact verification is unchanged and the oracle needs no mirror.
     prefix = ranked.select(
         "doc_id",
-        F.explode(F.slice(F.col("ordered_g"), 1, prefix_len)).alias("g"),
+        F.size("ordered_g").alias("alen"),
+        F.posexplode(F.slice(F.col("ordered_g"), 1, prefix_len)).alias(
+            "i", "g"
+        ),
     )
-    other = prefix if symmetric else exploded
-    pair_cond = (
-        F.col("x.doc_id") < F.col("y.doc_id")
-        if symmetric
-        else F.col("x.doc_id") != F.col("y.doc_id")
+    index_full = ranked.select(
+        "doc_id",
+        F.size("ordered_g").alias("blen"),
+        F.posexplode("ordered_g").alias("j", "g"),
     )
+    need = F.col("x.alen") * F.lit(tau) - F.lit(0.5)
     return (
         prefix.alias("x")
-        .join(other.alias("y"), on=[F.col("x.g") == F.col("y.g"), pair_cond])
-        .select(F.col("x.doc_id").alias("a_id"), F.col("y.doc_id").alias("b_id"))
+        .join(
+            index_full.alias("y"),
+            on=[
+                F.col("x.g") == F.col("y.g"),
+                F.col("x.doc_id") != F.col("y.doc_id"),
+                F.col("y.blen") >= need,
+                F.least(
+                    F.col("x.alen") - F.col("x.i"),
+                    F.col("y.blen") - F.col("y.j"),
+                )
+                >= need,
+            ],
+        )
+        .select(
+            F.col("x.doc_id").alias("a_id"), F.col("y.doc_id").alias("b_id")
+        )
         .distinct()
     )
 
@@ -1931,6 +1977,8 @@ def dedup_embedding_keep_centroid(
 # --- asymmetric containment dedup -------------------------------------------
 
 _CT_TAU = 0.6  # containment |A∩B|/|A| threshold
+_CT_TOPK = 5  # per-doc output cap: top-k containing docs (pair list is
+# otherwise unbounded — co-occurrence density can grow ~n² with corpus size)
 
 
 @register(
@@ -1948,11 +1996,21 @@ _CT_TAU = 0.6  # containment |A∩B|/|A| threshold
       SELECT x.doc_id AS a_id, y.doc_id AS b_id, COUNT(*) AS shared
       FROM e x JOIN e y ON x.gr = y.gr AND x.doc_id <> y.doc_id
       GROUP BY 1, 2
+    ),
+    v AS (
+      SELECT c.a_id, c.b_id, c.shared,
+             round(c.shared::DOUBLE / len(a.ng), 4) AS containment
+      FROM c JOIN g a ON c.a_id = a.doc_id
+      WHERE c.shared::DOUBLE / len(a.ng) >= {_CT_TAU}
     )
-    SELECT c.a_id, c.b_id,
-           round(c.shared::DOUBLE / len(a.ng), 4) AS containment
-    FROM c JOIN g a ON c.a_id = a.doc_id
-    WHERE c.shared::DOUBLE / len(a.ng) >= {_CT_TAU}
+    SELECT a_id, b_id, containment
+    FROM (
+      SELECT a_id, b_id, containment,
+             ROW_NUMBER() OVER (
+               PARTITION BY a_id ORDER BY shared DESC, b_id
+             ) AS rk
+      FROM v
+    ) WHERE rk <= {_CT_TOPK}
     """,
 )
 def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1971,28 +2029,62 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle's length conjunct (|B| ≥ τ|A|) is implied by C ≥ τ — pure
     O(n²)-side pruning, never a semantic difference.
 
-    Growth note (SCALING.md): candidate volume tracks the corpus's
-    duplicate-family structure — this synthetic corpus's co-occurrence
-    graph grows ~n² BY CONSTRUCTION (max gram df grows with n), and the
-    qualifying OUTPUT pairs themselves grow ~10× per 10× data, so the
-    super-unit ratio is the data's pair density, not a plan defect.  At
-    100 TB the production pattern is containment-into-keep_canonical
-    (cluster once, emit survivors) rather than materializing every pair."""
+    Output cap: the verified pair list is unbounded (co-occurrence density
+    can grow ~n² with corpus size — on this synthetic corpus it does, by
+    construction), so at 100 TB the PAIR LIST itself becomes the
+    bottleneck.  The operator therefore emits only the top-_CT_TOPK
+    containing docs per contained doc (window over the verified pairs,
+    ordered by the EXACT integer intersection size then b_id —
+    deterministic, no float ties), bounding output at n·k rows while
+    candidate generation stays the sound rarest-gram prefix filter."""
     ngr = (
         _docs_ngrams(spark, sf_dir)
+        .withColumn(
+            "hg", F.array_distinct(F.transform("ng", lambda g: F.xxhash64(g)))
+        )
         .repartition("doc_id")
         .localCheckpoint(eager=False)
     )
     cand = _prefix_candidates(ngr, _CT_TAU, symmetric=False)
-    cont = (
-        F.size(F.array_intersect(F.col("a.ng"), F.col("b.ng"))).cast("double")
-        / F.size(F.col("a.ng"))
+    # Two-phase verify: candidate pairs carry two ~3 KB string-gram arrays
+    # through the verify join, so the join's memory traffic — not the
+    # intersect — dominates.  Phase 1 intersects 64-bit xxhash64 gram
+    # arrays (4× smaller rows, long compares) as a FILTER with 4 grams of
+    # slack: within-doc hash collisions can only shrink the hashed
+    # intersect by the collision count (~0 at 2^-64), so no qualifying
+    # pair is dropped.  Phase 2 re-verifies the survivors (≈ the true
+    # pairs) on the exact STRING grams — the emitted containment is exact.
+    ha = ngr.select(
+        F.col("doc_id").alias("a_id"),
+        F.col("hg").alias("ha"),
+        F.size("ng").alias("alen"),
     )
+    hb = ngr.select(F.col("doc_id").alias("b_id"), F.col("hg").alias("hb"))
+    survivors = (
+        cand.join(ha, "a_id")
+        .join(hb, "b_id")
+        .filter(
+            F.size(F.array_intersect("ha", "hb"))
+            >= F.col("alen") * F.lit(_CT_TAU) - F.lit(4.0)
+        )
+        .select("a_id", "b_id")
+    )
+    shared = F.size(F.array_intersect(F.col("a.ng"), F.col("b.ng")))
+    cont = shared.cast("double") / F.size(F.col("a.ng"))
+    w = Window.partitionBy("a_id").orderBy(F.desc("shared"), "b_id")
     return (
-        cand.join(ngr.alias("a"), F.col("a_id") == F.col("a.doc_id"))
+        survivors.join(ngr.alias("a"), F.col("a_id") == F.col("a.doc_id"))
         .join(ngr.alias("b"), F.col("b_id") == F.col("b.doc_id"))
         .filter(cont >= _CT_TAU)
-        .select("a_id", "b_id", F.round(cont, 4).alias("containment"))
+        .select(
+            "a_id",
+            "b_id",
+            shared.alias("shared"),
+            F.round(cont, 4).alias("containment"),
+        )
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= _CT_TOPK)
+        .select("a_id", "b_id", "containment")
     )
 
 
