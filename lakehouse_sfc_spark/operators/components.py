@@ -26,14 +26,18 @@ def connected_components(
     Returns (node, label).  Raises if ``max_rounds`` is exhausted — never
     returns partially propagated labels."""
     edges = edges.toDF("u", "v")
+    # eager=False everywhere in the loop: the checkpoint is materialized by
+    # the round's OWN checksum job (one Spark job per round, not two); the
+    # plan barrier (fresh LogicalRDD, so self-joins get distinct attribute
+    # ids and lineage is truncated) is identical to the eager form.
     edges = edges.union(
         edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
-    ).localCheckpoint()
+    ).localCheckpoint(eager=False)
     labels = (
         edges.select(F.col("u").alias("node"))
         .distinct()
         .withColumn("label", F.col("node"))
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     prev_sum = labels.agg(F.sum("label")).collect()[0][0]
     converged = False
@@ -48,7 +52,7 @@ def connected_components(
             # checkpoint BEFORE any self-join: fresh attribute ids per side
             # (Catalyst's union-constraint rewrite trips over a self-join
             # of the un-materialized union lineage)
-            .localCheckpoint()
+            .localCheckpoint(eager=False)
         )
         if rnd < warmup_rounds:
             # shallow graphs (the near-dup norm) converge on propagation
@@ -65,7 +69,7 @@ def connected_components(
             labels = (
                 propagated.join(lookup, propagated["label"] == lookup["lnode"])
                 .select(propagated["node"], F.col("llabel").alias("label"))
-                .localCheckpoint()
+                .localCheckpoint(eager=False)
             )
         cur_sum = labels.agg(F.sum("label")).collect()[0][0]
         if cur_sum == prev_sum:

@@ -91,19 +91,33 @@ _SQL_NGRAMS_VIEW = f"""
 """
 
 
-# Sound pair prefilter: J(A,B) >= t  =>  min(|A|,|B|)/max(|A|,|B|) >= t
-# (since |A∩B| <= min and |A∪B| >= max).  Integer arithmetic, so it prunes
-# the O(n²) oracle pair join without ever changing its result.
-def _sql_len_ratio(tau_num: int, tau_den: int) -> str:
-    return (
-        f"{tau_den} * LEAST(len(a.ng), len(b.ng))"
-        f" >= {tau_num} * GREATEST(len(a.ng), len(b.ng))"
-    )
-
-_SQL_JACCARD = (
-    "len(list_intersect(a.ng, b.ng))::DOUBLE"
-    " / (len(a.ng) + len(b.ng) - len(list_intersect(a.ng, b.ng)))"
-)
+def _sql_pair_jaccard_cte(tau: float, rnum: int, rden: int, pair_cond: str) -> str:
+    """Oracle CTE chain computing qualifying Jaccard pairs WITHOUT the
+    O(n²) list_intersect pair join: ``ng`` is list_distinct, so COUNT(*)
+    of the n-gram equality self-join IS len(list_intersect(a.ng, b.ng))
+    (STATE.md's intersection-via-equality-join trick, ~60× faster in
+    DuckDB at sf0.01).  Pairs sharing zero grams can never reach any
+    tau > 0, so the equality join loses nothing; the length-ratio
+    prefilter (J >= t => min·den >= max·num) is applied on the exact
+    lengths, and jac_val is the IDENTICAL double expression the direct
+    formulation evaluates.  Emits CTEs l/e/c/p; expects ``g`` bound to
+    _SQL_NGRAMS_VIEW."""
+    return f"""
+    l AS MATERIALIZED (SELECT doc_id, len(ng) AS l FROM g),
+    e AS MATERIALIZED (SELECT doc_id, unnest(ng) AS gr FROM g),
+    c AS MATERIALIZED (
+      SELECT x.doc_id AS a_id, y.doc_id AS b_id, COUNT(*) AS shared
+      FROM e x JOIN e y ON x.gr = y.gr AND {pair_cond}
+      GROUP BY 1, 2
+    ),
+    p AS (
+      SELECT c.a_id, c.b_id,
+             c.shared::DOUBLE / (la.l + lb.l - c.shared) AS jac_val
+      FROM c JOIN l la ON c.a_id = la.doc_id
+             JOIN l lb ON c.b_id = lb.doc_id
+      WHERE {rden} * LEAST(la.l, lb.l) >= {rnum} * GREATEST(la.l, lb.l)
+        AND c.shared::DOUBLE / (la.l + lb.l - c.shared) >= {tau}
+    )"""
 
 
 def _docs_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -319,13 +333,9 @@ _MH_COEF = [
 @register(
     "dedup_minhash_lsh",
     oracle=f"""
-    WITH g AS ({_SQL_NGRAMS_VIEW})
-    SELECT a.doc_id AS a_id, b.doc_id AS b_id,
-           round({_SQL_JACCARD}, 4) AS jac
-    FROM g a JOIN g b ON a.doc_id < b.doc_id
-    WHERE len(a.ng) > 0 AND len(b.ng) > 0
-      AND {_sql_len_ratio(7, 10)}
-      AND {_SQL_JACCARD} >= {_MH_TAU}
+    WITH g AS MATERIALIZED ({_SQL_NGRAMS_VIEW}),
+    {_sql_pair_jaccard_cte(_MH_TAU, 7, 10, "x.doc_id < y.doc_id")}
+    SELECT a_id, b_id, round(jac_val, 4) AS jac FROM p
     """,
 )
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -485,13 +495,9 @@ _NJ_TAU = 0.8
 @register(
     "dedup_ngram_jaccard",
     oracle=f"""
-    WITH g AS ({_SQL_NGRAMS_VIEW})
-    SELECT a.doc_id AS a_id, b.doc_id AS b_id,
-           round({_SQL_JACCARD}, 4) AS jac
-    FROM g a JOIN g b ON a.doc_id < b.doc_id
-    WHERE len(a.ng) > 0 AND len(b.ng) > 0
-      AND {_sql_len_ratio(4, 5)}
-      AND {_SQL_JACCARD} >= {_NJ_TAU}
+    WITH g AS MATERIALIZED ({_SQL_NGRAMS_VIEW}),
+    {_sql_pair_jaccard_cte(_NJ_TAU, 4, 5, "x.doc_id < y.doc_id")}
+    SELECT a_id, b_id, round(jac_val, 4) AS jac FROM p
     """,
 )
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1063,21 +1069,15 @@ def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
     "dedup_components",
     oracle=f"""
     WITH RECURSIVE g AS MATERIALIZED ({_SQL_NGRAMS_VIEW}),
-    p AS MATERIALIZED (
-      SELECT a.doc_id AS a_id, b.doc_id AS b_id
-      FROM g a JOIN g b ON a.doc_id < b.doc_id
-      WHERE len(a.ng) > 0 AND len(b.ng) > 0
-        AND {_sql_len_ratio(7, 10)}
-      AND {_SQL_JACCARD} >= {_MH_TAU}
-    ),
-    e AS MATERIALIZED (
+    {_sql_pair_jaccard_cte(_MH_TAU, 7, 10, "x.doc_id < y.doc_id")},
+    edg AS MATERIALIZED (
       SELECT a_id AS u, b_id AS v FROM p
       UNION SELECT b_id, a_id FROM p
     ),
     reach(u, v) AS (
-      SELECT u, v FROM e
+      SELECT u, v FROM edg
       UNION
-      SELECT r.u, e.v FROM reach r JOIN e ON r.v = e.u
+      SELECT r.u, edg.v FROM reach r JOIN edg ON r.v = edg.u
     )
     SELECT u AS doc_id, LEAST(u, MIN(v)) AS component
     FROM reach GROUP BY u
@@ -1421,21 +1421,15 @@ def sample_pps(spark: SparkSession, sf_dir: str) -> DataFrame:
     "dedup_keep_canonical",
     oracle=f"""
     WITH RECURSIVE g AS MATERIALIZED ({_SQL_NGRAMS_VIEW}),
-    p AS MATERIALIZED (
-      SELECT a.doc_id AS a_id, b.doc_id AS b_id
-      FROM g a JOIN g b ON a.doc_id < b.doc_id
-      WHERE len(a.ng) > 0 AND len(b.ng) > 0
-        AND {_sql_len_ratio(7, 10)}
-      AND {_SQL_JACCARD} >= {_MH_TAU}
-    ),
-    e AS MATERIALIZED (
+    {_sql_pair_jaccard_cte(_MH_TAU, 7, 10, "x.doc_id < y.doc_id")},
+    edg AS MATERIALIZED (
       SELECT a_id AS u, b_id AS v FROM p
       UNION SELECT b_id, a_id FROM p
     ),
     reach(u, v) AS (
-      SELECT u, v FROM e
+      SELECT u, v FROM edg
       UNION
-      SELECT r.u, e.v FROM reach r JOIN e ON r.v = e.u
+      SELECT r.u, edg.v FROM reach r JOIN edg ON r.v = edg.u
     ),
     comp AS (
       SELECT u AS doc_id, LEAST(u, MIN(v)) AS component
@@ -1577,14 +1571,13 @@ def emb_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "dedup_incremental",
     oracle=f"""
-    WITH g AS MATERIALIZED ({_SQL_NGRAMS_VIEW})
-    SELECT a.doc_id AS batch_id, b.doc_id AS corpus_id,
-           round({_SQL_JACCARD}, 4) AS jac
-    FROM g a JOIN g b
-      ON a.doc_id % 10 = 0 AND b.doc_id % 10 <> 0
-    WHERE len(a.ng) > 0 AND len(b.ng) > 0
-      AND {_sql_len_ratio(7, 10)}
-      AND {_SQL_JACCARD} >= {_MH_TAU}
+    WITH g AS MATERIALIZED ({_SQL_NGRAMS_VIEW}),
+    {_sql_pair_jaccard_cte(
+        _MH_TAU, 7, 10, "x.doc_id % 10 = 0 AND y.doc_id % 10 <> 0"
+    )}
+    SELECT a_id AS batch_id, b_id AS corpus_id,
+           round(jac_val, 4) AS jac
+    FROM p
     """,
 )
 def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:

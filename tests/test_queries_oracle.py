@@ -19,13 +19,10 @@ _ROWS_ONLY = sorted(n for n, s in QUERIES.items() if s.oracle is None)
 # DuckDB evaluates these oracles with interpreted O(n^2) list ops (pair
 # cosine / pair jaccard) — fine at the sf0.001/sf0.01 gates, minutes+ at
 # sf0.1.  Deselect with -m "not heavy_oracle" for large-SF passes.
+# (Round 6 moved the Jaccard family to the intersection-via-equality-join
+# formulation — those now run <1 s even at sf0.1 and left this set.)
 _HEAVY_ORACLE = {
-    "dedup_components",
-    "dedup_keep_canonical",
-    "dedup_incremental",
     "dedup_embedding_cosine",
-    "dedup_minhash_lsh",
-    "dedup_ngram_jaccard",
     "dedup_simhash",
 }
 

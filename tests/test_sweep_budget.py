@@ -10,9 +10,10 @@ if the whole sweep or any single entry regresses past the budget, so ANY
 sample the driver draws stays green.
 
 Budgets: total 420 s (full registry; any 50-query sample is well under the
-driver's 580 s), per-entry 12 s (heavy tail today: dedup_minhash_lsh ~7 s
-cold — the round-5 length-ratio prefilter pruned the O(n²) Jaccard oracles;
-see STATE.md timing ledger).
+driver's 580 s), per-entry 10 s (heavy tail today: dedup_minhash_lsh ~5 s
+cold — round 6 moved the whole Jaccard oracle family to the intersection-
+via-equality-join formulation, 3.3 s → 0.06 s each in DuckDB; see STATE.md
+timing ledger).
 
 Set LAKEHOUSE_SKIP_SWEEP=1 to skip locally when iterating on one query.
 """
@@ -30,7 +31,7 @@ import pytest
 REPO = Path(__file__).resolve().parent.parent
 
 TOTAL_BUDGET_S = 420.0
-PER_QUERY_BUDGET_S = 12.0
+PER_QUERY_BUDGET_S = 10.0
 
 
 @pytest.mark.slow
