@@ -315,6 +315,50 @@ def stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "stream_asof_enrich",
+    oracle="""
+    WITH f AS (
+      SELECT event_id, user_id, ts, value FROM events
+      WHERE event_type = 'purchase'
+    ),
+    d AS (
+      SELECT event_id, user_id, ts, value FROM events
+      WHERE event_type = 'signup'
+    ),
+    best AS (
+      SELECT f.event_id,
+             first(d.event_id ORDER BY d.ts DESC, d.event_id DESC)
+               AS dim_event_id,
+             first(d.value ORDER BY d.ts DESC, d.event_id DESC)
+               AS dim_value,
+             first(d.ts ORDER BY d.ts DESC, d.event_id DESC) AS dim_ts
+      FROM f JOIN d
+        ON f.user_id = d.user_id
+       AND (d.ts < f.ts OR (d.ts = f.ts AND d.event_id < f.event_id))
+      GROUP BY f.event_id
+    )
+    SELECT f.event_id, f.user_id, f.value AS purchase_value,
+           b.dim_event_id, b.dim_value,
+           CAST((epoch_us(f.ts) - epoch_us(b.dim_ts)) // 1000000 AS BIGINT)
+             AS age_s
+    FROM f LEFT JOIN best b ON f.event_id = b.event_id
+    ORDER BY f.event_id
+    """,
+)
+def stream_asof_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stateful stream AS-OF enrichment (the SCD shape): every purchase is
+    decorated with the same user's latest signup event at or before it —
+    via applyInPandasWithState carrying ONE dimension version per key
+    (state ∝ |users|, never the fact volume).  Built-in stream-stream
+    joins can't express argmax-at-or-before; the oracle is the equivalent
+    batch as-of join with the identical (ts, event_id) tie order
+    (streaming/pipeline.py::run_stream_asof_enrich)."""
+    from lakehouse_sfc_spark.streaming import run_stream_asof_enrich
+
+    return run_stream_asof_enrich(spark, sf_dir)
+
+
+@register(
     "stream_decontaminate",
     oracle=f"""
     WITH g AS (

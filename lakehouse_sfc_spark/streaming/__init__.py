@@ -8,6 +8,7 @@ from lakehouse_sfc_spark.streaming.pipeline import (
     run_stream_static_join,
     run_session_window_agg,
     run_sliding_agg,
+    run_stream_asof_enrich,
     run_stream_interval_join,
     run_tumbling_agg,
     sessionize_stateful,
@@ -21,6 +22,7 @@ __all__ = [
     "run_stream_static_join",
     "run_session_window_agg",
     "run_sliding_agg",
+    "run_stream_asof_enrich",
     "run_stream_interval_join",
     "run_tumbling_agg",
     "sessionize_stateful",

@@ -736,6 +736,119 @@ def run_stream_interval_join(
     )
 
 
+# --- stateful stream as-of enrichment ---------------------------------------
+#
+# The SCD (slowly-changing-dimension) enrichment shape: a fact stream
+# (purchases) is decorated with the LATEST dimension version (signup /
+# profile-update events) as of each fact's event time, per user.  Built-in
+# stream-stream joins can't express "latest row at or before t" (they match
+# ranges, not argmax), so this is the applyInPandasWithState escape hatch:
+# state carries one dimension version per key, facts read it as they pass.
+#
+# Determinism contract (mirrored bit-exactly by the batch oracle): rows are
+# processed in (ts, event_id) order, a dim row updates state, a fact row
+# reads the CURRENT state — so a fact is enriched by the dim with the
+# greatest (ts, event_id) strictly below the fact's own (ts, event_id).
+
+_ASOF_OUT_SCHEMA = (
+    "event_id bigint, user_id bigint, purchase_value double, "
+    "dim_event_id bigint, dim_value double, age_s bigint"
+)
+_ASOF_STATE_SCHEMA = "dim_ts_us long, dim_event_id long, dim_value double"
+
+
+def _asof_enrich_fn(
+    key: tuple,
+    pdfs: Iterable[pd.DataFrame],
+    state: GroupState,
+):
+    """Per-user walk in (ts, event_id) order: dim rows (is_dim=1) update
+    the standing dimension version; fact rows emit themselves enriched by
+    it (NULL dim columns when no version exists yet)."""
+    rows = pd.concat(list(pdfs))
+    ts_col = rows["ts"]
+    if getattr(ts_col.dtype, "tz", None) is not None:
+        ts_col = ts_col.dt.tz_convert("UTC").dt.tz_localize(None)
+    rows = rows.assign(
+        ts_us=ts_col.astype("datetime64[us]").astype("int64")
+    ).sort_values(["ts_us", "event_id"])
+
+    if state.exists:
+        dim_ts_us, dim_event_id, dim_value = state.get
+    else:
+        dim_ts_us, dim_event_id, dim_value = None, None, None
+
+    out_id, out_pv, out_did, out_dv, out_age = [], [], [], [], []
+    for eid, is_dim, ts_us, val in zip(
+        rows["event_id"], rows["is_dim"], rows["ts_us"], rows["value"]
+    ):
+        if is_dim:
+            dim_ts_us, dim_event_id, dim_value = int(ts_us), int(eid), float(val)
+        else:
+            out_id.append(int(eid))
+            out_pv.append(float(val))
+            out_did.append(dim_event_id)
+            out_dv.append(dim_value)
+            out_age.append(
+                None
+                if dim_ts_us is None
+                else (int(ts_us) - dim_ts_us) // 1_000_000
+            )
+    if dim_ts_us is not None:
+        state.update((dim_ts_us, dim_event_id, dim_value))
+    if out_id:
+        # object dtype keeps None as SQL NULL (a float64 column would turn
+        # unmatched rows into NaN, which hashes differently from NULL)
+        yield pd.DataFrame(
+            {
+                "event_id": out_id,
+                "user_id": [key[0]] * len(out_id),
+                "purchase_value": out_pv,
+                "dim_event_id": pd.Series(out_did, dtype="object"),
+                "dim_value": pd.Series(out_dv, dtype="object"),
+                "age_s": pd.Series(out_age, dtype="object"),
+            }
+        )
+
+
+def run_stream_asof_enrich(
+    spark: SparkSession, sf_dir: str, timeout_s: int = 300
+) -> DataFrame:
+    """Stream as-of enrichment of purchases by the latest same-user signup
+    (the SCD dimension) via applyInPandasWithState; AvailableNow replay of
+    the backlog equals the batch as-of join the oracle computes.
+
+    Scale shape: state is ONE dimension version per user (constant per
+    key, unlike the sessionizer's open-window payload), facts stream
+    through — the state store grows with |dimension keys|, never with the
+    fact volume, which is what makes per-event enrichment viable on an
+    unbounded stream."""
+    name = f"asof_{uuid.uuid4().hex[:8]}"
+    src = (
+        read_events_stream(spark, sf_dir)
+        .filter(F.col("event_type").isin("purchase", "signup"))
+        .select(
+            "event_id",
+            "user_id",
+            "ts",
+            "value",
+            (F.col("event_type") == "signup").cast("int").alias("is_dim"),
+        )
+        .withWatermark("ts", "2 hours")
+    )
+    enriched = src.groupBy("user_id").applyInPandasWithState(
+        _asof_enrich_fn,
+        outputStructType=_ASOF_OUT_SCHEMA,
+        stateStructType=_ASOF_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    sink = _replay_to_memory(
+        spark, enriched, name, "lakehouse-sfc-asof-", "append", timeout_s
+    )
+    return sink.orderBy("event_id")
+
+
 _DOCS_SCHEMA = T.StructType(
     [
         T.StructField("doc_id", T.LongType()),

@@ -98,3 +98,97 @@ def test_events_backlog_single_file():
             else [path]
         )
         assert len(files) == 1, (sf, files)
+
+
+def test_asof_enrich_state_carries_across_microbatches(spark, tmp_path):
+    """The single-file backlog exercises stream_asof_enrich in ONE
+    micro-batch, so this test proves the cross-batch path: the backlog is
+    split into two time-ordered files ingested one per trigger
+    (maxFilesPerTrigger=1), so dimension versions seen in batch 0 must be
+    HELD IN STATE to enrich batch-1 facts.  Result must equal the batch
+    as-of join over the union."""
+    import tempfile
+    import uuid
+
+    import duckdb
+    from pyspark.sql import types as T
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    from lakehouse_sfc_spark.queries.registry import QUERIES
+    from lakehouse_sfc_spark.streaming.pipeline import (
+        _ASOF_OUT_SCHEMA,
+        _ASOF_STATE_SCHEMA,
+        _asof_enrich_fn,
+        _replay_to_memory,
+    )
+
+    sf_dir = "/root/testdata/sf0.001"
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("purchase", "signup")
+    )
+    cut = ev.agg(
+        F.expr(
+            "percentile_approx(cast(cast(ts as timestamp_ltz) as double),"
+            " 0.5)"
+        )
+    ).collect()[0][0]
+    ts_d = F.col("ts").cast("timestamp_ltz").cast("double")
+    early = ev.filter(ts_d <= cut)
+    late = ev.filter(ts_d > cut)
+    assert early.count() > 0 and late.count() > 0
+    d = str(tmp_path / "backlog")
+    early.coalesce(1).write.parquet(d + "/f0=a")
+    late.coalesce(1).write.parquet(d + "/f1=b")
+
+    schema = T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("ts", T.TimestampNTZType()),
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+            T.StructField("props", T.StringType()),
+        ]
+    )
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    src = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .option("recursiveFileLookup", "true")
+        .parquet(d)
+        .withColumn("ts", F.col("ts").cast("timestamp_ltz"))
+        .select(
+            "event_id",
+            "user_id",
+            "ts",
+            "value",
+            (F.col("event_type") == "signup").cast("int").alias("is_dim"),
+        )
+        .withWatermark("ts", "2 hours")
+    )
+    enriched = src.groupBy("user_id").applyInPandasWithState(
+        _asof_enrich_fn,
+        outputStructType=_ASOF_OUT_SCHEMA,
+        stateStructType=_ASOF_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    name = f"asof_mb_{uuid.uuid4().hex[:8]}"
+    got = _replay_to_memory(
+        spark, enriched, name, "lakehouse-sfc-asofmb-", "append", 300
+    ).orderBy("event_id")
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW events AS SELECT * FROM "
+        f"read_parquet('{sf_dir}/events.parquet')"
+    )
+    want = con.execute(QUERIES["stream_asof_enrich"].oracle).fetchall()
+    got_rows = [tuple(r) for r in got.collect()]
+    assert len(got_rows) == len(want)
+    for g, w in zip(got_rows, want):
+        assert g[0] == w[0] and g[1] == w[1], (g, w)
+        assert g[3] == w[3] and g[5] == w[5], (g, w)
+        assert (g[4] is None) == (w[4] is None) and (
+            g[4] == w[4] or g[4] is None
+        ), (g, w)

@@ -40,6 +40,7 @@ SENSITIVE = [
     "stream_interval_join",
     "stream_session_window",
     "stream_decontaminate",
+    "stream_asof_enrich",
 ]
 
 
