@@ -92,12 +92,31 @@ def collect_file_stats(
     return out_path
 
 
+# Parsed-sidecar cache, keyed on the file's (size, mtime_ns): every pruned
+# scan calls read_sidecar at query-BUILD time (twice per layout query: the
+# cache-exists probe plus read_pruned), and re-parsing the JSON is pure
+# driver latency.  Invalidation mirrors loader._TABLE_CACHE: a rewritten
+# sidecar changes (size, mtime_ns) and misses.
+_SIDECAR_CACHE: dict[tuple, dict] = {}
+_SIDECAR_CACHE_MAX = 256
+
+
 def read_sidecar(path: str) -> dict | None:
     p = os.path.join(path, SIDECAR_NAME)
-    if not os.path.exists(p):
+    try:
+        st = os.stat(p)
+    except OSError:
         return None
+    key = (os.path.abspath(p), st.st_size, st.st_mtime_ns)
+    hit = _SIDECAR_CACHE.get(key)
+    if hit is not None:
+        return hit
     with open(p) as f:
-        return json.load(f)
+        out = json.load(f)
+    if len(_SIDECAR_CACHE) >= _SIDECAR_CACHE_MAX:
+        _SIDECAR_CACHE.clear()
+    _SIDECAR_CACHE[key] = out
+    return out
 
 
 def file_size(file_uri: str) -> int:

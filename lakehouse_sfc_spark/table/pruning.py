@@ -16,6 +16,7 @@ never survives on that predicate.
 from __future__ import annotations
 
 import datetime
+import os
 from dataclasses import dataclass
 
 from pyspark.sql import DataFrame, SparkSession
@@ -153,6 +154,40 @@ def preds_to_column(predicates: list[Pred]):
     return out
 
 
+# Analyzed-relation cache for pruned scans (same discipline as
+# loader._TABLE_CACHE): spark.read.parquet(*survivors) costs ~100 ms of
+# driver-side footer/schema resolution per BUILD, and layout queries build
+# a fresh scan per run.  Keyed on the applicationId + the exact survivor
+# set + each survivor's (size, mtime_ns), so a rewritten layout can never
+# serve a stale relation.  The per-query predicate is applied ON TOP of
+# the cached base relation, so different predicates with the same survivor
+# set share it.
+_PRUNED_CACHE: dict[tuple, DataFrame] = {}
+_PRUNED_CACHE_MAX = 256
+
+
+def _survivors_relation(spark: SparkSession, survivors: list[str]) -> DataFrame:
+    from urllib.parse import urlparse
+
+    key_parts = []
+    try:
+        for uri in sorted(survivors):
+            local = urlparse(uri).path or uri
+            st = os.stat(local)
+            key_parts.append((uri, st.st_size, st.st_mtime_ns))
+        key = (spark.sparkContext.applicationId, tuple(key_parts))
+    except OSError:
+        key = None
+    if key is not None and key in _PRUNED_CACHE:
+        return _PRUNED_CACHE[key]
+    df = spark.read.parquet(*survivors)
+    if key is not None:
+        if len(_PRUNED_CACHE) >= _PRUNED_CACHE_MAX:
+            _PRUNED_CACHE.clear()
+        _PRUNED_CACHE[key] = df
+    return df
+
+
 def read_pruned(
     spark: SparkSession, path: str, predicates: list[Pred]
 ) -> tuple[DataFrame, dict]:
@@ -169,6 +204,6 @@ def read_pruned(
             # empty relation with the right schema
             df = spark.read.parquet(path).limit(0)
         else:
-            df = spark.read.parquet(*survivors)
+            df = _survivors_relation(spark, survivors)
     cond = preds_to_column(predicates)
     return (df.filter(cond) if cond is not None else df), metrics
