@@ -273,9 +273,10 @@ def decode_png(payload: bytes) -> "np.ndarray":
 
 
 def decode_image(payload: bytes) -> "np.ndarray":
-    """Image decode (bytes → uint8 array).  BMP, PNG (stdlib zlib DEFLATE)
-    and baseline JPEG (pure-numpy DCT + canonical Huffman,
-    operators/jpeg.py) all decode natively."""
+    """Image decode (bytes → uint8 array).  BMP, PNG (stdlib zlib DEFLATE),
+    baseline JPEG (pure-numpy DCT + canonical Huffman, operators/jpeg.py),
+    GIF (LZW) and uncompressed TIFF (operators/tiff.py) all decode
+    natively."""
     if payload[:2] == b"BM":
         return decode_bmp(payload)
     if payload[: len(_PNG_MAGIC)] == _PNG_MAGIC:
@@ -288,9 +289,14 @@ def decode_image(payload: bytes) -> "np.ndarray":
         from lakehouse_sfc_spark.operators.gif import decode_gif
 
         return decode_gif(payload)
+    if payload[:4] in (b"II*\x00", b"MM\x00*"):
+        from lakehouse_sfc_spark.operators.tiff import decode_tiff
+
+        return decode_tiff(payload)
     raise NotImplementedError(
-        "BMP, PNG, GIF and baseline JPEG decode natively; other image "
-        "formats are not supported in this environment"
+        "BMP, PNG, GIF, TIFF and baseline JPEG decode natively; other "
+        "image formats (e.g. ICO, WebP) are not supported in this "
+        "environment"
     )
 
 
@@ -350,6 +356,13 @@ def decode_real_batches(
                 from lakehouse_sfc_spark.operators.gif import decode_gif
 
                 px = decode_gif(b)
+                out["height"].append(px.shape[0])
+                out["width"].append(px.shape[1])
+                out["frames"].append(1)
+            elif b[:4] in (b"II*\x00", b"MM\x00*"):
+                from lakehouse_sfc_spark.operators.tiff import decode_tiff
+
+                px = decode_tiff(b)
                 out["height"].append(px.shape[0])
                 out["width"].append(px.shape[1])
                 out["frames"].append(1)
@@ -570,6 +583,29 @@ def synth_gif_batches(
     for pdf in batches:
         payloads = [
             encode_gif(_synth_pixels(int(d), int(w), int(h))[:, :, 0])
+            for d, w, h in zip(pdf["doc_id"], pdf["width"], pdf["height"])
+        ]
+        yield pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"].astype("int64"),
+                "payload": pd.Series(payloads, dtype="object"),
+                "width": pdf["width"].astype("int32"),
+                "height": pdf["height"].astype("int32"),
+            }
+        )
+
+
+def synth_tiff_batches(
+    batches: Iterable[pd.DataFrame],
+) -> Iterator[pd.DataFrame]:
+    """(doc_id, width, height) → (doc_id, payload, width, height) with the
+    payload a REAL multi-strip uncompressed RGB TIFF of the deterministic
+    grid (the scanned-document master format; operators/tiff.py)."""
+    from lakehouse_sfc_spark.operators.tiff import encode_tiff
+
+    for pdf in batches:
+        payloads = [
+            encode_tiff(_synth_pixels(int(d), int(w), int(h)))
             for d, w, h in zip(pdf["doc_id"], pdf["width"], pdf["height"])
         ]
         yield pd.DataFrame(

@@ -1,0 +1,244 @@
+"""Pure-python baseline TIFF codec: uncompressed (Compression=1) grayscale
+and RGB, both byte orders, multi-strip.
+
+TIFF was the named "unsupported image format" example through round 5; this
+closes it for the class a data pipeline actually meets in scanned-document
+corpora (uncompressed or simply-stripped masters).  LZW-compressed TIFF
+reuses the GIF LZW machinery's cousin but with per-strip early-change
+semantics — NOT implemented here; decode raises a clear error naming the
+compression tag.
+
+Layout written by ``encode_tiff``: little-endian header, pixel data first,
+one IFD after it with the 10 baseline tags readers require (ImageWidth,
+ImageLength, BitsPerSample, Compression, PhotometricInterpretation,
+StripOffsets, SamplesPerPixel, RowsPerStrip, StripByteCounts, XResolution-
+free).  ``decode_tiff`` walks any conforming single-image file: II/MM,
+arbitrary strip splits, inline (value-fits-in-4-bytes) or offset tag values.
+"""
+
+from __future__ import annotations
+
+import struct
+from typing import TYPE_CHECKING
+
+if TYPE_CHECKING:  # pragma: no cover
+    import numpy as np
+
+
+def _np():
+    import numpy as np
+
+    return np
+
+# tag ids (TIFF 6.0 baseline)
+_IMAGE_WIDTH = 256
+_IMAGE_LENGTH = 257
+_BITS_PER_SAMPLE = 258
+_COMPRESSION = 259
+_PHOTOMETRIC = 262
+_STRIP_OFFSETS = 273
+_SAMPLES_PER_PIXEL = 277
+_ROWS_PER_STRIP = 278
+_STRIP_BYTE_COUNTS = 279
+
+_TYPE_SIZES = {1: 1, 2: 1, 3: 2, 4: 4, 5: 8}  # BYTE ASCII SHORT LONG RATIONAL
+
+
+def encode_tiff(pixels: "np.ndarray", rows_per_strip: int = 8) -> bytes:
+    """HxW (grayscale) or HxWx3 (RGB) uint8 array → little-endian
+    uncompressed TIFF with real multi-strip framing."""
+    np = _np()
+    px = np.asarray(pixels, dtype=np.uint8)
+    if px.ndim == 2:
+        h, w = px.shape
+        spp = 1
+        photometric = 1  # BlackIsZero
+    elif px.ndim == 3 and px.shape[2] == 3:
+        h, w, _ = px.shape
+        spp = 3
+        photometric = 2  # RGB
+    else:
+        raise ValueError("encode_tiff wants HxW or HxWx3 uint8")
+    data = px.tobytes()
+    row_bytes = w * spp
+    strips = []
+    for y0 in range(0, h, rows_per_strip):
+        y1 = min(y0 + rows_per_strip, h)
+        strips.append(data[y0 * row_bytes : y1 * row_bytes])
+
+    out = bytearray()
+    out += b"II*\x00"
+    out += b"\x00\x00\x00\x00"  # IFD offset patched below
+    strip_offsets = []
+    for s in strips:
+        strip_offsets.append(len(out))
+        out += s
+    # word-align the arrays/IFD
+    if len(out) % 2:
+        out += b"\x00"
+
+    def _entry(tag: int, typ: int, count: int, value_or_offset: int) -> bytes:
+        return struct.pack("<HHII", tag, typ, count, value_or_offset)
+
+    # out-of-line arrays (needed when count > 1)
+    extra = bytearray()
+    ifd_pos_guess = len(out)
+
+    def _array_u32(vals: list[int], base: int) -> int:
+        off = base + len(extra)
+        extra.extend(struct.pack(f"<{len(vals)}I", *vals))
+        return off
+
+    def _array_u16(vals: list[int], base: int) -> int:
+        off = base + len(extra)
+        extra.extend(struct.pack(f"<{len(vals)}H", *vals))
+        if len(extra) % 2:
+            extra.extend(b"\x00")
+        return off
+
+    n_entries = 9
+    ifd_size = 2 + n_entries * 12 + 4
+    arrays_base = ifd_pos_guess + ifd_size
+
+    entries = []
+    entries.append(_entry(_IMAGE_WIDTH, 4, 1, w))
+    entries.append(_entry(_IMAGE_LENGTH, 4, 1, h))
+    if spp == 1:
+        entries.append(_entry(_BITS_PER_SAMPLE, 3, 1, 8))
+    else:
+        entries.append(
+            _entry(_BITS_PER_SAMPLE, 3, 3, _array_u16([8, 8, 8], arrays_base))
+        )
+    entries.append(_entry(_COMPRESSION, 3, 1, 1))
+    entries.append(_entry(_PHOTOMETRIC, 3, 1, photometric))
+    if len(strip_offsets) == 1:
+        entries.append(_entry(_STRIP_OFFSETS, 4, 1, strip_offsets[0]))
+    else:
+        entries.append(
+            _entry(
+                _STRIP_OFFSETS,
+                4,
+                len(strip_offsets),
+                _array_u32(strip_offsets, arrays_base),
+            )
+        )
+    entries.append(_entry(_SAMPLES_PER_PIXEL, 3, 1, spp))
+    entries.append(_entry(_ROWS_PER_STRIP, 4, 1, rows_per_strip))
+    counts = [len(s) for s in strips]
+    if len(counts) == 1:
+        entries.append(_entry(_STRIP_BYTE_COUNTS, 4, 1, counts[0]))
+    else:
+        entries.append(
+            _entry(
+                _STRIP_BYTE_COUNTS, 4, len(counts), _array_u32(counts, arrays_base)
+            )
+        )
+
+    ifd = struct.pack("<H", n_entries) + b"".join(entries) + b"\x00\x00\x00\x00"
+    assert len(ifd) == ifd_size
+    struct.pack_into("<I", out, 4, ifd_pos_guess)
+    out += ifd
+    out += extra
+    return bytes(out)
+
+
+def _read_tag_values(payload: bytes, entry: bytes, e: str) -> list[int]:
+    """Integer values of one IFD entry (inline when they fit in 4 bytes,
+    else at the stored offset)."""
+    tag, typ, count = struct.unpack(e + "HHI", entry[:8])
+    if typ not in _TYPE_SIZES:
+        raise ValueError(f"TIFF tag {tag}: unsupported type {typ}")
+    unit = _TYPE_SIZES[typ]
+    total = unit * count
+    raw = (
+        entry[8 : 8 + total]
+        if total <= 4
+        else payload[
+            struct.unpack(e + "I", entry[8:12])[0] :
+        ][:total]
+    )
+    if len(raw) < total:
+        raise ValueError(f"truncated TIFF: tag {tag} values cut short")
+    code = {1: "B", 3: "H", 4: "I"}.get(typ)
+    if code is None:
+        raise ValueError(f"TIFF tag {tag}: type {typ} not supported here")
+    return list(struct.unpack(f"{e}{count}{code}", raw))
+
+
+def decode_tiff(payload: bytes) -> "np.ndarray":
+    """Baseline uncompressed TIFF → HxW (gray) or HxWx3 (RGB) uint8."""
+    np = _np()
+    if payload[:4] == b"II*\x00":
+        e = "<"
+    elif payload[:4] == b"MM\x00*":
+        e = ">"
+    else:
+        raise ValueError("not a TIFF payload")
+    if len(payload) < 8:
+        raise ValueError("truncated TIFF: header cut short")
+    (ifd_off,) = struct.unpack(e + "I", payload[4:8])
+    if ifd_off + 2 > len(payload):
+        raise ValueError("truncated TIFF: IFD offset past payload")
+    (n,) = struct.unpack(e + "H", payload[ifd_off : ifd_off + 2])
+    tags: dict[int, list[int]] = {}
+    for i in range(n):
+        at = ifd_off + 2 + 12 * i
+        entry = payload[at : at + 12]
+        if len(entry) < 12:
+            raise ValueError("truncated TIFF: IFD entry cut short")
+        tag = struct.unpack(e + "H", entry[:2])[0]
+        if tag in (
+            _IMAGE_WIDTH,
+            _IMAGE_LENGTH,
+            _BITS_PER_SAMPLE,
+            _COMPRESSION,
+            _PHOTOMETRIC,
+            _STRIP_OFFSETS,
+            _SAMPLES_PER_PIXEL,
+            _ROWS_PER_STRIP,
+            _STRIP_BYTE_COUNTS,
+        ):
+            tags[tag] = _read_tag_values(payload, entry, e)
+
+    def _one(tag: int, default: int | None = None) -> int:
+        if tag in tags:
+            return tags[tag][0]
+        if default is None:
+            raise ValueError(f"TIFF missing required tag {tag}")
+        return default
+
+    w = _one(_IMAGE_WIDTH)
+    h = _one(_IMAGE_LENGTH)
+    comp = _one(_COMPRESSION, 1)
+    if comp != 1:
+        raise NotImplementedError(
+            f"TIFF compression {comp} not supported (only 1 = uncompressed; "
+            "LZW/PackBits/JPEG-in-TIFF need their per-strip codecs)"
+        )
+    spp = _one(_SAMPLES_PER_PIXEL, 1)
+    bits = tags.get(_BITS_PER_SAMPLE, [8])
+    if any(b != 8 for b in bits):
+        raise NotImplementedError(f"TIFF bits-per-sample {bits} != 8")
+    if spp not in (1, 3):
+        raise NotImplementedError(f"TIFF samples-per-pixel {spp} not in (1, 3)")
+    offsets = tags.get(_STRIP_OFFSETS)
+    if not offsets:
+        raise ValueError("TIFF missing StripOffsets")
+    counts = tags.get(_STRIP_BYTE_COUNTS)
+    if not counts or len(counts) != len(offsets):
+        raise ValueError("TIFF StripByteCounts missing or mismatched")
+    data = bytearray()
+    for off, cnt in zip(offsets, counts):
+        chunk = payload[off : off + cnt]
+        if len(chunk) < cnt:
+            raise ValueError("truncated TIFF: strip data cut short")
+        data += chunk
+    need = w * h * spp
+    if len(data) < need:
+        raise ValueError(
+            f"truncated TIFF: {len(data)} of {need} pixel bytes present"
+        )
+    arr = np.frombuffer(bytes(data[:need]), dtype=np.uint8)
+    if spp == 1:
+        return arr.reshape(h, w)
+    return arr.reshape(h, w, 3)

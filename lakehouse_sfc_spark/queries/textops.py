@@ -1535,6 +1535,52 @@ def multimodal_gif_real(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "multimodal_tiff_real",
+    oracle="""
+    WITH p AS (
+      SELECT doc_id,
+             (16 + doc_id % 15)::INTEGER AS width,
+             (8 + doc_id % 11)::INTEGER AS height
+      FROM documents WHERE doc_id % 11 = 0
+    ),
+    g AS (
+      SELECT p.doc_id, p.width, p.height, x.r AS x, y.r AS y
+      FROM p, LATERAL (SELECT unnest(range(0, p.width)) AS r) x,
+              LATERAL (SELECT unnest(range(0, p.height)) AS r) y
+    )
+    SELECT doc_id,
+           MIN(width)::INTEGER AS width,
+           MIN(height)::INTEGER AS height,
+           1::INTEGER AS frames,
+           SUM(3 * ((3*x + 7*y + doc_id) % 251))::BIGINT AS pixel_sum
+    FROM g GROUP BY doc_id
+    """,
+)
+def multimodal_tiff_real(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL TIFF end-to-end: deterministic RGB grids encoded as genuine
+    multi-strip uncompressed TIFF (IFD + strip framing, operators/tiff.py —
+    the scanned-document master format) and decoded back through the
+    production image kernel; geometry and the full pixel content check are
+    closed-form.  n_bytes excluded like the other codec rows (framing
+    overhead is an encoder detail, though THIS encoder is deterministic)."""
+    from lakehouse_sfc_spark.operators.multimodal import synth_tiff_batches
+
+    d = load_table(spark, sf_dir, "documents")
+    params = d.filter(F.col("doc_id") % 11 == 0).select(
+        "doc_id",
+        (F.pmod(F.col("doc_id"), F.lit(15)) + 16).cast("int").alias("width"),
+        (F.pmod(F.col("doc_id"), F.lit(11)) + 8).cast("int").alias("height"),
+    )
+    encoded = params.mapInPandas(
+        synth_tiff_batches,
+        "doc_id bigint, payload binary, width int, height int",
+    )
+    return encoded.mapInPandas(
+        decode_real_stats_batches, DECODED_STATS_SCHEMA
+    ).drop("n_bytes")
+
+
+@register(
     "text_ttr",
     oracle=f"""
     WITH t AS (

@@ -38,10 +38,13 @@ def test_bmp_roundtrip_exact():
 def test_bmp_rejects_unsupported():
     with pytest.raises(ValueError):
         decode_bmp(b"NOPE....")
-    # PNG/JPEG (r4) and GIF (r5) decode natively; formats we have no codec
-    # for (e.g. TIFF) still refuse loudly
+    # PNG/JPEG (r4), GIF (r5) and TIFF (r6) decode natively; formats we
+    # have no codec for (e.g. ICO, WebP) still refuse loudly
     with pytest.raises(NotImplementedError):
-        decode_image(b"II*\x00........")
+        decode_image(b"\x00\x00\x01\x00........")  # ICO
+    # a truncated TIFF is a malformed KNOWN format: loud ValueError
+    with pytest.raises(ValueError):
+        decode_image(b"II*\x00....")
 
 
 def test_wav_roundtrip_exact():

@@ -1,0 +1,91 @@
+"""Baseline TIFF codec: roundtrip exactness, both byte orders, multi-strip
+framing, and loud refusal of the compressed variants we don't implement."""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+import pytest
+
+from lakehouse_sfc_spark.operators.tiff import decode_tiff, encode_tiff
+
+
+def _grid(h, w, ch=None):
+    n = h * w * (ch or 1)
+    a = (np.arange(n) % 251).astype(np.uint8)
+    return a.reshape((h, w) if ch is None else (h, w, ch))
+
+
+def test_gray_roundtrip_exact_across_strip_splits():
+    for h, w in [(1, 1), (3, 5), (16, 16), (7, 13)]:
+        px = _grid(h, w)
+        for rps in (1, 3, 8, 100):
+            assert np.array_equal(
+                decode_tiff(encode_tiff(px, rows_per_strip=rps)), px
+            ), (h, w, rps)
+
+
+def test_rgb_roundtrip_exact():
+    for h, w in [(2, 2), (9, 20), (8, 8)]:
+        px = _grid(h, w, 3)
+        assert np.array_equal(decode_tiff(encode_tiff(px)), px)
+
+
+def test_big_endian_decode():
+    """Hand-built MM (big-endian) single-strip grayscale file."""
+    h, w = 2, 3
+    px = _grid(h, w)
+    data = px.tobytes()
+    # header + data + IFD with 9 entries
+    out = bytearray(b"MM\x00*")
+    out += struct.pack(">I", 0)  # patched below
+    strip_off = len(out)
+    out += data
+    if len(out) % 2:
+        out += b"\x00"
+    ifd_off = len(out)
+    struct.pack_into(">I", out, 4, ifd_off)
+
+    def e(tag, typ, count, val):
+        return struct.pack(">HHII", tag, typ, count, val)
+
+    entries = [
+        e(256, 4, 1, w),
+        e(257, 4, 1, h),
+        e(258, 3, 1, 8 << 16),  # SHORT value left-justified in value field
+        e(259, 3, 1, 1 << 16),
+        e(262, 3, 1, 1 << 16),
+        e(273, 4, 1, strip_off),
+        e(277, 3, 1, 1 << 16),
+        e(278, 4, 1, h),
+        e(279, 4, 1, len(data)),
+    ]
+    out += struct.pack(">H", len(entries)) + b"".join(entries) + b"\x00" * 4
+    assert np.array_equal(decode_tiff(bytes(out)), px)
+
+
+def test_rejects_compression_and_truncation():
+    px = _grid(4, 4)
+    payload = bytearray(encode_tiff(px))
+    with pytest.raises(ValueError, match="not a TIFF"):
+        decode_tiff(b"XXXX")
+    with pytest.raises(ValueError, match="truncated TIFF"):
+        decode_tiff(bytes(payload[:10]))
+    # flip the Compression tag value to 5 (LZW) in place
+    ifd_off = struct.unpack("<I", bytes(payload[4:8]))[0]
+    n = struct.unpack("<H", bytes(payload[ifd_off : ifd_off + 2]))[0]
+    for i in range(n):
+        at = ifd_off + 2 + 12 * i
+        tag = struct.unpack("<H", bytes(payload[at : at + 2]))[0]
+        if tag == 259:
+            struct.pack_into("<I", payload, at + 8, 5)
+    with pytest.raises(NotImplementedError, match="compression 5"):
+        decode_tiff(bytes(payload))
+
+
+def test_decode_image_dispatches_tiff(spark_noop=None):
+    from lakehouse_sfc_spark.operators.multimodal import decode_image
+
+    px = _grid(5, 9)
+    assert np.array_equal(decode_image(encode_tiff(px)), px)
