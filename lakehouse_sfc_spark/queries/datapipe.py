@@ -734,6 +734,52 @@ def ann_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "ann_filtered_topk",
+    oracle=f"""
+    WITH c AS (SELECT e.vec_id, e.emb, e.nrm, m.label
+               FROM ({_SQL_EMB_CTE}) e
+               JOIN (SELECT vec_id, label FROM embeddings) m
+                 ON e.vec_id = m.vec_id),
+         q AS (SELECT emb, nrm FROM c WHERE vec_id = {_ANN_QUERY_ID})
+    SELECT c.vec_id AS vec_id, c.label,
+           round({_sql_cos("c", "q")}, 6) AS score
+    FROM c, q
+    WHERE c.vec_id != {_ANN_QUERY_ID} AND c.label = 1
+    ORDER BY {_sql_cos("c", "q")} DESC, c.vec_id
+    LIMIT {_ANN_K}
+    """,
+)
+def ann_filtered_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FILTERED vector search (the hybrid-search shape every production
+    vector store ships): top-k cosine neighbors of the query restricted to
+    a metadata predicate (label = 1).  Pre-filtering is the only strategy
+    that never under-returns: the predicate lands in the PARQUET SCAN
+    (PushedFilters) BEFORE any scoring, so k survivors are guaranteed and
+    the scored population shrinks by the filter's selectivity — versus
+    post-filtering an unfiltered ANN shortlist, which returns < k whenever
+    the filter is selective.  Exact-fold scoring + TakeOrderedAndProject,
+    same determinism contract as ann_bruteforce_topk."""
+    e = load_table(spark, sf_dir, "embeddings")
+    c = e.select(
+        "vec_id",
+        "label",
+        F.col("embedding").cast("array<double>").alias("emb"),
+    ).withColumn("nrm", F.sqrt(_dot(F.col("emb"), F.col("emb"))))
+    q = c.filter(F.col("vec_id") == _ANN_QUERY_ID).select(
+        F.col("emb").alias("qemb"), F.col("nrm").alias("qnrm")
+    )
+    cos = _dot(F.col("emb"), F.col("qemb")) / (F.col("nrm") * F.col("qnrm"))
+    return (
+        c.filter((F.col("vec_id") != _ANN_QUERY_ID) & (F.col("label") == 1))
+        .join(F.broadcast(q))
+        .select("vec_id", "label", cos.alias("c"))
+        .orderBy(F.col("c").desc(), F.col("vec_id"))
+        .limit(_ANN_K)
+        .select("vec_id", "label", F.round(F.col("c"), 6).alias("score"))
+    )
+
+
 def _cell(emb: Column) -> Column:
     """Deterministic sign quantizer: bit j set iff emb[j] > 0 (first 8 dims).
     256 IVF cells; float > 0 compares are exact so both engines agree."""
@@ -1018,6 +1064,61 @@ def ann_ivf_kmeans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("c").desc(), F.col("vec_id"))
         .limit(_ANN_K)
         .select("vec_id", F.round(F.col("c"), 6).alias("score"))
+    )
+
+
+# --- deterministic uniform hash sample --------------------------------------
+
+_RSV_K = 500
+
+
+@register(
+    "sample_reservoir_hash",
+    oracle=f"""
+    WITH h AS (
+      SELECT o_orderkey, o_custkey, o_totalprice,
+             md5(CAST(o_orderkey AS VARCHAR)) AS hk
+      FROM orders
+    ),
+    s AS (SELECT * FROM h ORDER BY hk, o_orderkey LIMIT {_RSV_K})
+    SELECT COUNT(*) AS n,
+           CAST(MIN(o_orderkey) AS BIGINT) AS min_key,
+           CAST(MAX(o_orderkey) AS BIGINT) AS max_key,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+             AS sum_price,
+           MIN(hk) AS first_hash
+    FROM s
+    """,
+)
+def sample_reservoir_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic uniform k-sample — the distributed replacement for a
+    sequential reservoir: rank every row by md5 of its key and keep the k
+    smallest.  Same uniform-without-replacement distribution, but
+    reproducible across runs/engines/partitionings (md5 is the shared
+    cross-engine hash; the key tie-break covers the impossible-in-practice
+    digest collision), mergeable (the union's top-k is the top-k of
+    per-partition top-ks — TakeOrderedAndProject never global-sorts), and
+    incremental (a new batch only competes against the standing k-th
+    digest).  Reduced to sample aggregates so the driver row stays small
+    at any k."""
+    o = load_table(spark, sf_dir, "orders")
+    s = (
+        o.select(
+            "o_orderkey",
+            "o_totalprice",
+            F.md5(F.col("o_orderkey").cast("string")).alias("hk"),
+        )
+        .orderBy("hk", "o_orderkey")
+        .limit(_RSV_K)
+    )
+    return s.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("o_orderkey").alias("min_key"),
+        F.max("o_orderkey").alias("max_key"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("sum_price"),
+        F.min("hk").alias("first_hash"),
     )
 
 
@@ -2082,6 +2183,86 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --- exact-duplicate cluster profile ----------------------------------------
+
+
+_SW_W = 8  # window length in tokens
+_SW_S = 4  # window stride
+
+
+@register(
+    "dedup_substring_windows",
+    oracle=f"""
+    WITH t AS MATERIALIZED (
+      SELECT doc_id, source, {_SQL_TOKENS} AS w FROM documents
+    ),
+    wins AS MATERIALIZED (
+      SELECT doc_id, source,
+             list_distinct(list_transform(
+               range(1, len(w) - {_SW_W} + 2, {_SW_S}),
+               i -> array_to_string(w[i:i+{_SW_W - 1}], ' '))) AS wl
+      FROM t WHERE len(w) >= {_SW_W}
+    ),
+    e AS MATERIALIZED (
+      SELECT doc_id, source, unnest(wl) AS win FROM wins
+    ),
+    dfc AS (SELECT win, COUNT(*) AS dfc FROM e GROUP BY win)
+    SELECT e.source,
+           COUNT(DISTINCT e.doc_id) AS n_docs,
+           COUNT(*) AS n_windows,
+           CAST(COUNT(*) FILTER (WHERE dfc.dfc >= 2) AS BIGINT)
+             AS n_dup_windows,
+           CAST(MAX(dfc.dfc) AS BIGINT) AS max_window_df
+    FROM e JOIN dfc ON e.win = dfc.win
+    GROUP BY e.source ORDER BY e.source
+    """,
+)
+def dedup_substring_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document repeated-SUBSTRING detection — the contiguous-span
+    cousin of set-overlap dedup (the "train-data substring duplication"
+    audit): each document emits its distinct 8-token windows at stride 4;
+    a window occurring in ≥2 documents is duplicated text verbatim
+    (boilerplate, license headers, quoted spans) even when full-document
+    Jaccard stays below every dedup threshold.  Reported per source as
+    window totals + the max cross-document window frequency.
+
+    Scale shape: window construction is a map-side expression; frequency
+    is one hash aggregation on the window key and the join back is
+    key-equality on the same key (one exchange, reused by both consumers
+    via the repartition barrier) — never all-pairs.  At 100 TB windows
+    would be 64-bit hashes instead of strings (the verify-exact step here
+    keeps strings so the oracle compares verbatim)."""
+    d = load_table(spark, sf_dir, "documents")
+    tok = _tokens(F.col("text"))
+    pruned = d.filter(F.size(tok) >= _SW_W)
+    from lakehouse_sfc_spark.sources.loader import compute_width
+
+    width = compute_width(spark)
+    if pruned.rdd.getNumPartitions() < width:
+        pruned = pruned.repartition(width)
+    w = _tokens(F.col("text"))
+    wins = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.size(w) - _SW_W + 1, F.lit(_SW_S)),
+            lambda i: F.array_join(F.slice(w, i, _SW_W), " "),
+        )
+    )
+    e = (
+        pruned.select("doc_id", "source", F.explode(wins).alias("win"))
+        .repartition("win")
+        .localCheckpoint(eager=False)
+    )
+    dfc = e.groupBy("win").agg(F.count(F.lit(1)).alias("dfc"))
+    return (
+        e.join(dfc, "win")
+        .groupBy("source")
+        .agg(
+            F.countDistinct("doc_id").alias("n_docs"),
+            F.count(F.lit(1)).alias("n_windows"),
+            F.count(F.when(F.col("dfc") >= 2, 1)).alias("n_dup_windows"),
+            F.max("dfc").alias("max_window_df"),
+        )
+        .orderBy("source")
+    )
 
 
 @register(

@@ -1581,6 +1581,81 @@ def multimodal_tiff_real(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "text_token_df_score",
+    oracle=f"""
+    WITH t AS MATERIALIZED (
+      SELECT doc_id, source, {_SQL_TOKENS} AS w FROM documents
+    ),
+    occ AS MATERIALIZED (
+      SELECT doc_id, source, unnest(w) AS tok FROM t WHERE len(w) >= 1
+    ),
+    dfc AS (SELECT tok, COUNT(DISTINCT doc_id) AS dfc FROM occ GROUP BY tok),
+    per_doc AS (
+      SELECT o.doc_id, o.source,
+             COUNT(*) AS n_tokens,
+             CAST(SUM(d.dfc) AS BIGINT) AS sum_df
+      FROM occ o JOIN dfc d ON o.tok = d.tok
+      GROUP BY 1, 2
+    )
+    SELECT source,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+           MIN(CAST(sum_df AS DOUBLE) / n_tokens) AS min_commonness,
+           MAX(CAST(sum_df AS DOUBLE) / n_tokens) AS max_commonness
+    FROM per_doc GROUP BY source ORDER BY source
+    """,
+)
+def text_token_df_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-relative quality signal (the log-free cousin of CCNet's
+    LM-perplexity filter): a document's COMMONNESS is the mean document
+    frequency of its token occurrences — machine-generated keyword soup
+    and OCR garbage score low (rare/garbled tokens), boilerplate scores
+    abnormally high, natural prose sits in a tight band.  Unlike
+    text_quality_score's per-document heuristics this is a CORPUS
+    statistic, so it adapts to the corpus's own language mix.  Integer
+    sums + one per-doc division reduced by MIN/MAX (order-free exact).
+
+    Scale shape: token df is one hash aggregation (the shared shape of
+    every inverted-index build here); the join back is key-equality on
+    the token, partial-aggregated before the per-doc reduce."""
+    d = load_table(spark, sf_dir, "documents")
+    tok = _tokens(F.col("text"))
+    pruned = d.filter(F.size(tok) >= 1)
+    from lakehouse_sfc_spark.sources.loader import compute_width
+
+    width = compute_width(spark)
+    if pruned.rdd.getNumPartitions() < width:
+        pruned = pruned.repartition(width)
+    occ = (
+        pruned.select(
+            "doc_id", "source", F.explode(_tokens(F.col("text"))).alias("tok")
+        )
+        .repartition("tok")
+        .localCheckpoint(eager=False)
+    )
+    dfc = occ.groupBy("tok").agg(F.count_distinct("doc_id").alias("dfc"))
+    per_doc = (
+        occ.join(dfc, "tok")
+        .groupBy("doc_id", "source")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum("dfc").alias("sum_df"),
+        )
+    )
+    commonness = F.col("sum_df").cast("double") / F.col("n_tokens")
+    return (
+        per_doc.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("total_tokens"),
+            F.min(commonness).alias("min_commonness"),
+            F.max(commonness).alias("max_commonness"),
+        )
+        .orderBy("source")
+    )
+
+
+@register(
     "text_ttr",
     oracle=f"""
     WITH t AS (
