@@ -2308,6 +2308,140 @@ def dedup_cluster_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- dominant principal direction (power iteration, exact) ------------------
+
+_PCA_ITERS = 3
+_PCA_V0 = [1.0] + [0.0] * 63
+_PCA_TICK = 1_000_000  # per-term quantum; double->DECIMAL casts are NOT
+# bit-portable across engines at high scale (DuckDB quantizes through the
+# double domain), but FLOOR(x * tick) is pure IEEE + floor — identical
+# everywhere (the STATE.md cast-ladder rule)
+
+
+def _sql_pca_iter(prev_v: str, k: int) -> str:
+    """One UNNORMALIZED power-iteration step as CTEs: s_i = <emb_i, v>
+    (per-row left-to-right fold, deterministic), u_j = Σ_i emb_ij·s_i with
+    each term FLOOR-quantized to integer ticks so the cross-row sum is
+    order-free exact, then v = list(u ORDER BY j)."""
+    dot = _SQL_DOT.format(a="c.emb", b=f"{prev_v}.v")
+    return f"""
+    u{k} AS (
+      SELECT x.j,
+             CAST(CAST(SUM(CAST(FLOOR(x.val * s{k}.s * {_PCA_TICK}.0)
+                                AS BIGINT)) AS BIGINT) AS DOUBLE)
+               / {_PCA_TICK}.0 AS u
+      FROM x JOIN (SELECT c.vec_id, {dot} AS s FROM c, {prev_v}) s{k}
+        ON x.vec_id = s{k}.vec_id
+      GROUP BY x.j
+    ),
+    v{k} AS (SELECT list(u ORDER BY j) AS v FROM u{k})"""
+
+
+_SQL_PCA_NORM = (
+    "sqrt(list_reduce(list_transform(v, y -> y * y), (a, b) -> a + b))"
+)
+
+
+@register(
+    "emb_pca_power",
+    oracle=f"""
+    WITH c AS MATERIALIZED (
+      SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings
+    ),
+    x AS MATERIALIZED (
+      SELECT vec_id, generate_subscripts(emb, 1) AS j, unnest(emb) AS val
+      FROM c
+    ),
+    v0 AS (SELECT {list(map(float, _PCA_V0))}::DOUBLE[] AS v),
+    {",".join(_sql_pca_iter(f"v{k - 1}", k) for k in range(1, _PCA_ITERS + 1))},
+    nr AS (SELECT {_SQL_PCA_NORM} AS nrm FROM v{_PCA_ITERS})
+    SELECT u{_PCA_ITERS}.j AS dim, u{_PCA_ITERS}.u / nr.nrm AS loading
+    FROM u{_PCA_ITERS}, nr
+    ORDER BY dim
+    """,
+)
+def emb_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dominant principal direction of the embedding matrix by DISTRIBUTED
+    power iteration — the drift/collapse monitor for an embedding corpus
+    (a dominant direction absorbing most mass = anisotropic or degenerate
+    embeddings).  Three UNNORMALIZED A^T(Av) steps: per-row scores are
+    deterministic left-to-right folds, the cross-row accumulations
+    FLOOR-quantize each term to 1e-6 ticks and sum BIGINTs (order-free
+    exact; double→DECIMAL casts at high scale are NOT bit-portable across
+    engines, FLOOR ladders are), and the single normalization at the end
+    is a fixed-order 64-term fold + IEEE sqrt/divide — both engines emit
+    bit-identical loadings with no per-iteration rounding drift.
+    Skipping the per-step norm is safe here: random-sign cancellation
+    keeps u ≈ λ^k·u0, and tick terms stay far under the BIGINT bound at
+    any test SF.
+
+    Scale shape: each step is one broadcast of the 1-row direction vector
+    + one map-side-combined 64-group aggregation — no driver collect, no
+    global sort; the classic distributed-matvec PCA (3 passes at 100 TB,
+    or one pass with block-accumulated A^T A if 64x64 fits, which it
+    does)."""
+    c = (
+        load_table(spark, sf_dir, "embeddings")
+        .select(
+            "vec_id", F.col("embedding").cast("array<double>").alias("emb")
+        )
+        .localCheckpoint(eager=False)
+    )
+    x = c.select(
+        "vec_id", F.posexplode("emb").alias("j0", "val")
+    ).select("vec_id", (F.col("j0") + 1).alias("j"), "val")
+
+    def step(vdf: DataFrame) -> tuple[DataFrame, DataFrame]:
+        s = c.crossJoin(F.broadcast(vdf)).select(
+            "vec_id", _dot(F.col("emb"), F.col("v")).alias("s")
+        )
+        u = (
+            x.join(s, "vec_id")
+            .groupBy("j")
+            .agg(
+                (
+                    F.sum(
+                        F.floor(
+                            F.col("val") * F.col("s") * F.lit(float(_PCA_TICK))
+                        ).cast("long")
+                    ).cast("double")
+                    / F.lit(float(_PCA_TICK))
+                ).alias("u")
+            )
+        )
+        v = u.agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("j", "u"))),
+                lambda st: st["u"],
+            ).alias("v")
+        ).localCheckpoint(eager=False)
+        return u, v
+
+    vdf = spark.range(1).select(
+        F.array(*[F.lit(t) for t in _PCA_V0]).alias("v")
+    )
+    u = None
+    for _ in range(_PCA_ITERS):
+        u, vdf = step(vdf)
+    norm = vdf.select(
+        F.sqrt(
+            F.aggregate(
+                F.transform("v", lambda y: y * y),
+                F.lit(0.0),
+                lambda a, b: a + b,
+            )
+        ).alias("nrm")
+    )
+    return (
+        u.crossJoin(F.broadcast(norm))
+        .select(
+            F.col("j").cast("bigint").alias("dim"),
+            (F.col("u") / F.col("nrm")).alias("loading"),
+        )
+        .orderBy("dim")
+    )
+
+
 # --- per-label embedding centroids (exact, fixed-point) ---------------------
 
 _CEN_SCALE = 1_000_000  # fixed-point quantum: 1e-6 per unit

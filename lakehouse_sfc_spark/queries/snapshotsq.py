@@ -488,6 +488,83 @@ def _restore_table(spark: SparkSession, sf_dir: str) -> SnapshotTable:
     return t
 
 
+def _vacuum_table(spark: SparkSession, sf_dir: str) -> SnapshotTable:
+    """CREATE → DELETE → APPEND → VACUUM(retain_last=2) chain (own root —
+    vacuum physically deletes files and manifests, so it must never touch
+    the chain the other snapshot queries replay)."""
+    root = _fingerprinted_dir(_scratch_root(), sf_dir, ("orders",))
+    path = os.path.join(root, "orders_vacuum")
+    if os.path.exists(_manifest_path(path, 2)) and not os.path.exists(
+        _manifest_path(path, 0)
+    ):
+        return SnapshotTable(spark, path)
+
+    import shutil
+
+    shutil.rmtree(path, ignore_errors=True)
+    orders = load_table(spark, sf_dir, "orders").select(*_COLS)
+    t = SnapshotTable.create(
+        orders,
+        path,
+        stats_cols=["o_orderkey", "o_orderdate"],
+        layout="linear",
+        layout_cols=["o_orderkey"],
+        num_files=8,
+    )
+    t.delete_where([Pred("o_orderdate", "<", _CUTOFF)])
+    appended = (
+        orders.filter(F.col("o_orderkey") % 101 == 0)
+        .withColumn("o_orderkey", F.col("o_orderkey") + 200_000_000)
+    )
+    t.append(appended)
+    t.vacuum(retain_last=2)
+    return t
+
+
+@register(
+    "snap_vacuum",
+    oracle=f"""
+    {_SQL_STATES}
+    SELECT CAST(1 AS INT) AS version, 'DELETE' AS op,
+           COUNT(*) AS cnt, {sql_dsum("o_totalprice", "sum_price")}
+    FROM state0 WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+    UNION ALL
+    SELECT CAST(2 AS INT), 'APPEND',
+           COUNT(*), {sql_dsum("o_totalprice", "sum_price")}
+    FROM (SELECT * FROM state0 WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+          UNION ALL SELECT * FROM appended)
+    ORDER BY version
+    """,
+)
+def snap_vacuum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VACUUM / expire_snapshots (Delta VACUUM, Iceberg expire_snapshots):
+    after CREATE → DELETE → APPEND, the two newest snapshots are retained
+    and v0's exclusively-referenced files are PHYSICALLY deleted (shared
+    COW files survive — they still back v1/v2).  The surviving versions
+    must aggregate exactly like their closed-form states, proving vacuum
+    removed only unreferenced bytes; v0 itself is gone from the version
+    log (tests/test_snapshots.py pins that its read fails)."""
+    t = _vacuum_table(spark, sf_dir)
+    out = None
+    for v in t.versions():
+        m = t.manifest(v)
+        agg = (
+            t.read(v)
+            .agg(
+                F.count(F.lit(1)).alias("cnt"),
+                dsum("o_totalprice", "sum_price"),
+            )
+            .select(
+                F.lit(v).cast("int").alias("version"),
+                F.lit(m["operation"]).alias("op"),
+                "cnt",
+                "sum_price",
+            )
+        )
+        out = agg if out is None else out.unionByName(agg)
+    return out.orderBy("version")
+
+
 @register(
     "snap_restore",
     oracle=f"""
