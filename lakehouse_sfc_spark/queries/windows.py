@@ -292,3 +292,52 @@ def w_gap_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("gap_hours")
     )
+
+
+@register(
+    "w_ewma_users",
+    oracle="""
+    WITH o AS (
+      SELECT user_id,
+             list(value ORDER BY ts, event_id) AS vals
+      FROM events GROUP BY user_id
+    )
+    SELECT user_id,
+           len(vals) AS n_events,
+           list_reduce(vals, (acc, v) -> acc * 0.5 + v * 0.5) AS ewma
+    FROM o ORDER BY user_id
+    """,
+)
+def w_ewma_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user exponentially weighted moving average of event values
+    (α = 1/2) — the classic streaming feature (recent behavior weighted
+    over history).  α = 1/2 keeps every step EXACT-deterministic: halving
+    is a binary-exponent shift and the fold runs in one fixed
+    (ts, event_id) order, so the left-to-right IEEE chain is bit-identical
+    across engines (the same contract as the dot-product folds).  Seeded
+    at the first value (list_reduce semantics: acc starts as vals[1]).
+
+    Scale shape: one user_id shuffle, collect_list bounded by per-key
+    history (the same bound any per-entity feature store lives with), one
+    fold per key — no window re-sort, no cross-key state."""
+    ev = load_table(spark, sf_dir, "events")
+    o = ev.groupBy("user_id").agg(
+        F.transform(
+            F.array_sort(
+                F.collect_list(F.struct("ts", "event_id", "value"))
+            ),
+            lambda s: s["value"],
+        ).alias("vals")
+    )
+    # DuckDB list_reduce seeds the accumulator with the FIRST element;
+    # mirror that: fold the tail onto vals[0].
+    ewma = F.aggregate(
+        F.slice(F.col("vals"), 2, F.size("vals") - 1),
+        F.element_at(F.col("vals"), 1),
+        lambda acc, v: acc * F.lit(0.5) + v * F.lit(0.5),
+    )
+    return o.select(
+        "user_id",
+        F.size("vals").cast("bigint").alias("n_events"),
+        ewma.alias("ewma"),
+    ).orderBy("user_id")
