@@ -408,3 +408,41 @@ def test_benford_single_agg_tiny_broadcast(spark):
     assert plan.count("HashAggregate") >= 2
     assert "SortMergeJoin" not in plan
     assert "ShuffledHashJoin" not in plan
+
+
+def test_filtered_ann_pushes_label_predicate(spark):
+    """ann_filtered_topk's contract is PRE-filtering: the label predicate
+    must reach the parquet scan (PushedFilters) before any scoring."""
+    plan = _formatted(spark, "ann_filtered_topk")
+    assert "label" in plan.split("PushedFilters", 1)[1].split("]", 1)[0]
+    assert "CartesianProduct" not in plan
+
+
+def test_substring_windows_joins_stay_hash_based(spark):
+    """Window-frequency join must be key-equality (hash), never a nested
+    loop over document pairs."""
+    plan = _plan(spark, "dedup_substring_windows")
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_token_df_score_joins_stay_hash_based(spark):
+    plan = _plan(spark, "text_token_df_score")
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_reservoir_hash_avoids_global_sort(spark):
+    """Top-k by digest must be TakeOrderedAndProject, not a full sort."""
+    plan = _plan(spark, "sample_reservoir_hash")
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_pca_power_broadcasts_direction_vectors_only(spark):
+    """Each power-iteration step broadcasts the 1-row direction vector; the
+    only nested-loop joins allowed are those condition-less 1-row
+    broadcasts (never relation×relation)."""
+    plan = _plan(spark, "emb_pca_power")
+    assert "CartesianProduct" not in plan
+    # x⋈s joins on vec_id are hash joins
+    assert "BroadcastHashJoin" in plan or "SortMergeJoin" in plan

@@ -48,6 +48,13 @@ AUDITED_EXTRA = [
     "dedup_incremental",
     "emb_quantize_int8",
     "j_scd2_pit",
+    "dedup_containment",
+    "dedup_substring_windows",
+    "text_token_df_score",
+    "ann_filtered_topk",
+    "sample_reservoir_hash",
+    "emb_pca_power",
+    "w_ewma_users",
 ]
 
 #: intended-plan annotations for rows that would otherwise read as
@@ -76,6 +83,16 @@ ANNOTATIONS = {
         "would broadcast it, and a broadcastable side never needs salting "
         "— the demo exercises the too-big-to-broadcast shape the operator "
         "exists for"
+    ),
+    "ann_filtered_topk": (
+        "same intended 1-row query-vector broadcast as ann_bruteforce_topk; "
+        "the label predicate shows in PushedFilters BEFORE scoring — the "
+        "pre-filter contract"
+    ),
+    "emb_pca_power": (
+        "the BroadcastNestedLoopJoins are the intended 1-row direction-"
+        "vector broadcasts (one per power-iteration step, condition-less, "
+        "bounded)"
     ),
 }
 
