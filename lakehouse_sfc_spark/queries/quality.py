@@ -551,3 +551,121 @@ def profile_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("digit")
     )
+
+
+@register(
+    "dq_ks_two_sample",
+    oracle="""
+    WITH pv AS (
+      SELECT value,
+             CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS a,
+             CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS b
+      FROM events WHERE event_type IN ('purchase', 'click')
+      GROUP BY value
+    ),
+    t AS (SELECT CAST(SUM(a) AS BIGINT) AS na,
+                 CAST(SUM(b) AS BIGINT) AS nb FROM pv),
+    c AS (
+      SELECT value,
+             SUM(a) OVER (ORDER BY value) AS ca,
+             SUM(b) OVER (ORDER BY value) AS cb
+      FROM pv
+    ),
+    d AS (
+      SELECT c.value,
+             CAST(abs(c.ca * t.nb - c.cb * t.na) AS BIGINT) AS dnum
+      FROM c, t
+    )
+    SELECT t.na AS n_a, t.nb AS n_b,
+           CAST(MAX(d.dnum) AS BIGINT) AS d_num,
+           first(d.value ORDER BY d.dnum DESC, d.value) AS ks_at_value,
+           CAST(MAX(d.dnum) AS DOUBLE) / (t.na * t.nb) AS ks
+    FROM d, t GROUP BY t.na, t.nb
+    """,
+)
+def dq_ks_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kolmogorov–Smirnov drift statistic between the purchase
+    and click value distributions — the standard "did this feed's
+    distribution shift" gate, EXACT: the ECDF gap at value x is
+    |cumA·N_b − cumB·N_a| / (N_a·N_b), and the comparison/argmax runs on
+    the INTEGER numerator (no float ECDFs to diverge), with one double
+    division at the very end.
+
+    The naive KS is one global sort; here the prefix sums are
+    block-DECOMPOSED like a_concurrent: per-value counts cumulate within
+    floor(value) blocks under a block-hash partitioning, a tiny window
+    over per-block totals supplies each block's carry-in, and the argmax
+    is a plain aggregate — holds at 1000 executors."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("purchase", "click")
+    )
+    pv = (
+        ev.groupBy("value")
+        .agg(
+            F.sum(
+                F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+            ).alias("a"),
+            F.sum(
+                F.when(F.col("event_type") == "click", 1).otherwise(0)
+            ).alias("b"),
+        )
+        .withColumn("blk", F.floor("value"))
+    )
+    w_blk = Window.partitionBy("blk").orderBy("value")
+    within = pv.select(
+        "blk",
+        "value",
+        F.sum("a").over(w_blk).alias("ca_in"),
+        F.sum("b").over(w_blk).alias("cb_in"),
+        "a",
+        "b",
+    )
+    per_blk = within.groupBy("blk").agg(
+        F.sum("a").alias("blk_a"), F.sum("b").alias("blk_b")
+    )
+    w_carry = Window.orderBy("blk").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    carry = per_blk.select(
+        "blk",
+        F.coalesce(F.sum("blk_a").over(w_carry), F.lit(0)).alias("carry_a"),
+        F.coalesce(F.sum("blk_b").over(w_carry), F.lit(0)).alias("carry_b"),
+    )
+    tot = per_blk.agg(
+        F.sum("blk_a").alias("na"), F.sum("blk_b").alias("nb")
+    )
+    d = (
+        within.join(F.broadcast(carry), "blk")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "value",
+            "na",
+            "nb",
+            F.abs(
+                (F.col("carry_a") + F.col("ca_in")) * F.col("nb")
+                - (F.col("carry_b") + F.col("cb_in")) * F.col("na")
+            ).alias("dnum"),
+        )
+    )
+    return (
+        d.groupBy("na", "nb")
+        .agg(
+            F.max(
+                F.struct(F.col("dnum"), (-F.col("value")).alias("nv"))
+            ).alias("best")
+        )
+        .select(
+            F.col("na").alias("n_a"),
+            F.col("nb").alias("n_b"),
+            F.col("best.dnum").alias("d_num"),
+            (-F.col("best.nv")).alias("ks_at_value"),
+            (
+                F.col("best.dnum").cast("double")
+                / (F.col("na") * F.col("nb"))
+            ).alias("ks"),
+        )
+    )
