@@ -2185,6 +2185,66 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- exact-duplicate cluster profile ----------------------------------------
 
 
+# --- edit-distance-verified near-dup ----------------------------------------
+
+_ED_TAU = 0.5  # gram-Jaccard candidate threshold (prefix-filterable)
+_ED_FRAC = 0.2  # max edit distance as a fraction of the longer text
+
+
+@register(
+    "dedup_edit_distance",
+    oracle=f"""
+    WITH g AS MATERIALIZED ({_SQL_NGRAMS_VIEW}),
+    {_sql_pair_jaccard_cte(_ED_TAU, 1, 2, "x.doc_id < y.doc_id")}
+    SELECT p.a_id, p.b_id,
+           round(p.jac_val, 4) AS jac,
+           CAST(levenshtein(da.text, db.text) AS BIGINT) AS edit_dist
+    FROM p
+    JOIN documents da ON p.a_id = da.doc_id
+    JOIN documents db ON p.b_id = db.doc_id
+    WHERE levenshtein(da.text, db.text)
+          <= FLOOR({_ED_FRAC} * GREATEST(len(da.text), len(db.text)))
+    ORDER BY a_id, b_id
+    """,
+)
+def dedup_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CHARACTER-level near-dup verification: gram-similar candidate pairs
+    (Jaccard ≥ 0.5 via the sound prefix filter) re-verified by Levenshtein
+    distance ≤ 20% of the longer text — the second opinion that separates
+    true revisions (small char edits) from docs that merely share phrasing
+    (high gram overlap, heavy rewrites).  Both engines implement
+    unit-cost Levenshtein natively, so the verification is exact INTEGER
+    agreement; the length-ratio conjunct is implied by Jaccard ≥ 0.5.
+
+    Scale shape: candidates from the banded prefix filter (never
+    all-pairs); the O(|a|·|b|) edit-distance kernel runs only on verified
+    gram-similar pairs, exactly where a production fuzzy-dedup spends it."""
+    ngr = (
+        _docs_ngrams(spark, sf_dir)
+        .repartition("doc_id")
+        .localCheckpoint(eager=False)
+    )
+    cand = _prefix_candidates(ngr, _ED_TAU, symmetric=True)
+    jac = _pair_jaccard()
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    lev = F.levenshtein(F.col("ta.text"), F.col("tb.text"))
+    cap = F.floor(
+        F.lit(_ED_FRAC)
+        * F.greatest(F.length("ta.text"), F.length("tb.text"))
+    )
+    return (
+        cand.join(ngr.alias("a"), F.col("a_id") == F.col("a.doc_id"))
+        .join(ngr.alias("b"), F.col("b_id") == F.col("b.doc_id"))
+        .filter(jac >= _ED_TAU)
+        .select("a_id", "b_id", F.round(jac, 4).alias("jac"))
+        .join(d.alias("ta"), F.col("a_id") == F.col("ta.doc_id"))
+        .join(d.alias("tb"), F.col("b_id") == F.col("tb.doc_id"))
+        .filter(lev <= cap)
+        .select("a_id", "b_id", "jac", lev.cast("bigint").alias("edit_dist"))
+        .orderBy("a_id", "b_id")
+    )
+
+
 _SW_W = 8  # window length in tokens
 _SW_S = 4  # window stride
 
