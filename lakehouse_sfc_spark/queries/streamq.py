@@ -315,6 +315,49 @@ def stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "stream_topk_trending",
+    oracle="""
+    WITH w AS (
+      SELECT time_bucket(INTERVAL 1 DAY, ts) AS ws,
+             event_type,
+             COUNT(*) AS cnt
+      FROM events GROUP BY 1, 2
+    )
+    SELECT ws, event_type, cnt, rk
+    FROM (
+      SELECT ws, event_type, cnt,
+             ROW_NUMBER() OVER (
+               PARTITION BY ws ORDER BY cnt DESC, event_type
+             ) AS rk
+      FROM w
+    ) WHERE rk <= 2
+    ORDER BY ws, rk
+    """,
+)
+def stream_topk_trending(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trending event types: the tumbling-window streaming aggregation
+    (1-day windows, watermark + state-store agg, AvailableNow replay)
+    reduced to the top-2 types per window — the live "what's trending"
+    board.  The ranking is a batch window over the WINDOWED AGGREGATE
+    (|windows|×|types| rows), not the event stream, so the streaming
+    state stays the plain windowed count; ties break on event_type."""
+    from pyspark.sql import Window as W
+
+    from lakehouse_sfc_spark.streaming import run_tumbling_agg
+
+    agg = run_tumbling_agg(spark, sf_dir, window="1 day", watermark="2 hours")
+    rk = F.row_number().over(
+        W.partitionBy("ws").orderBy(F.desc("cnt"), "event_type")
+    )
+    return (
+        agg.select("ws", "event_type", "cnt")
+        .withColumn("rk", rk)
+        .filter(F.col("rk") <= 2)
+        .orderBy("ws", "rk")
+    )
+
+
+@register(
     "stream_asof_enrich",
     oracle="""
     WITH f AS (
