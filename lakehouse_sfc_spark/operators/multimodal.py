@@ -599,13 +599,14 @@ def synth_tiff_batches(
     batches: Iterable[pd.DataFrame],
 ) -> Iterator[pd.DataFrame]:
     """(doc_id, width, height) → (doc_id, payload, width, height) with the
-    payload a REAL multi-strip uncompressed RGB TIFF of the deterministic
-    grid (the scanned-document master format; operators/tiff.py)."""
+    payload a REAL multi-strip PackBits-compressed RGB TIFF of the
+    deterministic grid (the scanned-document master format with its
+    classic RLE; operators/tiff.py)."""
     from lakehouse_sfc_spark.operators.tiff import encode_tiff
 
     for pdf in batches:
         payloads = [
-            encode_tiff(_synth_pixels(int(d), int(w), int(h)))
+            encode_tiff(_synth_pixels(int(d), int(w), int(h)), packbits=True)
             for d, w, h in zip(pdf["doc_id"], pdf["width"], pdf["height"])
         ]
         yield pd.DataFrame(

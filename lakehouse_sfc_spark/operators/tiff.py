@@ -44,9 +44,64 @@ _STRIP_BYTE_COUNTS = 279
 _TYPE_SIZES = {1: 1, 2: 1, 3: 2, 4: 4, 5: 8}  # BYTE ASCII SHORT LONG RATIONAL
 
 
-def encode_tiff(pixels: "np.ndarray", rows_per_strip: int = 8) -> bytes:
-    """HxW (grayscale) or HxWx3 (RGB) uint8 array → little-endian
-    uncompressed TIFF with real multi-strip framing."""
+def _packbits_encode(data: bytes) -> bytes:
+    """Apple PackBits RLE (TIFF compression 32773): runs of 3+ equal bytes
+    become (257-n, byte); literal spans become (n-1, bytes)."""
+    out = bytearray()
+    i, n = 0, len(data)
+    while i < n:
+        run = 1
+        while i + run < n and run < 128 and data[i + run] == data[i]:
+            run += 1
+        if run >= 3:
+            out.append(257 - run)
+            out.append(data[i])
+            i += run
+            continue
+        lit_start = i
+        i += run
+        while i < n and i - lit_start < 128:
+            run = 1
+            while i + run < n and run < 3 and data[i + run] == data[i]:
+                run += 1
+            if run >= 3:
+                break
+            i += 1
+        out.append(i - lit_start - 1)
+        out += data[lit_start:i]
+    return bytes(out)
+
+
+def _packbits_decode(data: bytes, expected: int) -> bytes:
+    out = bytearray()
+    i = 0
+    while i < len(data) and len(out) < expected:
+        h = data[i]
+        i += 1
+        if h < 128:  # literal span of h+1 bytes
+            if i + h + 1 > len(data):
+                raise ValueError("truncated PackBits literal span")
+            out += data[i : i + h + 1]
+            i += h + 1
+        elif h > 128:  # run of 257-h copies
+            if i >= len(data):
+                raise ValueError("truncated PackBits run")
+            out += bytes([data[i]]) * (257 - h)
+            i += 1
+        # h == 128: no-op per spec
+    if len(out) < expected:
+        raise ValueError(
+            f"truncated PackBits strip: {len(out)} of {expected} bytes"
+        )
+    return bytes(out[:expected])
+
+
+def encode_tiff(
+    pixels: "np.ndarray", rows_per_strip: int = 8, packbits: bool = False
+) -> bytes:
+    """HxW (grayscale) or HxWx3 (RGB) uint8 array → little-endian TIFF
+    with real multi-strip framing; ``packbits=True`` RLE-compresses each
+    strip (TIFF compression 32773)."""
     np = _np()
     px = np.asarray(pixels, dtype=np.uint8)
     if px.ndim == 2:
@@ -64,7 +119,8 @@ def encode_tiff(pixels: "np.ndarray", rows_per_strip: int = 8) -> bytes:
     strips = []
     for y0 in range(0, h, rows_per_strip):
         y1 = min(y0 + rows_per_strip, h)
-        strips.append(data[y0 * row_bytes : y1 * row_bytes])
+        raw = data[y0 * row_bytes : y1 * row_bytes]
+        strips.append(_packbits_encode(raw) if packbits else raw)
 
     out = bytearray()
     out += b"II*\x00"
@@ -109,7 +165,7 @@ def encode_tiff(pixels: "np.ndarray", rows_per_strip: int = 8) -> bytes:
         entries.append(
             _entry(_BITS_PER_SAMPLE, 3, 3, _array_u16([8, 8, 8], arrays_base))
         )
-    entries.append(_entry(_COMPRESSION, 3, 1, 1))
+    entries.append(_entry(_COMPRESSION, 3, 1, 32773 if packbits else 1))
     entries.append(_entry(_PHOTOMETRIC, 3, 1, photometric))
     if len(strip_offsets) == 1:
         entries.append(_entry(_STRIP_OFFSETS, 4, 1, strip_offsets[0]))
@@ -210,10 +266,11 @@ def decode_tiff(payload: bytes) -> "np.ndarray":
     w = _one(_IMAGE_WIDTH)
     h = _one(_IMAGE_LENGTH)
     comp = _one(_COMPRESSION, 1)
-    if comp != 1:
+    if comp not in (1, 32773):
         raise NotImplementedError(
-            f"TIFF compression {comp} not supported (only 1 = uncompressed; "
-            "LZW/PackBits/JPEG-in-TIFF need their per-strip codecs)"
+            f"TIFF compression {comp} not supported (1 = uncompressed and "
+            "32773 = PackBits decode natively; LZW/JPEG-in-TIFF need their "
+            "per-strip codecs)"
         )
     spp = _one(_SAMPLES_PER_PIXEL, 1)
     bits = tags.get(_BITS_PER_SAMPLE, [8])
@@ -227,11 +284,16 @@ def decode_tiff(payload: bytes) -> "np.ndarray":
     counts = tags.get(_STRIP_BYTE_COUNTS)
     if not counts or len(counts) != len(offsets):
         raise ValueError("TIFF StripByteCounts missing or mismatched")
+    rps = _one(_ROWS_PER_STRIP, h)
+    row_bytes = w * spp
     data = bytearray()
-    for off, cnt in zip(offsets, counts):
+    for idx, (off, cnt) in enumerate(zip(offsets, counts)):
         chunk = payload[off : off + cnt]
         if len(chunk) < cnt:
             raise ValueError("truncated TIFF: strip data cut short")
+        if comp == 32773:
+            rows_here = max(0, min(rps, h - idx * rps))
+            chunk = _packbits_decode(chunk, rows_here * row_bytes)
         data += chunk
     need = w * h * spp
     if len(data) < need:

@@ -89,3 +89,42 @@ def test_decode_image_dispatches_tiff(spark_noop=None):
 
     px = _grid(5, 9)
     assert np.array_equal(decode_image(encode_tiff(px)), px)
+
+
+def test_packbits_roundtrip_and_compression():
+    from lakehouse_sfc_spark.operators.tiff import (
+        _packbits_decode,
+        _packbits_encode,
+    )
+
+    for h, w in [(1, 1), (7, 13), (16, 16)]:
+        px = _grid(h, w)
+        for rps in (1, 3, 8):
+            assert np.array_equal(
+                decode_tiff(encode_tiff(px, rows_per_strip=rps, packbits=True)),
+                px,
+            ), (h, w, rps)
+    rgb = _grid(9, 20, 3)
+    assert np.array_equal(decode_tiff(encode_tiff(rgb, packbits=True)), rgb)
+    # run-heavy data actually compresses
+    flat = np.zeros((64, 64), dtype=np.uint8)
+    assert len(encode_tiff(flat, packbits=True)) < len(encode_tiff(flat)) / 4
+    # raw PackBits kernel: runs, literals, and the 128 no-op
+    data = b"\x01\x02\x03" + b"\x07" * 10 + b"\x04"
+    assert _packbits_decode(_packbits_encode(data), len(data)) == data
+    with pytest.raises(ValueError, match="truncated PackBits"):
+        _packbits_decode(b"\xf0", 10)
+
+
+def test_unsupported_tiff_compression_still_refuses():
+    px = _grid(4, 4)
+    payload = bytearray(encode_tiff(px))
+    ifd_off = struct.unpack("<I", bytes(payload[4:8]))[0]
+    n = struct.unpack("<H", bytes(payload[ifd_off : ifd_off + 2]))[0]
+    for i in range(n):
+        at = ifd_off + 2 + 12 * i
+        tag = struct.unpack("<H", bytes(payload[at : at + 2]))[0]
+        if tag == 259:
+            struct.pack_into("<I", payload, at + 8, 7)  # JPEG-in-TIFF
+    with pytest.raises(NotImplementedError, match="compression 7"):
+        decode_tiff(bytes(payload))
