@@ -488,6 +488,106 @@ def _restore_table(spark: SparkSession, sf_dir: str) -> SnapshotTable:
     return t
 
 
+def _wap_table(spark: SparkSession, sf_dir: str) -> SnapshotTable:
+    """CREATE → stage_append(good) → publish_branch chain for snap_wap
+    (own root; the published chain is immutable after the build, and the
+    query stages/re-stages a throwaway AUDIT branch on top per run)."""
+    root = _fingerprinted_dir(_scratch_root(), sf_dir, ("orders",))
+    path = os.path.join(root, "orders_wap")
+    if os.path.exists(_manifest_path(path, 1)):
+        return SnapshotTable(spark, path)
+
+    import shutil
+
+    shutil.rmtree(path, ignore_errors=True)
+    orders = load_table(spark, sf_dir, "orders").select(*_COLS)
+    t = SnapshotTable.create(
+        orders,
+        path,
+        stats_cols=["o_orderkey", "o_orderdate"],
+        layout="linear",
+        layout_cols=["o_orderkey"],
+        num_files=8,
+    )
+    good = orders.filter(F.col("o_orderkey") % 17 == 0).withColumn(
+        "o_orderkey", F.col("o_orderkey") + 400_000_000
+    )
+    t.stage_append("etl-good", good, num_files=2)
+    t.publish_branch("etl-good")
+    return t
+
+
+@register(
+    "snap_wap",
+    oracle=f"""
+    {_SQL_STATES},
+    good AS (
+      SELECT o_orderkey + 400000000 AS o_orderkey, o_custkey,
+             o_totalprice, o_orderdate
+      FROM orders WHERE o_orderkey % 17 = 0
+    ),
+    bad AS (
+      SELECT o_orderkey + 300000000 AS o_orderkey, o_custkey,
+             CAST(-1.0 AS DOUBLE) AS o_totalprice, o_orderdate
+      FROM orders WHERE o_orderkey % 13 = 0
+    )
+    SELECT 'audit_staged' AS phase, COUNT(*) AS cnt,
+           {sql_dsum("o_totalprice", "sum_price")},
+           CAST(COUNT(*) FILTER (WHERE o_totalprice < 0) AS BIGINT)
+             AS n_violations
+    FROM (SELECT * FROM state0 UNION ALL SELECT * FROM good
+          UNION ALL SELECT * FROM bad)
+    UNION ALL
+    SELECT 'main_v0', COUNT(*), {sql_dsum("o_totalprice", "sum_price")},
+           CAST(COUNT(*) FILTER (WHERE o_totalprice < 0) AS BIGINT)
+    FROM state0
+    UNION ALL
+    SELECT 'published_v1', COUNT(*),
+           {sql_dsum("o_totalprice", "sum_price")},
+           CAST(COUNT(*) FILTER (WHERE o_totalprice < 0) AS BIGINT)
+    FROM (SELECT * FROM state0 UNION ALL SELECT * FROM good)
+    ORDER BY phase
+    """,
+)
+def snap_wap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Write-Audit-Publish (Iceberg WAP / audit branches): a good batch
+    was staged, audited, and PUBLISHED as v1; each run then stages a BAD
+    batch (negative prices) on an audit branch and reads it back — the
+    audit view shows the violations while main (v0/v1) never contains
+    them, which is the entire WAP guarantee.  The branch is re-staged per
+    run (discard + stage); published history is immutable.
+    n_violations is the audit verdict column: >0 on the staged view, 0 on
+    every published version (table/snapshots.py::stage_append/
+    read_branch/publish_branch/discard_branch)."""
+    t = _wap_table(spark, sf_dir)
+    orders = load_table(spark, sf_dir, "orders").select(*_COLS)
+    bad = (
+        orders.filter(F.col("o_orderkey") % 13 == 0)
+        .withColumn("o_orderkey", F.col("o_orderkey") + 300_000_000)
+        .withColumn("o_totalprice", F.lit(-1.0))
+    )
+    if os.path.exists(t._branch_path("audit")):
+        t.discard_branch("audit")
+    t.stage_append("audit", bad, num_files=2)
+
+    def _agg(df: DataFrame, phase: str) -> DataFrame:
+        return df.agg(
+            F.count(F.lit(1)).alias("cnt"),
+            dsum("o_totalprice", "sum_price"),
+            F.count(F.when(F.col("o_totalprice") < 0, 1)).alias(
+                "n_violations"
+            ),
+        ).select(F.lit(phase).alias("phase"), "cnt", "sum_price",
+                 "n_violations")
+
+    out = (
+        _agg(t.read_branch("audit"), "audit_staged")
+        .unionByName(_agg(t.read(0), "main_v0"))
+        .unionByName(_agg(t.read(1), "published_v1"))
+    )
+    return out.orderBy("phase")
+
+
 def _vacuum_table(spark: SparkSession, sf_dir: str) -> SnapshotTable:
     """CREATE → DELETE → APPEND → VACUUM(retain_last=2) chain (own root —
     vacuum physically deletes files and manifests, so it must never touch

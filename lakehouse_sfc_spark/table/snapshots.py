@@ -209,12 +209,15 @@ class SnapshotTable:
         layout: str = "baseline",
         layout_cols: list[str] | None = None,
         num_files: int | None = None,
+        prefix: str | None = None,
     ) -> dict:
-        """Write df's files into the table dir under this commit's prefix;
-        return their {uri: stats} entries.  Files are immutable afterwards."""
+        """Write df's files into the table dir under this commit's prefix
+        (or an explicit ``prefix``, e.g. a WAP branch namespace); return
+        their {uri: stats} entries.  Files are immutable afterwards."""
         if df.isEmpty():  # e.g. DELETE emptied every overlapping file
             return {}
-        stage = os.path.join(self.path, f".stage-v{version:05d}")
+        prefix = prefix or f"commit-{version:05d}"
+        stage = os.path.join(self.path, f".stage-{prefix}")
         shutil.rmtree(stage, ignore_errors=True)
         layout_write(
             df,
@@ -227,7 +230,7 @@ class SnapshotTable:
         sidecar = read_sidecar(stage) or {"files": {}}
         out = {}
         for i, (uri, info) in enumerate(sorted(sidecar["files"].items())):
-            dst = os.path.join(self.path, f"commit-{version:05d}-{i:04d}.parquet")
+            dst = os.path.join(self.path, f"{prefix}-{i:04d}.parquet")
             os.rename(_local(uri), dst)
             out[f"file://{dst}"] = info
         shutil.rmtree(stage)
@@ -676,6 +679,100 @@ class SnapshotTable:
         if name not in refs:
             raise KeyError(f"unknown tag {name!r}; have {sorted(refs)}")
         return self.read(refs[name])
+
+    # ------------------------------------------------- write-audit-publish
+
+    def _branch_path(self, name: str) -> str:
+        return os.path.join(self.path, _LOG_DIR, f"branch-{name}.json")
+
+    def stage_append(
+        self, name: str, df: DataFrame, num_files: int | None = None
+    ) -> dict:
+        """Iceberg WAP step 1 (``stage-only`` / audit-branch write): df's
+        files are written into the table directory under the branch's own
+        namespace and recorded in a BRANCH manifest — main's version log
+        is untouched, so readers never see the staged rows.  Constraints
+        are NOT enforced here: the whole point of WAP is that the audit
+        (step 2) runs arbitrary checks against the staged state before
+        anything becomes visible."""
+        if os.path.exists(self._branch_path(name)):
+            raise ValueError(f"branch {name!r} already staged")
+        parent = self.manifest()
+        new = self._stage(
+            df,
+            -1,
+            parent["stats_cols"],
+            num_files=num_files,
+            prefix=f"branch-{name}",
+        )
+        b = {
+            "name": name,
+            "base_version": parent["version"],
+            "operation": "WAP_APPEND",
+            "ts": time.time(),
+            "staged_files": new,
+            "files": {**parent["files"], **new},
+            "schema": json.loads(df.schema.json()),
+            "stats_cols": parent["stats_cols"],
+        }
+        os.makedirs(os.path.join(self.path, _LOG_DIR), exist_ok=True)
+        tmp = self._branch_path(name) + ".tmp"
+        with open(tmp, "w") as fh:
+            json.dump(b, fh, default=str)
+        os.rename(tmp, self._branch_path(name))
+        return b
+
+    def read_branch(self, name: str) -> DataFrame:
+        """WAP step 2 (audit): the table AS IF the branch were published —
+        main's files plus the staged ones — for DQ checks, row counts,
+        reconciliation queries.  Reading never publishes."""
+        with open(self._branch_path(name)) as fh:
+            b = json.load(fh)
+        files = sorted(b["files"])
+        if not files:
+            return self.spark.createDataFrame(
+                [], StructType.fromJson(b["schema"])
+            )
+        return self.spark.read.option("mergeSchema", "true").parquet(*files)
+
+    def publish_branch(self, name: str) -> dict:
+        """WAP step 3 (publish): fast-forward main to the audited branch —
+        a METADATA-ONLY commit of the branch's file set.  Refuses when
+        main advanced past the branch's base version (the staged state was
+        audited against a table that no longer exists — re-stage), which
+        is exactly Iceberg's cherry-pick conflict rule for WAP."""
+        with open(self._branch_path(name)) as fh:
+            b = json.load(fh)
+        parent = self.manifest()
+        if parent["version"] != b["base_version"]:
+            raise ValueError(
+                f"branch {name!r} was staged on version {b['base_version']} "
+                f"but main is at {parent['version']}; re-stage and re-audit"
+            )
+        m = self._publish(
+            parent["version"] + 1,
+            "WAP_PUBLISH",
+            b["files"],
+            StructType.fromJson(b["schema"]),
+            b["stats_cols"],
+            extra=self._carry(parent, {"published_branch": name}),
+        )
+        os.remove(self._branch_path(name))
+        return m
+
+    def discard_branch(self, name: str) -> dict:
+        """Failed audit: physically delete the staged files (they were
+        never referenced by any manifest) and drop the branch ref — main
+        never knew."""
+        with open(self._branch_path(name)) as fh:
+            b = json.load(fh)
+        for uri in b["staged_files"]:
+            try:
+                os.remove(_local(uri))
+            except FileNotFoundError:
+                pass
+        os.remove(self._branch_path(name))
+        return {"discarded": name, "files_deleted": len(b["staged_files"])}
 
     def restore(self, version: int) -> dict:
         """Delta ``RESTORE TABLE ... TO VERSION`` parity: a METADATA-ONLY

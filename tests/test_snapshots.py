@@ -470,3 +470,53 @@ def test_tags_resolve_and_survive_commits(table, orders):
         table.read_tag("nope")
     with _pytest.raises(FileNotFoundError):
         table.set_tag("future", 99)
+
+
+def test_wap_stage_is_invisible_until_publish(table, orders):
+    """WAP: staged rows never appear on main; publish is a metadata-only
+    fast-forward; the audit view sees base + staged."""
+    n0 = orders.count()
+    batch = orders.limit(50).withColumn(
+        "o_orderkey", F.col("o_orderkey") + 5_000_000
+    )
+    table.stage_append("wap", batch, num_files=2)
+    assert table.read().count() == n0  # main untouched
+    assert table.latest_version() == 0
+    assert table.read_branch("wap").count() == n0 + 50
+    m = table.publish_branch("wap")
+    assert m["operation"] == "WAP_PUBLISH"
+    assert table.read().count() == n0 + 50
+    assert table.read(0).count() == n0  # time travel preserved
+
+
+def test_wap_discard_deletes_staged_files(table, orders):
+    import os
+
+    batch = orders.limit(10).withColumn(
+        "o_orderkey", F.col("o_orderkey") + 5_000_000
+    )
+    b = table.stage_append("bad", batch, num_files=1)
+    staged = [u.replace("file://", "") for u in b["staged_files"]]
+    assert all(os.path.exists(p) for p in staged)
+    res = table.discard_branch("bad")
+    assert res["files_deleted"] == len(staged)
+    assert not any(os.path.exists(p) for p in staged)
+    with pytest.raises(FileNotFoundError):
+        table.read_branch("bad")
+
+
+def test_wap_publish_refuses_after_main_advanced(table, orders):
+    """Iceberg's cherry-pick conflict rule: a branch staged on version N
+    cannot fast-forward once main moved past N."""
+    batch = orders.limit(10).withColumn(
+        "o_orderkey", F.col("o_orderkey") + 5_000_000
+    )
+    table.stage_append("stale", batch, num_files=1)
+    table.append(
+        orders.limit(5).withColumn(
+            "o_orderkey", F.col("o_orderkey") + 6_000_000
+        )
+    )
+    with pytest.raises(ValueError, match="re-stage"):
+        table.publish_branch("stale")
+    table.discard_branch("stale")
