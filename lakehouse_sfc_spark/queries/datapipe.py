@@ -2185,6 +2185,70 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- exact-duplicate cluster profile ----------------------------------------
 
 
+# --- cross-lingual near-dup (translation pairs) ------------------------------
+
+
+@register(
+    "dedup_cross_lingual",
+    oracle=f"""
+    WITH c AS ({_SQL_EMB_CTE}),
+    pairs AS (
+      SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+             round({_sql_cos("a", "b")}, 6) AS score
+      FROM c a JOIN c b ON a.vec_id < b.vec_id
+      WHERE {_sql_cos("a", "b")} >= {_COS_TAU}
+    )
+    SELECT LEAST(da.lang, db.lang) AS lang_a,
+           GREATEST(da.lang, db.lang) AS lang_b,
+           COUNT(*) AS n_pairs,
+           MAX(p.score) AS top_score,
+           CAST(MIN(p.a_id) AS BIGINT) AS min_a_id
+    FROM pairs p
+    JOIN documents da ON p.a_id = da.doc_id
+    JOIN documents db ON p.b_id = db.doc_id
+    WHERE da.lang <> db.lang
+    GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+)
+def dedup_cross_lingual(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TRANSLATION-pair detection — the cross-lingual dedup no text-based
+    method can do (word n-grams share nothing across languages): embedding
+    near-dup pairs (cosine ≥ τ, the block-partitioned exact scorer) whose
+    linked documents carry DIFFERENT language tags, reported per unordered
+    language pair.  The multilingual-corpus audit that decides whether
+    translated copies count against a dedup budget.
+
+    Scale shape: pair generation is dedup_embedding_cosine's bounded
+    block-pair machinery; the doc joins are key-equality on doc_id (dims
+    broadcast at this SF, hash joins at 100 TB); the lang-pair rollup is a
+    tiny-keyed aggregate.  MAX/MIN reductions only — order-free exact."""
+    pairs = dedup_embedding_cosine(spark, sf_dir)
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    j = (
+        pairs.join(
+            d.select(F.col("doc_id").alias("a_id"), F.col("lang").alias("la")),
+            "a_id",
+        )
+        .join(
+            d.select(F.col("doc_id").alias("b_id"), F.col("lang").alias("lb")),
+            "b_id",
+        )
+        .filter(F.col("la") != F.col("lb"))
+    )
+    return (
+        j.groupBy(
+            F.least("la", "lb").alias("lang_a"),
+            F.greatest("la", "lb").alias("lang_b"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.max("score").alias("top_score"),
+            F.min("a_id").alias("min_a_id"),
+        )
+        .orderBy("lang_a", "lang_b")
+    )
+
+
 # --- edit-distance-verified near-dup ----------------------------------------
 
 _ED_TAU = 0.5  # gram-Jaccard candidate threshold (prefix-filterable)

@@ -23,6 +23,7 @@ _ROWS_ONLY = sorted(n for n, s in QUERIES.items() if s.oracle is None)
 # formulation — those now run <1 s even at sf0.1 and left this set.)
 _HEAVY_ORACLE = {
     "dedup_embedding_cosine",
+    "dedup_cross_lingual",  # embeds the same O(n^2) cosine pair CTE
     "dedup_simhash",
 }
 
