@@ -102,6 +102,8 @@ _SIDECAR_CACHE_MAX = 256
 
 
 def read_sidecar(path: str) -> dict | None:
+    import copy
+
     p = os.path.join(path, SIDECAR_NAME)
     try:
         st = os.stat(p)
@@ -110,12 +112,15 @@ def read_sidecar(path: str) -> dict | None:
     key = (os.path.abspath(p), st.st_size, st.st_mtime_ns)
     hit = _SIDECAR_CACHE.get(key)
     if hit is not None:
-        return hit
+        # deep copy: callers mutate the result in place (_rehome_sidecar
+        # rewrites file URIs, upsert merges file maps) — handing out the
+        # cached object would let them poison every later read
+        return copy.deepcopy(hit)
     with open(p) as f:
         out = json.load(f)
     if len(_SIDECAR_CACHE) >= _SIDECAR_CACHE_MAX:
         _SIDECAR_CACHE.clear()
-    _SIDECAR_CACHE[key] = out
+    _SIDECAR_CACHE[key] = copy.deepcopy(out)
     return out
 
 

@@ -8,12 +8,14 @@ reuses the GIF LZW machinery's cousin but with per-strip early-change
 semantics — NOT implemented here; decode raises a clear error naming the
 compression tag.
 
-Layout written by ``encode_tiff``: little-endian header, pixel data first,
-one IFD after it with the 10 baseline tags readers require (ImageWidth,
-ImageLength, BitsPerSample, Compression, PhotometricInterpretation,
-StripOffsets, SamplesPerPixel, RowsPerStrip, StripByteCounts, XResolution-
-free).  ``decode_tiff`` walks any conforming single-image file: II/MM,
-arbitrary strip splits, inline (value-fits-in-4-bytes) or offset tag values.
+Layout written by ``encode_tiff``: little-endian header, pixel data first
+(raw or PackBits per strip), one IFD after it with the 9 baseline tags
+readers require (ImageWidth, ImageLength, BitsPerSample, Compression,
+PhotometricInterpretation, StripOffsets, SamplesPerPixel, RowsPerStrip,
+StripByteCounts).  ``decode_tiff`` walks any conforming single-image file:
+II/MM, arbitrary strip splits, inline (value-fits-in-4-bytes) or offset
+tag values, WhiteIsZero or BlackIsZero grayscale, chunky RGB; palette/
+planar/other-compression files refuse loudly by tag.
 """
 
 from __future__ import annotations
@@ -40,6 +42,7 @@ _STRIP_OFFSETS = 273
 _SAMPLES_PER_PIXEL = 277
 _ROWS_PER_STRIP = 278
 _STRIP_BYTE_COUNTS = 279
+_PLANAR_CONFIG = 284
 
 _TYPE_SIZES = {1: 1, 2: 1, 3: 2, 4: 4, 5: 8}  # BYTE ASCII SHORT LONG RATIONAL
 
@@ -222,7 +225,8 @@ def _read_tag_values(payload: bytes, entry: bytes, e: str) -> list[int]:
 
 
 def decode_tiff(payload: bytes) -> "np.ndarray":
-    """Baseline uncompressed TIFF → HxW (gray) or HxWx3 (RGB) uint8."""
+    """Baseline TIFF (uncompressed or PackBits) → HxW (gray) or HxWx3
+    (RGB) uint8; WhiteIsZero grayscale is inverted to BlackIsZero."""
     np = _np()
     if payload[:4] == b"II*\x00":
         e = "<"
@@ -253,6 +257,7 @@ def decode_tiff(payload: bytes) -> "np.ndarray":
             _SAMPLES_PER_PIXEL,
             _ROWS_PER_STRIP,
             _STRIP_BYTE_COUNTS,
+            _PLANAR_CONFIG,
         ):
             tags[tag] = _read_tag_values(payload, entry, e)
 
@@ -278,6 +283,18 @@ def decode_tiff(payload: bytes) -> "np.ndarray":
         raise NotImplementedError(f"TIFF bits-per-sample {bits} != 8")
     if spp not in (1, 3):
         raise NotImplementedError(f"TIFF samples-per-pixel {spp} not in (1, 3)")
+    photometric = _one(_PHOTOMETRIC, 1)
+    if photometric not in (0, 1, 2):
+        raise NotImplementedError(
+            f"TIFF photometric {photometric} not supported (0/1 grayscale, "
+            "2 RGB; palette/CMYK/YCbCr need their color machinery)"
+        )
+    planar = _one(_PLANAR_CONFIG, 1)
+    if planar != 1:
+        raise NotImplementedError(
+            f"TIFF planar configuration {planar} not supported (only 1 = "
+            "chunky; separate-plane files interleave differently)"
+        )
     offsets = tags.get(_STRIP_OFFSETS)
     if not offsets:
         raise ValueError("TIFF missing StripOffsets")
@@ -301,6 +318,10 @@ def decode_tiff(payload: bytes) -> "np.ndarray":
             f"truncated TIFF: {len(data)} of {need} pixel bytes present"
         )
     arr = np.frombuffer(bytes(data[:need]), dtype=np.uint8)
+    if photometric == 0:
+        # WhiteIsZero (fax/scan masters): invert to the BlackIsZero
+        # convention every other decoder here returns
+        arr = (255 - arr.astype(np.int16)).astype(np.uint8)
     if spp == 1:
         return arr.reshape(h, w)
     return arr.reshape(h, w, 3)

@@ -2266,7 +2266,9 @@ _ED_FRAC = 0.2  # max edit distance as a fraction of the longer text
     FROM p
     JOIN documents da ON p.a_id = da.doc_id
     JOIN documents db ON p.b_id = db.doc_id
-    WHERE levenshtein(da.text, db.text)
+    WHERE regexp_full_match(da.text, '[\\x00-\\x7f]*')
+      AND regexp_full_match(db.text, '[\\x00-\\x7f]*')
+      AND levenshtein(da.text, db.text)
           <= FLOOR({_ED_FRAC} * GREATEST(len(da.text), len(db.text)))
     ORDER BY a_id, b_id
     """,
@@ -2277,8 +2279,13 @@ def dedup_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
     distance ≤ 20% of the longer text — the second opinion that separates
     true revisions (small char edits) from docs that merely share phrasing
     (high gram overlap, heavy rewrites).  Both engines implement
-    unit-cost Levenshtein natively, so the verification is exact INTEGER
-    agreement; the length-ratio conjunct is implied by Jaccard ≥ 0.5.
+    unit-cost Levenshtein natively but over DIFFERENT units — Spark counts
+    codepoints, DuckDB counts BYTES — so the char-level verification is
+    restricted to single-byte (ASCII) texts, where the two definitions
+    coincide and the agreement is exact INTEGER; non-ASCII documents keep
+    their gram-level dedup coverage and are exempt here (both sides apply
+    the identical exclusion).  The length-ratio conjunct is implied by
+    Jaccard ≥ 0.5.
 
     Scale shape: candidates from the banded prefix filter (never
     all-pairs); the O(|a|·|b|) edit-distance kernel runs only on verified
@@ -2290,7 +2297,11 @@ def dedup_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     cand = _prefix_candidates(ngr, _ED_TAU, symmetric=True)
     jac = _pair_jaccard()
-    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    d = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .filter(F.col("text").rlike("^[\\x00-\\x7F]*$"))
+    )
     lev = F.levenshtein(F.col("ta.text"), F.col("tb.text"))
     cap = F.floor(
         F.lit(_ED_FRAC)

@@ -290,17 +290,22 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         st = os.stat(path)
         # Directory-backed datasets: a directory's own (size, mtime) may
         # not change when a part file is overwritten IN PLACE, so fold the
-        # max child (mtime_ns, size) into the key.  Single files (the
-        # testdata shape) keep the cheap one-stat key.
+        # max descendant (mtime_ns, size) into the key — RECURSIVELY,
+        # since Hive-partitioned layouts nest part files a level down and
+        # the partition dir's mtime only moves on entry create/delete.
+        # Single files (the testdata shape) keep the cheap one-stat key.
         child_key = None
         if os.path.isdir(path):
-            children = [
-                os.stat(os.path.join(path, f))
-                for f in os.listdir(path)
-                if not f.startswith((".", "_"))
-            ]
+            stats = []
+            for root, dirs, fnames in os.walk(path):
+                dirs[:] = [
+                    d for d in dirs if not d.startswith((".", "_"))
+                ]
+                for f in fnames:
+                    if not f.startswith((".", "_")):
+                        stats.append(os.stat(os.path.join(root, f)))
             child_key = max(
-                ((c.st_mtime_ns, c.st_size) for c in children),
+                ((c.st_mtime_ns, c.st_size) for c in stats),
                 default=None,
             )
         key = (

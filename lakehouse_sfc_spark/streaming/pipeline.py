@@ -783,6 +783,16 @@ def _asof_enrich_fn(
         rows["event_id"], rows["is_dim"], rows["ts_us"], rows["value"]
     ):
         if is_dim:
+            # monotone state update: a dim version arriving in a LATER
+            # micro-batch but with an earlier (ts, event_id) (cross-file
+            # disorder within the watermark) must not roll the standing
+            # version backwards — within a batch rows are sorted, so this
+            # guard only ever bites across batches
+            if dim_ts_us is not None and (int(ts_us), int(eid)) <= (
+                dim_ts_us,
+                dim_event_id,
+            ):
+                continue
             dim_ts_us, dim_event_id, dim_value = int(ts_us), int(eid), float(val)
         else:
             out_id.append(int(eid))
@@ -822,7 +832,15 @@ def run_stream_asof_enrich(
     key, unlike the sessionizer's open-window payload), facts stream
     through — the state store grows with |dimension keys|, never with the
     fact volume, which is what makes per-event enrichment viable on an
-    unbounded stream."""
+    unbounded stream.
+
+    Ordering contract: within a batch rows are processed in (ts,
+    event_id) order; ACROSS batches the state update is monotone (an
+    out-of-order dim from a later file can never roll the standing
+    version backwards).  A fact arriving in a later batch than a dim
+    that FOLLOWS it in event time is enriched with that newer dim — the
+    standard streaming-enrichment concession; the single-file backlog
+    (read_events_stream's documented contract) makes replays exact."""
     name = f"asof_{uuid.uuid4().hex[:8]}"
     src = (
         read_events_stream(spark, sf_dir)

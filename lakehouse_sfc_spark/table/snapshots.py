@@ -749,6 +749,16 @@ class SnapshotTable:
                 f"branch {name!r} was staged on version {b['base_version']} "
                 f"but main is at {parent['version']}; re-stage and re-audit"
             )
+        # Table CHECK constraints are enforced at COMMIT time like every
+        # other write path — the WAP audit is for checks BEYOND the
+        # table's declared invariants, not a bypass of them (Iceberg
+        # likewise validates on cherry-pick, not on stage).
+        staged = sorted(b["staged_files"])
+        if staged:
+            incoming = self.spark.read.option("mergeSchema", "true").parquet(
+                *staged
+            )
+            self._enforce_constraints(parent, incoming)
         m = self._publish(
             parent["version"] + 1,
             "WAP_PUBLISH",

@@ -520,3 +520,18 @@ def test_wap_publish_refuses_after_main_advanced(table, orders):
     with pytest.raises(ValueError, match="re-stage"):
         table.publish_branch("stale")
     table.discard_branch("stale")
+
+
+def test_wap_publish_enforces_table_constraints(table, orders):
+    """WAP's audit is for checks BEYOND the table's declared invariants —
+    publishing still enforces CHECK constraints, like every write path."""
+    table.set_constraint("pos_price", "o_totalprice >= 0")
+    v_before = table.latest_version()  # set_constraint is itself a commit
+    bad = orders.limit(5).withColumn(
+        "o_orderkey", F.col("o_orderkey") + 7_000_000
+    ).withColumn("o_totalprice", F.lit(-5.0))
+    table.stage_append("sneaky", bad, num_files=1)
+    with pytest.raises(ValueError, match="pos_price"):
+        table.publish_branch("sneaky")
+    assert table.latest_version() == v_before  # nothing published
+    table.discard_branch("sneaky")

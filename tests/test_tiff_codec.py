@@ -128,3 +128,29 @@ def test_unsupported_tiff_compression_still_refuses():
             struct.pack_into("<I", payload, at + 8, 7)  # JPEG-in-TIFF
     with pytest.raises(NotImplementedError, match="compression 7"):
         decode_tiff(bytes(payload))
+
+
+def test_white_is_zero_inverts_and_planar_refuses():
+    """PhotometricInterpretation=0 (fax/scan masters) must decode to the
+    BlackIsZero convention; PlanarConfiguration=2 must refuse loudly."""
+    px = _grid(4, 6)
+    payload = bytearray(encode_tiff(px))
+    ifd_off = struct.unpack("<I", bytes(payload[4:8]))[0]
+    n = struct.unpack("<H", bytes(payload[ifd_off : ifd_off + 2]))[0]
+
+    def set_tag(buf, tag, value):
+        for i in range(n):
+            at = ifd_off + 2 + 12 * i
+            if struct.unpack("<H", bytes(buf[at : at + 2]))[0] == tag:
+                struct.pack_into("<I", buf, at + 8, value)
+
+    wiz = bytearray(payload)
+    set_tag(wiz, 262, 0)  # WhiteIsZero (SHORT inline: low half, LE)
+    assert np.array_equal(decode_tiff(bytes(wiz)), 255 - px)
+
+    # append a PlanarConfiguration=2 entry is intrusive; instead flip the
+    # photometric to an unsupported space (palette=3)
+    pal = bytearray(payload)
+    set_tag(pal, 262, 3)
+    with pytest.raises(NotImplementedError, match="photometric 3"):
+        decode_tiff(bytes(pal))
