@@ -47,6 +47,95 @@ _PLANAR_CONFIG = 284
 _TYPE_SIZES = {1: 1, 2: 1, 3: 2, 4: 4, 5: 8}  # BYTE ASCII SHORT LONG RATIONAL
 
 
+def _lzw_encode_tiff(data: bytes) -> bytes:
+    """TIFF LZW (compression 5): MSB-first variable-width codes with the
+    EARLY-CHANGE convention (width bumps when the next code would be
+    2^w - 1) — the two ways it differs from GIF's LSB-first/late-change
+    LZW.  Table clears at 4094 exactly as libtiff writes."""
+    clear, eoi = 256, 257
+    out = bytearray()
+    acc = nbits = 0
+
+    def emit(code: int, width: int) -> None:
+        nonlocal acc, nbits
+        acc = (acc << width) | code
+        nbits += width
+        while nbits >= 8:
+            nbits -= 8
+            out.append((acc >> nbits) & 0xFF)
+
+    table: dict[bytes, int] = {bytes([i]): i for i in range(256)}
+    next_code, width = 258, 9
+    emit(clear, width)
+    w = b""
+    for ch in data:
+        wc = w + bytes([ch])
+        if wc in table:
+            w = wc
+            continue
+        emit(table[w], width)
+        table[wc] = next_code
+        next_code += 1
+        if next_code == (1 << width) - 1 and width < 12:
+            width += 1
+        if next_code >= 4094:
+            emit(clear, width)
+            table = {bytes([i]): i for i in range(256)}
+            next_code, width = 258, 9
+        w = bytes([ch])
+    if w:
+        emit(table[w], width)
+    emit(eoi, width)
+    if nbits:
+        out.append((acc << (8 - nbits)) & 0xFF)
+    return bytes(out)
+
+
+def _lzw_decode_tiff(data: bytes, expected: int) -> bytes:
+    clear, eoi = 256, 257
+    out = bytearray()
+    acc = nbits = pos = 0
+    width = 9
+    table = [bytes([i]) for i in range(256)] + [b"", b""]
+    prev = None
+    while True:
+        while nbits < width:
+            if pos >= len(data):
+                raise ValueError("truncated TIFF LZW stream")
+            acc = (acc << 8) | data[pos]
+            pos += 1
+            nbits += 8
+        code = (acc >> (nbits - width)) & ((1 << width) - 1)
+        nbits -= width
+        if code == clear:
+            table = [bytes([i]) for i in range(256)] + [b"", b""]
+            width, prev = 9, None
+            continue
+        if code == eoi:
+            break
+        if prev is None:
+            entry = table[code]
+        elif code < len(table):
+            entry = table[code]
+            table.append(prev + entry[:1])
+        else:  # KwKwK
+            entry = prev + prev[:1]
+            table.append(entry)
+        out += entry
+        # early change, decoder side: the NEXT append would land in slot
+        # 2^w - 1, where the encoder already widened — mirror one early
+        if len(table) == (1 << width) - 2 and width < 12:
+            width += 1
+        prev = entry
+        if len(out) >= expected:
+            break
+    if len(out) < expected:
+        raise ValueError(
+            f"truncated TIFF LZW strip: {len(out)} of {expected} bytes"
+        )
+    return bytes(out[:expected])
+
+
 def _packbits_encode(data: bytes) -> bytes:
     """Apple PackBits RLE (TIFF compression 32773): runs of 3+ equal bytes
     become (257-n, byte); literal spans become (n-1, bytes)."""
@@ -99,12 +188,23 @@ def _packbits_decode(data: bytes, expected: int) -> bytes:
     return bytes(out[:expected])
 
 
+_COMPRESSION_TAGS = {"none": 1, "packbits": 32773, "lzw": 5}
+
+
 def encode_tiff(
-    pixels: "np.ndarray", rows_per_strip: int = 8, packbits: bool = False
+    pixels: "np.ndarray",
+    rows_per_strip: int = 8,
+    packbits: bool = False,
+    compression: str | None = None,
 ) -> bytes:
     """HxW (grayscale) or HxWx3 (RGB) uint8 array → little-endian TIFF
-    with real multi-strip framing; ``packbits=True`` RLE-compresses each
-    strip (TIFF compression 32773)."""
+    with real multi-strip framing.  ``compression``: "none" (default),
+    "packbits" (RLE, tag 32773) or "lzw" (early-change LZW, tag 5);
+    ``packbits=True`` is the legacy spelling of compression="packbits"."""
+    if compression is None:
+        compression = "packbits" if packbits else "none"
+    if compression not in _COMPRESSION_TAGS:
+        raise ValueError(f"unknown compression {compression!r}")
     np = _np()
     px = np.asarray(pixels, dtype=np.uint8)
     if px.ndim == 2:
@@ -119,11 +219,16 @@ def encode_tiff(
         raise ValueError("encode_tiff wants HxW or HxWx3 uint8")
     data = px.tobytes()
     row_bytes = w * spp
+    comp_fns = {
+        "none": lambda b: b,
+        "packbits": _packbits_encode,
+        "lzw": _lzw_encode_tiff,
+    }
+    comp_fn = comp_fns[compression]
     strips = []
     for y0 in range(0, h, rows_per_strip):
         y1 = min(y0 + rows_per_strip, h)
-        raw = data[y0 * row_bytes : y1 * row_bytes]
-        strips.append(_packbits_encode(raw) if packbits else raw)
+        strips.append(comp_fn(data[y0 * row_bytes : y1 * row_bytes]))
 
     out = bytearray()
     out += b"II*\x00"
@@ -168,7 +273,9 @@ def encode_tiff(
         entries.append(
             _entry(_BITS_PER_SAMPLE, 3, 3, _array_u16([8, 8, 8], arrays_base))
         )
-    entries.append(_entry(_COMPRESSION, 3, 1, 32773 if packbits else 1))
+    entries.append(
+        _entry(_COMPRESSION, 3, 1, _COMPRESSION_TAGS[compression])
+    )
     entries.append(_entry(_PHOTOMETRIC, 3, 1, photometric))
     if len(strip_offsets) == 1:
         entries.append(_entry(_STRIP_OFFSETS, 4, 1, strip_offsets[0]))
@@ -271,11 +378,11 @@ def decode_tiff(payload: bytes) -> "np.ndarray":
     w = _one(_IMAGE_WIDTH)
     h = _one(_IMAGE_LENGTH)
     comp = _one(_COMPRESSION, 1)
-    if comp not in (1, 32773):
+    if comp not in (1, 5, 32773):
         raise NotImplementedError(
-            f"TIFF compression {comp} not supported (1 = uncompressed and "
-            "32773 = PackBits decode natively; LZW/JPEG-in-TIFF need their "
-            "per-strip codecs)"
+            f"TIFF compression {comp} not supported (1 = uncompressed, "
+            "5 = LZW and 32773 = PackBits decode natively; JPEG-in-TIFF / "
+            "Deflate-in-TIFF need their per-strip codecs)"
         )
     spp = _one(_SAMPLES_PER_PIXEL, 1)
     bits = tags.get(_BITS_PER_SAMPLE, [8])
@@ -308,9 +415,14 @@ def decode_tiff(payload: bytes) -> "np.ndarray":
         chunk = payload[off : off + cnt]
         if len(chunk) < cnt:
             raise ValueError("truncated TIFF: strip data cut short")
-        if comp == 32773:
+        if comp in (5, 32773):
             rows_here = max(0, min(rps, h - idx * rps))
-            chunk = _packbits_decode(chunk, rows_here * row_bytes)
+            expected = rows_here * row_bytes
+            chunk = (
+                _lzw_decode_tiff(chunk, expected)
+                if comp == 5
+                else _packbits_decode(chunk, expected)
+            )
         data += chunk
     need = w * h * spp
     if len(data) < need:

@@ -72,15 +72,15 @@ def test_rejects_compression_and_truncation():
         decode_tiff(b"XXXX")
     with pytest.raises(ValueError, match="truncated TIFF"):
         decode_tiff(bytes(payload[:10]))
-    # flip the Compression tag value to 5 (LZW) in place
+    # flip the Compression tag value to 8 (Deflate-in-TIFF) in place
     ifd_off = struct.unpack("<I", bytes(payload[4:8]))[0]
     n = struct.unpack("<H", bytes(payload[ifd_off : ifd_off + 2]))[0]
     for i in range(n):
         at = ifd_off + 2 + 12 * i
         tag = struct.unpack("<H", bytes(payload[at : at + 2]))[0]
         if tag == 259:
-            struct.pack_into("<I", payload, at + 8, 5)
-    with pytest.raises(NotImplementedError, match="compression 5"):
+            struct.pack_into("<I", payload, at + 8, 8)
+    with pytest.raises(NotImplementedError, match="compression 8"):
         decode_tiff(bytes(payload))
 
 
@@ -154,3 +154,37 @@ def test_white_is_zero_inverts_and_planar_refuses():
     set_tag(pal, 262, 3)
     with pytest.raises(NotImplementedError, match="photometric 3"):
         decode_tiff(bytes(pal))
+
+
+def test_lzw_roundtrip_all_shapes_and_table_clears():
+    """TIFF LZW (compression 5): MSB-first, EARLY-CHANGE width bumps, 4094
+    table clears — the three ways it differs from GIF's LZW."""
+    for h, w in [(1, 1), (7, 13), (16, 16)]:
+        px = _grid(h, w)
+        for rps in (1, 3, 8):
+            assert np.array_equal(
+                decode_tiff(
+                    encode_tiff(px, rows_per_strip=rps, compression="lzw")
+                ),
+                px,
+            ), (h, w, rps)
+    rgb = _grid(9, 20, 3)
+    assert np.array_equal(
+        decode_tiff(encode_tiff(rgb, compression="lzw")), rgb
+    )
+    # one big single strip forces width growth to 12 bits and a table clear
+    rng = np.random.RandomState(3)
+    big = rng.randint(0, 256, size=(120, 400), dtype=np.uint8).astype(
+        np.uint8
+    )
+    enc = encode_tiff(big, rows_per_strip=1000, compression="lzw")
+    assert np.array_equal(decode_tiff(enc), big)
+    # run-heavy data compresses
+    flat = np.zeros((64, 64), dtype=np.uint8)
+    assert len(encode_tiff(flat, compression="lzw")) < len(
+        encode_tiff(flat)
+    ) / 4
+    from lakehouse_sfc_spark.operators.tiff import _lzw_decode_tiff
+
+    with pytest.raises(ValueError, match="truncated TIFF LZW"):
+        _lzw_decode_tiff(b"\x80", 10)
