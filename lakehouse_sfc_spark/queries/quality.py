@@ -669,3 +669,98 @@ def dq_ks_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("ks"),
         )
     )
+
+
+@register(
+    "dq_reconcile_totals",
+    oracle="""
+    WITH lt AS (
+      SELECT l_orderkey,
+             SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                 * (1 - CAST(l_discount AS DECIMAL(8,4)))) AS li_total
+      FROM lineitem GROUP BY l_orderkey
+    ),
+    d AS (
+      SELECT o.o_orderkey,
+             CAST(o.o_totalprice AS DECIMAL(18,2)) AS header,
+             lt.li_total,
+             CAST(CAST(o.o_totalprice AS DECIMAL(18,2)) - lt.li_total
+                  AS DOUBLE) AS delta
+      FROM orders o LEFT JOIN lt ON o.o_orderkey = lt.l_orderkey
+    ),
+    b AS (
+      SELECT CASE WHEN li_total IS NULL THEN 'missing_lineitems'
+                  WHEN delta = 0 THEN 'exact'
+                  WHEN delta > 0 THEN 'header_over'
+                  ELSE 'header_under' END AS band,
+             CASE WHEN li_total IS NULL OR delta = 0 THEN 0
+                  ELSE CAST(LEAST(FLOOR(abs(delta)
+                       / CAST(header AS DOUBLE) * 10.0), 10) AS BIGINT)
+             END AS decile,
+             delta
+      FROM d
+    )
+    SELECT band, decile,
+           COUNT(*) AS n_orders,
+           MIN(delta) AS min_delta,
+           MAX(delta) AS max_delta
+    FROM b GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+)
+def dq_reconcile_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fact-vs-rollup reconciliation — the DQ report every warehouse runs
+    nightly: each order's HEADER total against the exact-decimal sum of
+    its line items (extendedprice·(1−discount)), bucketed by direction and
+    relative-magnitude decile, with childless orders their own band.  All
+    comparisons happen on exact decimals; the only doubles are the final
+    delta rendering and the single bucketing division (FLOOR — identical
+    truncation in both engines).
+
+    Scale shape: one l_orderkey aggregation (map-side combinable), one
+    key-equality join, one tiny-keyed histogram — the reconciliation of a
+    100 TB fact table is exactly this plan."""
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    lt = li.groupBy("l_orderkey").agg(
+        F.sum(
+            F.col("l_extendedprice").cast("decimal(18,2)")
+            * (F.lit(1) - F.col("l_discount").cast("decimal(8,4)"))
+        ).alias("li_total")
+    )
+    d = o.join(lt, o.o_orderkey == lt.l_orderkey, "left").select(
+        F.col("o_totalprice").cast("decimal(18,2)").alias("header"),
+        "li_total",
+        (
+            F.col("o_totalprice").cast("decimal(18,2)") - F.col("li_total")
+        )
+        .cast("double")
+        .alias("delta"),
+    )
+    band = (
+        F.when(F.col("li_total").isNull(), "missing_lineitems")
+        .when(F.col("delta") == 0, "exact")
+        .when(F.col("delta") > 0, "header_over")
+        .otherwise("header_under")
+    )
+    decile = F.when(
+        F.col("li_total").isNull() | (F.col("delta") == 0), F.lit(0)
+    ).otherwise(
+        F.least(
+            F.floor(
+                F.abs(F.col("delta"))
+                / F.col("header").cast("double")
+                * 10.0
+            ),
+            F.lit(10),
+        ).cast("bigint")
+    )
+    return (
+        d.select(band.alias("band"), decile.alias("decile"), "delta")
+        .groupBy("band", "decile")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.min("delta").alias("min_delta"),
+            F.max("delta").alias("max_delta"),
+        )
+        .orderBy("band", "decile")
+    )
