@@ -49,6 +49,9 @@ AUDITED_EXTRA = [
     "emb_quantize_int8",
     "j_scd2_pit",
     "dedup_containment",
+    "dq_ks_two_sample",
+    "dq_reconcile_totals",
+    "dedup_edit_distance",
     "dedup_substring_windows",
     "text_token_df_score",
     "ann_filtered_topk",
@@ -93,6 +96,10 @@ ANNOTATIONS = {
         "the BroadcastNestedLoopJoins are the intended 1-row direction-"
         "vector broadcasts (one per power-iteration step, condition-less, "
         "bounded)"
+    ),
+    "dq_ks_two_sample": (
+        "the BroadcastNestedLoopJoin×1 is the intended 1-row broadcast of "
+        "the (N_a, N_b) totals scalar (condition-less crossJoin, bounded)"
     ),
 }
 
