@@ -188,7 +188,7 @@ def _packbits_decode(data: bytes, expected: int) -> bytes:
     return bytes(out[:expected])
 
 
-_COMPRESSION_TAGS = {"none": 1, "packbits": 32773, "lzw": 5}
+_COMPRESSION_TAGS = {"none": 1, "packbits": 32773, "lzw": 5, "deflate": 8}
 
 
 def encode_tiff(
@@ -219,10 +219,13 @@ def encode_tiff(
         raise ValueError("encode_tiff wants HxW or HxWx3 uint8")
     data = px.tobytes()
     row_bytes = w * spp
+    import zlib
+
     comp_fns = {
         "none": lambda b: b,
         "packbits": _packbits_encode,
         "lzw": _lzw_encode_tiff,
+        "deflate": zlib.compress,  # Adobe Deflate (tag 8): raw zlib stream
     }
     comp_fn = comp_fns[compression]
     strips = []
@@ -378,11 +381,11 @@ def decode_tiff(payload: bytes) -> "np.ndarray":
     w = _one(_IMAGE_WIDTH)
     h = _one(_IMAGE_LENGTH)
     comp = _one(_COMPRESSION, 1)
-    if comp not in (1, 5, 32773):
+    if comp not in (1, 5, 8, 32773):
         raise NotImplementedError(
             f"TIFF compression {comp} not supported (1 = uncompressed, "
-            "5 = LZW and 32773 = PackBits decode natively; JPEG-in-TIFF / "
-            "Deflate-in-TIFF need their per-strip codecs)"
+            "5 = LZW, 8 = Deflate and 32773 = PackBits decode natively; "
+            "JPEG-in-TIFF needs its per-strip codec)"
         )
     spp = _one(_SAMPLES_PER_PIXEL, 1)
     bits = tags.get(_BITS_PER_SAMPLE, [8])
@@ -415,14 +418,27 @@ def decode_tiff(payload: bytes) -> "np.ndarray":
         chunk = payload[off : off + cnt]
         if len(chunk) < cnt:
             raise ValueError("truncated TIFF: strip data cut short")
-        if comp in (5, 32773):
+        if comp in (5, 8, 32773):
             rows_here = max(0, min(rps, h - idx * rps))
             expected = rows_here * row_bytes
-            chunk = (
-                _lzw_decode_tiff(chunk, expected)
-                if comp == 5
-                else _packbits_decode(chunk, expected)
-            )
+            if comp == 5:
+                chunk = _lzw_decode_tiff(chunk, expected)
+            elif comp == 8:
+                import zlib
+
+                try:
+                    chunk = zlib.decompress(bytes(chunk))
+                except zlib.error as ex:
+                    raise ValueError(
+                        f"corrupt TIFF Deflate strip: {ex}"
+                    ) from ex
+                if len(chunk) < expected:
+                    raise ValueError(
+                        f"truncated TIFF Deflate strip: {len(chunk)} of "
+                        f"{expected} bytes"
+                    )
+            else:
+                chunk = _packbits_decode(chunk, expected)
         data += chunk
     need = w * h * spp
     if len(data) < need:

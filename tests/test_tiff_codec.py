@@ -72,15 +72,15 @@ def test_rejects_compression_and_truncation():
         decode_tiff(b"XXXX")
     with pytest.raises(ValueError, match="truncated TIFF"):
         decode_tiff(bytes(payload[:10]))
-    # flip the Compression tag value to 8 (Deflate-in-TIFF) in place
+    # flip the Compression tag value to 6 (old JPEG-in-TIFF) in place
     ifd_off = struct.unpack("<I", bytes(payload[4:8]))[0]
     n = struct.unpack("<H", bytes(payload[ifd_off : ifd_off + 2]))[0]
     for i in range(n):
         at = ifd_off + 2 + 12 * i
         tag = struct.unpack("<H", bytes(payload[at : at + 2]))[0]
         if tag == 259:
-            struct.pack_into("<I", payload, at + 8, 8)
-    with pytest.raises(NotImplementedError, match="compression 8"):
+            struct.pack_into("<I", payload, at + 8, 6)
+    with pytest.raises(NotImplementedError, match="compression 6"):
         decode_tiff(bytes(payload))
 
 
@@ -188,3 +188,30 @@ def test_lzw_roundtrip_all_shapes_and_table_clears():
 
     with pytest.raises(ValueError, match="truncated TIFF LZW"):
         _lzw_decode_tiff(b"\x80", 10)
+
+
+def test_deflate_roundtrip():
+    """Adobe Deflate (tag 8): zlib per strip."""
+    for h, w in [(1, 1), (7, 13), (16, 16)]:
+        px = _grid(h, w)
+        for rps in (1, 3, 8):
+            assert np.array_equal(
+                decode_tiff(
+                    encode_tiff(px, rows_per_strip=rps, compression="deflate")
+                ),
+                px,
+            ), (h, w, rps)
+    rgb = _grid(9, 20, 3)
+    assert np.array_equal(
+        decode_tiff(encode_tiff(rgb, compression="deflate")), rgb
+    )
+    flat = np.zeros((64, 64), dtype=np.uint8)
+    assert len(encode_tiff(flat, compression="deflate")) < len(
+        encode_tiff(flat)
+    ) / 4
+    with pytest.raises(ValueError, match="corrupt TIFF Deflate"):
+        # valid framing, garbage zlib stream
+        payload = bytearray(encode_tiff(_grid(4, 4), compression="deflate"))
+        ifd_off = struct.unpack("<I", bytes(payload[4:8]))[0]
+        payload[8:12] = b"\xde\xad\xbe\xef"  # clobber strip data
+        decode_tiff(bytes(payload))
