@@ -456,3 +456,80 @@ def profile_histogram_2d(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("cnt"))
         .orderBy("qbin", "dbin")
     )
+
+
+@register(
+    "profile_autocorr",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(ts AS DATE) AS day, COUNT(*) AS c
+      FROM events GROUP BY 1
+    ),
+    lagged AS (
+      SELECT c AS x,
+             LEAD(c) OVER (ORDER BY day) AS y
+      FROM daily
+    ),
+    m AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS np,
+             CAST(SUM(x) AS BIGINT) AS sx,
+             CAST(SUM(y) AS BIGINT) AS sy,
+             CAST(SUM(x * x) AS BIGINT) AS sxx,
+             CAST(SUM(y * y) AS BIGINT) AS syy,
+             CAST(SUM(x * y) AS BIGINT) AS sxy
+      FROM lagged WHERE y IS NOT NULL
+    )
+    SELECT np AS n_pairs,
+           CAST(np * sxy - sx * sy AS BIGINT) AS cov_num,
+           CAST(np * sxx - sx * sx AS BIGINT) AS var_x_num,
+           CAST(np * syy - sy * sy AS BIGINT) AS var_y_num,
+           CAST(np * sxy - sx * sy AS DOUBLE)
+             / sqrt(CAST(np * sxx - sx * sx AS DOUBLE)
+                    * CAST(np * syy - sy * sy AS DOUBLE)) AS r1
+    FROM m
+    """,
+)
+def profile_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lag-1 autocorrelation of the daily event-count series — the
+    seasonality/trend screen a feed monitor runs (r1 ≈ 0 for memoryless
+    arrivals, near 1 for trending volume, negative for alternating load).
+    Every moment is an INTEGER sum over integer daily counts; the only
+    doubles are the final sqrt (correctly-rounded IEEE on identical
+    integer inputs) and one division — bit-exact across engines, unlike
+    any naive mean-centered float formulation.
+
+    Scale shape: the raw scan reduces to |days| rows before the (tiny)
+    ordered window; the moment reduction is one aggregate."""
+    from pyspark.sql import Window as W
+
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        F.col("ts").cast("date").alias("day")
+    ).agg(F.count(F.lit(1)).alias("c"))
+    lagged = daily.select(
+        F.col("c").alias("x"),
+        F.lead("c").over(W.orderBy("day")).alias("y"),
+    ).filter(F.col("y").isNotNull())
+    m = lagged.agg(
+        F.count(F.lit(1)).alias("np"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+    )
+    np_, sx, sy = F.col("np"), F.col("sx"), F.col("sy")
+    sxx, syy, sxy = F.col("sxx"), F.col("syy"), F.col("sxy")
+    cov = np_ * sxy - sx * sy
+    vx = np_ * sxx - sx * sx
+    vy = np_ * syy - sy * sy
+    return m.select(
+        np_.alias("n_pairs"),
+        cov.cast("bigint").alias("cov_num"),
+        vx.cast("bigint").alias("var_x_num"),
+        vy.cast("bigint").alias("var_y_num"),
+        (
+            cov.cast("double")
+            / F.sqrt(vx.cast("double") * vy.cast("double"))
+        ).alias("r1"),
+    )

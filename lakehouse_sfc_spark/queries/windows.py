@@ -341,3 +341,85 @@ def w_ewma_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size("vals").cast("bigint").alias("n_events"),
         ewma.alias("ewma"),
     ).orderBy("user_id")
+
+
+@register(
+    "w_cusum_drift",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(ts AS DATE) AS day, CAST(COUNT(*) AS BIGINT) AS c
+      FROM events GROUP BY 1
+    ),
+    t AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                 CAST(SUM(c) AS BIGINT) AS total FROM daily),
+    s AS (
+      SELECT daily.day,
+             CAST(SUM(t.n * daily.c - t.total) OVER (
+               ORDER BY daily.day
+             ) AS BIGINT) AS s_scaled
+      FROM daily, t
+    )
+    SELECT t.n AS n_days, t.total,
+           CAST(MAX(abs(s.s_scaled)) AS BIGINT) AS max_abs_s,
+           first(s.day ORDER BY abs(s.s_scaled) DESC, s.day)
+             AS changepoint_day,
+           CAST(MAX(abs(s.s_scaled)) AS DOUBLE) / (t.n * t.total)
+             AS drift_score
+    FROM s, t GROUP BY t.n, t.total
+    """,
+)
+def w_cusum_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM changepoint screen on the daily event-count series: the
+    cumulative sum of MEAN-CENTERED counts peaks at the day the arrival
+    rate shifts.  Centered WITHOUT division — deviations are scaled by n
+    (S_t = Σ n·c_i − t·total), keeping the whole walk in exact BIGINTs;
+    the argmax day is the candidate changepoint and max|S|/(n·total) a
+    dimensionless drift score (the single double division).
+
+    Scale shape: the scan reduces to |days| rows before the (tiny)
+    ordered prefix window; at 100 TB the same decomposition as
+    a_concurrent applies if the series itself were huge."""
+    from pyspark.sql import Window as W
+
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        F.col("ts").cast("date").alias("day")
+    ).agg(F.count(F.lit(1)).alias("c"))
+    t = daily.agg(
+        F.count(F.lit(1)).alias("n"), F.sum("c").alias("total")
+    )
+    s = (
+        daily.crossJoin(F.broadcast(t))
+        .select(
+            "day",
+            "n",
+            "total",
+            F.sum(F.col("n") * F.col("c") - F.col("total"))
+            .over(W.orderBy("day"))
+            .alias("s_scaled"),
+        )
+    )
+    return (
+        s.groupBy("n", "total")
+        .agg(
+            F.max(F.abs("s_scaled")).alias("max_abs_s"),
+            F.max(
+                F.struct(
+                    F.abs(F.col("s_scaled")).alias("a"),
+                    (-F.unix_date(F.col("day"))).alias("neg_day"),
+                )
+            ).alias("best"),
+        )
+        .select(
+            F.col("n").alias("n_days"),
+            "total",
+            F.col("max_abs_s").cast("bigint").alias("max_abs_s"),
+            F.date_from_unix_date(-F.col("best.neg_day")).alias(
+                "changepoint_day"
+            ),
+            (
+                F.col("max_abs_s").cast("double")
+                / (F.col("n") * F.col("total"))
+            ).alias("drift_score"),
+        )
+    )
