@@ -1067,6 +1067,138 @@ def ann_ivf_kmeans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- greedy k-center coreset -------------------------------------------------
+
+_KC_K = 6  # centers to select (round 0 seeds at vec_id 0)
+
+_SQL_D2 = (
+    "list_reduce(list_transform(range(1, len({a})+1),"
+    " i -> ({a}[i] - {b}[i]) * ({a}[i] - {b}[i])), (p, q) -> p + q)"
+)
+
+
+def _sql_kcenter_round(r: int) -> str:
+    """One greedy round as CTEs: pick the point FARTHEST from the chosen
+    set (argmax min-distance, tie-break lowest vec_id), then tighten every
+    point's min-distance against the new center."""
+    prev = f"r{r - 1}"
+    d2 = _SQL_D2.format(a=f"{prev}.emb", b=f"c{r}.emb")
+    return f"""
+    s{r} AS MATERIALIZED (
+      SELECT first(vec_id ORDER BY md DESC, vec_id) AS cid,
+             MAX(md) AS rad
+      FROM {prev}
+    ),
+    c{r} AS MATERIALIZED (
+      SELECT c.vec_id, c.emb FROM c, s{r} WHERE c.vec_id = s{r}.cid
+    ),
+    r{r} AS MATERIALIZED (
+      SELECT {prev}.vec_id, {prev}.emb,
+             LEAST({prev}.md, {d2}) AS md
+      FROM {prev}, c{r}
+    )"""
+
+
+@register(
+    "sample_kcenter",
+    oracle=f"""
+    WITH c AS MATERIALIZED (
+      SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings
+    ),
+    c0 AS MATERIALIZED (SELECT emb FROM c WHERE vec_id = 0),
+    r0 AS MATERIALIZED (
+      SELECT c.vec_id, c.emb, {_SQL_D2.format(a="c.emb", b="c0.emb")} AS md
+      FROM c, c0
+    ),
+    {",".join(_sql_kcenter_round(r) for r in range(1, _KC_K))}
+    SELECT 0 AS sel_round, CAST(0 AS BIGINT) AS center_id,
+           CAST(NULL AS DOUBLE) AS radius2
+    {"".join(
+        f" UNION ALL SELECT {r}, CAST(s{r}.cid AS BIGINT), s{r}.rad"
+        f" FROM s{r}"
+        for r in range(1, _KC_K)
+    )}
+    ORDER BY sel_round
+    """,
+)
+def sample_kcenter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy k-CENTER coreset selection (Gonzalez farthest-point
+    traversal) — the diversity-sampling workhorse for active learning and
+    eval-set construction: each round adds the embedding FARTHEST from
+    the chosen set (2-approximation of the optimal k-center cover), and
+    the selection radius per round is the corpus's coverage guarantee.
+    Deterministic: exact per-row L2 folds, argmax by (distance, lowest
+    vec_id), seeded at vec_id 0.
+
+    Scale shape: each round is one map-side d² update against a 1-ROW
+    broadcast center (the argmax struct carries the winner's embedding,
+    so there is NO driver collect) plus one global argmax aggregate —
+    k·O(n) total work, the canonical distributed farthest-point shape.
+    Lineage is checkpoint-truncated per round."""
+    c = (
+        load_table(spark, sf_dir, "embeddings")
+        .select(
+            "vec_id", F.col("embedding").cast("array<double>").alias("emb")
+        )
+        .localCheckpoint(eager=False)
+    )
+
+    def d2(a, b):
+        return F.aggregate(
+            F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+
+    c0 = c.filter(F.col("vec_id") == 0).select(F.col("emb").alias("cemb"))
+    r = c.crossJoin(F.broadcast(c0)).select(
+        "vec_id", "emb", d2(F.col("emb"), F.col("cemb")).alias("md")
+    ).localCheckpoint(eager=False)
+    rows = [
+        spark.range(1).select(
+            F.lit(0).alias("sel_round"),
+            F.lit(0).cast("bigint").alias("center_id"),
+            F.lit(None).cast("double").alias("radius2"),
+        )
+    ]
+    for rnd in range(1, _KC_K):
+        s = r.agg(
+            F.max(
+                F.struct(
+                    F.col("md").alias("score"),
+                    (-F.col("vec_id")).alias("neg_id"),
+                    F.col("emb").alias("cemb"),
+                )
+            ).alias("best")
+        ).select(
+            (-F.col("best.neg_id")).alias("cid"),
+            F.col("best.score").alias("rad"),
+            F.col("best.cemb").alias("cemb"),
+        ).localCheckpoint(eager=False)
+        rows.append(
+            s.select(
+                F.lit(rnd).alias("sel_round"),
+                F.col("cid").cast("bigint").alias("center_id"),
+                F.col("rad").alias("radius2"),
+            )
+        )
+        r = (
+            r.crossJoin(F.broadcast(s.select("cemb")))
+            .select(
+                "vec_id",
+                "emb",
+                F.least(
+                    F.col("md"), d2(F.col("emb"), F.col("cemb"))
+                ).alias("md"),
+            )
+            .localCheckpoint(eager=False)
+        )
+    out = rows[0]
+    for df in rows[1:]:
+        out = out.unionByName(df)
+    return out.orderBy("sel_round")
+
+
 # --- deterministic uniform hash sample --------------------------------------
 
 _RSV_K = 500
