@@ -58,6 +58,9 @@ AUDITED_EXTRA = [
     "sample_reservoir_hash",
     "emb_pca_power",
     "w_ewma_users",
+    "sample_kcenter",
+    "profile_autocorr",
+    "w_cusum_drift",
 ]
 
 #: intended-plan annotations for rows that would otherwise read as
@@ -100,6 +103,14 @@ ANNOTATIONS = {
     "dq_ks_two_sample": (
         "the BroadcastNestedLoopJoin×1 is the intended 1-row broadcast of "
         "the (N_a, N_b) totals scalar (condition-less crossJoin, bounded)"
+    ),
+    "sample_kcenter": (
+        "the BroadcastNestedLoopJoins are the intended 1-row center "
+        "broadcasts (one per greedy round, condition-less, bounded)"
+    ),
+    "w_cusum_drift": (
+        "the BroadcastNestedLoopJoin×1 is the intended 1-row broadcast of "
+        "the (n, total) scalar (condition-less crossJoin, bounded)"
     ),
 }
 
