@@ -662,3 +662,112 @@ def a_mom_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("revenue") - F.lag("revenue").over(w)).alias("revenue_delta"),
         (F.col("n_orders") - F.lag("n_orders").over(w)).alias("orders_delta"),
     ).orderBy("c_mktsegment", "month")
+
+
+@register(
+    "a_session_funnel",
+    oracle="""
+    WITH o AS (
+      SELECT user_id, ts, event_id, event_type,
+             LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS prev_ts
+      FROM events
+    ),
+    marked AS (
+      SELECT user_id, ts, event_id, event_type,
+             CASE WHEN prev_ts IS NULL
+                       OR ts - prev_ts > INTERVAL 30 MINUTES
+                  THEN 1 ELSE 0 END AS is_start
+      FROM o
+    ),
+    sess AS (
+      SELECT user_id, ts, event_id, event_type,
+             SUM(is_start) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                 ROWS UNBOUNDED PRECEDING) AS sid
+      FROM marked
+    ),
+    per_sess AS (
+      SELECT user_id, sid,
+             COUNT(*) AS n_events,
+             MIN(CASE WHEN event_type = 'click'
+                      THEN ROW(ts, event_id) END) AS first_click,
+             MAX(CASE WHEN event_type = 'purchase'
+                      THEN ROW(ts, event_id) END) AS last_purchase
+      FROM sess GROUP BY 1, 2
+    )
+    SELECT COUNT(*) AS n_sessions,
+           CAST(COUNT(first_click) AS BIGINT) AS n_with_click,
+           CAST(COUNT(last_purchase) AS BIGINT) AS n_with_purchase,
+           CAST(COUNT(CASE WHEN first_click IS NOT NULL
+                            AND last_purchase IS NOT NULL
+                            AND first_click < last_purchase THEN 1 END)
+                AS BIGINT) AS n_converted,
+           CAST(SUM(n_events) AS BIGINT) AS n_events,
+           CAST(COUNT(CASE WHEN first_click IS NOT NULL
+                            AND last_purchase IS NOT NULL
+                            AND first_click < last_purchase THEN 1 END)
+                AS DOUBLE) / COUNT(first_click) AS conversion_rate
+    FROM per_sess
+    """,
+)
+def a_session_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SESSION-scoped funnel conversion — the composition a product
+    analyst actually asks for: of the 30-minute-gap sessions that contain
+    a click, how many convert to a purchase LATER IN THE SAME SESSION
+    (a_funnel's lifetime-scoped cousin).  "Later" compares the full
+    (ts, event_id) tuple, so same-timestamp orderings are deterministic
+    in both engines; existence-of-ordered-pair reduces to
+    min(click keys) < max(purchase keys) — two struct extremes per
+    session, no per-pair work.
+
+    Scale shape: ONE user_id shuffle feeds the gap window, the session
+    window, and the per-session aggregate (same partitioning); the final
+    reduction is a single row."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    us = F.unix_micros(F.col("ts").cast("timestamp_ltz"))
+    marked = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        "event_type",
+        F.when(
+            F.lag("ts").over(w).isNull()
+            | (us - F.lag(us).over(w) > 30 * 60 * 1_000_000),
+            1,
+        )
+        .otherwise(0)
+        .alias("is_start"),
+    )
+    sess = marked.withColumn(
+        "sid",
+        F.sum("is_start").over(
+            w.rowsBetween(Window.unboundedPreceding, 0)
+        ),
+    )
+    key = F.struct(F.col("ts"), F.col("event_id"))
+    per_sess = sess.groupBy("user_id", "sid").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.min(F.when(F.col("event_type") == "click", key)).alias(
+            "first_click"
+        ),
+        F.max(F.when(F.col("event_type") == "purchase", key)).alias(
+            "last_purchase"
+        ),
+    )
+    converted = (
+        F.col("first_click").isNotNull()
+        & F.col("last_purchase").isNotNull()
+        & (F.col("first_click") < F.col("last_purchase"))
+    )
+    return per_sess.agg(
+        F.count(F.lit(1)).alias("n_sessions"),
+        F.count("first_click").alias("n_with_click"),
+        F.count("last_purchase").alias("n_with_purchase"),
+        F.count(F.when(converted, 1)).alias("n_converted"),
+        F.sum("n_events").alias("n_events"),
+        (
+            F.count(F.when(converted, 1)).cast("double")
+            / F.count("first_click")
+        ).alias("conversion_rate"),
+    )
