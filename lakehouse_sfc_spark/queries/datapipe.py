@@ -2709,6 +2709,88 @@ def emb_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "emb_pca_residual",
+    oracle=f"""
+    WITH c AS MATERIALIZED (
+      SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings
+    ),
+    x AS MATERIALIZED (
+      SELECT vec_id, generate_subscripts(emb, 1) AS j, unnest(emb) AS val
+      FROM c
+    ),
+    v0 AS (SELECT {list(map(float, _PCA_V0))}::DOUBLE[] AS v),
+    {",".join(_sql_pca_iter(f"v{k - 1}", k) for k in range(1, _PCA_ITERS + 1))},
+    nr AS (SELECT {_SQL_PCA_NORM} AS nrm FROM v{_PCA_ITERS}),
+    vhat AS (
+      SELECT list_transform(v{_PCA_ITERS}.v, y -> y / nr.nrm) AS v
+      FROM v{_PCA_ITERS}, nr
+    ),
+    scored AS (
+      SELECT c.vec_id,
+             {_SQL_DOT.format(a="c.emb", b="c.emb")} AS mass,
+             {_SQL_DOT.format(a="c.emb", b="vhat.v")} AS s
+      FROM c, vhat
+    ),
+    per_row AS (
+      SELECT vec_id,
+             CAST(FLOOR(mass * {_PCA_TICK}.0) AS BIGINT) AS mass_ticks,
+             CAST(FLOOR(s * s * {_PCA_TICK}.0) AS BIGINT) AS proj_ticks
+      FROM scored
+    )
+    SELECT COUNT(*) AS n_vecs,
+           CAST(SUM(mass_ticks) AS BIGINT) AS total_mass_ticks,
+           CAST(SUM(proj_ticks) AS BIGINT) AS projected_ticks,
+           CAST(SUM(proj_ticks) AS DOUBLE) / SUM(mass_ticks)
+             AS explained_ratio
+    FROM per_row
+    """,
+)
+def emb_pca_residual(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Variance explained by the dominant principal direction — the
+    ANISOTROPY number that makes emb_pca_power actionable (a healthy
+    embedding space explains a few percent; a collapsed/degenerate one
+    concentrates mass on one axis).  Per row, the squared projection onto
+    the unit direction and the total squared norm are FLOOR-quantized to
+    ticks and summed as BIGINTs (order-free exact); POWER(x, 2) is a
+    plain IEEE multiply in both engines.  One double division at the end.
+
+    Scale shape: the direction is the PCA chain's 1-row broadcast; the
+    per-row pass is map-only; the reduction is one aggregate."""
+    c = (
+        load_table(spark, sf_dir, "embeddings")
+        .select(
+            "vec_id", F.col("embedding").cast("array<double>").alias("emb")
+        )
+        .localCheckpoint(eager=False)
+    )
+    loadings = emb_pca_power(spark, sf_dir)
+    vhat = loadings.agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("dim", "loading"))),
+            lambda st: st["loading"],
+        ).alias("v")
+    )
+    s = _dot(F.col("emb"), F.col("v"))
+    mass = _dot(F.col("emb"), F.col("emb"))
+    per_row = c.crossJoin(F.broadcast(vhat)).select(
+        F.floor(mass * F.lit(float(_PCA_TICK)))
+        .cast("long")
+        .alias("mass_ticks"),
+        F.floor((s * s) * F.lit(float(_PCA_TICK)))
+        .cast("long")
+        .alias("proj_ticks"),
+    )
+    return per_row.agg(
+        F.count(F.lit(1)).alias("n_vecs"),
+        F.sum("mass_ticks").alias("total_mass_ticks"),
+        F.sum("proj_ticks").alias("projected_ticks"),
+        (
+            F.sum("proj_ticks").cast("double") / F.sum("mass_ticks")
+        ).alias("explained_ratio"),
+    )
+
+
 # --- per-label embedding centroids (exact, fixed-point) ---------------------
 
 _CEN_SCALE = 1_000_000  # fixed-point quantum: 1e-6 per unit
