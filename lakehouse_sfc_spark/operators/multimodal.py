@@ -599,14 +599,20 @@ def synth_tiff_batches(
     batches: Iterable[pd.DataFrame],
 ) -> Iterator[pd.DataFrame]:
     """(doc_id, width, height) → (doc_id, payload, width, height) with the
-    payload a REAL multi-strip PackBits-compressed RGB TIFF of the
-    deterministic grid (the scanned-document master format with its
-    classic RLE; operators/tiff.py)."""
+    payload a REAL multi-strip RGB TIFF of the deterministic grid (the
+    scanned-document master format; operators/tiff.py).  The compression
+    ROTATES by doc_id across all four supported codecs — every registry
+    run decodes uncompressed, PackBits, LZW and Deflate strips through
+    the one production kernel."""
     from lakehouse_sfc_spark.operators.tiff import encode_tiff
 
+    comps = ("none", "packbits", "lzw", "deflate")
     for pdf in batches:
         payloads = [
-            encode_tiff(_synth_pixels(int(d), int(w), int(h)), packbits=True)
+            encode_tiff(
+                _synth_pixels(int(d), int(w), int(h)),
+                compression=comps[int(d) % 4],
+            )
             for d, w, h in zip(pdf["doc_id"], pdf["width"], pdf["height"])
         ]
         yield pd.DataFrame(

@@ -1558,7 +1558,8 @@ def multimodal_gif_real(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def multimodal_tiff_real(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL TIFF end-to-end: deterministic RGB grids encoded as genuine
-    multi-strip PackBits-compressed TIFF (IFD + RLE strips, operators/tiff.py —
+    multi-strip TIFF with per-doc ROTATING compression — uncompressed /
+    PackBits / LZW / Deflate (IFD + strip framing, operators/tiff.py —
     the scanned-document master format) and decoded back through the
     production image kernel; geometry and the full pixel content check are
     closed-form.  n_bytes excluded like the other codec rows (framing
