@@ -3,10 +3,10 @@ and RGB, both byte orders, multi-strip.
 
 TIFF was the named "unsupported image format" example through round 5; this
 closes it for the class a data pipeline actually meets in scanned-document
-corpora (uncompressed or simply-stripped masters).  LZW-compressed TIFF
-reuses the GIF LZW machinery's cousin but with per-strip early-change
-semantics — NOT implemented here; decode raises a clear error naming the
-compression tag.
+corpora.  Compression: none (1), early-change MSB-first LZW (5), Adobe
+Deflate (8), PackBits RLE (32773); Predictor (tag 317) horizontal
+differencing (2) is applied/undone natively.  Unsupported variants refuse
+loudly naming the tag.
 
 Layout written by ``encode_tiff``: little-endian header, pixel data first
 (raw or PackBits per strip), one IFD after it with the 9 baseline tags
@@ -43,6 +43,7 @@ _SAMPLES_PER_PIXEL = 277
 _ROWS_PER_STRIP = 278
 _STRIP_BYTE_COUNTS = 279
 _PLANAR_CONFIG = 284
+_PREDICTOR = 317
 
 _TYPE_SIZES = {1: 1, 2: 1, 3: 2, 4: 4, 5: 8}  # BYTE ASCII SHORT LONG RATIONAL
 
@@ -196,11 +197,14 @@ def encode_tiff(
     rows_per_strip: int = 8,
     packbits: bool = False,
     compression: str | None = None,
+    predictor: int = 1,
 ) -> bytes:
     """HxW (grayscale) or HxWx3 (RGB) uint8 array → little-endian TIFF
     with real multi-strip framing.  ``compression``: "none" (default),
     "packbits" (RLE, tag 32773) or "lzw" (early-change LZW, tag 5);
-    ``packbits=True`` is the legacy spelling of compression="packbits"."""
+    ``packbits=True`` is the legacy spelling of compression="packbits".
+    ``predictor=2`` applies TIFF horizontal differencing (tag 317) before
+    compression — the common libtiff/PIL pairing with LZW/Deflate."""
     if compression is None:
         compression = "packbits" if packbits else "none"
     if compression not in _COMPRESSION_TAGS:
@@ -217,6 +221,15 @@ def encode_tiff(
         photometric = 2  # RGB
     else:
         raise ValueError("encode_tiff wants HxW or HxWx3 uint8")
+    if predictor not in (1, 2):
+        raise ValueError(f"encode_tiff predictor {predictor} not in (1, 2)")
+    if predictor == 2:
+        # Horizontal differencing: per row, per sample channel, each byte
+        # stores the delta from the previous pixel (mod 256); the first
+        # pixel of the row is stored verbatim.
+        d = px.reshape(h, w, spp).astype(np.int16)
+        d[:, 1:, :] -= px.reshape(h, w, spp)[:, :-1, :].astype(np.int16)
+        px = (d % 256).astype(np.uint8)
     data = px.tobytes()
     row_bytes = w * spp
     import zlib
@@ -263,7 +276,7 @@ def encode_tiff(
             extra.extend(b"\x00")
         return off
 
-    n_entries = 9
+    n_entries = 9 + (1 if predictor == 2 else 0)
     ifd_size = 2 + n_entries * 12 + 4
     arrays_base = ifd_pos_guess + ifd_size
 
@@ -302,6 +315,8 @@ def encode_tiff(
                 _STRIP_BYTE_COUNTS, 4, len(counts), _array_u32(counts, arrays_base)
             )
         )
+    if predictor == 2:
+        entries.append(_entry(_PREDICTOR, 3, 1, 2))
 
     ifd = struct.pack("<H", n_entries) + b"".join(entries) + b"\x00\x00\x00\x00"
     assert len(ifd) == ifd_size
@@ -335,8 +350,9 @@ def _read_tag_values(payload: bytes, entry: bytes, e: str) -> list[int]:
 
 
 def decode_tiff(payload: bytes) -> "np.ndarray":
-    """Baseline TIFF (uncompressed or PackBits) → HxW (gray) or HxWx3
-    (RGB) uint8; WhiteIsZero grayscale is inverted to BlackIsZero."""
+    """Baseline TIFF (uncompressed / LZW / Deflate / PackBits, optional
+    horizontal-differencing predictor) → HxW (gray) or HxWx3 (RGB) uint8;
+    WhiteIsZero grayscale is inverted to BlackIsZero."""
     np = _np()
     if payload[:4] == b"II*\x00":
         e = "<"
@@ -368,6 +384,7 @@ def decode_tiff(payload: bytes) -> "np.ndarray":
             _ROWS_PER_STRIP,
             _STRIP_BYTE_COUNTS,
             _PLANAR_CONFIG,
+            _PREDICTOR,
         ):
             tags[tag] = _read_tag_values(payload, entry, e)
 
@@ -398,6 +415,13 @@ def decode_tiff(payload: bytes) -> "np.ndarray":
         raise NotImplementedError(
             f"TIFF photometric {photometric} not supported (0/1 grayscale, "
             "2 RGB; palette/CMYK/YCbCr need their color machinery)"
+        )
+    predictor = _one(_PREDICTOR, 1)
+    if predictor not in (1, 2):
+        raise NotImplementedError(
+            f"TIFF predictor {predictor} not supported (1 = none, "
+            "2 = horizontal differencing decode natively; 3 = floating-"
+            "point differencing needs its byte-plane machinery)"
         )
     planar = _one(_PLANAR_CONFIG, 1)
     if planar != 1:
@@ -446,6 +470,12 @@ def decode_tiff(payload: bytes) -> "np.ndarray":
             f"truncated TIFF: {len(data)} of {need} pixel bytes present"
         )
     arr = np.frombuffer(bytes(data[:need]), dtype=np.uint8)
+    if predictor == 2:
+        # Undo horizontal differencing: cumulative sum along each row per
+        # sample channel, mod 256 (rows are independent, so applying over
+        # the concatenated strips is safe).
+        a = arr.reshape(h, w, spp).astype(np.uint64)
+        arr = (np.cumsum(a, axis=1) % 256).astype(np.uint8).reshape(-1)
     if photometric == 0:
         # WhiteIsZero (fax/scan masters): invert to the BlackIsZero
         # convention every other decoder here returns

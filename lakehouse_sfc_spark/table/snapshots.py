@@ -815,6 +815,20 @@ class SnapshotTable:
         live: set[str] = set()
         for v in keep_vs:
             live |= set(self.manifest(v)["files"])
+        # Staged WAP branches reference files through branch-*.json, not a
+        # version manifest: a branch staged on an old base still needs that
+        # base's files for read_branch/publish_branch.  Fold every staged
+        # branch's full file set (base + staged) into the live set so
+        # vacuuming past the base cannot strand an in-flight audit.
+        import glob as _glob
+
+        for bp in _glob.glob(
+            os.path.join(self.path, _LOG_DIR, "branch-*.json")
+        ):
+            with open(bp) as fh:
+                b = json.load(fh)
+            live |= set(b.get("files", []))
+            live |= set(b.get("staged_files", []))
         dead: set[str] = set()
         for v in drop_vs:
             dead |= set(self.manifest(v)["files"])

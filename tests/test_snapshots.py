@@ -535,3 +535,24 @@ def test_wap_publish_enforces_table_constraints(table, orders):
         table.publish_branch("sneaky")
     assert table.latest_version() == v_before  # nothing published
     table.discard_branch("sneaky")
+
+
+def test_vacuum_keeps_files_needed_by_staged_branch(table, orders):
+    """A staged WAP branch references the BASE version's files through
+    branch-*.json, not a version manifest; vacuuming past that base must
+    not delete them or the in-flight audit breaks (ADVICE r6)."""
+    base_files = set(table.manifest(0)["files"])
+    batch = orders.limit(10).withColumn(
+        "o_orderkey", F.col("o_orderkey") + 5_000_000
+    )
+    table.stage_append("audit", batch, num_files=1)
+    # advance main twice so version 0 (the branch's base) becomes expirable
+    table.delete_where([Pred("o_orderkey", "<=", 100)])
+    table.delete_where([Pred("o_orderkey", "<=", 200)])
+    n_expected = table.read_branch("audit").count()
+    table.vacuum(retain_last=1)
+    # every base file the branch references must survive the vacuum
+    for uri in base_files:
+        assert os.path.exists(uri.replace("file://", "")), uri
+    # the audit view is still fully readable after vacuum
+    assert table.read_branch("audit").count() == n_expected

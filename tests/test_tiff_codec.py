@@ -215,3 +215,104 @@ def test_deflate_roundtrip():
         ifd_off = struct.unpack("<I", bytes(payload[4:8]))[0]
         payload[8:12] = b"\xde\xad\xbe\xef"  # clobber strip data
         decode_tiff(bytes(payload))
+
+
+def test_predictor2_roundtrip_and_wire_format():
+    """Predictor=2 (horizontal differencing, tag 317): roundtrip for gray
+    and RGB across strip splits and compressions, and the on-disk bytes
+    really are row deltas (checked against a hand-diffed strip)."""
+    for h, w in [(1, 1), (7, 13), (16, 16)]:
+        px = _grid(h, w)
+        for comp in ("none", "lzw", "deflate", "packbits"):
+            assert np.array_equal(
+                decode_tiff(
+                    encode_tiff(px, rows_per_strip=3, compression=comp,
+                                predictor=2)
+                ),
+                px,
+            ), (h, w, comp)
+    rgb = _grid(9, 20, 3)
+    assert np.array_equal(
+        decode_tiff(encode_tiff(rgb, compression="lzw", predictor=2)), rgb
+    )
+    # smooth gradients compress far better with the predictor — the reason
+    # libtiff/PIL pair it with LZW
+    grad = np.tile(np.arange(256, dtype=np.uint8), (64, 1))
+    with_pred = len(encode_tiff(grad, compression="lzw", predictor=2))
+    without = len(encode_tiff(grad, compression="lzw"))
+    assert with_pred < without / 4
+    # wire check: uncompressed predictor-2 strip bytes are the mod-256 row
+    # deltas, first pixel verbatim
+    row = np.array([[10, 13, 11, 250, 0]], dtype=np.uint8)
+    payload = encode_tiff(row, predictor=2)
+    strip = payload[8 : 8 + 5]
+    assert strip == bytes([10, 3, 254, 239, 6])
+
+
+def test_predictor3_refuses_loudly():
+    """Floating-point differencing (Predictor=3) must refuse by tag, not
+    decode silently wrong — decode_image dispatches arbitrary payloads."""
+    px = _grid(4, 6)
+    payload = bytearray(encode_tiff(px, predictor=2))
+    ifd_off = struct.unpack("<I", bytes(payload[4:8]))[0]
+    n = struct.unpack("<H", bytes(payload[ifd_off : ifd_off + 2]))[0]
+    for i in range(n):
+        at = ifd_off + 2 + 12 * i
+        if struct.unpack("<H", bytes(payload[at : at + 2]))[0] == 317:
+            struct.pack_into("<I", payload, at + 8, 3)
+    with pytest.raises(NotImplementedError, match="predictor 3"):
+        decode_tiff(bytes(payload))
+    with pytest.raises(ValueError, match="predictor"):
+        encode_tiff(px, predictor=3)
+
+
+def _pack_msb(codes_and_widths):
+    """Independent from-spec MSB-first bit packer (deliberately NOT the
+    encoder's emit loop) for golden-fixture construction."""
+    acc = nbits = 0
+    out = bytearray()
+    for code, width in codes_and_widths:
+        acc = (acc << width) | code
+        nbits += width
+        while nbits >= 8:
+            nbits -= 8
+            out.append((acc >> nbits) & 0xFF)
+    if nbits:
+        out.append((acc << (8 - nbits)) & 0xFF)
+    return bytes(out)
+
+
+def test_lzw_golden_fixture_kwkwk():
+    """Hand-transcribed golden LZW strip (spec-derived, not produced by our
+    encoder): input 01 01 01 01 → codes [CLEAR, 1, 258, 1, EOI] at width 9
+    → bytes 80 00 60 40 18 08.  Catches any matched encoder/decoder bit-
+    order bug that a self-roundtrip would hide."""
+    from lakehouse_sfc_spark.operators.tiff import (
+        _lzw_decode_tiff,
+        _lzw_encode_tiff,
+    )
+
+    golden = bytes([0x80, 0x00, 0x60, 0x40, 0x18, 0x08])
+    assert _lzw_decode_tiff(golden, 4) == b"\x01\x01\x01\x01"
+    assert _lzw_encode_tiff(b"\x01\x01\x01\x01") == golden
+
+
+def test_lzw_golden_fixture_early_change_boundary():
+    """Spec-derived stream crossing the 9→10-bit EARLY-CHANGE boundary:
+    for input bytes(0..255) the code sequence is fully predictable —
+    [CLEAR, 0..252 @9 bits, 253, 254, 255, EOI @10 bits] — because the
+    width bumps when the NEXT table slot would be 2^w - 1 (slot 511 after
+    253 additions).  Packed with an independent packer; both directions
+    must match, pinning the boundary against libtiff semantics."""
+    from lakehouse_sfc_spark.operators.tiff import (
+        _lzw_decode_tiff,
+        _lzw_encode_tiff,
+    )
+
+    data = bytes(range(256))
+    codes = [(256, 9)] + [(c, 9) for c in range(253)] + [
+        (253, 10), (254, 10), (255, 10), (257, 10),
+    ]
+    golden = _pack_msb(codes)
+    assert _lzw_encode_tiff(data) == golden
+    assert _lzw_decode_tiff(golden, 256) == data
