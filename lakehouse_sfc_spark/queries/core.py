@@ -402,7 +402,7 @@ def a_time_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
              ROW_NUMBER() OVER (PARTITION BY event_type
                                 ORDER BY value, event_id) AS rn,
              COUNT(*) OVER (PARTITION BY event_type) AS n
-      FROM events
+      FROM events WHERE value IS NOT NULL
     )
     SELECT event_type,
            MAX(n) AS n,
@@ -419,10 +419,17 @@ def a_group_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     (approx_percentile never can).  0.25/0.5/0.75 are powers of two, so
     ⌈p·n⌉ is float-exact in both engines.
 
+    NULL values are excluded explicitly (quantiles of the observed
+    distribution) — also required for parity: Spark's default ORDER BY
+    puts NULLs FIRST, DuckDB puts them LAST, so any rank arithmetic over
+    a nullable sort key must either filter NULLs or pin the placement.
+
     Scale shape: one shuffle on the group key; the per-group sort is the
     window sort — no global sort, and the selector is a conditional
     aggregate, not a per-quantile re-scan."""
-    ev = load_table(spark, sf_dir, "events")
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("value").isNotNull()
+    )
     w = Window.partitionBy("event_type").orderBy("value", "event_id")
     wc = Window.partitionBy("event_type")
     r = ev.select(
@@ -837,6 +844,7 @@ def p_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH seg_counts AS (
       SELECT n.n_name, c.c_mktsegment, COUNT(*) AS cnt
       FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+      WHERE c.c_mktsegment IS NOT NULL
       GROUP BY 1, 2
     ),
     ranked AS (
@@ -857,8 +865,12 @@ def a_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
     counted relation, ties broken lexically so both engines pick the same
     winner.  The window sorts |domain| rows per group, never data-sized
     input; this is how mode should be computed at any scale (never
-    collect_list + driver-side counting)."""
-    c = load_table(spark, sf_dir, "customer")
+    collect_list + driver-side counting).  NULL segments are excluded
+    (mode is of the observed values; also avoids the Spark-NULLS-FIRST /
+    DuckDB-NULLS-LAST default-ordering divergence in the tie-break)."""
+    c = load_table(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment").isNotNull()
+    )
     n = load_table(spark, sf_dir, "nation")
     counts = (
         c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)

@@ -416,8 +416,12 @@ _SQL_SIMHASH_VIEW = f"""
     FROM (SELECT doc_id, source,
                  list_transform(list_distinct({_SQL_TOKENS}),
                                 x -> ('0x' || substr(md5(x), 1, 8))::BIGINT) AS hs
-          FROM documents)
+          FROM documents WHERE text IS NOT NULL)
 """
+# ^ text IS NOT NULL is load-bearing: a NULL token list makes every CASE
+# condition NULL, which takes the ELSE 0 branch, so NULL docs would all
+# collapse to sim=0 and pair with each other (caught by the adversarial
+# fixture; the Spark side drops them via its size(hs) > 0 filter).
 
 
 @register(
@@ -562,8 +566,11 @@ _SQL_DOT = (
 # function dot is interpreted, so evaluating it once per PAIR instead of six
 # times is the difference between seconds and minutes per million pairs)
 _SQL_EMB_CTE = (
-    "SELECT vec_id, emb, sqrt(" + _SQL_DOT.format(a="emb", b="emb") + ") AS nrm"
-    " FROM (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings)"
+    "SELECT * FROM (SELECT vec_id, emb, sqrt("
+    + _SQL_DOT.format(a="emb", b="emb")
+    + ") AS nrm"
+    " FROM (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings"
+    "       WHERE embedding IS NOT NULL)) WHERE nrm > 0"
 )
 
 
@@ -574,10 +581,17 @@ def _sql_cos(a: str, b: str) -> str:
 
 
 def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The VALID-vector relation every cosine operator builds on: NULL
+    embeddings carry no signal and zero-norm vectors have no defined
+    cosine (and divide by zero under ANSI), so both are excluded HERE —
+    and identically in ``_SQL_EMB_CTE`` — rather than per query."""
     e = load_table(spark, sf_dir, "embeddings")
     emb = F.col("embedding").cast("array<double>")
-    return e.select("vec_id", emb.alias("emb")).withColumn(
-        "nrm", F.sqrt(_dot(F.col("emb"), F.col("emb")))
+    return (
+        e.filter(F.col("embedding").isNotNull())
+        .select("vec_id", emb.alias("emb"))
+        .withColumn("nrm", F.sqrt(_dot(F.col("emb"), F.col("emb"))))
+        .filter(F.col("nrm") > 0)
     )
 
 
@@ -761,11 +775,16 @@ def ann_filtered_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     the filter is selective.  Exact-fold scoring + TakeOrderedAndProject,
     same determinism contract as ann_bruteforce_topk."""
     e = load_table(spark, sf_dir, "embeddings")
-    c = e.select(
-        "vec_id",
-        "label",
-        F.col("embedding").cast("array<double>").alias("emb"),
-    ).withColumn("nrm", F.sqrt(_dot(F.col("emb"), F.col("emb"))))
+    c = (
+        e.filter(F.col("embedding").isNotNull())
+        .select(
+            "vec_id",
+            "label",
+            F.col("embedding").cast("array<double>").alias("emb"),
+        )
+        .withColumn("nrm", F.sqrt(_dot(F.col("emb"), F.col("emb"))))
+        .filter(F.col("nrm") > 0)  # same valid-vector population as _emb
+    )
     q = c.filter(F.col("vec_id") == _ANN_QUERY_ID).select(
         F.col("emb").alias("qemb"), F.col("nrm").alias("qnrm")
     )
@@ -892,7 +911,12 @@ def ann_ivf_partitioned_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("vec_id") == _ANN_QUERY_ID)
         .select("emb", "nrm", "qcell")
     )
-    qcell = q.collect()[0]["qcell"]
+    qrows = q.collect()  # 1-cell probe (or 0 if the query vector is invalid)
+    if not qrows:
+        # query vector absent / NULL / zero-norm: no probe cells, empty
+        # top-k — same contract as the oracle's empty q CTE
+        return spark.createDataFrame([], "vec_id bigint, score double")
+    qcell = qrows[0]["qcell"]
     probe_cells = [qcell] + [qcell ^ (1 << j) for j in range(_IVF_DIMS)]
     qb = F.broadcast(
         q.select(F.col("emb").alias("qemb"), F.col("nrm").alias("qnrm"))
@@ -1104,6 +1128,7 @@ def _sql_kcenter_round(r: int) -> str:
     oracle=f"""
     WITH c AS MATERIALIZED (
       SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings
+      WHERE embedding IS NOT NULL
     ),
     c0 AS MATERIALIZED (SELECT emb FROM c WHERE vec_id = 0),
     r0 AS MATERIALIZED (
@@ -1137,6 +1162,11 @@ def sample_kcenter(spark: SparkSession, sf_dir: str) -> DataFrame:
     Lineage is checkpoint-truncated per round."""
     c = (
         load_table(spark, sf_dir, "embeddings")
+        # NULL embeddings have no position in the metric space (a NULL
+        # distance would also make the argmax NULL-placement-dependent,
+        # which diverges across engines); zero vectors STAY — L2 distance
+        # is defined there, unlike cosine's valid-vector population.
+        .filter(F.col("embedding").isNotNull())
         .select(
             "vec_id", F.col("embedding").cast("array<double>").alias("emb")
         )
@@ -1474,7 +1504,7 @@ def _cell_bits(emb: Column, bits: int) -> Column:
 @register(
     "dedup_embedding_topk",
     oracle=f"""
-    WITH nb AS (SELECT {_DETK_BITS_SQL} AS b FROM embeddings),
+    WITH nb AS (SELECT {_DETK_BITS_SQL} AS b FROM ({_SQL_EMB_CTE})),
          c AS (SELECT vec_id, emb, nrm,
                       {_SQL_CELL_B.format(e="emb", b="nb.b")} AS cell
                FROM ({_SQL_EMB_CTE}) CROSS JOIN nb),
@@ -1727,11 +1757,14 @@ def dedup_keep_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH v AS (
       SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings
+      WHERE embedding IS NOT NULL
     ),
     s AS (
-      SELECT vec_id, emb,
-             list_max(list_transform(emb, x -> abs(x))) / 127 AS scale
-      FROM v
+      SELECT * FROM (
+        SELECT vec_id, emb,
+               list_max(list_transform(emb, x -> abs(x))) / 127 AS scale
+        FROM v
+      ) WHERE scale > 0
     ),
     q AS (
       SELECT vec_id,
@@ -1765,12 +1798,19 @@ def emb_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     order-free (integer sum via an in-order fold, max over doubles);
     corpus reductions are integer sums, double max, and one
     decimal-routed mean.  All JVM-side codegen (higher-order array
-    functions) — the quantizer itself needs no Python."""
+    functions) — the quantizer itself needs no Python.  NULL and all-zero
+    vectors are excluded (scale 0 has no quantization; divide-by-zero
+    under ANSI), mirrored in the oracle."""
     e = load_table(spark, sf_dir, "embeddings")
     emb = F.col("embedding").cast("array<double>")
-    s = e.select("vec_id", emb.alias("emb")).withColumn(
-        "scale",
-        F.array_max(F.transform(F.col("emb"), lambda x: F.abs(x))) / 127,
+    s = (
+        e.filter(F.col("embedding").isNotNull())
+        .select("vec_id", emb.alias("emb"))
+        .withColumn(
+            "scale",
+            F.array_max(F.transform(F.col("emb"), lambda x: F.abs(x))) / 127,
+        )
+        .filter(F.col("scale") > 0)
     )
     qexpr = lambda x: F.floor(x / F.col("scale") + F.lit(0.5))  # noqa: E731
     q = s.select(
@@ -2126,8 +2166,7 @@ _KC_TICK = 1_000_000  # fixed-point scale for exact cross-engine arithmetic
     "dedup_embedding_keep_centroid",
     oracle=f"""
     WITH c AS (SELECT vec_id, emb, {_SQL_CELL.format(e="emb")} AS cell
-               FROM (SELECT vec_id, embedding::DOUBLE[] AS emb
-                     FROM embeddings)),
+               FROM ({_SQL_EMB_CTE})),
     t AS (SELECT vec_id, cell, j.j AS pos,
                  CAST(FLOOR(emb[j.j+1] * {_KC_TICK}) AS BIGINT) AS tick
           FROM c, LATERAL (SELECT unnest(range(0, 64)) AS j) j),
@@ -2866,7 +2905,7 @@ _RS_QMOD = 53  # query set: vec_id % _RS_QMOD == 0
 @register(
     "ann_range_search",
     oracle=f"""
-    WITH nb AS (SELECT {_DETK_BITS_SQL} AS b FROM embeddings),
+    WITH nb AS (SELECT {_DETK_BITS_SQL} AS b FROM ({_SQL_EMB_CTE})),
          c AS (SELECT vec_id, emb, nrm,
                       {_SQL_CELL_B.format(e="emb", b="nb.b")} AS cell
                FROM ({_SQL_EMB_CTE}) CROSS JOIN nb)
@@ -3028,7 +3067,7 @@ _SI_MOD = 19  # vec_id % _SI_MOD == 0 plays the incoming batch
 @register(
     "dedup_semantic_incremental",
     oracle=f"""
-    WITH nb AS (SELECT {_DETK_BITS_SQL} AS b FROM embeddings),
+    WITH nb AS (SELECT {_DETK_BITS_SQL} AS b FROM ({_SQL_EMB_CTE})),
          c AS (SELECT vec_id, emb, nrm,
                       {_SQL_CELL_B.format(e="emb", b="nb.b")} AS cell
                FROM ({_SQL_EMB_CTE}) CROSS JOIN nb),
@@ -3514,11 +3553,10 @@ def sample_dedup_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "emb_cell_occupancy",
     oracle=f"""
-    WITH nb AS (SELECT {_DETK_BITS_SQL} AS b FROM embeddings),
+    WITH nb AS (SELECT {_DETK_BITS_SQL} AS b FROM ({_SQL_EMB_CTE})),
          c AS (SELECT vec_id,
                       {_SQL_CELL_B.format(e="emb", b="nb.b")} AS cell
-               FROM (SELECT vec_id, embedding::DOUBLE[] AS emb
-                     FROM embeddings) CROSS JOIN nb),
+               FROM ({_SQL_EMB_CTE}) CROSS JOIN nb),
          occ AS (SELECT cell, COUNT(*) AS n FROM c GROUP BY 1)
     SELECT n AS occupancy,
            COUNT(*) AS n_cells,

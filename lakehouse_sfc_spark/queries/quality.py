@@ -563,6 +563,7 @@ def profile_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
              CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
                   AS BIGINT) AS b
       FROM events WHERE event_type IN ('purchase', 'click')
+        AND value IS NOT NULL
       GROUP BY value
     ),
     t AS (SELECT CAST(SUM(a) AS BIGINT) AS na,
@@ -602,6 +603,10 @@ def dq_ks_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = load_table(spark, sf_dir, "events").filter(
         F.col("event_type").isin("purchase", "click")
+        # NULL values have no position on the real line — excluded from
+        # the ECDFs (also: Spark and DuckDB disagree on default NULL
+        # placement in ORDER BY, so a nullable sort key is never parity-safe)
+        & F.col("value").isNotNull()
     )
     pv = (
         ev.groupBy("value")

@@ -44,10 +44,11 @@ def stream_tumbling_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "stream_dedup",
     oracle="""
+    WITH uniq AS (SELECT DISTINCT event_id, event_type, value FROM events)
     SELECT event_type,
            COUNT(*) AS cnt,
            CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
-    FROM events
+    FROM uniq
     GROUP BY 1
     """,
 )
@@ -56,7 +57,11 @@ def stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     arrives twice (stream unioned with itself), passes
     ``dropDuplicatesWithinWatermark`` on event_id (state bounded by the
     watermark, unlike ``dropDuplicates``), and the downstream aggregate must
-    equal the batch aggregate over the ORIGINAL events table."""
+    equal the batch aggregate over DISTINCT source events.  At-least-once
+    redelivery means duplicate event_ids carry identical payloads — the
+    oracle's DISTINCT collapses them exactly as the stream's keyed dedup
+    does (a source with CONFLICTING payloads under one event_id is outside
+    the contract: first-arrival-wins is inherently nondeterministic)."""
     from lakehouse_sfc_spark.streaming import run_stream_dedup
 
     return run_stream_dedup(spark, sf_dir)
@@ -258,10 +263,11 @@ def stream_sliding_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "stream_upsert_ingest",
     oracle="""
+    WITH uniq AS (SELECT DISTINCT event_id, event_type, value FROM events)
     SELECT event_type,
            COUNT(*) AS cnt,
            CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
-    FROM events
+    FROM uniq
     GROUP BY 1
     """,
 )
@@ -270,9 +276,11 @@ def stream_upsert_ingest_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     at-least-once (two copies across 4 source files), ingested micro-batch
     by micro-batch via foreachBatch MERGE into the native sidecar table
     (bootstrap layout_write, then file-scoped latest-wins upserts keyed on
-    event_id).  The final table must equal the original events exactly —
+    event_id).  The final table must equal the DISTINCT source events —
     idempotent keyed MERGE gives exactly-once table state from an
-    at-least-once stream (streaming/pipeline.py::stream_upsert_ingest)."""
+    at-least-once stream (streaming/pipeline.py::stream_upsert_ingest).
+    As with stream_dedup, redelivered copies carry identical payloads, so
+    one row per event_id survives on both sides."""
     from lakehouse_sfc_spark.streaming import stream_upsert_ingest
 
     return stream_upsert_ingest(spark, sf_dir)

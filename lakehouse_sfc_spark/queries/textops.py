@@ -229,7 +229,7 @@ def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT doc_id,
              md5(array_to_string(list_sort(list_distinct({_SQL_TOKENS})), ' '))
                AS fp
-      FROM documents
+      FROM documents WHERE text IS NOT NULL
     )
     SELECT fp, COUNT(*) AS n_docs, MIN(doc_id) AS keep_id
     FROM f GROUP BY fp HAVING COUNT(*) >= 2
@@ -239,8 +239,12 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bag-of-words fingerprint (md5 of the sorted distinct vocabulary):
     groups word-set-identical documents regardless of word order — the cheap
     middle ground between exact dedup and MinHash.  Shuffles 32-byte
-    fingerprints only."""
-    d = load_table(spark, sf_dir, "documents")
+    fingerprints only.  NULL text is excluded both sides (Spark concat_ws
+    silently maps a NULL token array to '', DuckDB array_to_string keeps
+    NULL — the fingerprint of nothing is defined as absent, not '')."""
+    d = load_table(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull()
+    )
     fp = F.md5(F.concat_ws(" ", F.array_sort(F.array_distinct(_tokens(F.col("text"))))))
     return (
         d.select("doc_id", fp.alias("fp"))
@@ -255,7 +259,11 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _with_payload(d: DataFrame) -> DataFrame:
     """Attach the opaque binary payload + typed metadata a multimodal table
-    carries (here a deterministic fake derived from the text bytes)."""
+    carries (here a deterministic fake derived from the text bytes).
+    NULL-text rows carry no payload and are excluded — a decoder has
+    nothing to decode; every stub oracle mirrors ``WHERE text IS NOT
+    NULL``.  (Empty payloads stay: zero-byte blobs are decodable.)"""
+    d = d.filter(F.col("text").isNotNull())
     return d.select(
         "doc_id",
         F.encode(F.col("text"), "UTF-8").alias("payload"),
@@ -273,7 +281,7 @@ def _with_payload(d: DataFrame) -> DataFrame:
            ((doc_id * 37) % 640 + 16)::INTEGER AS width,
            ((doc_id * 53) % 480 + 16)::INTEGER AS height,
            (strlen(text) % 7 + 1)::INTEGER AS frames
-    FROM documents
+    FROM documents WHERE text IS NOT NULL
     """,
 )
 def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -297,7 +305,7 @@ def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
            GREATEST(1, FLOOR(((doc_id * 53) % 480 + 16)
              * (224.0 / GREATEST((doc_id * 37) % 640 + 16,
                                  (doc_id * 53) % 480 + 16))))::INTEGER AS out_h
-    FROM documents
+    FROM documents WHERE text IS NOT NULL
     """,
 )
 def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -316,7 +324,7 @@ def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
            strlen(text)::BIGINT AS n_samples,
            strlen(text) / 16000.0 AS duration_s,
            (strlen(text) - strlen(replace(text, ' ', '')))::BIGINT AS crossings
-    FROM documents
+    FROM documents WHERE text IS NOT NULL
     """,
 )
 def multimodal_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -334,7 +342,8 @@ def multimodal_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     "multimodal_frame_sample",
     oracle="""
     SELECT doc_id, f.frame_idx::INTEGER AS frame_idx
-    FROM (SELECT doc_id, (strlen(text) % 7 + 1) AS frames FROM documents),
+    FROM (SELECT doc_id, (strlen(text) % 7 + 1) AS frames FROM documents
+          WHERE text IS NOT NULL),
          LATERAL (SELECT unnest(range(0, frames)) AS frame_idx) f
     WHERE f.frame_idx % 2 = 0
     """,

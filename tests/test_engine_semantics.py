@@ -45,6 +45,10 @@ only the test oracle):
     bit-exactness rule; ln(3.0) differs today).
 11. ``floor``/``ceil`` TYPE: Spark returns BIGINT, DuckDB DOUBLE → cast
     in oracle output position (the type-parity test enforces).
+12. Default ORDER BY null placement: Spark ASC = NULLS FIRST, DuckDB
+    ASC = NULLS LAST (mirrored for DESC) → any window/sort over a
+    nullable key must filter NULLs or pin placement explicitly (found
+    by the adversarial fixture in a_group_quantiles / a_mode, round 7).
 """
 
 from __future__ import annotations
@@ -153,6 +157,15 @@ CASES = [
     ("sequence_with_step", "sequence(1, 7, 3)", "generate_series(1, 7, 3)", "agree"),
     ("element_at_one_based", "element_at(array(10,20,30), 2)", "list_extract([10,20,30], 2)", "agree"),
     ("conv_base16", "conv('ff', 16, 10)", "CAST(CAST('0xff' AS INTEGER) AS VARCHAR)", "agree"),
+    # --- ORDER BY null placement ---
+    ("order_by_null_default",
+     "(SELECT v FROM VALUES (1),(NULL),(2) AS t(v) ORDER BY v LIMIT 1)",
+     "(SELECT v FROM (VALUES (1),(NULL),(2)) t(v) ORDER BY v LIMIT 1)",
+     "diverge"),
+    ("order_by_nulls_last_explicit",
+     "(SELECT v FROM VALUES (1),(NULL),(2) AS t(v) ORDER BY v ASC NULLS LAST LIMIT 1)",
+     "(SELECT v FROM (VALUES (1),(NULL),(2)) t(v) ORDER BY v ASC NULLS LAST LIMIT 1)",
+     "agree"),
     # --- float math renders (bit-exactness ground rules) ---
     ("sqrt_render", "CAST(sqrt(2.0) AS STRING)", "CAST(sqrt(2.0) AS VARCHAR)", "agree"),
     ("ln_last_ulp", "CAST(ln(3.0) AS STRING)", "CAST(ln(3.0) AS VARCHAR)", "diverge"),

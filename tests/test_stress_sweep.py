@@ -81,3 +81,42 @@ def test_sensitive_entries_hash_stable_across_processes(tmp_path):
     assert not unstable, (
         f"value hash varied across fresh processes: {unstable}"
     )
+
+
+@pytest.mark.slow
+@pytest.mark.skipif(
+    os.environ.get("LAKEHOUSE_SKIP_STRESS") == "1",
+    reason="LAKEHOUSE_SKIP_STRESS=1",
+)
+def test_full_sweep_on_adversarial_fixture(tmp_path):
+    """The ENTIRE registry must stay oracle-MATCH on the adversarial
+    fixture (tools/make_adv_fixture.py): NULLs in every mutable column,
+    multi-byte unicode + NBSP text, empty strings, exact-duplicate rows
+    and embeddings, zero-norm vectors, duplicate (ts, user) event ties,
+    dense top-k value ties, an empty dimension group.  Round 7's first
+    run of this caught 16 real parity bugs (NULL ordering, CASE-on-NULL,
+    NULL-payload kernels, zero-norm division, duplicate-key ingest) that
+    five rounds of ASCII/tie-sparse sweeps never exposed."""
+    from tools.make_adv_fixture import build
+
+    adv = build(str(tmp_path / "sf0.001-adv"))
+    proc = subprocess.run(
+        [sys.executable, str(REPO / "tools" / "driver_sim.py")],
+        cwd=tmp_path,
+        env={**os.environ, "SF_DIR": adv},
+        capture_output=True,
+        text=True,
+        timeout=1700,
+    )
+    m = re.search(r"^TOTAL (\d+) queries [0-9.]+s fails=(\d+) (\[.*\])",
+                  proc.stdout, re.M)
+    assert m, f"no TOTAL line; stderr tail:\n{proc.stderr[-2000:]}"
+    n, fails, names = int(m.group(1)), int(m.group(2)), m.group(3)
+    assert n >= 208, f"sweep only covered {n} entries"
+    assert fails == 0, (
+        f"{fails} registry entries break on adversarial data: {names}\n"
+        + "\n".join(
+            ln for ln in proc.stdout.splitlines()
+            if "MISMATCH" in ln or "ERROR" in ln
+        )[:3000]
+    )
