@@ -260,8 +260,39 @@ def _ycbcr_to_rgb(ycc: np.ndarray) -> np.ndarray:
 # --- encoder ----------------------------------------------------------------
 
 
-def encode_jpeg(pixels: np.ndarray, quality: int = 85) -> bytes:
-    """HxW (grayscale) or HxWx3 (RGB) uint8 -> baseline JFIF bytes."""
+def _table_segments(gray: bool, qlum: np.ndarray, qchrom: np.ndarray) -> bytes:
+    """DQT + DHT marker segments (the part JPEGTables-style containers
+    hoist out of per-strip streams; T.81 Annex B.5 'abbreviated format')."""
+    out = bytearray()
+    tabs = [(0, qlum)] + ([] if gray else [(1, qchrom)])
+    for tid, t in tabs:
+        zz = t.reshape(-1)[_ZIGZAG].astype(np.uint8).tobytes()
+        out += b"\xff\xdb" + struct.pack(">HB", 67, tid) + zz
+    for cls, (bits, symbols) in (
+        (0, _fixed_table(_DC_SYMBOLS)),
+        (1, _fixed_table(_AC_SYMBOLS)),
+    ):
+        body = bytes([cls << 4]) + bytes(bits) + bytes(symbols)
+        out += b"\xff\xc4" + struct.pack(">H", 2 + len(body)) + body
+    return bytes(out)
+
+
+def jpeg_tables_stream(quality: int = 85, gray: bool = False) -> bytes:
+    """Abbreviated table-specification stream (SOI + DQT/DHT + EOI) — the
+    exact payload TIFF stores in the JPEGTables tag (347) so per-strip
+    streams can omit their tables."""
+    qlum, qchrom = _quality_tables(quality)
+    return b"\xff\xd8" + _table_segments(gray, qlum, qchrom) + b"\xff\xd9"
+
+
+def encode_jpeg(
+    pixels: np.ndarray, quality: int = 85, omit_tables: bool = False
+) -> bytes:
+    """HxW (grayscale) or HxWx3 (RGB) uint8 -> baseline JFIF bytes.
+    ``omit_tables=True`` writes an abbreviated image stream (no DQT/DHT —
+    T.81 Annex B.5) whose tables live in a companion
+    ``jpeg_tables_stream``; decode by splicing the table segments back in
+    after SOI (see tiff.py's JPEGTables handling)."""
     gray = pixels.ndim == 2
     if not gray and (pixels.ndim != 3 or pixels.shape[2] != 3):
         raise ValueError("encode_jpeg expects HxW or HxWx3 uint8")
@@ -332,24 +363,15 @@ def encode_jpeg(pixels: np.ndarray, quality: int = 85) -> bytes:
     out += b"\xff\xe0" + struct.pack(
         ">H5sBBBHHBB", 16, b"JFIF\x00", 1, 1, 0, 1, 1, 0, 0
     )
-    # DQT (one marker per table)
-    tabs = [(0, qlum)] + ([] if gray else [(1, qchrom)])
-    for tid, t in tabs:
-        zz = t.reshape(-1)[_ZIGZAG].astype(np.uint8).tobytes()
-        out += b"\xff\xdb" + struct.pack(">HB", 67, tid) + zz
+    if not omit_tables:
+        # DQT + DHT (DC table 0, AC table 0, shared by all components)
+        out += _table_segments(gray, qlum, qchrom)
     # SOF0
     ncomp = 1 if gray else 3
     sof = struct.pack(">HBHHB", 8 + 3 * ncomp, 8, h, w, ncomp)
     for ci in range(ncomp):
         sof += struct.pack("BBB", ci + 1, 0x11, qids[ci])
     out += b"\xff\xc0" + sof
-    # DHT: DC table 0, AC table 0 (shared by all components)
-    for cls, (bits, symbols) in (
-        (0, _fixed_table(_DC_SYMBOLS)),
-        (1, _fixed_table(_AC_SYMBOLS)),
-    ):
-        body = bytes([cls << 4]) + bytes(bits) + bytes(symbols)
-        out += b"\xff\xc4" + struct.pack(">H", 2 + len(body)) + body
     # SOS
     sos = struct.pack(">HB", 6 + 2 * ncomp, ncomp)
     for ci in range(ncomp):

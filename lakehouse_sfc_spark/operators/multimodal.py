@@ -601,26 +601,83 @@ def synth_tiff_batches(
     """(doc_id, width, height) → (doc_id, payload, width, height) with the
     payload a REAL multi-strip RGB TIFF of the deterministic grid (the
     scanned-document master format; operators/tiff.py).  The compression
-    ROTATES by doc_id across all four supported codecs — every registry
-    run decodes uncompressed, PackBits, LZW and Deflate strips through
-    the one production kernel."""
+    ROTATES by doc_id across all five supported codecs — every registry
+    run decodes uncompressed, PackBits, LZW, Deflate and new-style JPEG
+    strips through the one production kernel.  LZW/Deflate docs carry the
+    horizontal-differencing predictor (tag 317, the common libtiff
+    pairing); JPEG docs alternate between standalone per-strip streams
+    and the abbreviated JPEGTables (tag 347) layout."""
     from lakehouse_sfc_spark.operators.tiff import encode_tiff
 
-    comps = ("none", "packbits", "lzw", "deflate")
+    comps = ("none", "packbits", "lzw", "deflate", "jpeg")
     for pdf in batches:
-        payloads = [
-            encode_tiff(
-                _synth_pixels(int(d), int(w), int(h)),
-                compression=comps[int(d) % 4],
+        payloads = []
+        for d, w, h in zip(pdf["doc_id"], pdf["width"], pdf["height"]):
+            comp = comps[int(d) % 5]
+            payloads.append(
+                encode_tiff(
+                    _synth_pixels(int(d), int(w), int(h)),
+                    compression=comp,
+                    predictor=2 if comp in ("lzw", "deflate") else 1,
+                    jpeg_tables=bool((int(d) // 11) % 2),
+                )
             )
-            for d, w, h in zip(pdf["doc_id"], pdf["width"], pdf["height"])
-        ]
         yield pd.DataFrame(
             {
                 "doc_id": pdf["doc_id"].astype("int64"),
                 "payload": pd.Series(payloads, dtype="object"),
                 "width": pdf["width"].astype("int32"),
                 "height": pdf["height"].astype("int32"),
+            }
+        )
+
+
+def tiff_stats_fidelity_batches(
+    batches: Iterable[pd.DataFrame],
+) -> Iterator[pd.DataFrame]:
+    """Content check for rotating-compression TIFFs: decode through the
+    production kernel and verify against the re-synthesized source grid.
+    Lossless strips (none/PackBits/LZW/Deflate) must match BIT-EXACTLY and
+    report the exact pixel_sum; JPEG strips (tag 7) are lossy, so they
+    report the -1 sentinel and a PSNR >= 30 dB fidelity gate instead (the
+    codec clears it by ~20 dB — see multimodal_jpeg_real).  Lossiness is
+    sniffed from the payload's compression tag, never from metadata."""
+    from lakehouse_sfc_spark.operators.tiff import (
+        decode_tiff,
+        tiff_compression,
+    )
+
+    for pdf in batches:
+        rows: dict[str, list] = {
+            "doc_id": [], "width": [], "height": [],
+            "frames": [], "pixel_sum": [], "fidelity_ok": [],
+        }
+        for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+            raw = bytes(payload)
+            px = decode_tiff(raw)
+            h, w = px.shape[:2]
+            src = _synth_pixels(int(doc_id), w, h)
+            if tiff_compression(raw) == 7:
+                mse = float(np.mean((px.astype(np.float64) - src) ** 2))
+                psnr = 99.0 if mse == 0 else 10 * np.log10(255.0**2 / mse)
+                pixel_sum, fid = -1, bool(psnr >= 30.0)
+            else:
+                pixel_sum = int(px.astype("int64").sum())
+                fid = bool((px == src).all())
+            rows["doc_id"].append(int(doc_id))
+            rows["width"].append(w)
+            rows["height"].append(h)
+            rows["frames"].append(1)
+            rows["pixel_sum"].append(pixel_sum)
+            rows["fidelity_ok"].append(fid)
+        yield pd.DataFrame(
+            {
+                "doc_id": pd.Series(rows["doc_id"], dtype="int64"),
+                "width": pd.Series(rows["width"], dtype="int32"),
+                "height": pd.Series(rows["height"], dtype="int32"),
+                "frames": pd.Series(rows["frames"], dtype="int32"),
+                "pixel_sum": pd.Series(rows["pixel_sum"], dtype="int64"),
+                "fidelity_ok": pd.Series(rows["fidelity_ok"], dtype="bool"),
             }
         )
 

@@ -3,10 +3,12 @@ and RGB, both byte orders, multi-strip.
 
 TIFF was the named "unsupported image format" example through round 5; this
 closes it for the class a data pipeline actually meets in scanned-document
-corpora.  Compression: none (1), early-change MSB-first LZW (5), Adobe
-Deflate (8), PackBits RLE (32773); Predictor (tag 317) horizontal
-differencing (2) is applied/undone natively.  Unsupported variants refuse
-loudly naming the tag.
+corpora.  Compression: none (1), early-change MSB-first LZW (5), new-style
+JPEG (7 — per-strip baseline JPEG via operators/jpeg.py, standalone or
+abbreviated against a shared JPEGTables tag 347), Adobe Deflate (8),
+PackBits RLE (32773); Predictor (tag 317) horizontal differencing (2) is
+applied/undone natively.  Unsupported variants refuse loudly naming the
+tag.
 
 Layout written by ``encode_tiff``: little-endian header, pixel data first
 (raw or PackBits per strip), one IFD after it with the 9 baseline tags
@@ -44,6 +46,7 @@ _ROWS_PER_STRIP = 278
 _STRIP_BYTE_COUNTS = 279
 _PLANAR_CONFIG = 284
 _PREDICTOR = 317
+_JPEG_TABLES = 347  # shared DQT/DHT stream for new-style JPEG (comp 7)
 
 _TYPE_SIZES = {1: 1, 2: 1, 3: 2, 4: 4, 5: 8}  # BYTE ASCII SHORT LONG RATIONAL
 
@@ -189,7 +192,13 @@ def _packbits_decode(data: bytes, expected: int) -> bytes:
     return bytes(out[:expected])
 
 
-_COMPRESSION_TAGS = {"none": 1, "packbits": 32773, "lzw": 5, "deflate": 8}
+_COMPRESSION_TAGS = {
+    "none": 1,
+    "packbits": 32773,
+    "lzw": 5,
+    "deflate": 8,
+    "jpeg": 7,  # new-style JPEG: each strip is a baseline JPEG stream
+}
 
 
 def encode_tiff(
@@ -198,13 +207,20 @@ def encode_tiff(
     packbits: bool = False,
     compression: str | None = None,
     predictor: int = 1,
+    jpeg_quality: int = 85,
+    jpeg_tables: bool = False,
 ) -> bytes:
     """HxW (grayscale) or HxWx3 (RGB) uint8 array → little-endian TIFF
     with real multi-strip framing.  ``compression``: "none" (default),
-    "packbits" (RLE, tag 32773) or "lzw" (early-change LZW, tag 5);
+    "packbits" (RLE, tag 32773), "lzw" (early-change LZW, tag 5),
+    "deflate" (tag 8) or "jpeg" (new-style JPEG, tag 7 — each strip a
+    baseline JPEG of its rows, LOSSY);
     ``packbits=True`` is the legacy spelling of compression="packbits".
     ``predictor=2`` applies TIFF horizontal differencing (tag 317) before
-    compression — the common libtiff/PIL pairing with LZW/Deflate."""
+    compression — the common libtiff/PIL pairing with LZW/Deflate.
+    ``jpeg_tables=True`` writes the libtiff layout: per-strip streams are
+    abbreviated (no DQT/DHT) and the shared tables live in the JPEGTables
+    tag (347)."""
     if compression is None:
         compression = "packbits" if packbits else "none"
     if compression not in _COMPRESSION_TAGS:
@@ -223,6 +239,10 @@ def encode_tiff(
         raise ValueError("encode_tiff wants HxW or HxWx3 uint8")
     if predictor not in (1, 2):
         raise ValueError(f"encode_tiff predictor {predictor} not in (1, 2)")
+    if compression == "jpeg" and predictor == 2:
+        raise ValueError(
+            "TIFF predictor (tag 317) applies to LZW/Deflate, not JPEG strips"
+        )
     if predictor == 2:
         # Horizontal differencing: per row, per sample channel, each byte
         # stores the delta from the previous pixel (mod 256); the first
@@ -240,11 +260,32 @@ def encode_tiff(
         "lzw": _lzw_encode_tiff,
         "deflate": zlib.compress,  # Adobe Deflate (tag 8): raw zlib stream
     }
-    comp_fn = comp_fns[compression]
-    strips = []
-    for y0 in range(0, h, rows_per_strip):
-        y1 = min(y0 + rows_per_strip, h)
-        strips.append(comp_fn(data[y0 * row_bytes : y1 * row_bytes]))
+    jpeg_tables_bytes: bytes | None = None
+    if compression == "jpeg":
+        from lakehouse_sfc_spark.operators.jpeg import (
+            encode_jpeg,
+            jpeg_tables_stream,
+        )
+
+        arr = px.reshape(h, w) if spp == 1 else px.reshape(h, w, 3)
+        strips = [
+            encode_jpeg(
+                arr[y0 : min(y0 + rows_per_strip, h)],
+                quality=jpeg_quality,
+                omit_tables=jpeg_tables,
+            )
+            for y0 in range(0, h, rows_per_strip)
+        ]
+        if jpeg_tables:
+            jpeg_tables_bytes = jpeg_tables_stream(
+                jpeg_quality, gray=(spp == 1)
+            )
+    else:
+        comp_fn = comp_fns[compression]
+        strips = [
+            comp_fn(data[y0 * row_bytes : min(y0 + rows_per_strip, h) * row_bytes])
+            for y0 in range(0, h, rows_per_strip)
+        ]
 
     out = bytearray()
     out += b"II*\x00"
@@ -276,7 +317,18 @@ def encode_tiff(
             extra.extend(b"\x00")
         return off
 
-    n_entries = 9 + (1 if predictor == 2 else 0)
+    def _array_bytes(raw: bytes, base: int) -> int:
+        off = base + len(extra)
+        extra.extend(raw)
+        if len(extra) % 2:
+            extra.extend(b"\x00")
+        return off
+
+    n_entries = (
+        9
+        + (1 if predictor == 2 else 0)
+        + (1 if jpeg_tables_bytes is not None else 0)
+    )
     ifd_size = 2 + n_entries * 12 + 4
     arrays_base = ifd_pos_guess + ifd_size
 
@@ -317,6 +369,17 @@ def encode_tiff(
         )
     if predictor == 2:
         entries.append(_entry(_PREDICTOR, 3, 1, 2))
+    if jpeg_tables_bytes is not None:
+        # type 7 = UNDEFINED (opaque bytes); always out-of-line — the
+        # abbreviated tables stream is far larger than 4 bytes
+        entries.append(
+            _entry(
+                _JPEG_TABLES,
+                7,
+                len(jpeg_tables_bytes),
+                _array_bytes(jpeg_tables_bytes, arrays_base),
+            )
+        )
 
     ifd = struct.pack("<H", n_entries) + b"".join(entries) + b"\x00\x00\x00\x00"
     assert len(ifd) == ifd_size
@@ -349,6 +412,31 @@ def _read_tag_values(payload: bytes, entry: bytes, e: str) -> list[int]:
     return list(struct.unpack(f"{e}{count}{code}", raw))
 
 
+def tiff_compression(payload: bytes) -> int:
+    """Compression tag (259) value of a TIFF payload — a header+IFD walk
+    only, no strip decode.  Lets callers route lossy (JPEG, tag 7) and
+    lossless strips to different content checks without trusting any
+    out-of-band metadata."""
+    if payload[:4] == b"II*\x00":
+        e = "<"
+    elif payload[:4] == b"MM\x00*":
+        e = ">"
+    else:
+        raise ValueError("not a TIFF payload")
+    (ifd_off,) = struct.unpack(e + "I", payload[4:8])
+    if ifd_off + 2 > len(payload):
+        raise ValueError("truncated TIFF: IFD offset past payload")
+    (n,) = struct.unpack(e + "H", payload[ifd_off : ifd_off + 2])
+    for i in range(n):
+        at = ifd_off + 2 + 12 * i
+        entry = payload[at : at + 12]
+        if len(entry) < 12:
+            raise ValueError("truncated TIFF: IFD entry cut short")
+        if struct.unpack(e + "H", entry[:2])[0] == _COMPRESSION:
+            return _read_tag_values(payload, entry, e)[0]
+    return 1  # tag absent: uncompressed per TIFF 6.0 defaults
+
+
 def decode_tiff(payload: bytes) -> "np.ndarray":
     """Baseline TIFF (uncompressed / LZW / Deflate / PackBits, optional
     horizontal-differencing predictor) → HxW (gray) or HxWx3 (RGB) uint8;
@@ -367,12 +455,26 @@ def decode_tiff(payload: bytes) -> "np.ndarray":
         raise ValueError("truncated TIFF: IFD offset past payload")
     (n,) = struct.unpack(e + "H", payload[ifd_off : ifd_off + 2])
     tags: dict[int, list[int]] = {}
+    jpeg_tables: bytes | None = None
     for i in range(n):
         at = ifd_off + 2 + 12 * i
         entry = payload[at : at + 12]
         if len(entry) < 12:
             raise ValueError("truncated TIFF: IFD entry cut short")
         tag = struct.unpack(e + "H", entry[:2])[0]
+        if tag == _JPEG_TABLES:
+            # opaque bytes (type 7 UNDEFINED / 1 BYTE), not integer values
+            typ, count = struct.unpack(e + "HI", entry[2:8])
+            if typ not in (1, 7):
+                raise ValueError(f"TIFF JPEGTables: unexpected type {typ}")
+            if count <= 4:
+                jpeg_tables = entry[8 : 8 + count]
+            else:
+                (off,) = struct.unpack(e + "I", entry[8:12])
+                jpeg_tables = payload[off : off + count]
+            if len(jpeg_tables) < count:
+                raise ValueError("truncated TIFF: JPEGTables cut short")
+            continue
         if tag in (
             _IMAGE_WIDTH,
             _IMAGE_LENGTH,
@@ -398,11 +500,17 @@ def decode_tiff(payload: bytes) -> "np.ndarray":
     w = _one(_IMAGE_WIDTH)
     h = _one(_IMAGE_LENGTH)
     comp = _one(_COMPRESSION, 1)
-    if comp not in (1, 5, 8, 32773):
+    if comp == 6:
+        raise NotImplementedError(
+            "TIFF compression 6 (old-style JPEG) not supported — the tag "
+            "was deprecated by TIFF TechNote 2 for its broken pointer "
+            "scheme; re-save as new-style JPEG (tag 7)"
+        )
+    if comp not in (1, 5, 7, 8, 32773):
         raise NotImplementedError(
             f"TIFF compression {comp} not supported (1 = uncompressed, "
-            "5 = LZW, 8 = Deflate and 32773 = PackBits decode natively; "
-            "JPEG-in-TIFF needs its per-strip codec)"
+            "5 = LZW, 7 = new-style JPEG, 8 = Deflate and 32773 = PackBits "
+            "decode natively)"
         )
     spp = _one(_SAMPLES_PER_PIXEL, 1)
     bits = tags.get(_BITS_PER_SAMPLE, [8])
@@ -437,6 +545,48 @@ def decode_tiff(payload: bytes) -> "np.ndarray":
         raise ValueError("TIFF StripByteCounts missing or mismatched")
     rps = _one(_ROWS_PER_STRIP, h)
     row_bytes = w * spp
+    if comp == 7:
+        if predictor == 2:
+            raise ValueError(
+                "TIFF predictor 2 with JPEG strips is not a valid combination"
+            )
+        from lakehouse_sfc_spark.operators.jpeg import decode_jpeg
+
+        if jpeg_tables is not None and (
+            jpeg_tables[:2] != b"\xff\xd8" or jpeg_tables[-2:] != b"\xff\xd9"
+        ):
+            raise ValueError(
+                "TIFF JPEGTables is not an abbreviated JPEG stream "
+                "(must be SOI ... EOI)"
+            )
+        parts = []
+        for idx, (off, cnt) in enumerate(zip(offsets, counts)):
+            chunk = bytes(payload[off : off + cnt])
+            if len(chunk) < cnt:
+                raise ValueError("truncated TIFF: strip data cut short")
+            if chunk[:2] != b"\xff\xd8":
+                raise ValueError("TIFF JPEG strip does not start with SOI")
+            if jpeg_tables is not None:
+                # abbreviated strip: splice the shared DQT/DHT segments
+                # back in right after SOI (T.81 Annex B.5)
+                chunk = b"\xff\xd8" + jpeg_tables[2:-2] + chunk[2:]
+            px = decode_jpeg(chunk)
+            rows_here = max(0, min(rps, h - idx * rps))
+            got = (px.shape[0], px.shape[1], 1 if px.ndim == 2 else 3)
+            if got != (rows_here, w, spp):
+                raise ValueError(
+                    f"TIFF JPEG strip {idx}: decoded {got}, IFD says "
+                    f"({rows_here}, {w}, {spp})"
+                )
+            parts.append(px.reshape(rows_here, w, spp))
+        arr = np.concatenate(parts, axis=0).reshape(-1) if parts else (
+            np.zeros(0, dtype=np.uint8)
+        )
+        if photometric == 0:
+            arr = (255 - arr.astype(np.int16)).astype(np.uint8)
+        if spp == 1:
+            return arr.reshape(h, w)
+        return arr.reshape(h, w, 3)
     data = bytearray()
     for idx, (off, cnt) in enumerate(zip(offsets, counts)):
         chunk = payload[off : off + cnt]

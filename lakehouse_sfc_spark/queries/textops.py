@@ -1561,19 +1561,29 @@ def multimodal_gif_real(spark: SparkSession, sf_dir: str) -> DataFrame:
            MIN(width)::INTEGER AS width,
            MIN(height)::INTEGER AS height,
            1::INTEGER AS frames,
-           SUM(3 * ((3*x + 7*y + doc_id) % 251))::BIGINT AS pixel_sum
+           (CASE WHEN doc_id % 5 = 4 THEN -1
+                 ELSE SUM(3 * ((3*x + 7*y + doc_id) % 251))
+            END)::BIGINT AS pixel_sum,
+           TRUE AS fidelity_ok
     FROM g GROUP BY doc_id
     """,
 )
 def multimodal_tiff_real(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL TIFF end-to-end: deterministic RGB grids encoded as genuine
     multi-strip TIFF with per-doc ROTATING compression — uncompressed /
-    PackBits / LZW / Deflate (IFD + strip framing, operators/tiff.py —
-    the scanned-document master format) and decoded back through the
-    production image kernel; geometry and the full pixel content check are
-    closed-form.  n_bytes excluded like the other codec rows (framing
-    overhead is an encoder detail, though THIS encoder is deterministic)."""
-    from lakehouse_sfc_spark.operators.multimodal import synth_tiff_batches
+    PackBits / LZW+predictor / Deflate+predictor / new-style JPEG (tag 7,
+    alternating standalone and JPEGTables layouts) — and decoded back
+    through the production image kernel (operators/tiff.py — the
+    scanned-document master format).  Lossless docs carry the closed-form
+    exact pixel_sum; JPEG docs (doc_id % 5 = 4) are lossy, so they carry
+    the -1 sentinel and the same PSNR >= 30 dB fidelity gate as
+    multimodal_jpeg_real (cleared by ~20 dB, pinned in pytest).  n_bytes
+    excluded like the other codec rows (framing overhead is an encoder
+    detail, though THIS encoder is deterministic)."""
+    from lakehouse_sfc_spark.operators.multimodal import (
+        synth_tiff_batches,
+        tiff_stats_fidelity_batches,
+    )
 
     d = load_table(spark, sf_dir, "documents")
     params = d.filter(F.col("doc_id") % 11 == 0).select(
@@ -1586,8 +1596,10 @@ def multimodal_tiff_real(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id bigint, payload binary, width int, height int",
     )
     return encoded.mapInPandas(
-        decode_real_stats_batches, DECODED_STATS_SCHEMA
-    ).drop("n_bytes")
+        tiff_stats_fidelity_batches,
+        "doc_id bigint, width int, height int, frames int, "
+        "pixel_sum bigint, fidelity_ok boolean",
+    )
 
 
 @register(

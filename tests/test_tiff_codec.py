@@ -125,8 +125,8 @@ def test_unsupported_tiff_compression_still_refuses():
         at = ifd_off + 2 + 12 * i
         tag = struct.unpack("<H", bytes(payload[at : at + 2]))[0]
         if tag == 259:
-            struct.pack_into("<I", payload, at + 8, 7)  # JPEG-in-TIFF
-    with pytest.raises(NotImplementedError, match="compression 7"):
+            struct.pack_into("<I", payload, at + 8, 4)  # Group 4 fax
+    with pytest.raises(NotImplementedError, match="compression 4"):
         decode_tiff(bytes(payload))
 
 
@@ -316,3 +316,107 @@ def test_lzw_golden_fixture_early_change_boundary():
     golden = _pack_msb(codes)
     assert _lzw_encode_tiff(data) == golden
     assert _lzw_decode_tiff(golden, 256) == data
+
+
+# --- new-style JPEG (compression 7) ------------------------------------------
+
+
+def _smooth(h, w, ch=None):
+    """Gradient image (JPEG-friendly: PSNR is meaningful, not noise-bound)."""
+    base = (np.add.outer(np.arange(h), np.arange(w)) * 5 % 256).astype(np.uint8)
+    return base if ch is None else np.repeat(base[:, :, None], ch, axis=2)
+
+
+def _psnr(a, b):
+    mse = float(np.mean((a.astype(np.float64) - b.astype(np.float64)) ** 2))
+    return 99.0 if mse == 0 else 10 * np.log10(255.0**2 / mse)
+
+
+def test_jpeg_in_tiff_roundtrip_both_layouts():
+    """Tag-7 strips decode through the baseline JPEG codec, multi-strip,
+    gray and RGB, standalone AND abbreviated-JPEGTables (tag 347) layouts."""
+    for shape in [(13, 21, 3), (8, 16, 3), (5, 9, None), (17, 7, None)]:
+        h, w, ch = shape
+        px = _smooth(h, w, ch)
+        for jt in (False, True):
+            t = encode_tiff(
+                px, rows_per_strip=8, compression="jpeg",
+                jpeg_quality=90, jpeg_tables=jt,
+            )
+            out = decode_tiff(t)
+            assert out.shape == px.shape
+            assert _psnr(out, px) >= 40, (shape, jt)
+
+
+def test_jpeg_tables_layout_is_abbreviated_on_the_wire():
+    """The JPEGTables layout must actually hoist DQT/DHT out of the strips:
+    strips contain no DQT (FFDB) / DHT (FFC4) markers, the tag-347 stream
+    does, and the strips alone (without the splice) cannot decode."""
+    from lakehouse_sfc_spark.operators.jpeg import decode_jpeg
+    from lakehouse_sfc_spark.operators.tiff import _JPEG_TABLES
+
+    px = _smooth(16, 12, 3)
+    t = encode_tiff(px, rows_per_strip=8, compression="jpeg", jpeg_tables=True)
+    # walk the IFD for StripOffsets/ByteCounts + JPEGTables
+    (ifd_off,) = struct.unpack("<I", t[4:8])
+    (n,) = struct.unpack("<H", t[ifd_off : ifd_off + 2])
+    tags = {}
+    for i in range(n):
+        at = ifd_off + 2 + 12 * i
+        tag, typ, cnt = struct.unpack("<HHI", t[at : at + 8])
+        tags[tag] = (typ, cnt, t[at + 8 : at + 12])
+    typ, cnt, val = tags[_JPEG_TABLES]
+    assert typ == 7
+    (off,) = struct.unpack("<I", val)
+    tables = t[off : off + cnt]
+    assert tables[:2] == b"\xff\xd8" and tables[-2:] == b"\xff\xd9"
+    assert b"\xff\xdb" in tables and b"\xff\xc4" in tables
+
+    def _vals(tag):
+        typ, cnt, val = tags[tag]
+        if cnt == 1:
+            return [struct.unpack("<I", val)[0]]
+        (o,) = struct.unpack("<I", val)
+        return list(struct.unpack(f"<{cnt}I", t[o : o + 4 * cnt]))
+
+    offs, cnts = _vals(273), _vals(279)
+    assert len(offs) == 2  # 16 rows / 8 rows_per_strip
+    for o, c in zip(offs, cnts):
+        strip = t[o : o + c]
+        assert strip[:2] == b"\xff\xd8"
+        assert b"\xff\xdb" not in strip[:40] and b"\xff\xc4" not in strip
+        with pytest.raises((ValueError, KeyError, NotImplementedError)):
+            decode_jpeg(bytes(strip))  # tables really are elsewhere
+
+
+def test_jpeg_in_tiff_guards():
+    px = _smooth(8, 8, 3)
+    # predictor + jpeg is not a valid combination
+    with pytest.raises(ValueError, match="predictor"):
+        encode_tiff(px, compression="jpeg", predictor=2)
+    # old-style JPEG (tag 6) refuses loudly
+    t = bytearray(encode_tiff(px, compression="jpeg"))
+    (ifd_off,) = struct.unpack("<I", t[4:8])
+    (n,) = struct.unpack("<H", t[ifd_off : ifd_off + 2])
+    for i in range(n):
+        at = ifd_off + 2 + 12 * i
+        if struct.unpack("<H", t[at : at + 2])[0] == 259:
+            struct.pack_into("<I", t, at + 8, 6)
+    with pytest.raises(NotImplementedError, match="old-style"):
+        decode_tiff(bytes(t))
+
+
+def test_jpeg_in_tiff_strip_geometry_validated():
+    """A strip whose embedded JPEG disagrees with the IFD geometry fails
+    loudly instead of silently mis-stitching."""
+    px = _smooth(16, 12, 3)
+    t = bytearray(encode_tiff(px, rows_per_strip=8, compression="jpeg"))
+    # shrink ImageLength by one: strip 2's decoded height no longer matches
+    (ifd_off,) = struct.unpack("<I", t[4:8])
+    (n,) = struct.unpack("<H", t[ifd_off : ifd_off + 2])
+    for i in range(n):
+        at = ifd_off + 2 + 12 * i
+        if struct.unpack("<H", t[at : at + 2])[0] == 257:
+            struct.pack_into("<I", t, at + 8, 15)
+    with pytest.raises(ValueError, match="strip"):
+        decode_tiff(bytes(t))
