@@ -249,6 +249,44 @@ def _prefix_candidates(ngr: DataFrame, tau: float, symmetric: bool) -> DataFrame
     )
 
 
+def _hashed_jaccard_survivors(
+    ngr: DataFrame, cand: DataFrame, tau: float
+) -> DataFrame:
+    """Phase 1 of the two-phase verify for SYMMETRIC Jaccard joins (the
+    sibling of dedup_containment's asymmetric version): candidate pairs
+    would otherwise haul two multi-KB string-gram arrays through the
+    verify join, so memory traffic — not the intersect — dominates.  This
+    filters on the 64-bit xxhash64 gram arrays instead (``hg``, ~4×
+    smaller rows, long compares), using Jaccard ≥ τ ⟺
+    I ≥ τ·(|A|+|B|)/(1+τ) with 4 grams of slack: within-doc hash
+    collisions can only shrink the hashed intersect by the collision
+    count (~0 at 2⁻⁶⁴), and cross-doc collisions only ADD candidates — no
+    qualifying pair is ever dropped.  Callers re-verify survivors on the
+    exact string grams, so the emitted Jaccard is exact and the oracle
+    needs no mirror.  ``ngr`` must carry ``hg`` =
+    array_distinct(transform(ng, xxhash64))."""
+    ha = ngr.select(
+        F.col("doc_id").alias("a_id"),
+        F.col("hg").alias("ha"),
+        F.size("ng").alias("alen"),
+    )
+    hb = ngr.select(
+        F.col("doc_id").alias("b_id"),
+        F.col("hg").alias("hb"),
+        F.size("ng").alias("blen"),
+    )
+    return (
+        cand.join(ha, "a_id")
+        .join(hb, "b_id")
+        .filter(
+            F.size(F.array_intersect("ha", "hb"))
+            >= (F.col("alen") + F.col("blen")) * F.lit(tau / (1.0 + tau))
+            - F.lit(4.0)
+        )
+        .select("a_id", "b_id")
+    )
+
+
 def _mh_bands(ngr):
     """MinHash(64) signatures folded in one aggregate pass, exploded into
     16 banded (doc_id, band, sig) rows — the shared candidate-generation
@@ -521,16 +559,24 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     paths), and partitioning the exploded tokens by ``g`` means the
     frequency groupBy and the df-join consume it without re-shuffling.
     Materializing a 4×-consumed relation is the right call at 100 TB too —
-    Spark has no automatic CTE materialization for DataFrames."""
+    Spark has no automatic CTE materialization for DataFrames.
+
+    Verification is two-phase (_hashed_jaccard_survivors): candidates are
+    filtered on hashed gram arrays first, then the survivors — ≈ the true
+    pairs — re-verify on the exact string grams."""
     ngr = (
         _docs_ngrams(spark, sf_dir)
+        .withColumn(
+            "hg", F.array_distinct(F.transform("ng", lambda g: F.xxhash64(g)))
+        )
         .repartition("doc_id")
         .localCheckpoint(eager=False)
     )
     cand = _prefix_candidates(ngr, _NJ_TAU, symmetric=True)
+    surv = _hashed_jaccard_survivors(ngr, cand, _NJ_TAU)
     jac = _pair_jaccard()
     return (
-        cand.join(ngr.alias("a"), F.col("a_id") == F.col("a.doc_id"))
+        surv.join(ngr.alias("a"), F.col("a_id") == F.col("a.doc_id"))
         .join(ngr.alias("b"), F.col("b_id") == F.col("b.doc_id"))
         .filter(jac >= _NJ_TAU)
         .select("a_id", "b_id", F.round(jac, 4).alias("jac"))
@@ -3016,8 +3062,9 @@ def sample_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
     discovery is the same sound machinery.
 
     Scale shape: identical to dedup_ngram_jaccard (rarest-gram prefix index,
-    equality-join candidates, per-pair verify) plus one broadcast-sized
-    (doc_id, split) projection joined onto the verified pairs."""
+    equality-join candidates, two-phase hashed-then-exact per-pair verify)
+    plus one broadcast-sized (doc_id, split) projection joined onto the
+    verified pairs."""
     d = load_table(spark, sf_dir, "documents")
     d = d.filter(F.size(_tokens(F.col("text"))) >= 3)
     from lakehouse_sfc_spark.sources.loader import compute_width
@@ -3038,14 +3085,18 @@ def sample_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
             _ngrams3(_tokens(F.col("text"))).alias("ng"),
             split.alias("split"),
         )
+        .withColumn(
+            "hg", F.array_distinct(F.transform("ng", lambda g: F.xxhash64(g)))
+        )
         .repartition("doc_id")
         .localCheckpoint(eager=False)
     )
 
     cand = _prefix_candidates(ngr, _LK_TAU, symmetric=True)
+    surv = _hashed_jaccard_survivors(ngr, cand, _LK_TAU)
     jac = _pair_jaccard()
     return (
-        cand.join(ngr.alias("a"), F.col("a_id") == F.col("a.doc_id"))
+        surv.join(ngr.alias("a"), F.col("a_id") == F.col("a.doc_id"))
         .join(ngr.alias("b"), F.col("b_id") == F.col("b.doc_id"))
         .filter(jac >= _LK_TAU)
         .filter(F.col("a.split") != F.col("b.split"))
