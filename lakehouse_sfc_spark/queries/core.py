@@ -41,12 +41,26 @@ def _ts(s: str):
     headline=True,
 )
 def q1_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Point-predicate filter + group-by (workloads/demo/q1_filter.sql)."""
+    """Point-predicate filter + group-by (workloads/demo/q1_filter.sql).
+
+    Optimizer rewrite Catalyst does not perform: both group keys are
+    pinned by equality predicates, so the GROUP BY is degenerate — one
+    group at most — and collapses to a global COUNT with the keys
+    re-attached as literals.  The ``cnt > 0`` guard preserves empty-input
+    semantics exactly (GROUP BY over zero rows yields zero groups, while
+    a bare global aggregate would yield one).  Saves the hash-partition
+    exchange and the final aggregate stage; the scan (single parquet
+    row group → single task) is the remaining floor."""
     li = load_table(spark, sf_dir, "lineitem")
     return (
         li.filter((F.col("l_returnflag") == "R") & (F.col("l_linestatus") == "O"))
-        .groupBy("l_returnflag", "l_linestatus")
         .agg(F.count(F.lit(1)).alias("cnt"))
+        .filter(F.col("cnt") > 0)
+        .select(
+            F.lit("R").alias("l_returnflag"),
+            F.lit("O").alias("l_linestatus"),
+            "cnt",
+        )
     )
 
 
