@@ -626,7 +626,9 @@ def synth_tiff_batches(
     strips through the one production kernel.  LZW/Deflate docs carry the
     horizontal-differencing predictor (tag 317, the common libtiff
     pairing); JPEG docs alternate between standalone per-strip streams
-    and the abbreviated JPEGTables (tag 347) layout."""
+    and the abbreviated JPEGTables (tag 347) layout; a third of the docs
+    are big-endian (MM) files so both byte orders flow through the
+    decoder every run."""
     from lakehouse_sfc_spark.operators.tiff import encode_tiff
 
     comps = ("none", "packbits", "lzw", "deflate", "jpeg")
@@ -640,6 +642,7 @@ def synth_tiff_batches(
                     compression=comp,
                     predictor=2 if comp in ("lzw", "deflate") else 1,
                     jpeg_tables=bool((int(d) // 11) % 2),
+                    byteorder="MM" if (int(d) // 11) % 3 == 0 else "II",
                 )
             )
         yield pd.DataFrame(

@@ -209,9 +209,12 @@ def encode_tiff(
     predictor: int = 1,
     jpeg_quality: int = 85,
     jpeg_tables: bool = False,
+    byteorder: str = "II",
 ) -> bytes:
-    """HxW (grayscale) or HxWx3 (RGB) uint8 array → little-endian TIFF
-    with real multi-strip framing.  ``compression``: "none" (default),
+    """HxW (grayscale) or HxWx3 (RGB) uint8 array → TIFF with real
+    multi-strip framing, little-endian ("II", default) or big-endian
+    ("MM" — the order Mac-era scanners and many archival masters use;
+    decode_tiff reads both either way).  ``compression``: "none" (default),
     "packbits" (RLE, tag 32773), "lzw" (early-change LZW, tag 5),
     "deflate" (tag 8) or "jpeg" (new-style JPEG, tag 7 — each strip a
     baseline JPEG of its rows, LOSSY);
@@ -225,6 +228,9 @@ def encode_tiff(
         compression = "packbits" if packbits else "none"
     if compression not in _COMPRESSION_TAGS:
         raise ValueError(f"unknown compression {compression!r}")
+    if byteorder not in ("II", "MM"):
+        raise ValueError(f"byteorder {byteorder!r} not in ('II', 'MM')")
+    e = "<" if byteorder == "II" else ">"
     np = _np()
     px = np.asarray(pixels, dtype=np.uint8)
     if px.ndim == 2:
@@ -288,7 +294,7 @@ def encode_tiff(
         ]
 
     out = bytearray()
-    out += b"II*\x00"
+    out += b"II*\x00" if byteorder == "II" else b"MM\x00*"
     out += b"\x00\x00\x00\x00"  # IFD offset patched below
     strip_offsets = []
     for s in strips:
@@ -299,7 +305,14 @@ def encode_tiff(
         out += b"\x00"
 
     def _entry(tag: int, typ: int, count: int, value_or_offset: int) -> bytes:
-        return struct.pack("<HHII", tag, typ, count, value_or_offset)
+        head = struct.pack(e + "HHI", tag, typ, count)
+        if typ == 3 and count == 1:
+            # inline values are LEFT-justified in the 4-byte field (TIFF
+            # 6.0 §2), so a lone SHORT must occupy the first two bytes —
+            # packing it as a 4-byte int would land it in the last two
+            # under big-endian
+            return head + struct.pack(e + "HH", value_or_offset, 0)
+        return head + struct.pack(e + "I", value_or_offset)
 
     # out-of-line arrays (needed when count > 1)
     extra = bytearray()
@@ -307,12 +320,12 @@ def encode_tiff(
 
     def _array_u32(vals: list[int], base: int) -> int:
         off = base + len(extra)
-        extra.extend(struct.pack(f"<{len(vals)}I", *vals))
+        extra.extend(struct.pack(f"{e}{len(vals)}I", *vals))
         return off
 
     def _array_u16(vals: list[int], base: int) -> int:
         off = base + len(extra)
-        extra.extend(struct.pack(f"<{len(vals)}H", *vals))
+        extra.extend(struct.pack(f"{e}{len(vals)}H", *vals))
         if len(extra) % 2:
             extra.extend(b"\x00")
         return off
@@ -381,9 +394,9 @@ def encode_tiff(
             )
         )
 
-    ifd = struct.pack("<H", n_entries) + b"".join(entries) + b"\x00\x00\x00\x00"
+    ifd = struct.pack(e + "H", n_entries) + b"".join(entries) + b"\x00\x00\x00\x00"
     assert len(ifd) == ifd_size
-    struct.pack_into("<I", out, 4, ifd_pos_guess)
+    struct.pack_into(e + "I", out, 4, ifd_pos_guess)
     out += ifd
     out += extra
     return bytes(out)

@@ -355,3 +355,91 @@ def graph_basket_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("lift"), "p1", "p2")
         .limit(20)
     )
+
+
+# --- synchronous min-label propagation ---------------------------------------
+
+_LP_ROUNDS = 3
+
+
+def _sql_lp_round(k: int) -> str:
+    """One unrolled propagation round: l_k(v) = least(l_{k-1}(v),
+    min over neighbors of l_{k-1})."""
+    return f"""
+    l{k} AS (
+      SELECT l.v, LEAST(l.lbl, MIN(n.lbl)) AS lbl
+      FROM l{k - 1} l JOIN und e ON e.s = l.v JOIN l{k - 1} n ON n.v = e.d
+      GROUP BY l.v, l.lbl
+    )"""
+
+
+@register(
+    "graph_label_propagation",
+    oracle=f"""
+    WITH edges AS ({_SQL_EDGES}),
+    und AS (SELECT p1 AS s, p2 AS d FROM edges
+            UNION ALL SELECT p2 AS s, p1 AS d FROM edges),
+    l0 AS (SELECT DISTINCT s AS v, s AS lbl FROM und),
+    {",".join(_sql_lp_round(k) for k in range(1, _LP_ROUNDS + 1))}
+    SELECT CAST(lbl AS BIGINT) AS community,
+           COUNT(*) AS n_vertices,
+           CAST(SUM(v) AS BIGINT) AS vertex_checksum
+    FROM l{_LP_ROUNDS} GROUP BY lbl ORDER BY community
+    """,
+)
+def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Community detection by SYNCHRONOUS min-label propagation, 3 rounds:
+    every vertex starts as its own label and repeatedly adopts the minimum
+    label in its closed neighborhood, so after k rounds a vertex carries
+    the smallest vertex id within graph distance k — a deterministic,
+    integer-exact variant of LPA (classic LPA's random tie-breaking is
+    non-reproducible; min is associative, commutative, and engine-stable).
+    The fixed round count is the streaming/batch-friendly form: k bounds
+    the influence radius, and communities are 'k-hop min-basins'.
+    Output pins membership (vertex_checksum), not just sizes.
+
+    Scale shape: per round ONE broadcast of the (v, lbl) relation onto the
+    edge list keyed by neighbor + one groupBy on the vertex — labels are
+    |V|-sized (small side) while edges are |E|-sized and never move; at
+    100 TB (labels too big to broadcast) each round becomes a shuffle join
+    on the SAME key both sides, so the edge relation partitions once and
+    every round reuses it (the pointer-doubling alternative for huge
+    diameters lives in dedup_components)."""
+    e = _edges(spark, sf_dir)
+    und = (
+        e.select(F.col("p1").alias("s"), F.col("p2").alias("d"))
+        .union(e.select(F.col("p2").alias("s"), F.col("p1").alias("d")))
+        .localCheckpoint(eager=False)
+    )
+    lbl = und.select(F.col("s").alias("v")).distinct().select(
+        "v", F.col("v").alias("lbl")
+    )
+    for _ in range(_LP_ROUNDS):
+        nmin = (
+            und.join(
+                F.broadcast(
+                    lbl.select(F.col("v").alias("d"), F.col("lbl").alias("nl"))
+                ),
+                "d",
+            )
+            .groupBy("s")
+            .agg(F.min("nl").alias("nmin"))
+        )
+        lbl = (
+            lbl.join(nmin.select(F.col("s").alias("v"), "nmin"), "v")
+            .select("v", F.least("lbl", "nmin").alias("lbl"))
+            .localCheckpoint(eager=False)
+        )
+    return (
+        lbl.groupBy("lbl")
+        .agg(
+            F.count(F.lit(1)).alias("n_vertices"),
+            F.sum("v").cast("bigint").alias("vertex_checksum"),
+        )
+        .select(
+            F.col("lbl").cast("bigint").alias("community"),
+            "n_vertices",
+            "vertex_checksum",
+        )
+        .orderBy("community")
+    )

@@ -769,3 +769,80 @@ def dq_reconcile_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("band", "decile")
     )
+
+
+# --- key-constraint audit -----------------------------------------------------
+
+
+@register(
+    "dq_key_uniqueness",
+    oracle="""
+    WITH per_key AS (
+      SELECT 'events.event_id' AS constraint_name,
+             COUNT(*) AS cnt
+      FROM events GROUP BY event_id
+      UNION ALL
+      SELECT 'events.ts_user', COUNT(*)
+      FROM events GROUP BY ts, user_id
+      UNION ALL
+      SELECT 'orders.o_orderkey', COUNT(*) FROM orders GROUP BY o_orderkey
+      UNION ALL
+      SELECT 'customer.c_custkey', COUNT(*)
+      FROM customer GROUP BY c_custkey
+    )
+    SELECT constraint_name,
+           CAST(SUM(cnt) AS BIGINT) AS n_rows,
+           COUNT(*) AS n_keys,
+           CAST(SUM(CASE WHEN cnt > 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS dup_keys,
+           CAST(SUM(CASE WHEN cnt > 1 THEN cnt ELSE 0 END) AS BIGINT)
+             AS rows_in_dups,
+           CAST(MAX(cnt) AS BIGINT) AS max_multiplicity
+    FROM per_key GROUP BY constraint_name ORDER BY constraint_name
+    """,
+)
+def dq_key_uniqueness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Candidate-key audit — the ingest gate every MERGE/upsert pipeline
+    needs BEFORE trusting a key (latest-wins dedup on a non-key silently
+    drops data; see layout/upsert.py's duplicate guard): for each declared
+    constraint, row count, distinct keys, violated keys, rows involved in
+    violations, and the worst multiplicity.  A clean key shows
+    dup_keys = 0 and max_multiplicity = 1; (ts, user_id) is audited as the
+    natural-key candidate people WANT to use and often can't.
+
+    Scale shape: one hash aggregation per audited key (map-side partial),
+    then a tiny union + rollup — the per-key counts never leave the
+    executor as raw rows.  At 100 TB each audit is exactly the shuffle of
+    its key's aggregation — the same cost MERGE itself pays — so auditing
+    before ingest is never the bottleneck."""
+    ev = load_table(spark, sf_dir, "events")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+
+    def audit(df: DataFrame, name: str, *keys: str) -> DataFrame:
+        return (
+            df.groupBy(*keys)
+            .agg(F.count(F.lit(1)).alias("cnt"))
+            .select(F.lit(name).alias("constraint_name"), "cnt")
+        )
+
+    per_key = (
+        audit(ev, "events.event_id", "event_id")
+        .unionByName(audit(ev, "events.ts_user", "ts", "user_id"))
+        .unionByName(audit(o, "orders.o_orderkey", "o_orderkey"))
+        .unionByName(audit(c, "customer.c_custkey", "c_custkey"))
+    )
+    dup = F.col("cnt") > 1
+    return (
+        per_key.groupBy("constraint_name")
+        .agg(
+            F.sum("cnt").cast("bigint").alias("n_rows"),
+            F.count(F.lit(1)).alias("n_keys"),
+            F.sum(dup.cast("int")).cast("bigint").alias("dup_keys"),
+            F.sum(F.when(dup, F.col("cnt")).otherwise(0))
+            .cast("bigint")
+            .alias("rows_in_dups"),
+            F.max("cnt").cast("bigint").alias("max_multiplicity"),
+        )
+        .orderBy("constraint_name")
+    )

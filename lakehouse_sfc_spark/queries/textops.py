@@ -1447,6 +1447,129 @@ def pack_length_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- GPT-style sequence packing (concatenate-and-chunk) ----------------------
+
+_PK_C = 256  # context length in tokens
+
+
+@register(
+    "pack_chunk_spans",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, source, len(w)::BIGINT AS n, (len(w) + 1)::BIGINT AS m
+      FROM (SELECT doc_id, source, {_SQL_TOKENS} AS w
+            FROM documents WHERE text IS NOT NULL)
+    ),
+    c AS (
+      SELECT source, doc_id, n, m,
+             (SUM(m) OVER (PARTITION BY source ORDER BY doc_id) - m)
+               AS cum_before,
+             SUM(m) OVER (PARTITION BY source) AS total_tokens
+      FROM t
+    ),
+    s AS (
+      SELECT source, doc_id, n, total_tokens,
+             cum_before // {_PK_C} AS first_chunk,
+             (cum_before + n) // {_PK_C} AS last_chunk
+      FROM c
+    )
+    SELECT source,
+           COUNT(*) AS n_docs,
+           CAST(MAX(total_tokens) AS BIGINT) AS total_tokens,
+           CAST((MAX(total_tokens) + {_PK_C} - 1) // {_PK_C} AS BIGINT)
+             AS n_chunks,
+           CAST(SUM(CASE WHEN last_chunk > first_chunk THEN 1 ELSE 0 END)
+                AS BIGINT) AS boundary_docs,
+           CAST(MAX(last_chunk - first_chunk + 1) AS BIGINT) AS max_span,
+           CAST(MAX(total_tokens) AS DOUBLE)
+             / (((MAX(total_tokens) + {_PK_C} - 1) // {_PK_C}) * {_PK_C})
+             AS packed_fill
+    FROM s GROUP BY source ORDER BY source
+    """,
+)
+def pack_chunk_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GPT-style sequence PACKING (concatenate-and-chunk): per source,
+    documents are concatenated in doc_id order with one EOD token each and
+    sliced into fixed 256-token context windows — the packed-dataset layout
+    LLM pretraining actually trains on (no padding, documents straddle
+    chunk boundaries).  Per source: document count, total tokens (incl.
+    EOD), chunk count, how many documents STRADDLE a boundary (they need
+    cross-chunk attention masking), the widest straddle, and the packed
+    fill ratio (waste is only the final chunk's tail — compare
+    pack_length_buckets' padding waste and pack_sequences' budget-quantized
+    pack assignment, which bounds docs per pack instead of slicing).
+
+    Everything is integer arithmetic on a running token cumsum — the one
+    window — so both engines agree bit-exactly; the fill ratio divides two
+    exactly-agreed integers once.
+
+    Scale shape: one window cumsum partitioned by source (the packing
+    order key), one groupBy — both shuffle on the same key, and AQE
+    coalesces; no per-chunk explosion (chunk spans come from two integer
+    divisions on the cumsum, never from materializing chunks).  At 100 TB
+    the packing order key would be (source, shard) so each shard packs
+    independently — same plan."""
+    d = load_table(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull()
+    )
+    n = F.size(_tokens(F.col("text"))).cast("bigint")
+    t = d.select("doc_id", "source", n.alias("n"), (n + 1).alias("m"))
+    w_cum = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_all = Window.partitionBy("source")
+    c = t.select(
+        "source",
+        "doc_id",
+        "n",
+        (F.sum("m").over(w_cum) - F.col("m")).alias("cum_before"),
+        F.sum("m").over(w_all).alias("total_tokens"),
+    )
+    s = c.select(
+        "source",
+        "n",
+        "total_tokens",
+        F.floor(F.col("cum_before") / _PK_C).alias("first_chunk"),
+        F.floor((F.col("cum_before") + F.col("n")) / _PK_C).alias(
+            "last_chunk"
+        ),
+    )
+    n_chunks = F.floor(
+        (F.max("total_tokens") + F.lit(_PK_C - 1)) / _PK_C
+    ).cast("bigint")
+    return (
+        s.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.max("total_tokens").cast("bigint").alias("total_tokens"),
+            n_chunks.alias("n_chunks"),
+            F.sum(
+                (F.col("last_chunk") > F.col("first_chunk")).cast("int")
+            )
+            .cast("bigint")
+            .alias("boundary_docs"),
+            F.max(F.col("last_chunk") - F.col("first_chunk") + 1)
+            .cast("bigint")
+            .alias("max_span"),
+        )
+        .select(
+            "source",
+            "n_docs",
+            "total_tokens",
+            "n_chunks",
+            "boundary_docs",
+            "max_span",
+            (
+                F.col("total_tokens").cast("double")
+                / (F.col("n_chunks") * F.lit(_PK_C))
+            ).alias("packed_fill"),
+        )
+        .orderBy("source")
+    )
+
+
 # --- shared-boilerplate prefix detection ------------------------------------
 
 _BP_K = 8  # leading tokens that define the boilerplate key

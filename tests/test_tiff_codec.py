@@ -420,3 +420,45 @@ def test_jpeg_in_tiff_strip_geometry_validated():
             struct.pack_into("<I", t, at + 8, 15)
     with pytest.raises(ValueError, match="strip"):
         decode_tiff(bytes(t))
+
+
+# --- big-endian (MM) encoding ------------------------------------------------
+
+
+def test_mm_encode_roundtrips_all_compressions():
+    px = _grid(13, 21, 3)
+    for comp in ("none", "packbits", "lzw", "deflate"):
+        for pred in (1, 2):
+            t = encode_tiff(px, compression=comp, predictor=pred,
+                            byteorder="MM")
+            assert t[:4] == b"MM\x00*"
+            assert np.array_equal(decode_tiff(t), px), (comp, pred)
+    g = _grid(7, 9)
+    assert np.array_equal(decode_tiff(encode_tiff(g, byteorder="MM")), g)
+    t = encode_tiff(_smooth(16, 12, 3), compression="jpeg",
+                    jpeg_tables=True, byteorder="MM")
+    assert _psnr(decode_tiff(t), _smooth(16, 12, 3)) >= 40
+
+
+def test_mm_inline_short_values_left_justified():
+    """TIFF 6.0 §2: inline values sit in the FIRST bytes of the 4-byte
+    value field.  Under MM a lone SHORT packed as a 4-byte int would land
+    in the last two bytes and every type-3 tag would read 0."""
+    t = encode_tiff(_grid(4, 4), byteorder="MM")
+    (ifd_off,) = struct.unpack(">I", t[4:8])
+    (n,) = struct.unpack(">H", t[ifd_off : ifd_off + 2])
+    tags = {}
+    for i in range(n):
+        at = ifd_off + 2 + 12 * i
+        tag, typ, cnt = struct.unpack(">HHI", t[at : at + 8])
+        if typ == 3 and cnt == 1:
+            tags[tag] = struct.unpack(">H", t[at + 8 : at + 10])[0]
+    assert tags[259] == 1      # Compression = none
+    assert tags[262] == 1      # Photometric = BlackIsZero
+    assert tags[277] == 1      # SamplesPerPixel
+    assert tags[258] == 8      # BitsPerSample
+
+
+def test_encode_tiff_rejects_unknown_byteorder():
+    with pytest.raises(ValueError, match="byteorder"):
+        encode_tiff(_grid(4, 4), byteorder="XX")
