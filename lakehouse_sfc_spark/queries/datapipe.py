@@ -287,11 +287,11 @@ def _hashed_jaccard_survivors(
     )
 
 
-def _mh_bands(ngr):
-    """MinHash(64) signatures folded in one aggregate pass, exploded into
-    16 banded (doc_id, band, sig) rows — the shared candidate-generation
-    front end of the LSH family (see dedup_minhash_lsh for the full cost
-    discipline notes)."""
+def _mh_signatures(ngr):
+    """MinHash(64) signature relation (doc_id, mh: array<long>) folded in
+    one aggregate pass — each n-gram is md5-hashed exactly once, the 64
+    affine permutations are integer maps inside a single traversal.  The
+    repartition is a deliberate projection barrier (see dedup_minhash_lsh)."""
     coef = F.array(
         *[
             F.struct(
@@ -307,7 +307,14 @@ def _mh_bands(ngr):
             acc, coef, lambda m, c: F.least(m, (h * c["a"] + c["b"]) % F.lit(_MH_P))
         ),
     )
-    mh = ngr.select("doc_id", mh_expr.alias("mh")).repartition("doc_id")
+    return ngr.select("doc_id", mh_expr.alias("mh")).repartition("doc_id")
+
+
+def _mh_bands(ngr):
+    """MinHash signatures exploded into 16 banded (doc_id, band, sig) rows —
+    the shared candidate-generation front end of the LSH family (see
+    dedup_minhash_lsh for the full cost discipline notes)."""
+    mh = _mh_signatures(ngr)
     bands = mh.select(
         "doc_id",
         F.explode(
@@ -417,6 +424,101 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(ngr.alias("b"), F.col("b_id") == F.col("b.doc_id"))
         .filter(jac >= _MH_TAU)
         .select("a_id", "b_id", F.round(jac, 4).alias("jac"))
+    )
+
+
+_SQL_MH_SIG = (
+    "SELECT doc_id, ["
+    + ", ".join(f"MIN(({a} * h + {b}) % {_MH_P})" for a, b in _MH_COEF)
+    + f"] AS mh FROM (SELECT doc_id,"
+    f" ('0x' || substr(md5(gr), 1, 8))::BIGINT % {_MH_P} AS h FROM e)"
+    " GROUP BY doc_id"
+)
+
+
+@register(
+    "dedup_minhash_estimate_error",
+    oracle=f"""
+    WITH g AS MATERIALIZED ({_SQL_NGRAMS_VIEW}),
+    {_sql_pair_jaccard_cte(_MH_TAU, 7, 10, "x.doc_id < y.doc_id")},
+    sig AS MATERIALIZED ({_SQL_MH_SIG}),
+    err AS (
+      SELECT p.jac_val AS jac,
+             len(list_filter(range(1, {_MH_K} + 1),
+                             i -> sa.mh[i] = sb.mh[i]))::BIGINT AS matches
+      FROM p JOIN sig sa ON p.a_id = sa.doc_id
+             JOIN sig sb ON p.b_id = sb.doc_id
+    )
+    SELECT CAST(FLOOR(ABS(matches / {_MH_K}.0 - jac) * 20) AS BIGINT)
+             AS err_bucket,
+           COUNT(*) AS n_pairs,
+           CAST(MIN(matches) AS BIGINT) AS min_matches,
+           CAST(MAX(matches) AS BIGINT) AS max_matches
+    FROM err GROUP BY 1 ORDER BY 1
+    """,
+)
+def dedup_minhash_estimate_error(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """ESTIMATOR CALIBRATION for the MinHash sketch — the eval a pipeline
+    must run before trusting LSH parameters on a new corpus: over every
+    TRUE near-dup pair (exact Jaccard ≥ τ), compare the 64-permutation
+    MinHash estimate (matching signature positions / 64) against the exact
+    Jaccard, histogrammed by absolute error in 0.05 buckets.  A fat
+    high-error tail means the band/row configuration is mis-sized for the
+    corpus's similarity profile (the r=4, b=16 S-curve assumes errors
+    concentrate near 0).  Both engines compute the same integer minima and
+    the same two divisions, so buckets are bit-deterministic — no
+    round()/tie behavior anywhere.
+
+    Scale shape: true pairs come from the sound prefix-filter + two-phase
+    hashed verify (candidate-bounded, never all-pairs); signatures are one
+    aggregate pass over the exploded grams; the error join touches pair
+    rows only."""
+    ngr = (
+        _docs_ngrams(spark, sf_dir)
+        .withColumn(
+            "hg", F.array_distinct(F.transform("ng", lambda g: F.xxhash64(g)))
+        )
+        .repartition("doc_id")
+        .localCheckpoint(eager=False)
+    )
+    cand = _prefix_candidates(ngr, _MH_TAU, symmetric=True)
+    surv = _hashed_jaccard_survivors(ngr, cand, _MH_TAU)
+    inter = F.size(F.array_intersect(F.col("a.ng"), F.col("b.ng")))
+    union = F.size(F.col("a.ng")) + F.size(F.col("b.ng")) - inter
+    jac = inter.cast("double") / union
+    pairs = (
+        surv.join(ngr.alias("a"), F.col("a_id") == F.col("a.doc_id"))
+        .join(ngr.alias("b"), F.col("b_id") == F.col("b.doc_id"))
+        .filter(jac >= _MH_TAU)
+        .select("a_id", "b_id", jac.alias("jac"))
+    )
+    sig = _mh_signatures(ngr)
+    matches = F.size(
+        F.filter(
+            F.zip_with(F.col("sa.mh"), F.col("sb.mh"), lambda x, y: x == y),
+            lambda v: v,
+        )
+    ).cast("bigint")
+    err = (
+        pairs.join(
+            sig.alias("sa"), F.col("a_id") == F.col("sa.doc_id")
+        )
+        .join(sig.alias("sb"), F.col("b_id") == F.col("sb.doc_id"))
+        .select("jac", matches.alias("matches"))
+    )
+    bucket = F.floor(
+        F.abs(F.col("matches") / F.lit(float(_MH_K)) - F.col("jac")) * 20
+    ).cast("bigint")
+    return (
+        err.groupBy(bucket.alias("err_bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.min("matches").alias("min_matches"),
+            F.max("matches").alias("max_matches"),
+        )
+        .orderBy("err_bucket")
     )
 
 
@@ -3010,6 +3112,128 @@ def ann_range_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(cos >= _RS_TAU)
         .select("q_id", "vec_id", F.round(cos, 6).alias("score"))
+    )
+
+
+# --- ANN recall evaluation ---------------------------------------------------
+
+_RE_QMOD = 211  # query sample: vec_id % _RE_QMOD == 0
+_RE_CMOD = 3  # evaluation corpus sample: vec_id % _RE_CMOD == 0
+_RE_K = 10
+
+
+@register(
+    "ann_recall_eval",
+    oracle=f"""
+    WITH c0 AS ({_SQL_EMB_CTE}),
+    corpus AS MATERIALIZED (SELECT * FROM c0 WHERE vec_id % {_RE_CMOD} = 0),
+    nb AS (SELECT {_DETK_BITS_SQL} AS b FROM corpus),
+    cc AS MATERIALIZED (
+      SELECT vec_id, emb, nrm, {_SQL_CELL_B.format(e="emb", b="nb.b")} AS cell
+      FROM corpus CROSS JOIN nb
+    ),
+    q AS MATERIALIZED (
+      SELECT vec_id AS q_id, emb, nrm,
+             {_SQL_CELL_B.format(e="emb", b="nb.b")} AS cell
+      FROM c0 CROSS JOIN nb WHERE vec_id % {_RE_QMOD} = 0
+    ),
+    scored AS MATERIALIZED (
+      SELECT q.q_id, cc.vec_id, {_sql_cos("cc", "q")} AS s,
+             bit_count(xor(cc.cell::BIGINT, q.cell::BIGINT)) AS hd
+      FROM q JOIN cc ON cc.vec_id != q.q_id
+    ),
+    gt AS (SELECT q_id, vec_id FROM (
+             SELECT q_id, vec_id,
+                    ROW_NUMBER() OVER (PARTITION BY q_id
+                                       ORDER BY s DESC, vec_id) AS rn
+             FROM scored) WHERE rn <= {_RE_K}),
+    ivf AS (SELECT q_id, vec_id FROM (
+              SELECT q_id, vec_id,
+                     ROW_NUMBER() OVER (PARTITION BY q_id
+                                        ORDER BY s DESC, vec_id) AS rn
+              FROM scored WHERE hd <= 1) WHERE rn <= {_RE_K}),
+    h AS (SELECT gt.q_id, COUNT(*) AS hits
+          FROM gt JOIN ivf ON gt.q_id = ivf.q_id AND gt.vec_id = ivf.vec_id
+          GROUP BY 1)
+    SELECT CAST(COALESCE(h.hits, 0) AS BIGINT) AS hits,
+           COUNT(*) AS n_queries,
+           CAST(MIN(q.q_id) AS BIGINT) AS min_q_id
+    FROM q LEFT JOIN h ON q.q_id = h.q_id
+    GROUP BY 1 ORDER BY 1
+    """,
+)
+def ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RECALL@10 evaluation of the IVF sign-cell probe — the measurement
+    that decides whether an ANN index is usable at all (a 0.6-recall index
+    silently corrupts dedup and retrieval): for a deterministic query
+    sample, exact brute-force top-10 over a 1/3-sampled evaluation
+    corpus is the ground truth, the hamming≤1 cell probe's top-10 is the
+    candidate, and queries are histogrammed by hit count (10 = perfect
+    recall).  Identical cosine folds and (score, vec_id) tie-breaks make
+    both top-10 sets bit-deterministic in both engines.
+
+    Scale shape: ground truth is brute force ONLY over the sampled eval
+    corpus and the bounded query sample (recall eval is a sampled
+    measurement by design — never all-pairs over the full table); the IVF
+    side filters the SAME scored relation by cell distance, so the probe's
+    quality is measured against exactly the truth it must reproduce.  At
+    100 TB the scored relation is a broadcast of the query sample against
+    the corpus-sample partitions — one map-side pass, one top-k window."""
+    emb = _emb(spark, sf_dir)
+    corpus = emb.filter(F.col("vec_id") % _RE_CMOD == 0).localCheckpoint(
+        eager=False
+    )
+    bits = _detk_bits(corpus.count())
+    cc = corpus.withColumn("cell", _cell_bits(F.col("emb"), bits))
+    q = (
+        emb.filter(F.col("vec_id") % _RE_QMOD == 0)
+        .withColumn("qcell", _cell_bits(F.col("emb"), bits))
+        .select(
+            F.col("vec_id").alias("q_id"),
+            F.col("emb").alias("qemb"),
+            F.col("nrm").alias("qnrm"),
+            "qcell",
+        )
+    )
+    cos = _dot(F.col("emb"), F.col("qemb")) / (F.col("nrm") * F.col("qnrm"))
+    hd = F.bit_count(
+        F.col("cell").cast("long").bitwiseXOR(F.col("qcell").cast("long"))
+    )
+    scored = (
+        cc.join(F.broadcast(q), F.col("vec_id") != F.col("q_id"))
+        .select(
+            "q_id", "vec_id", cos.alias("s"), hd.alias("hd")
+        )
+        .localCheckpoint(eager=False)
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("s"), "vec_id")
+    gt = (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= _RE_K)
+        .select("q_id", "vec_id")
+    )
+    ivf = (
+        scored.filter(F.col("hd") <= 1)
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= _RE_K)
+        .select("q_id", "vec_id")
+    )
+    h = gt.join(ivf, ["q_id", "vec_id"]).groupBy("q_id").agg(
+        F.count(F.lit(1)).alias("hits")
+    )
+    return (
+        q.select("q_id")
+        .join(F.broadcast(h), "q_id", "left")
+        .select(
+            F.coalesce(F.col("hits"), F.lit(0)).cast("bigint").alias("hits"),
+            "q_id",
+        )
+        .groupBy("hits")
+        .agg(
+            F.count(F.lit(1)).alias("n_queries"),
+            F.min("q_id").cast("bigint").alias("min_q_id"),
+        )
+        .orderBy("hits")
     )
 
 
