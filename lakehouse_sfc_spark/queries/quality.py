@@ -846,3 +846,76 @@ def dq_key_uniqueness(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("constraint_name")
     )
+
+
+@register(
+    "dq_fd_check",
+    oracle="""
+    WITH per_lhs AS (
+      SELECT 'documents.md5_text->lang' AS fd,
+             COUNT(DISTINCT lang) AS nv
+      FROM documents GROUP BY md5(text)
+      UNION ALL
+      SELECT 'events.user_id->event_type', COUNT(DISTINCT event_type)
+      FROM events GROUP BY user_id
+      UNION ALL
+      SELECT 'orders.o_custkey->o_orderpriority',
+             COUNT(DISTINCT o_orderpriority)
+      FROM orders GROUP BY o_custkey
+      UNION ALL
+      SELECT 'part.p_brand->p_type', COUNT(DISTINCT p_type)
+      FROM part GROUP BY p_brand
+    )
+    SELECT fd,
+           COUNT(*) AS n_lhs_keys,
+           CAST(SUM(CASE WHEN nv > 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS violating_keys,
+           CAST(MAX(nv) AS BIGINT) AS max_variants
+    FROM per_lhs GROUP BY fd ORDER BY fd
+    """,
+)
+def dq_fd_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Functional-dependency audit — does X actually determine Y?  The
+    training-data case is the first row: identical content (md5(text))
+    carrying DIFFERENT language labels, the labeling inconsistency that
+    poisons lang-filtered corpora and that exact dedup silently resolves
+    by whichever copy survives.  The others profile real-world
+    denormalization assumptions (customer order priority habits, brand to
+    type).  A clean FD shows violating_keys = 0, max_variants = 1;
+    COUNT(DISTINCT y) ignores NULL labels identically in both engines.
+
+    Scale shape: one hash aggregation per audited FD (two-level: LHS
+    grouping with a distinct-count, then a tiny rollup) — the same
+    map-side-combinable shape as dq_key_uniqueness; nothing row-sized
+    crosses the union."""
+    d = load_table(spark, sf_dir, "documents")
+    ev = load_table(spark, sf_dir, "events")
+    o = load_table(spark, sf_dir, "orders")
+    p = load_table(spark, sf_dir, "part")
+
+    def fd(df: DataFrame, name: str, lhs, rhs: str) -> DataFrame:
+        return (
+            df.groupBy(lhs)
+            .agg(F.count_distinct(F.col(rhs)).alias("nv"))
+            .select(F.lit(name).alias("fd"), "nv")
+        )
+
+    per_lhs = (
+        fd(d, "documents.md5_text->lang", F.md5(F.col("text")), "lang")
+        .unionByName(fd(ev, "events.user_id->event_type", F.col("user_id"), "event_type"))
+        .unionByName(
+            fd(o, "orders.o_custkey->o_orderpriority", F.col("o_custkey"), "o_orderpriority")
+        )
+        .unionByName(fd(p, "part.p_brand->p_type", F.col("p_brand"), "p_type"))
+    )
+    return (
+        per_lhs.groupBy("fd")
+        .agg(
+            F.count(F.lit(1)).alias("n_lhs_keys"),
+            F.sum((F.col("nv") > 1).cast("int"))
+            .cast("bigint")
+            .alias("violating_keys"),
+            F.max("nv").cast("bigint").alias("max_variants"),
+        )
+        .orderBy("fd")
+    )

@@ -261,6 +261,44 @@ def stream_sliding_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "stream_cdc_tombstones",
+    oracle="""
+    WITH ops AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN event_type = 'click' THEN 'delete'
+                  ELSE 'upsert' END AS op,
+             value
+      FROM events
+    ),
+    last AS (
+      SELECT user_id, event_id, op, value,
+             ROW_NUMBER() OVER (PARTITION BY user_id
+                                ORDER BY ts DESC, event_id DESC) AS rn
+      FROM ops
+    )
+    SELECT CAST(user_id AS BIGINT) AS user_id,
+           CAST(event_id AS BIGINT) AS last_event_id,
+           value AS last_value
+    FROM last WHERE rn = 1 AND op = 'upsert'
+    ORDER BY user_id
+    """,
+)
+def stream_cdc_tombstones_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming CDC apply WITH DELETES: the events backlog becomes a
+    per-user changelog (click = DELETE, else UPSERT), split across 4
+    deliberately UNORDERED source files and MERGEd micro-batch by
+    micro-batch as latest-wins TOMBSTONE rows — the live view (op !=
+    'delete') must equal the batch last-op-per-key query regardless of
+    batch arrival order, which is exactly what tombstones buy over hard
+    deletes (a hard delete resurrects on a stale late upsert).  Ties on
+    (ts) break by event_id DESC on both sides
+    (streaming/pipeline.py::stream_cdc_tombstones)."""
+    from lakehouse_sfc_spark.streaming import stream_cdc_tombstones
+
+    return stream_cdc_tombstones(spark, sf_dir)
+
+
+@register(
     "stream_upsert_ingest",
     oracle="""
     WITH uniq AS (SELECT DISTINCT event_id, event_type, value FROM events)

@@ -13,6 +13,7 @@ from lakehouse_sfc_spark.streaming.pipeline import (
     run_tumbling_agg,
     sessionize_stateful,
     sessionize_stateful_complete,
+    stream_cdc_tombstones,
     stream_upsert_ingest,
 )
 
@@ -27,5 +28,6 @@ __all__ = [
     "run_tumbling_agg",
     "sessionize_stateful",
     "sessionize_stateful_complete",
+    "stream_cdc_tombstones",
     "stream_upsert_ingest",
 ]

@@ -951,3 +951,112 @@ def run_stream_decontaminate(
     return _replay_to_memory(
         spark, flagged, name, "lakehouse-sfc-decon-", "complete", timeout_s
     )
+
+
+def stream_cdc_tombstones(
+    spark: SparkSession,
+    sf_dir: str,
+    timeout_s: int = 300,
+    n_files: int = 4,
+) -> DataFrame:
+    """CDC changelog apply WITH DELETES into the native sidecar table:
+    the events backlog becomes a per-user changelog (click = DELETE,
+    anything else = UPSERT of that user's row), streams through
+    ``foreachBatch``, and each micro-batch MERGEs latest-wins on
+    (user_id, ts).  Deletes are applied as TOMBSTONE rows (Hudi
+    soft-delete semantics): the table keeps one row per key — the key's
+    LAST change — and the live view filters op != 'delete'.
+
+    Tombstones are what make this ORDER-INDEPENDENT: a delete and an
+    upsert for the same key can arrive in any batch order and
+    latest-wins-by-(ts, event_id) still lands on the key's true last
+    change — a hard delete (merge_into matched_delete, see snap_merge)
+    would instead resurrect the row if a stale upsert arrived after the
+    delete.  That is exactly why log-compacted CDC systems retain
+    tombstones until compaction; at 100 TB the periodic tombstone purge
+    is one delete_where pass.
+
+    Returns the LIVE view (user_id, last_event_id, last_value) — equal to
+    the batch last-op-per-key query regardless of file split or batch
+    arrival order."""
+    import shutil
+
+    from lakehouse_sfc_spark.layout.upsert import dedup_latest, scoped_upsert
+    from lakehouse_sfc_spark.layout.writer import layout_write
+    from lakehouse_sfc_spark.sources.loader import load_table
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    work = tempfile.mkdtemp(prefix="lakehouse-sfc-cdc-")
+    src_dir = os.path.join(work, "src")
+    tbl = os.path.join(work, "table")
+    try:
+        ev = load_table(spark, sf_dir, "events")
+        # column order matters: dedup_latest tie-breaks by the remaining
+        # columns IN ORDER after the precombine ts, so event_id must come
+        # first for the (ts-tie -> higher event_id wins) contract the
+        # oracle mirrors
+        ops = ev.select(
+            "user_id",
+            "ts",
+            "event_id",
+            F.when(F.col("event_type") == "click", "delete")
+            .otherwise("upsert")
+            .alias("op"),
+            "value",
+        )
+        # plain repartition — deliberately NOT time-ordered, to prove the
+        # tombstone apply is batch-order-independent
+        ops.repartition(n_files).write.parquet(src_dir)
+
+        cdc_schema = T.StructType(
+            [
+                T.StructField("user_id", T.LongType()),
+                T.StructField("ts", ops.schema["ts"].dataType),
+                T.StructField("event_id", T.LongType()),
+                T.StructField("op", T.StringType()),
+                T.StructField("value", T.DoubleType()),
+            ]
+        )
+        stream = (
+            spark.readStream.schema(cdc_schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src_dir)
+        )
+
+        def _apply(batch_df, batch_id: int) -> None:
+            batch = dedup_latest(batch_df, ["user_id"], "ts")
+            if not os.path.isdir(tbl):
+                layout_write(batch, tbl, stats_cols=["user_id"])
+            else:
+                scoped_upsert(
+                    tbl, batch, ["user_id"], "ts", stats_cols=["user_id"]
+                )
+
+        checkpoint = tempfile.mkdtemp(prefix="lakehouse-sfc-cdc-ckpt-")
+        with _capped_state_partitions(spark):
+            q = (
+                stream.writeStream.foreachBatch(_apply)
+                .option("checkpointLocation", checkpoint)
+                .trigger(availableNow=True)
+                .start()
+            )
+            try:
+                q.awaitTermination(timeout_s)
+            finally:
+                if q.isActive:
+                    q.stop()
+
+        final = spark.read.parquet(tbl)
+        return (
+            final.filter(F.col("op") == "upsert")
+            .select(
+                "user_id",
+                F.col("event_id").alias("last_event_id"),
+                F.col("value").alias("last_value"),
+            )
+            .orderBy("user_id")
+            # materialize before the temp table dir disappears
+            .localCheckpoint()
+        )
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
