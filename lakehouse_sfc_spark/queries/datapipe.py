@@ -3218,7 +3218,10 @@ def ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= _RE_K)
         .select("q_id", "vec_id")
     )
-    h = gt.join(ivf, ["q_id", "vec_id"]).groupBy("q_id").agg(
+    # both sides are (|queries| * k)-row relations derived from the same
+    # checkpoint (no stats downstream of it, so Spark would pick SMJ) —
+    # broadcast the probe side explicitly
+    h = gt.join(F.broadcast(ivf), ["q_id", "vec_id"]).groupBy("q_id").agg(
         F.count(F.lit(1)).alias("hits")
     )
     return (

@@ -61,6 +61,17 @@ AUDITED_EXTRA = [
     "sample_kcenter",
     "profile_autocorr",
     "w_cusum_drift",
+    # round 7 additions
+    "pack_chunk_spans",
+    "graph_label_propagation",
+    "dq_key_uniqueness",
+    "dq_fd_check",
+    "dedup_minhash_estimate_error",
+    "ann_recall_eval",
+    "stream_cdc_tombstones",
+    "multimodal_tiff_real",
+    "dedup_ngram_jaccard",
+    "sample_split_leakage",
 ]
 
 #: intended-plan annotations for rows that would otherwise read as
