@@ -3868,3 +3868,74 @@ def emb_cell_occupancy(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("occupancy")
     )
+
+
+# --- class-balanced downsampling ----------------------------------------------
+
+
+@register(
+    "sample_balanced_classes",
+    oracle="""
+    WITH src AS (
+      SELECT vec_id, label FROM embeddings WHERE label IS NOT NULL
+    ),
+    sizes AS (SELECT label, COUNT(*) AS n FROM src GROUP BY label),
+    quota AS (SELECT MIN(n) AS q FROM sizes),
+    ranked AS (
+      SELECT vec_id, label,
+             ROW_NUMBER() OVER (PARTITION BY label
+                                ORDER BY md5(CAST(vec_id AS VARCHAR)),
+                                         vec_id) AS rn
+      FROM src
+    )
+    SELECT r.label,
+           CAST(s.n AS BIGINT) AS n_total,
+           COUNT(*) AS n_kept,
+           CAST(SUM(r.vec_id) AS BIGINT) AS id_checksum
+    FROM ranked r JOIN sizes s ON r.label = s.label CROSS JOIN quota
+    WHERE r.rn <= quota.q
+    GROUP BY r.label, s.n ORDER BY r.label
+    """,
+)
+def sample_balanced_classes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CLASS-BALANCED downsampling — the rebalance step before training a
+    classifier on skewed labels: every class keeps exactly
+    min-class-count rows, selected by a deterministic content-free hash
+    rank (md5 of the id — stable across runs, engines, and re-shards,
+    unlike rand()-based samplers), so the kept set is reproducible and
+    auditable (the per-class id_checksum pins exact membership, not just
+    counts).  NULL labels are excluded: unlabeled rows are not a class
+    to balance against.
+
+    Scale shape: one count per class (map-side combined), the min-quota
+    scalar broadcast (1-row), and one rank window per class — the window
+    shuffles (vec_id, label) pairs only, never payloads; at 100 TB the
+    kept ids join back to the wide table as a broadcast/bucketed semi
+    join."""
+    e = load_table(spark, sf_dir, "embeddings").filter(
+        F.col("label").isNotNull()
+    )
+    src = e.select("vec_id", "label")
+    sizes = src.groupBy("label").agg(F.count(F.lit(1)).alias("n"))
+    quota = sizes.agg(F.min("n").alias("q"))
+    w = Window.partitionBy("label").orderBy(
+        F.md5(F.col("vec_id").cast("string")), "vec_id"
+    )
+    ranked = src.withColumn("rn", F.row_number().over(w))
+    return (
+        ranked.crossJoin(F.broadcast(quota))
+        .filter(F.col("rn") <= F.col("q"))
+        .join(F.broadcast(sizes), "label")
+        .groupBy("label", "n")
+        .agg(
+            F.count(F.lit(1)).alias("n_kept"),
+            F.sum("vec_id").cast("bigint").alias("id_checksum"),
+        )
+        .select(
+            "label",
+            F.col("n").cast("bigint").alias("n_total"),
+            "n_kept",
+            "id_checksum",
+        )
+        .orderBy("label")
+    )

@@ -273,3 +273,115 @@ def sketch_jaccard_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("ga", "gb")
     )
+
+
+# --- Count-Min-Sketch heavy hitters -------------------------------------------
+
+_CMS_D = 4  # hash rows
+_CMS_W = 512  # buckets per row
+_CMS_TOPK = 20
+
+
+@register(
+    "sketch_cms_heavy_hitters",
+    oracle=f"""
+    WITH src AS (SELECT l_partkey AS k FROM lineitem),
+    pairs AS (
+      SELECT i.i AS i,
+             ('0x' || substr(md5(i.i || ':' || k), 1, 8))::BIGINT
+               % {_CMS_W} AS b
+      FROM src, LATERAL (SELECT unnest(range(0, {_CMS_D})) AS i) i
+    ),
+    counters AS (SELECT i, b, COUNT(*) AS c FROM pairs GROUP BY 1, 2),
+    exact AS (
+      SELECT k, COUNT(*) AS exact_cnt FROM src GROUP BY k
+      ORDER BY exact_cnt DESC, k LIMIT {_CMS_TOPK}
+    ),
+    probes AS (
+      SELECT e.k, e.exact_cnt, i.i AS i,
+             ('0x' || substr(md5(i.i || ':' || e.k), 1, 8))::BIGINT
+               % {_CMS_W} AS b
+      FROM exact e, LATERAL (SELECT unnest(range(0, {_CMS_D})) AS i) i
+    )
+    SELECT CAST(p.k AS BIGINT) AS part_key,
+           CAST(p.exact_cnt AS BIGINT) AS exact_cnt,
+           CAST(MIN(c.c) AS BIGINT) AS est_cnt,
+           CAST(MIN(c.c) - p.exact_cnt AS BIGINT) AS overestimate
+    FROM probes p JOIN counters c ON p.i = c.i AND p.b = c.b
+    GROUP BY p.k, p.exact_cnt
+    ORDER BY exact_cnt DESC, part_key
+    """,
+)
+def sketch_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min-Sketch frequency estimation, CALIBRATED against exact
+    counts: a 4x512 integer counter matrix (one aggregation pass — each
+    row fans into 4 (row, bucket) increments, map-side combined to at
+    most 4*512 partials per task) estimates any key's frequency as the
+    MIN over its 4 buckets.  The output probes the exact top-20 heavy
+    hitters and reports estimate vs truth — CMS guarantees
+    overestimate >= 0 (collisions only ADD), and the histogramed
+    overestimate is the sketch-width acceptance test a pipeline runs
+    before trusting CMS for rate limiting or heavy-hitter routing.
+    All integer arithmetic on a shared md5-derived hash — bit-exact in
+    both engines.
+
+    Scale shape: the sketch build is ONE map-side-combinable aggregation
+    whose shuffle is 4*512 partial counters per task regardless of data
+    volume — the whole point of CMS at 100 TB (vs the exact GROUP BY
+    whose shuffle is |keys|-sized); counters broadcast to the probe."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_partkey").alias("k")
+    )
+    ks = F.col("k").cast("string")
+
+    def bucket(i: int, key: "F.Column") -> "F.Column":
+        return _h32(F.concat(F.lit(f"{i}:"), key)) % _CMS_W
+
+    pairs = li.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("i"), bucket(i, ks).alias("b")
+                    )
+                    for i in range(_CMS_D)
+                ]
+            )
+        ).alias("p")
+    ).select("p.i", "p.b")
+    counters = pairs.groupBy("i", "b").agg(F.count(F.lit(1)).alias("c"))
+    exact = (
+        li.groupBy("k")
+        .agg(F.count(F.lit(1)).alias("exact_cnt"))
+        .orderBy(F.desc("exact_cnt"), "k")
+        .limit(_CMS_TOPK)
+    )
+    probes = exact.select(
+        "k",
+        "exact_cnt",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("i"),
+                        bucket(i, F.col("k").cast("string")).alias("b"),
+                    )
+                    for i in range(_CMS_D)
+                ]
+            )
+        ).alias("p"),
+    ).select("k", "exact_cnt", "p.i", "p.b")
+    return (
+        probes.join(F.broadcast(counters), ["i", "b"])
+        .groupBy("k", "exact_cnt")
+        .agg(F.min("c").alias("est_cnt"))
+        .select(
+            F.col("k").cast("bigint").alias("part_key"),
+            F.col("exact_cnt").cast("bigint").alias("exact_cnt"),
+            F.col("est_cnt").cast("bigint").alias("est_cnt"),
+            (F.col("est_cnt") - F.col("exact_cnt"))
+            .cast("bigint")
+            .alias("overestimate"),
+        )
+        .orderBy(F.desc("exact_cnt"), "part_key")
+    )

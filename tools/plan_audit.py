@@ -72,6 +72,8 @@ AUDITED_EXTRA = [
     "multimodal_tiff_real",
     "dedup_ngram_jaccard",
     "sample_split_leakage",
+    "sketch_cms_heavy_hitters",
+    "sample_balanced_classes",
 ]
 
 #: intended-plan annotations for rows that would otherwise read as
@@ -122,6 +124,11 @@ ANNOTATIONS = {
     "w_cusum_drift": (
         "the BroadcastNestedLoopJoin×1 is the intended 1-row broadcast of "
         "the (n, total) scalar (condition-less crossJoin, bounded)"
+    ),
+    "sample_balanced_classes": (
+        "the BroadcastNestedLoopJoin×1 is the intended 1-row broadcast of "
+        "the min-class-count quota scalar (condition-less crossJoin, "
+        "bounded)"
     ),
 }
 
