@@ -275,7 +275,8 @@ def decode_png(payload: bytes) -> "np.ndarray":
 def decode_image(payload: bytes) -> "np.ndarray":
     """Image decode (bytes → uint8 array).  BMP, PNG (stdlib zlib DEFLATE),
     baseline JPEG (pure-numpy DCT + canonical Huffman, operators/jpeg.py),
-    GIF (LZW) and uncompressed TIFF (operators/tiff.py) all decode
+    GIF (LZW), TIFF (operators/tiff.py) and ICO containers
+    (operators/ico.py: largest entry, PNG or DIB storage) all decode
     natively."""
     if payload[:2] == b"BM":
         return decode_bmp(payload)
@@ -293,9 +294,13 @@ def decode_image(payload: bytes) -> "np.ndarray":
         from lakehouse_sfc_spark.operators.tiff import decode_tiff
 
         return decode_tiff(payload)
+    if payload[:4] == b"\x00\x00\x01\x00":
+        from lakehouse_sfc_spark.operators.ico import decode_ico
+
+        return decode_ico(payload)
     raise NotImplementedError(
-        "BMP, PNG, GIF, TIFF and baseline JPEG decode natively; other "
-        "image formats (e.g. ICO, WebP) are not supported in this "
+        "BMP, PNG, GIF, TIFF, ICO and baseline JPEG decode natively; "
+        "other image formats (e.g. WebP) are not supported in this "
         "environment"
     )
 
@@ -645,6 +650,37 @@ def synth_tiff_batches(
                     byteorder="MM" if (int(d) // 11) % 3 == 0 else "II",
                 )
             )
+        yield pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"].astype("int64"),
+                "payload": pd.Series(payloads, dtype="object"),
+                "width": pdf["width"].astype("int32"),
+                "height": pdf["height"].astype("int32"),
+            }
+        )
+
+
+def synth_ico_batches(
+    batches: Iterable[pd.DataFrame],
+) -> Iterator[pd.DataFrame]:
+    """(doc_id, width, height) → (doc_id, payload, width, height) with the
+    payload a REAL two-entry ICO of the deterministic grid: a half-size
+    thumbnail entry listed FIRST plus the full-size entry, so the decoder's
+    largest-entry selection is exercised on every row.  The storage of both
+    entries ROTATES by doc_id across all three supported representations —
+    24-bpp DIB, 32-bpp BGRA DIB and PNG-in-ICO (operators/ico.py)."""
+    from lakehouse_sfc_spark.operators.ico import encode_ico
+
+    storages = ("dib24", "dib32", "png")
+    for pdf in batches:
+        payloads = []
+        for d, w, h in zip(pdf["doc_id"], pdf["width"], pdf["height"]):
+            st = storages[int(d) % 3]
+            full = _synth_pixels(int(d), int(w), int(h))
+            thumb = _synth_pixels(
+                int(d), max(1, int(w) // 2), max(1, int(h) // 2)
+            )
+            payloads.append(encode_ico([thumb, full], [st, st]))
         yield pd.DataFrame(
             {
                 "doc_id": pdf["doc_id"].astype("int64"),

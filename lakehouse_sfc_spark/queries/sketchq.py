@@ -385,3 +385,112 @@ def sketch_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.desc("exact_cnt"), "part_key")
     )
+
+
+# --- HyperLogLog with deterministic cross-engine registers -------------------
+
+_HLL_B = 10  # bucket bits
+_HLL_M = 1 << _HLL_B  # 1024 registers
+_HLL_REST_BITS = 32 - _HLL_B  # 22 value bits per hash
+_HLL_REST_MOD = 1 << _HLL_REST_BITS
+_HLL_RHO_MAX = _HLL_REST_BITS + 1  # rho when the 22 value bits are all zero
+_HLL_POW = 1 << _HLL_RHO_MAX  # 2^23: scaled-integer unit for 2^-rho sums
+# alpha_m * m^2 * 2^23, folded to ONE double literal so the estimate is a
+# single division in both engines (Flajolet et al. 2007 alpha for m >= 128)
+_HLL_NUM = (0.7213 / (1.0 + 1.079 / _HLL_M)) * _HLL_M * _HLL_M * _HLL_POW
+
+
+@register(
+    "sketch_hll_distinct",
+    oracle=f"""
+    WITH hashes AS ({_SQL_HASHES}),
+    reg AS (
+        SELECT grp, h >> {_HLL_REST_BITS} AS bucket,
+               MAX(CASE WHEN h % {_HLL_REST_MOD} = 0 THEN {_HLL_RHO_MAX}
+                        ELSE {_HLL_RHO_MAX} - length(bin(h % {_HLL_REST_MOD}))
+                   END) AS r
+        FROM hashes GROUP BY 1, 2
+    ),
+    agg AS (
+        SELECT grp, COUNT(*) AS nz,
+               CAST(SUM({_HLL_POW} >> r) AS BIGINT) AS present_sum
+        FROM reg GROUP BY grp
+    ),
+    ex AS (
+        SELECT o_orderpriority AS grp,
+               CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS exact_distinct
+        FROM orders GROUP BY 1
+    )
+    SELECT a.grp,
+           CAST(a.nz AS BIGINT) AS nz_buckets,
+           CAST(a.present_sum + ({_HLL_M} - a.nz) * {_HLL_POW} AS BIGINT)
+               AS reg_sum_scaled,
+           {_HLL_NUM!r} / CAST(
+               a.present_sum + ({_HLL_M} - a.nz) * {_HLL_POW} AS DOUBLE
+           ) AS hll_est,
+           ex.exact_distinct
+    FROM agg a JOIN ex ON ex.grp = a.grp
+    ORDER BY a.grp
+    """,
+)
+def sketch_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog distinct-count per order priority with DETERMINISTIC
+    cross-engine registers: bucket = top 10 bits of the 32-bit md5 prefix,
+    rho = leading-zero rank of the remaining 22 bits via length(bin(x)) —
+    integer ops both engines implement identically.  The harmonic mean is
+    kept EXACT by summing 2^(23-rho) as scaled BIGINTs (order-free integer
+    addition, max 1024·2^23 = 2^33) instead of floating 2^-rho terms; the
+    raw Flajolet estimate alpha·m²/Σ2^-rho is then ONE double division by
+    the scaled sum — bit-identical in both engines.  No small-range
+    correction (that needs ln(); KMV next door is the repo's exact-math
+    estimator of record — this entry demonstrates the HLL register layout
+    itself, plus its exact error vs COUNT(DISTINCT)).
+
+    Scale shape vs KMV: registers are max-mergeable, so the map side
+    reduces every partition to ≤ m rows per group BEFORE the exchange
+    (partial MAX aggregation) — the shuffle carries O(groups · 1024)
+    rows regardless of data size, strictly better than KMV's per-group
+    top-k window, and sketches from different shards/days union by the
+    same groupBy-MAX."""
+    regs = (
+        _hashes(spark, sf_dir)
+        .select(
+            "grp",
+            F.shiftright(F.col("h"), _HLL_REST_BITS).alias("bucket"),
+            (F.col("h") % _HLL_REST_MOD).alias("rest"),
+        )
+        .select(
+            "grp",
+            "bucket",
+            F.when(F.col("rest") == 0, F.lit(_HLL_RHO_MAX))
+            .otherwise(F.lit(_HLL_RHO_MAX) - F.length(F.bin(F.col("rest"))))
+            .alias("rho"),
+        )
+        .groupBy("grp", "bucket")
+        .agg(F.max("rho").alias("r"))
+    )
+    agg = regs.groupBy("grp").agg(
+        F.count(F.lit(1)).alias("nz"),
+        F.sum(F.expr(f"shiftright({_HLL_POW}, r)")).alias("present_sum"),
+    )
+    exact = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy(F.col("o_orderpriority").alias("grp"))
+        .agg(
+            F.count_distinct(F.col("o_custkey"))
+            .cast("bigint")
+            .alias("exact_distinct")
+        )
+    )
+    scaled = F.col("present_sum") + (_HLL_M - F.col("nz")) * F.lit(_HLL_POW)
+    return (
+        agg.join(exact, "grp")
+        .select(
+            "grp",
+            F.col("nz").cast("bigint").alias("nz_buckets"),
+            scaled.cast("bigint").alias("reg_sum_scaled"),
+            (F.lit(_HLL_NUM) / scaled.cast("double")).alias("hll_est"),
+            "exact_distinct",
+        )
+        .orderBy("grp")
+    )

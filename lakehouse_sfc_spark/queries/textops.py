@@ -1726,6 +1726,60 @@ def multimodal_tiff_real(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "multimodal_ico_real",
+    oracle="""
+    WITH p AS (
+      SELECT doc_id,
+             (16 + doc_id % 14)::INTEGER AS width,
+             (8 + doc_id % 9)::INTEGER AS height
+      FROM documents WHERE doc_id % 13 = 0
+    ),
+    g AS (
+      SELECT p.doc_id, p.width, p.height, x.r AS x, y.r AS y
+      FROM p, LATERAL (SELECT unnest(range(0, p.width)) AS r) x,
+              LATERAL (SELECT unnest(range(0, p.height)) AS r) y
+    )
+    SELECT doc_id,
+           MIN(width)::INTEGER AS width,
+           MIN(height)::INTEGER AS height,
+           1::INTEGER AS frames,
+           SUM(3 * ((3*x + 7*y + doc_id) % 251))::BIGINT AS pixel_sum
+    FROM g GROUP BY doc_id
+    """,
+)
+def multimodal_ico_real(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL ICO container end-to-end: deterministic grids packed into
+    two-entry icons (half-size thumbnail FIRST + full-size entry, so the
+    kernel's largest-entry selection is load-bearing on every row), with
+    the entry storage rotating per doc across 24-bpp DIB, 32-bpp BGRA DIB
+    and PNG-in-ICO (operators/ico.py — PNG entries re-enter the repo's own
+    PNG decoder, the same codec-reuse pattern as JPEG-in-TIFF), then
+    decoded back through the production image dispatch.  Every storage is
+    lossless, so the full closed-form pixel_sum contract holds; geometry
+    comes from the directory's LARGEST entry.  n_bytes excluded like the
+    other codec rows."""
+    from lakehouse_sfc_spark.operators.multimodal import (
+        DECODED_STATS_SCHEMA,
+        decode_real_stats_batches,
+        synth_ico_batches,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    params = d.filter(F.col("doc_id") % 13 == 0).select(
+        "doc_id",
+        (F.pmod(F.col("doc_id"), F.lit(14)) + 16).cast("int").alias("width"),
+        (F.pmod(F.col("doc_id"), F.lit(9)) + 8).cast("int").alias("height"),
+    )
+    encoded = params.mapInPandas(
+        synth_ico_batches,
+        "doc_id bigint, payload binary, width int, height int",
+    )
+    return encoded.mapInPandas(
+        decode_real_stats_batches, DECODED_STATS_SCHEMA
+    ).drop("n_bytes")
+
+
+@register(
     "text_token_df_score",
     oracle=f"""
     WITH t AS MATERIALIZED (

@@ -393,3 +393,98 @@ def test_gif_truncated_payloads_raise_valueerror():
     for cut in (8, 100, 13 + 768 + 5, len(g) - 3):
         with pytest.raises(ValueError, match="truncated GIF|no image"):
             decode_gif(g[:cut])
+
+
+# --- ICO container (operators/ico.py) --------------------------------------
+
+
+def _ico_grid(doc_id, w, h):
+    from lakehouse_sfc_spark.operators.multimodal import _synth_pixels
+
+    return _synth_pixels(doc_id, w, h)
+
+
+@pytest.mark.parametrize("storage", ["dib24", "dib32", "png"])
+def test_ico_roundtrip_all_storages(storage):
+    from lakehouse_sfc_spark.operators.ico import decode_ico, encode_ico
+
+    px = _ico_grid(9, 21, 10)
+    out = decode_ico(encode_ico([px], [storage]))
+    assert out.shape == px.shape
+    assert (out == px).all()
+
+
+def test_ico_picks_largest_entry_regardless_of_order():
+    from lakehouse_sfc_spark.operators.ico import decode_ico, encode_ico
+
+    big, small = _ico_grid(3, 24, 12), _ico_grid(3, 12, 6)
+    for order in ([small, big], [big, small]):
+        out = decode_ico(encode_ico(order, ["png", "dib24"]))
+        assert out.shape == big.shape
+        assert (out == big).all()
+
+
+def test_ico_256_pixel_sides_encode_as_zero():
+    """The directory stores 256 as 0; decode must read it back as 256."""
+    from lakehouse_sfc_spark.operators.ico import decode_ico, encode_ico
+
+    px = _ico_grid(1, 256, 4)
+    assert (decode_ico(encode_ico([px])) == px).all()
+
+
+def test_ico_golden_fixture_hand_built():
+    """Fixed hand-assembled ICO bytes (not produced by encode_ico): one
+    2x1 24-bpp DIB entry, red-then-blue pixels, explicit AND mask — a
+    matched encoder/decoder bug cannot fake this (ADVICE golden-fixture
+    pattern).  XOR row: BGR bottom-up padded to 4 bytes; AND row pads to
+    32 bits."""
+    import struct
+
+    from lakehouse_sfc_spark.operators.ico import decode_ico
+
+    xor = bytes([0, 0, 255] + [255, 0, 0]) + b"\x00\x00"  # red, blue + pad
+    and_mask = b"\x00\x00\x00\x00"
+    dib = (
+        struct.pack("<IiiHHIIiiII", 40, 2, 2, 1, 24, 0,
+                    len(xor) + len(and_mask), 0, 0, 0, 0)
+        + xor + and_mask
+    )
+    ico = (
+        struct.pack("<HHH", 0, 1, 1)
+        + struct.pack("<BBBBHHII", 2, 1, 0, 0, 1, 32, len(dib), 22)
+        + dib
+    )
+    out = decode_ico(ico)
+    assert out.shape == (1, 2, 3)
+    assert out[0, 0].tolist() == [255, 0, 0]  # red
+    assert out[0, 1].tolist() == [0, 0, 255]  # blue
+
+
+def test_ico_refusals_are_loud_and_typed():
+    from lakehouse_sfc_spark.operators.ico import decode_ico, encode_ico
+
+    with pytest.raises(NotImplementedError, match="CUR cursor"):
+        decode_ico(b"\x00\x00\x02\x00\x01\x00" + b"\x00" * 16)
+    with pytest.raises(ValueError, match="not an ICO"):
+        decode_ico(b"RIFF....")
+    with pytest.raises(ValueError, match="empty ICO"):
+        decode_ico(b"\x00\x00\x01\x00\x00\x00")
+    # palette DIB refuses by bpp, naming the gap
+    import struct
+
+    dib = struct.pack("<IiiHHIIiiII", 40, 2, 2, 1, 8, 0, 0, 0, 0, 0, 0)
+    ico = (
+        struct.pack("<HHH", 0, 1, 1)
+        + struct.pack("<BBBBHHII", 2, 1, 0, 0, 1, 8, len(dib), 22)
+        + dib
+    )
+    with pytest.raises(NotImplementedError, match="8-bpp"):
+        decode_ico(ico)
+
+
+def test_ico_dispatches_through_decode_image():
+    from lakehouse_sfc_spark.operators.ico import encode_ico
+
+    px = _ico_grid(5, 9, 7)
+    out = decode_image(encode_ico([px], ["png"]))
+    assert (out == px).all()

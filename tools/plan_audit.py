@@ -75,6 +75,8 @@ AUDITED_EXTRA = [
     "sketch_cms_heavy_hitters",
     "graph_common_neighbors",
     "graph_kcore",
+    "sketch_hll_distinct",
+    "multimodal_ico_real",
     "sample_balanced_classes",
 ]
 
