@@ -93,6 +93,8 @@ def encode_ico(
 
 
 def _decode_dib(body: bytes, dir_w: int, dir_h: int) -> "np.ndarray":
+    if len(body) < 40:
+        raise ValueError("truncated ICO DIB header")
     (
         size, w, h2, planes, bpp, compression,
         _img, _xppm, _yppm, _clr, _imp,
@@ -139,6 +141,8 @@ def decode_ico(payload: bytes) -> "np.ndarray":
     if count == 0:
         raise ValueError("empty ICO directory")
     best = None
+    if len(payload) < 6 + 16 * count:
+        raise ValueError("truncated ICO directory")
     for i in range(count):
         bw, bh, _, _, _, _, size, off = struct.unpack_from(
             "<BBBBHHII", payload, 6 + 16 * i

@@ -275,9 +275,10 @@ def decode_png(payload: bytes) -> "np.ndarray":
 def decode_image(payload: bytes) -> "np.ndarray":
     """Image decode (bytes → uint8 array).  BMP, PNG (stdlib zlib DEFLATE),
     baseline JPEG (pure-numpy DCT + canonical Huffman, operators/jpeg.py),
-    GIF (LZW), TIFF (operators/tiff.py) and ICO containers
-    (operators/ico.py: largest entry, PNG or DIB storage) all decode
-    natively."""
+    GIF (LZW), TIFF (operators/tiff.py), ICO containers
+    (operators/ico.py: largest entry, PNG or DIB storage) and lossless
+    WebP (operators/webp.py: VP8L prefix codes, color cache, subtract-
+    green) all decode natively."""
     if payload[:2] == b"BM":
         return decode_bmp(payload)
     if payload[: len(_PNG_MAGIC)] == _PNG_MAGIC:
@@ -298,10 +299,14 @@ def decode_image(payload: bytes) -> "np.ndarray":
         from lakehouse_sfc_spark.operators.ico import decode_ico
 
         return decode_ico(payload)
+    if payload[:4] == b"RIFF" and payload[8:12] == b"WEBP":
+        from lakehouse_sfc_spark.operators.webp import decode_webp
+
+        return decode_webp(payload)
     raise NotImplementedError(
-        "BMP, PNG, GIF, TIFF, ICO and baseline JPEG decode natively; "
-        "other image formats (e.g. WebP) are not supported in this "
-        "environment"
+        "BMP, PNG, GIF, TIFF, ICO, lossless WebP (VP8L) and baseline "
+        "JPEG decode natively; other image formats are not supported in "
+        "this environment"
     )
 
 
@@ -681,6 +686,36 @@ def synth_ico_batches(
                 int(d), max(1, int(w) // 2), max(1, int(h) // 2)
             )
             payloads.append(encode_ico([thumb, full], [st, st]))
+        yield pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"].astype("int64"),
+                "payload": pd.Series(payloads, dtype="object"),
+                "width": pdf["width"].astype("int32"),
+                "height": pdf["height"].astype("int32"),
+            }
+        )
+
+
+def synth_webp_batches(
+    batches: Iterable[pd.DataFrame],
+) -> Iterator[pd.DataFrame]:
+    """(doc_id, width, height) → (doc_id, payload, width, height) with the
+    payload a REAL lossless WebP (VP8L) of the deterministic grid —
+    canonical per-channel prefix codes under the subtract-green transform
+    (operators/webp.py), which collapses the channel-correlated grids'
+    red/blue planes to zero-bit codes (~3x smaller than raw).  Every other
+    doc skips the transform so both decode paths run every registry
+    sweep."""
+    from lakehouse_sfc_spark.operators.webp import encode_webp
+
+    for pdf in batches:
+        payloads = [
+            encode_webp(
+                _synth_pixels(int(d), int(w), int(h)),
+                subtract_green=bool(int(d) % 2 == 0),
+            )
+            for d, w, h in zip(pdf["doc_id"], pdf["width"], pdf["height"])
+        ]
         yield pd.DataFrame(
             {
                 "doc_id": pdf["doc_id"].astype("int64"),

@@ -1780,6 +1780,60 @@ def multimodal_ico_real(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "multimodal_webp_real",
+    oracle="""
+    WITH p AS (
+      SELECT doc_id,
+             (16 + doc_id % 19)::INTEGER AS width,
+             (8 + doc_id % 7)::INTEGER AS height
+      FROM documents WHERE doc_id % 17 = 0
+    ),
+    g AS (
+      SELECT p.doc_id, p.width, p.height, x.r AS x, y.r AS y
+      FROM p, LATERAL (SELECT unnest(range(0, p.width)) AS r) x,
+              LATERAL (SELECT unnest(range(0, p.height)) AS r) y
+    )
+    SELECT doc_id,
+           MIN(width)::INTEGER AS width,
+           MIN(height)::INTEGER AS height,
+           1::INTEGER AS frames,
+           SUM(3 * ((3*x + 7*y + doc_id) % 251))::BIGINT AS pixel_sum
+    FROM g GROUP BY doc_id
+    """,
+)
+def multimodal_webp_real(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL lossless WebP (VP8L) end-to-end: deterministic grids entropy-
+    coded with per-channel canonical prefix codes (operators/webp.py —
+    full code-length-code machinery, subtract-green transform on even
+    docs, plain literals on odd docs so both decode paths run every
+    sweep), decoded back through the production image dispatch.  VP8L is
+    lossless, so the full closed-form pixel_sum contract holds; the
+    decoder's extra surface (color cache, LZ77 absolute distances, simple
+    codes) is pinned by pytest incl. a hand-assembled golden bitstream,
+    and lossy VP8 / plane-coded distances / untranscribable transforms
+    refuse loudly by name.  n_bytes excluded like the other codec rows."""
+    from lakehouse_sfc_spark.operators.multimodal import (
+        DECODED_STATS_SCHEMA,
+        decode_real_stats_batches,
+        synth_webp_batches,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    params = d.filter(F.col("doc_id") % 17 == 0).select(
+        "doc_id",
+        (F.pmod(F.col("doc_id"), F.lit(19)) + 16).cast("int").alias("width"),
+        (F.pmod(F.col("doc_id"), F.lit(7)) + 8).cast("int").alias("height"),
+    )
+    encoded = params.mapInPandas(
+        synth_webp_batches,
+        "doc_id bigint, payload binary, width int, height int",
+    )
+    return encoded.mapInPandas(
+        decode_real_stats_batches, DECODED_STATS_SCHEMA
+    ).drop("n_bytes")
+
+
+@register(
     "text_token_df_score",
     oracle=f"""
     WITH t AS MATERIALIZED (

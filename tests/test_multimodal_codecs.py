@@ -38,10 +38,10 @@ def test_bmp_roundtrip_exact():
 def test_bmp_rejects_unsupported():
     with pytest.raises(ValueError):
         decode_bmp(b"NOPE....")
-    # PNG/JPEG (r4), GIF (r5) and TIFF (r6) decode natively; formats we
-    # have no codec for (e.g. ICO, WebP) still refuse loudly
-    with pytest.raises(NotImplementedError):
-        decode_image(b"\x00\x00\x01\x00........")  # ICO
+    # PNG/JPEG (r4), GIF (r5), TIFF (r6), ICO/WebP (r7) decode natively;
+    # a truncated ICO is a malformed KNOWN format: loud ValueError
+    with pytest.raises(ValueError):
+        decode_image(b"\x00\x00\x01\x00........")  # truncated ICO dir
     # a truncated TIFF is a malformed KNOWN format: loud ValueError
     with pytest.raises(ValueError):
         decode_image(b"II*\x00....")
@@ -487,4 +487,212 @@ def test_ico_dispatches_through_decode_image():
 
     px = _ico_grid(5, 9, 7)
     out = decode_image(encode_ico([px], ["png"]))
+    assert (out == px).all()
+
+
+# --- WebP lossless / VP8L (operators/webp.py) ------------------------------
+
+
+@pytest.mark.parametrize("sg", [True, False])
+def test_webp_roundtrip_grids_and_random(sg):
+    from lakehouse_sfc_spark.operators.webp import decode_webp, encode_webp
+
+    for d, w, h in [(7, 20, 11), (0, 1, 1), (3, 33, 2)]:
+        px = _ico_grid(d, w, h)
+        assert (decode_webp(encode_webp(px, subtract_green=sg)) == px).all()
+    rng = np.random.default_rng(5)
+    px = rng.integers(0, 256, (19, 13, 3), dtype=np.uint8)
+    assert (decode_webp(encode_webp(px, subtract_green=sg)) == px).all()
+
+
+def test_webp_subtract_green_actually_compresses():
+    """On channel-correlated grids the transform must collapse red/blue
+    toward zero-bit codes — the stream shrinks ~2.5x+ vs literal coding."""
+    from lakehouse_sfc_spark.operators.webp import encode_webp
+
+    px = _ico_grid(123, 64, 64)
+    sg = len(encode_webp(px, subtract_green=True))
+    raw = len(encode_webp(px, subtract_green=False))
+    assert sg * 2.5 < raw, (sg, raw)
+
+
+def test_webp_golden_fixture_hand_assembled():
+    """Fixed hand-assembled VP8L bitstream (spec transcription, NOT built
+    with the module's writer): 1x2 image, simple prefix codes everywhere —
+    pixels (1,2,3) and (1,5,3).  Pins the container layout, LSB-first bit
+    order, header field order, simple-code wire format and per-pixel
+    channel order against the spec, independent of encode_webp."""
+    import struct
+
+    from lakehouse_sfc_spark.operators.webp import decode_webp
+
+    acc, n, out = 0, 0, bytearray()
+
+    def put(v, k):
+        nonlocal acc, n
+        acc |= (v & ((1 << k) - 1)) << n
+        n += k
+        while n >= 8:
+            out.append(acc & 0xFF)
+            acc >>= 8
+            n -= 8
+
+    put(0x2F, 8)          # VP8L signature
+    put(1, 14)            # width-1
+    put(0, 14)            # height-1
+    put(0, 1)             # alpha unused
+    put(0, 3)             # version
+    put(0, 1)             # no transforms
+    put(0, 1)             # no color cache
+    put(0, 1)             # no meta prefix image
+    put(1, 1); put(1, 1); put(1, 1); put(2, 8); put(5, 8)  # green: {2, 5}
+    put(1, 1); put(0, 1); put(0, 1); put(1, 1)             # red: {1}
+    put(1, 1); put(0, 1); put(1, 1); put(3, 8)             # blue: {3}
+    put(1, 1); put(0, 1); put(1, 1); put(255, 8)           # alpha: {255}
+    put(1, 1); put(0, 1); put(0, 1); put(0, 1)             # distance: {0}
+    put(0, 1)             # pixel 0: green code 0 -> symbol 2
+    put(1, 1)             # pixel 1: green code 1 -> symbol 5
+    if n:
+        out.append(acc & 0xFF)
+    body = bytes(out)
+    chunk = b"VP8L" + struct.pack("<I", len(body)) + body
+    if len(body) & 1:
+        chunk += b"\x00"
+    webp = b"RIFF" + struct.pack("<I", 4 + len(chunk)) + b"WEBP" + chunk
+    px = decode_webp(webp)
+    assert px.shape == (1, 2, 3)
+    assert px[0, 0].tolist() == [1, 2, 3]
+    assert px[0, 1].tolist() == [1, 5, 3]
+
+
+def _vp8l_stream(build_body):
+    """Helper: wrap a _BitWriter body in the RIFF/VP8L container."""
+    import struct
+
+    from lakehouse_sfc_spark.operators.webp import _BitWriter
+
+    bw = _BitWriter()
+    build_body(bw)
+    body = bw.done()
+    chunk = b"VP8L" + struct.pack("<I", len(body)) + body
+    if len(body) & 1:
+        chunk += b"\x00"
+    return b"RIFF" + struct.pack("<I", 4 + len(chunk)) + b"WEBP" + chunk
+
+
+def test_webp_decodes_color_cache_symbols():
+    """Decoder-only surface: a stream using a color cache (cache_bits=2)
+    — literal pixel, then a cache-hit symbol reproducing it."""
+    from lakehouse_sfc_spark.operators.webp import (
+        _write_full_code,
+        decode_webp,
+    )
+
+    argb = (255 << 24) | (10 << 16) | (20 << 8) | 30
+    idx = (0x1E35A7BD * argb & 0xFFFFFFFF) >> 30  # cache_bits=2
+    cache_sym = 280 + idx
+
+    def body(bw):
+        bw.bits(0x2F, 8)
+        bw.bits(1, 14)   # width 2
+        bw.bits(0, 14)   # height 1
+        bw.bits(0, 1)
+        bw.bits(0, 3)
+        bw.bits(0, 1)    # no transforms
+        bw.bits(1, 1)    # color cache present
+        bw.bits(2, 4)    # cache_bits = 2
+        bw.bits(0, 1)    # no meta image
+        _write_full_code(bw, {20: 1, cache_sym: 1}, 280 + 4)  # green
+        bw.bits(1, 1); bw.bits(0, 1); bw.bits(1, 1); bw.bits(10, 8)  # red
+        bw.bits(1, 1); bw.bits(0, 1); bw.bits(1, 1); bw.bits(30, 8)  # blue
+        bw.bits(1, 1); bw.bits(0, 1); bw.bits(1, 1); bw.bits(255, 8)  # alpha
+        bw.bits(1, 1); bw.bits(0, 1); bw.bits(0, 1); bw.bits(0, 1)  # dist
+        from lakehouse_sfc_spark.operators.webp import _canonical_codes
+
+        codes = _canonical_codes({20: 1, cache_sym: 1})
+        c, l = codes[20]; bw.code(c, l)          # literal pixel
+        c, l = codes[cache_sym]; bw.code(c, l)   # cache hit
+
+    px = decode_webp(_vp8l_stream(body))
+    assert px.shape == (1, 2, 3)
+    assert px[0, 0].tolist() == [10, 20, 30]
+    assert px[0, 1].tolist() == [10, 20, 30]
+
+
+def test_webp_decodes_lz77_absolute_distance_and_refuses_plane_codes():
+    """Decoder-only surface: a backward reference with an absolute
+    distance (code 121 = distance 1, length 3) copies pixels; a 2D plane
+    code (<=120) must refuse loudly, never guess."""
+    from lakehouse_sfc_spark.operators.webp import (
+        _canonical_codes,
+        _write_full_code,
+        decode_webp,
+    )
+
+    len_sym = 256 + 2  # length prefix 2 -> literal length 3
+
+    def body(bw, dist_code_value):
+        bw.bits(0x2F, 8)
+        bw.bits(3, 14)   # width 4
+        bw.bits(0, 14)   # height 1
+        bw.bits(0, 1)
+        bw.bits(0, 3)
+        bw.bits(0, 1)    # no transforms
+        bw.bits(0, 1)    # no cache
+        bw.bits(0, 1)    # no meta
+        _write_full_code(bw, {40: 1, len_sym: 1}, 280)  # green
+        bw.bits(1, 1); bw.bits(0, 1); bw.bits(1, 1); bw.bits(7, 8)
+        bw.bits(1, 1); bw.bits(0, 1); bw.bits(1, 1); bw.bits(9, 8)
+        bw.bits(1, 1); bw.bits(0, 1); bw.bits(1, 1); bw.bits(255, 8)
+        # distance code: simple 1-symbol {prefix}
+        if dist_code_value == 121:
+            # prefix 13, extra 5 bits value 24 -> (2+1)<<5 + 24 + 1 = 121
+            bw.bits(1, 1); bw.bits(0, 1); bw.bits(1, 1); bw.bits(13, 8)
+        else:  # plane code 1: prefix 0 -> value 1
+            bw.bits(1, 1); bw.bits(0, 1); bw.bits(0, 1); bw.bits(0, 1)
+        codes = _canonical_codes({40: 1, len_sym: 1})
+        c, l = codes[40]; bw.code(c, l)       # literal (7,40,9)
+        c, l = codes[len_sym]; bw.code(c, l)  # backref length 3
+        if dist_code_value == 121:
+            bw.bits(24, 5)                    # extra distance bits
+
+    px = decode_webp(_vp8l_stream(lambda bw: body(bw, 121)))
+    assert px.shape == (1, 4, 3)
+    assert all(px[0, i].tolist() == [7, 40, 9] for i in range(4))
+
+    with pytest.raises(NotImplementedError, match="plane code"):
+        decode_webp(_vp8l_stream(lambda bw: body(bw, 1)))
+
+
+def test_webp_refusals_are_loud_and_typed():
+    from lakehouse_sfc_spark.operators.webp import decode_webp
+
+    with pytest.raises(ValueError, match="not a WebP"):
+        decode_webp(b"GIF89a....")
+    # lossy VP8 chunk refuses by name
+    lossy = b"RIFF" + b"\x10\x00\x00\x00" + b"WEBP" + b"VP8 " + b"\x04\x00\x00\x00junk"
+    with pytest.raises(NotImplementedError, match="VP8"):
+        decode_webp(lossy)
+
+
+def test_webp_refuses_predictor_transform():
+    from lakehouse_sfc_spark.operators.webp import decode_webp
+
+    def body(bw):
+        bw.bits(0x2F, 8)
+        bw.bits(0, 14); bw.bits(0, 14); bw.bits(0, 1); bw.bits(0, 3)
+        bw.bits(1, 1)   # transform present
+        bw.bits(0, 2)   # predictor
+
+    with pytest.raises(NotImplementedError, match="predictor"):
+        decode_webp(_vp8l_stream(body))
+
+
+def test_webp_dispatches_through_decode_image_not_as_wav():
+    """RIFF magic is shared with WAV — the image dispatch must key on the
+    WEBP fourcc, and decode_audio must keep refusing WebP payloads."""
+    from lakehouse_sfc_spark.operators.webp import encode_webp
+
+    px = _ico_grid(5, 9, 7)
+    out = decode_image(encode_webp(px))
     assert (out == px).all()

@@ -77,6 +77,7 @@ AUDITED_EXTRA = [
     "graph_kcore",
     "sketch_hll_distinct",
     "multimodal_ico_real",
+    "multimodal_webp_real",
     "sample_balanced_classes",
 ]
 
