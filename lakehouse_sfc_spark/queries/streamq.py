@@ -41,6 +41,64 @@ def stream_tumbling_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_tumbling_agg(spark, sf_dir)
 
 
+_SQL_HLL_STREAM = """
+    WITH h AS (
+      SELECT time_bucket(INTERVAL 1 HOUR, ts) AS ws,
+             ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8))::BIGINT AS h
+      FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL
+      GROUP BY 1, 2
+    ),
+    reg AS (
+      SELECT ws, h >> 22 AS bucket,
+             MAX(CASE WHEN h % 4194304 = 0 THEN 23
+                      ELSE 23 - length(bin(h % 4194304)) END) AS r
+      FROM h GROUP BY 1, 2
+    ),
+    agg AS (
+      SELECT ws, COUNT(*) AS nz,
+             CAST(SUM(8388608 >> r) AS BIGINT) AS present_sum
+      FROM reg GROUP BY ws
+    ),
+    ex AS (
+      SELECT time_bucket(INTERVAL 1 HOUR, ts) AS ws,
+             CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_distinct
+      FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL
+      GROUP BY 1
+    )
+    SELECT a.ws,
+           CAST(a.nz AS BIGINT) AS nz_buckets,
+           CAST(a.present_sum + (1024 - a.nz) * 8388608 AS BIGINT)
+               AS reg_sum_scaled,
+           __HLL_NUM__ / CAST(
+               a.present_sum + (1024 - a.nz) * 8388608 AS DOUBLE
+           ) AS hll_est,
+           ex.exact_distinct
+    FROM agg a JOIN ex ON ex.ws = a.ws
+    ORDER BY a.ws
+""".replace("__HLL_NUM__", repr(__import__(
+    "lakehouse_sfc_spark.queries.sketchq", fromlist=["_HLL_NUM"]
+)._HLL_NUM))
+
+
+@register(
+    "stream_distinct_hll",
+    oracle=_SQL_HLL_STREAM,
+)
+def stream_distinct_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming distinct users per 1-hour window as mergeable HLL
+    registers (streaming/pipeline.py::run_stream_distinct_hll): streaming
+    state is the (window × bucket) max(rho) register table — O(windows·m)
+    regardless of event volume, where exact streaming COUNT(DISTINCT)
+    state grows with the user universe; the per-window rollup is a tiny
+    batch reduce over the sink, and that reduce IS the sketch-merge
+    operation (per-shard / per-day sketches union the same way).
+    Estimator and register layout shared with sketch_hll_distinct
+    (queries/sketchq.py)."""
+    from lakehouse_sfc_spark.streaming import run_stream_distinct_hll
+
+    return run_stream_distinct_hll(spark, sf_dir)
+
+
 @register(
     "stream_dedup",
     oracle="""

@@ -10,6 +10,7 @@ from lakehouse_sfc_spark.streaming.pipeline import (
     run_sliding_agg,
     run_stream_asof_enrich,
     run_stream_interval_join,
+    run_stream_distinct_hll,
     run_tumbling_agg,
     sessionize_stateful,
     sessionize_stateful_complete,
@@ -25,6 +26,7 @@ __all__ = [
     "run_sliding_agg",
     "run_stream_asof_enrich",
     "run_stream_interval_join",
+    "run_stream_distinct_hll",
     "run_tumbling_agg",
     "sessionize_stateful",
     "sessionize_stateful_complete",

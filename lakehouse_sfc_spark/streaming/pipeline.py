@@ -165,6 +165,97 @@ def run_tumbling_agg(
     )
 
 
+def run_stream_distinct_hll(
+    spark: SparkSession,
+    sf_dir: str,
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+    timeout_s: int = 300,
+) -> DataFrame:
+    """Streaming distinct-users-per-window via HyperLogLog registers — the
+    mergeable-sketch answer to COUNT(DISTINCT) over an unbounded stream.
+    The STREAMING state is the register table (window × ≤1024 buckets,
+    max(rho) per bucket): max is the canonical streaming aggregate (order-
+    free, idempotent under replay, map-side partial), so state stays
+    O(windows · m) no matter how many events arrive — exact streaming
+    distinct would need per-window user sets.  The final per-window rollup
+    of registers runs as a tiny batch reduce over the sink table (register
+    rows merge by construction — the same property that merges per-shard
+    sketches on a cluster).  Estimator identical to
+    queries/sketchq.py::sketch_hll_distinct (deterministic md5-derived
+    registers, scaled-BIGINT harmonic sum, one double division)."""
+    from lakehouse_sfc_spark.queries.sketchq import (
+        _HLL_M,
+        _HLL_NUM,
+        _HLL_POW,
+        _HLL_REST_BITS,
+        _HLL_REST_MOD,
+        _HLL_RHO_MAX,
+    )
+    from lakehouse_sfc_spark.sources.loader import load_table
+
+    name = f"hll_{uuid.uuid4().hex[:8]}"
+    ev = (
+        read_events_stream(spark, sf_dir)
+        .filter(F.col("ts").isNotNull() & F.col("user_id").isNotNull())
+        .withWatermark("ts", watermark)
+    )
+    h = F.conv(
+        F.substring(F.md5(F.col("user_id").cast("string")), 1, 8), 16, 10
+    ).cast("long")
+    rest = h % _HLL_REST_MOD
+    regs = (
+        ev.select(
+            F.window("ts", window).alias("w"),
+            F.col("ts"),
+            F.shiftright(h, _HLL_REST_BITS).alias("bucket"),
+            F.when(rest == 0, F.lit(_HLL_RHO_MAX))
+            .otherwise(F.lit(_HLL_RHO_MAX) - F.length(F.bin(rest)))
+            .alias("rho"),
+        )
+        .groupBy("w", "bucket")
+        .agg(F.max("rho").alias("r"))
+        .select(
+            F.col("w.start").cast("timestamp_ntz").alias("ws"), "bucket", "r"
+        )
+    )
+    sink = _replay_to_memory(
+        spark, regs, name, "lakehouse-sfc-stream-", "complete", timeout_s
+    )
+    agg = sink.groupBy("ws").agg(
+        F.count(F.lit(1)).alias("nz"),
+        F.sum(F.expr(f"shiftright({_HLL_POW}, r)")).alias("present_sum"),
+    )
+    exact = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("ts").isNotNull() & F.col("user_id").isNotNull())
+        .groupBy(
+            F.window("ts", window).alias("w")
+        )
+        .agg(
+            F.count_distinct(F.col("user_id"))
+            .cast("bigint")
+            .alias("exact_distinct")
+        )
+        .select(
+            F.col("w.start").cast("timestamp_ntz").alias("ws"),
+            "exact_distinct",
+        )
+    )
+    scaled = F.col("present_sum") + (_HLL_M - F.col("nz")) * F.lit(_HLL_POW)
+    return (
+        agg.join(exact, "ws")
+        .select(
+            "ws",
+            F.col("nz").cast("bigint").alias("nz_buckets"),
+            scaled.cast("bigint").alias("reg_sum_scaled"),
+            (F.lit(_HLL_NUM) / scaled.cast("double")).alias("hll_est"),
+            "exact_distinct",
+        )
+        .orderBy("ws")
+    )
+
+
 def run_sliding_agg(
     spark: SparkSession,
     sf_dir: str,

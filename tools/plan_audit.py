@@ -78,6 +78,7 @@ AUDITED_EXTRA = [
     "sketch_hll_distinct",
     "multimodal_ico_real",
     "multimodal_webp_real",
+    "stream_distinct_hll",
     "sample_balanced_classes",
 ]
 
