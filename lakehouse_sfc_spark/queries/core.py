@@ -550,6 +550,51 @@ def a_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "a_grouping_sets",
+    oracle=f"""
+    SELECT o_orderstatus, o_orderpriority,
+           GROUPING(o_orderstatus, o_orderpriority)::INTEGER AS gid,
+           COUNT(*) AS cnt,
+           {sql_dsum("o_totalprice", "sum_price")}
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+    ORDER BY gid, o_orderstatus, o_orderpriority
+    """,
+)
+def a_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arbitrary GROUPING SETS — the generalization ROLLUP/CUBE can't
+    express minimally: exactly the (status), (priority) and grand-total
+    marginals, NO (status, priority) cross cells (CUBE would compute and
+    discard them).  Spark 4's native DataFrame.groupingSets lowers to the
+    same single-scan Expand + one hash aggregate as ROLLUP/CUBE — rows
+    multiply by the number of sets BEFORE partial aggregation, which
+    map-side combine collapses immediately; still one shuffle at 100 TB.
+    NULL placement pinned explicitly (engine defaults diverge — divergence
+    class 12, tests/test_engine_semantics.py)."""
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.groupingSets(
+            [["o_orderstatus"], ["o_orderpriority"], []],
+            "o_orderstatus",
+            "o_orderpriority",
+        )
+        .agg(
+            F.grouping_id().cast("int").alias("gid"),
+            F.count(F.lit(1)).alias("cnt"),
+            dsum("o_totalprice", "sum_price"),
+        )
+        .select(
+            "o_orderstatus", "o_orderpriority", "gid", "cnt", "sum_price"
+        )
+        .orderBy(
+            "gid",
+            F.col("o_orderstatus").asc_nulls_last(),
+            F.col("o_orderpriority").asc_nulls_last(),
+        )
+    )
+
+
 # --- outer joins ------------------------------------------------------------
 
 

@@ -3939,3 +3939,83 @@ def sample_balanced_classes(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("label")
     )
+
+
+@register(
+    "text_ngram_novelty",
+    oracle=f"""
+    WITH g AS MATERIALIZED ({_SQL_NGRAMS_VIEW}),
+    occ AS MATERIALIZED (
+      SELECT doc_id, source, unnest(ng) AS gr FROM g WHERE len(ng) >= 1
+    ),
+    first AS (SELECT gr, MIN(doc_id) AS first_doc FROM occ GROUP BY gr),
+    per_doc AS (
+      SELECT o.doc_id, o.source,
+             COUNT(*) AS n_ng,
+             SUM(CASE WHEN f.first_doc = o.doc_id THEN 1 ELSE 0 END)
+                 AS n_novel
+      FROM occ o JOIN first f ON f.gr = o.gr
+      GROUP BY 1, 2
+    )
+    SELECT source,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_ng) AS BIGINT) AS total_ngrams,
+           CAST(SUM(n_novel) AS BIGINT) AS total_novel,
+           MIN(CAST(n_novel AS DOUBLE) / n_ng) AS min_novelty,
+           MAX(CAST(n_novel AS DOUBLE) / n_ng) AS max_novelty
+    FROM per_doc GROUP BY source ORDER BY source NULLS LAST
+    """,
+)
+def text_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document n-gram NOVELTY — the fraction of a doc's distinct
+    3-grams whose FIRST corpus occurrence (by min doc_id, the ingestion
+    order) is the doc itself: the streaming-ingest view of near-duplicate
+    mass (a late crawl of boilerplate scores ~0, the first copy scores 1)
+    and the memorization-risk proxy pretraining curation tracks
+    (repeated-passage counting à la Lee et al. 2022 'Deduplicating
+    Training Data Makes Language Models Better').  Exact integer counts
+    per doc + ONE double division, reduced by MIN/MAX (order-free).
+
+    Scale shape: first-occurrence is one hash aggregation on the gram key
+    (the inverted-index shuffle every dedup op here shares); the join
+    back is gram-key equality with map-side partial aggregation on
+    (doc, source) before the per-source reduce.  At 100 TB the gram
+    relation is the big side both times — no broadcast of data-sized
+    state, no window over the whole corpus."""
+    from lakehouse_sfc_spark.sources.loader import compute_width
+
+    d = load_table(spark, sf_dir, "documents")
+    # hash-cluster the exploded gram relation ONCE at core-count width (not
+    # the session's 200): the first-occurrence groupBy AND the join back are
+    # then co-partitioned — same discipline as text_token_df_score
+    occ = d.select(
+        "doc_id",
+        "source",
+        F.explode(_ngrams3(_tokens(F.col("text")))).alias("gr"),
+    ).repartition(compute_width(spark), "gr")
+    first = occ.groupBy("gr").agg(F.min("doc_id").alias("first_doc"))
+    per_doc = (
+        occ.join(first, "gr")
+        .groupBy("doc_id", "source")
+        .agg(
+            F.count(F.lit(1)).alias("n_ng"),
+            F.sum(
+                F.when(F.col("first_doc") == F.col("doc_id"), 1).otherwise(0)
+            ).alias("n_novel"),
+        )
+    )
+    return (
+        per_doc.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_ng").cast("bigint").alias("total_ngrams"),
+            F.sum("n_novel").cast("bigint").alias("total_novel"),
+            F.min(F.col("n_novel").cast("double") / F.col("n_ng")).alias(
+                "min_novelty"
+            ),
+            F.max(F.col("n_novel").cast("double") / F.col("n_ng")).alias(
+                "max_novelty"
+            ),
+        )
+        .orderBy(F.col("source").asc_nulls_last())
+    )

@@ -153,6 +153,174 @@ def j_part_supp(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "j_asof_nearest",
+    oracle="""
+    WITH ev AS (
+      SELECT * FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL
+    ),
+    m AS (
+      SELECT user_id, ts, value FROM (
+        SELECT user_id, ts, value,
+               ROW_NUMBER() OVER (PARTITION BY user_id, ts
+                                  ORDER BY event_id DESC) AS rn
+        FROM ev WHERE event_type = 'purchase'
+      ) WHERE rn = 1
+    ),
+    u AS (
+      SELECT user_id AS k, ts, 0 AS is_dim, event_type,
+             NULL::STRUCT(m_ts TIMESTAMP, m_value DOUBLE) AS rec
+      FROM ev
+      UNION ALL
+      SELECT user_id, ts, 1, NULL,
+             struct_pack(m_ts := ts, m_value := value)
+                 ::STRUCT(m_ts TIMESTAMP, m_value DOUBLE)
+      FROM m
+    ),
+    c AS (
+      SELECT event_type, ts, is_dim,
+             last_value(rec IGNORE NULLS) OVER (
+               PARTITION BY k ORDER BY ts ASC, is_dim DESC
+               ROWS UNBOUNDED PRECEDING) AS back,
+             last_value(rec IGNORE NULLS) OVER (
+               PARTITION BY k ORDER BY ts DESC, is_dim DESC
+               ROWS UNBOUNDED PRECEDING) AS fwd
+      FROM u
+    ),
+    r AS (
+      SELECT event_type,
+             epoch_us(ts) - epoch_us(back.m_ts) AS bgap,
+             epoch_us(fwd.m_ts) - epoch_us(ts) AS fgap,
+             back.m_ts IS NOT NULL AS hasb,
+             fwd.m_ts IS NOT NULL AS hasf,
+             back.m_value AS bval,
+             fwd.m_value AS fval
+      FROM c WHERE is_dim = 0
+    ),
+    x AS (
+      SELECT event_type,
+             CASE WHEN hasb AND (NOT hasf OR bgap <= fgap) THEN 'b'
+                  WHEN hasf THEN 'f' ELSE 'n' END AS ch,
+             CASE WHEN hasb AND (NOT hasf OR bgap <= fgap) THEN bgap
+                  WHEN hasf THEN fgap END AS gap_us,
+             CASE WHEN hasb AND (NOT hasf OR bgap <= fgap) THEN bval
+                  WHEN hasf THEN fval END AS mval
+      FROM r
+    )
+    SELECT event_type,
+           COUNT(*) AS cnt,
+           CAST(SUM(CASE WHEN ch = 'b' THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_back,
+           CAST(SUM(CASE WHEN ch = 'f' THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_fwd,
+           CAST(SUM(CASE WHEN ch = 'n' THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_none,
+           CAST(COALESCE(SUM(gap_us), 0) AS BIGINT) AS gap_us_total,
+           CAST(SUM(CAST(mval AS DECIMAL(18,4))) AS DOUBLE)
+               AS matched_value_sum
+    FROM x GROUP BY event_type ORDER BY event_type NULLS LAST
+    """,
+)
+def j_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NEAREST-match as-of join (kdb's ``aj`` nearest / QuestDB's natural
+    variant): each event matches the purchase marker closest in time in
+    EITHER direction, ties preferring the backward match.  Same one-shuffle
+    composition as j_asof — tag, union, keyed window — run in BOTH time
+    orders over the SAME hash partitioning (one exchange, two in-partition
+    sorts; at 100 TB the second sort is the only extra cost), then an
+    integer-microsecond comparison picks the nearer side.  NULL ts/user
+    rows are excluded on both sides (window partitioning would pair NULL
+    users that SQL equality never joins); gap arithmetic is exact BIGINT
+    micros; value sums go through DECIMAL (registry.dsum discipline)."""
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("ts").isNotNull() & F.col("user_id").isNotNull()
+    )
+    marker = (
+        ev.filter(F.col("event_type") == "purchase")
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("user_id", "ts").orderBy(
+                    F.col("event_id").desc()
+                )
+            ),
+        )
+        .filter(F.col("rn") == 1)
+        .select("user_id", "ts", "value")
+    )
+    rec_t = "struct<m_ts:timestamp,m_value:double>"
+    facts = ev.select(
+        F.col("user_id").alias("k"),
+        "ts",
+        F.lit(0).alias("is_dim"),
+        "event_type",
+        F.lit(None).cast(rec_t).alias("rec"),
+    )
+    dims = marker.select(
+        F.col("user_id").alias("k"),
+        "ts",
+        F.lit(1).alias("is_dim"),
+        F.lit(None).cast("string").alias("event_type"),
+        F.struct(
+            F.col("ts").alias("m_ts"), F.col("value").alias("m_value")
+        ).alias("rec"),
+    )
+    wb = (
+        Window.partitionBy("k")
+        .orderBy(F.col("ts").asc(), F.col("is_dim").desc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wf = (
+        Window.partitionBy("k")
+        .orderBy(F.col("ts").desc(), F.col("is_dim").desc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    u = (
+        facts.unionByName(dims)
+        .withColumn("back", F.last("rec", ignorenulls=True).over(wb))
+        .withColumn("fwd", F.last("rec", ignorenulls=True).over(wf))
+        .filter(F.col("is_dim") == 0)
+    )
+    bgap = F.expr("timestampdiff(MICROSECOND, back.m_ts, ts)")
+    fgap = F.expr("timestampdiff(MICROSECOND, ts, fwd.m_ts)")
+    hasb = F.col("back.m_ts").isNotNull()
+    hasf = F.col("fwd.m_ts").isNotNull()
+    pick_b = hasb & (~hasf | (bgap <= fgap))
+    x = u.select(
+        "event_type",
+        F.when(pick_b, F.lit("b"))
+        .when(hasf, F.lit("f"))
+        .otherwise(F.lit("n"))
+        .alias("ch"),
+        F.when(pick_b, bgap).when(hasf, fgap).alias("gap_us"),
+        F.when(pick_b, F.col("back.m_value"))
+        .when(hasf, F.col("fwd.m_value"))
+        .alias("mval"),
+    )
+    return (
+        x.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.sum(F.when(F.col("ch") == "b", 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_back"),
+            F.sum(F.when(F.col("ch") == "f", 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_fwd"),
+            F.sum(F.when(F.col("ch") == "n", 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_none"),
+            F.coalesce(F.sum("gap_us"), F.lit(0))
+            .cast("bigint")
+            .alias("gap_us_total"),
+            F.sum(F.col("mval").cast("decimal(18,4)"))
+            .cast("double")
+            .alias("matched_value_sum"),
+        )
+        .orderBy(F.col("event_type").asc_nulls_last())
+    )
+
+
+@register(
     "j_asof",
     oracle=f"""
     WITH m AS (

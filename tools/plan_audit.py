@@ -79,6 +79,9 @@ AUDITED_EXTRA = [
     "multimodal_ico_real",
     "multimodal_webp_real",
     "stream_distinct_hll",
+    "a_grouping_sets",
+    "j_asof_nearest",
+    "text_ngram_novelty",
     "sample_balanced_classes",
 ]
 
