@@ -171,6 +171,26 @@ CASES = [
     ("ln_last_ulp", "CAST(ln(3.0) AS STRING)", "CAST(ln(3.0) AS VARCHAR)", "diverge"),
     # --- type renders (floor returns BIGINT in Spark, DOUBLE in DuckDB) ---
     ("floor_result_type", "typeof(floor(CAST(-2.5 AS DOUBLE)))", "lower(typeof(floor(CAST(-2.5 AS DOUBLE))))", "diverge"),
+    # --- bit machinery for the HLL/packed-key family (round 7) ---
+    ("bin_basic", "bin(5)", "bin(5)", "agree"),
+    ("bin_zero", "bin(0)", "bin(0)", "agree"),
+    ("bin_length_22bit", "length(bin(4194303))", "length(bin(4194303))", "agree"),
+    ("shiftright_by_col",
+     "(SELECT shiftright(8388608, x) FROM VALUES (3) AS t(x))",
+     "(SELECT 8388608 >> x FROM (VALUES (3)) t(x))",
+     "agree"),
+    ("shiftleft_pack", "shiftleft(CAST(7 AS BIGINT), 32) + 9", "(CAST(7 AS BIGINT) << 32) + 9", "agree"),
+    ("mod_pow2", "CAST(4290000000 AS BIGINT) % 4194304", "CAST(4290000000 AS BIGINT) % 4194304", "agree"),
+    # --- timestamp micro arithmetic (j_asof_nearest) ---
+    ("timestampdiff_micros",
+     "timestampdiff(MICROSECOND, TIMESTAMP_NTZ'2000-01-01 00:00:00.000001', TIMESTAMP_NTZ'2000-01-01 00:00:01.5')",
+     "epoch_us(TIMESTAMP '2000-01-01 00:00:01.5') - epoch_us(TIMESTAMP '2000-01-01 00:00:00.000001')",
+     "agree"),
+    # --- GROUPING bit order (a_rollup/a_cube/a_grouping_sets gid) ---
+    ("grouping_id_bit_order",
+     "(SELECT MIN(g) FROM (SELECT CAST(grouping_id() AS INT) AS g FROM VALUES ('a','x') AS t(s, p) GROUP BY GROUPING SETS ((s), (p))) q)",
+     "(SELECT MIN(g) FROM (SELECT GROUPING(s, p)::INTEGER AS g FROM (VALUES ('a','x')) t(s, p) GROUP BY GROUPING SETS ((s), (p))) q)",
+     "agree"),
 ]
 
 
