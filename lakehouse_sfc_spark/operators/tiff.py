@@ -646,3 +646,46 @@ def decode_tiff(payload: bytes) -> "np.ndarray":
     if spp == 1:
         return arr.reshape(h, w)
     return arr.reshape(h, w, 3)
+
+
+def tiff_metadata(payload: bytes) -> dict:
+    """Metadata-only IFD walk — NO strip decode: the corpus-curation
+    fast path (filter a scanned-document lake by compression/geometry/
+    byte order BEFORE paying decode CPU).  Returns byteorder, geometry,
+    compression tag, predictor, strip count, photometric and JPEGTables
+    presence for the first IFD."""
+    if payload[:4] == b"II*\x00":
+        e, bo = "<", "II"
+    elif payload[:4] == b"MM\x00*":
+        e, bo = ">", "MM"
+    else:
+        raise ValueError("not a TIFF payload")
+    if len(payload) < 8:
+        raise ValueError("truncated TIFF: header cut short")
+    (ifd_off,) = struct.unpack(e + "I", payload[4:8])
+    if ifd_off + 2 > len(payload):
+        raise ValueError("truncated TIFF: IFD offset past payload")
+    (n,) = struct.unpack(e + "H", payload[ifd_off : ifd_off + 2])
+    vals: dict[int, int] = {}
+    counts: dict[int, int] = {}
+    for i in range(n):
+        entry = payload[ifd_off + 2 + 12 * i : ifd_off + 14 + 12 * i]
+        if len(entry) < 12:
+            raise ValueError("truncated TIFF: IFD entry cut short")
+        tag, typ, count = struct.unpack(e + "HHI", entry[:8])
+        counts[tag] = count
+        if count == 1 and typ in (3, 4):  # SHORT / LONG inline
+            if typ == 3:
+                vals[tag] = struct.unpack(e + "H", entry[8:10])[0]
+            else:
+                vals[tag] = struct.unpack(e + "I", entry[8:12])[0]
+    return {
+        "byteorder": bo,
+        "width": vals.get(_IMAGE_WIDTH, 0),
+        "height": vals.get(_IMAGE_LENGTH, 0),
+        "compression": vals.get(_COMPRESSION, 1),
+        "predictor": vals.get(_PREDICTOR, 1),
+        "n_strips": counts.get(_STRIP_OFFSETS, 0),
+        "photometric": vals.get(_PHOTOMETRIC, 0),
+        "has_jpeg_tables": _JPEG_TABLES in counts,
+    }

@@ -4019,3 +4019,112 @@ def text_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.col("source").asc_nulls_last())
     )
+
+
+_KNN_QMOD = 7  # eval sample: labeled vectors with vec_id % 7 == 0
+_KNN_CMOD = 3  # neighbor corpus: labeled vectors with vec_id % 3 == 0
+_KNN_K = 10
+
+
+@register(
+    "ann_knn_label_eval",
+    oracle=f"""
+    WITH c0 AS ({_SQL_EMB_CTE}),
+    lbl AS (SELECT vec_id, label FROM embeddings WHERE label IS NOT NULL),
+    valid AS MATERIALIZED (
+      SELECT c0.vec_id, c0.emb, c0.nrm, lbl.label
+      FROM c0 JOIN lbl ON lbl.vec_id = c0.vec_id
+    ),
+    corpus AS MATERIALIZED (
+      SELECT * FROM valid WHERE vec_id % {_KNN_CMOD} = 0
+    ),
+    q AS MATERIALIZED (
+      SELECT vec_id AS q_id, emb, nrm, label AS true_label
+      FROM valid WHERE vec_id % {_KNN_QMOD} = 0
+    ),
+    topk AS (
+      SELECT q_id, true_label, label FROM (
+        SELECT q.q_id, q.true_label, c.label,
+               ROW_NUMBER() OVER (PARTITION BY q.q_id
+                                  ORDER BY {_sql_cos("c", "q")} DESC,
+                                           c.vec_id) AS rn
+        FROM q JOIN corpus c ON c.vec_id != q.q_id
+      ) WHERE rn <= {_KNN_K}
+    ),
+    votes AS (
+      SELECT q_id, true_label, label, COUNT(*) AS c
+      FROM topk GROUP BY 1, 2, 3
+    ),
+    pred AS (
+      SELECT q_id, true_label, label AS pred_label FROM (
+        SELECT q_id, true_label, label,
+               ROW_NUMBER() OVER (PARTITION BY q_id
+                                  ORDER BY c DESC, label) AS rn
+        FROM votes
+      ) WHERE rn = 1
+    )
+    SELECT true_label,
+           COUNT(*) AS n_eval,
+           CAST(SUM(CASE WHEN pred_label = true_label THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_correct,
+           CAST(SUM(CASE WHEN pred_label = true_label THEN 1 ELSE 0 END)
+               AS DOUBLE) / COUNT(*) AS accuracy
+    FROM pred GROUP BY true_label ORDER BY true_label
+    """,
+)
+def ann_knn_label_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leave-one-out kNN CLASSIFICATION eval over the embedding space —
+    the standard embedding-quality probe (a representation whose k=10
+    cosine neighborhood can't predict the label is not ready for
+    retrieval or clustering): for each labeled eval vector (1/7 sample),
+    majority label of its 10 nearest labeled corpus neighbors (1/3
+    sample, self excluded), per-class accuracy.  Identical left-to-right
+    cosine folds and (score, vec_id) / (votes, label) tie-breaks make
+    prediction bit-deterministic in both engines.
+
+    Scale shape: same sampled-measurement contract as ann_recall_eval —
+    brute force ONLY over the bounded eval sample × corpus sample (one
+    broadcast of the query block, one map-side score pass, one top-k
+    window); the full-corpus path is the IVF/PQ family, and this entry is
+    the harness that would grade it."""
+    e = load_table(spark, sf_dir, "embeddings")
+    valid = _emb(spark, sf_dir).join(
+        e.filter(F.col("label").isNotNull()).select("vec_id", "label"),
+        "vec_id",
+    )
+    corpus = valid.filter(F.col("vec_id") % _KNN_CMOD == 0)
+    q = valid.filter(F.col("vec_id") % _KNN_QMOD == 0).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("emb").alias("qemb"),
+        F.col("nrm").alias("qnrm"),
+        F.col("label").alias("true_label"),
+    )
+    cos = _dot(F.col("emb"), F.col("qemb")) / (F.col("nrm") * F.col("qnrm"))
+    w = Window.partitionBy("q_id").orderBy(F.desc("s"), "vec_id")
+    topk = (
+        corpus.join(F.broadcast(q), F.col("vec_id") != F.col("q_id"))
+        .select("q_id", "true_label", "label", "vec_id", cos.alias("s"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= _KNN_K)
+    )
+    votes = topk.groupBy("q_id", "true_label", "label").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    wv = Window.partitionBy("q_id").orderBy(F.desc("c"), "label")
+    pred = (
+        votes.withColumn("rn", F.row_number().over(wv))
+        .filter(F.col("rn") == 1)
+        .select("q_id", "true_label", F.col("label").alias("pred_label"))
+    )
+    hit = F.when(F.col("pred_label") == F.col("true_label"), 1).otherwise(0)
+    return (
+        pred.groupBy("true_label")
+        .agg(
+            F.count(F.lit(1)).alias("n_eval"),
+            F.sum(hit).cast("bigint").alias("n_correct"),
+            (F.sum(hit).cast("double") / F.count(F.lit(1))).alias(
+                "accuracy"
+            ),
+        )
+        .orderBy("true_label")
+    )

@@ -1834,6 +1834,77 @@ def multimodal_webp_real(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "multimodal_tiff_metadata",
+    oracle="""
+    SELECT doc_id,
+           CASE WHEN (doc_id // 11) % 3 = 0 THEN 'MM' ELSE 'II' END
+               AS byteorder,
+           (16 + doc_id % 15)::INTEGER AS width,
+           (8 + doc_id % 11)::INTEGER AS height,
+           (CASE doc_id % 5 WHEN 0 THEN 1 WHEN 1 THEN 32773 WHEN 2 THEN 5
+                 WHEN 3 THEN 8 ELSE 7 END)::INTEGER AS compression,
+           (CASE WHEN doc_id % 5 IN (2, 3) THEN 2 ELSE 1 END)::INTEGER
+               AS predictor,
+           (((8 + doc_id % 11) + 7) // 8)::INTEGER AS n_strips,
+           (doc_id % 5 = 4 AND (doc_id // 11) % 2 = 1) AS has_jpeg_tables
+    FROM documents WHERE doc_id % 11 = 0
+    """,
+)
+def multimodal_tiff_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metadata-ONLY scan of the TIFF corpus — the curation fast path: an
+    IFD walk per document (operators/tiff.py::tiff_metadata) surfaces
+    byte order, geometry, compression tag, predictor, strip count and
+    JPEGTables presence WITHOUT paying strip-decode CPU, which is how a
+    real lake filters scanned-document masters before routing them to the
+    decode kernel (`multimodal_tiff_real` is the decode side of the same
+    rotating corpus).  The oracle is the closed form of the encoder's
+    deterministic per-doc rotation — so the row also proves the encoder
+    wrote exactly the tags it was asked to."""
+    import pandas as pd
+
+    from lakehouse_sfc_spark.operators.multimodal import synth_tiff_batches
+    from lakehouse_sfc_spark.operators.tiff import tiff_metadata
+
+    d = load_table(spark, sf_dir, "documents")
+    params = d.filter(F.col("doc_id") % 11 == 0).select(
+        "doc_id",
+        (F.pmod(F.col("doc_id"), F.lit(15)) + 16).cast("int").alias("width"),
+        (F.pmod(F.col("doc_id"), F.lit(11)) + 8).cast("int").alias("height"),
+    )
+    encoded = params.mapInPandas(
+        synth_tiff_batches,
+        "doc_id bigint, payload binary, width int, height int",
+    )
+
+    def _meta(batches):
+        for pdf in batches:
+            rows = [
+                {"doc_id": int(doc_id), **tiff_metadata(bytes(payload))}
+                for doc_id, payload in zip(pdf["doc_id"], pdf["payload"])
+            ]
+            out = pd.DataFrame(rows)
+            yield pd.DataFrame(
+                {
+                    "doc_id": out["doc_id"].astype("int64"),
+                    "byteorder": out["byteorder"].astype("object"),
+                    "width": out["width"].astype("int32"),
+                    "height": out["height"].astype("int32"),
+                    "compression": out["compression"].astype("int32"),
+                    "predictor": out["predictor"].astype("int32"),
+                    "n_strips": out["n_strips"].astype("int32"),
+                    "has_jpeg_tables": out["has_jpeg_tables"].astype("bool"),
+                }
+            )
+
+    return encoded.mapInPandas(
+        _meta,
+        "doc_id bigint, byteorder string, width int, height int, "
+        "compression int, predictor int, n_strips int, "
+        "has_jpeg_tables boolean",
+    )
+
+
+@register(
     "text_token_df_score",
     oracle=f"""
     WITH t AS MATERIALIZED (

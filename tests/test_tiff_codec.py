@@ -462,3 +462,35 @@ def test_mm_inline_short_values_left_justified():
 def test_encode_tiff_rejects_unknown_byteorder():
     with pytest.raises(ValueError, match="byteorder"):
         encode_tiff(_grid(4, 4), byteorder="XX")
+
+
+def test_tiff_metadata_walk_without_decode():
+    """tiff_metadata must report the written tags for every compression /
+    predictor / byteorder / JPEGTables combination without touching strip
+    data, and keep the codec family's loud-truncation contract."""
+    import pytest
+
+    from lakehouse_sfc_spark.operators.multimodal import _synth_pixels
+    from lakehouse_sfc_spark.operators.tiff import encode_tiff, tiff_metadata
+
+    px = _synth_pixels(11, 20, 17)
+    cases = [
+        ("none", 1, "II", False, 1),
+        ("packbits", 1, "II", False, 32773),
+        ("lzw", 2, "MM", False, 5),
+        ("deflate", 2, "II", False, 8),
+        ("jpeg", 1, "MM", True, 7),
+    ]
+    for comp, pred, bo, jt, tag in cases:
+        m = tiff_metadata(
+            encode_tiff(px, compression=comp, predictor=pred,
+                        byteorder=bo, jpeg_tables=jt)
+        )
+        assert (m["compression"], m["predictor"], m["byteorder"],
+                m["has_jpeg_tables"]) == (tag, pred, bo, jt)
+        assert (m["width"], m["height"], m["n_strips"]) == (20, 17, 3)
+        assert m["photometric"] == 2
+    with pytest.raises(ValueError, match="not a TIFF"):
+        tiff_metadata(b"nope")
+    with pytest.raises(ValueError, match="truncated TIFF"):
+        tiff_metadata(encode_tiff(px)[:10])

@@ -82,6 +82,8 @@ AUDITED_EXTRA = [
     "a_grouping_sets",
     "j_asof_nearest",
     "text_ngram_novelty",
+    "ann_knn_label_eval",
+    "multimodal_tiff_metadata",
     "sample_balanced_classes",
 ]
 
