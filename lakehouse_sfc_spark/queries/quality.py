@@ -919,3 +919,123 @@ def dq_fd_check(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("fd")
     )
+
+
+_CHI_SCALE = 1_000_000_000  # FLOOR-tick ladder: 1e-9 statistic resolution
+_CHI_SPLIT = "1998-07-01"  # midpoint of this dataset's 1995-2001 span
+
+
+@register(
+    "dq_chi_square_drift",
+    oracle=f"""
+    WITH o AS (
+      SELECT o_orderpriority AS pr,
+             CASE WHEN o_orderdate < DATE '{_CHI_SPLIT}' THEN 0 ELSE 1 END
+                 AS per
+      FROM orders
+      WHERE o_orderdate IS NOT NULL AND o_orderpriority IS NOT NULL
+    ),
+    cell AS (SELECT pr, per, COUNT(*) AS c FROM o GROUP BY 1, 2),
+    prs AS (SELECT DISTINCT pr FROM o),
+    pes AS (SELECT 0 AS per UNION ALL SELECT 1),
+    grid AS (
+      SELECT prs.pr, pes.per, COALESCE(cell.c, 0) AS c
+      FROM prs CROSS JOIN pes
+      LEFT JOIN cell ON cell.pr = prs.pr AND cell.per = pes.per
+    ),
+    rowt AS (SELECT pr, SUM(c) AS rt FROM grid GROUP BY 1),
+    colt AS (SELECT per, SUM(c) AS ct FROM grid GROUP BY 1),
+    n AS (SELECT SUM(c) AS n FROM grid),
+    t AS (
+      SELECT g.pr, g.per, g.c,
+             CAST(r.rt * cl.ct AS DOUBLE) / n.n AS e
+      FROM grid g
+      JOIN rowt r ON r.pr = g.pr
+      JOIN colt cl ON cl.per = g.per
+      CROSS JOIN n
+    )
+    SELECT pr,
+           CAST(SUM(CASE WHEN per = 0 THEN c END) AS BIGINT) AS n_early,
+           CAST(SUM(CASE WHEN per = 1 THEN c END) AS BIGINT) AS n_late,
+           CAST(SUM(CASE WHEN e > 0 THEN CAST(FLOOR(
+               (c - e) * (c - e) / e * {_CHI_SCALE}
+           ) AS BIGINT) ELSE 0 END) AS BIGINT) AS contrib_scaled
+    FROM t GROUP BY pr ORDER BY pr
+    """,
+)
+def dq_chi_square_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square homogeneity drift — the categorical twin of
+    dq_ks_two_sample: does the order-priority mix differ between the
+    dataset's early and late halves?  Per-cell expected counts are
+    row·col/N (ONE double division of exact integers), each cell's
+    (o−e)²/e contribution is floor-scaled to a 1e-9-resolution BIGINT and
+    summed as integers — the FLOOR-tick ladder (emb_pca_power's trick)
+    that makes a cross-row float sum order-free and bit-identical in both
+    engines.  Output is the per-category contribution decomposition (the
+    part a drift triage actually reads — WHICH category moved); the
+    statistic is the column sum and dof = (k−1)(2−1).
+
+    Scale shape: two hash aggregations over the fact scan (cell counts,
+    then marginals — both map-side combinable) and a tiny grid join;
+    nothing grows with data but the first groupBy."""
+    o = (
+        load_table(spark, sf_dir, "orders")
+        .filter(
+            F.col("o_orderdate").isNotNull()
+            & F.col("o_orderpriority").isNotNull()
+        )
+        .select(
+            F.col("o_orderpriority").alias("pr"),
+            F.when(
+                F.col("o_orderdate") < F.lit(_CHI_SPLIT).cast("date"), 0
+            )
+            .otherwise(1)
+            .alias("per"),
+        )
+    )
+    cell = o.groupBy("pr", "per").agg(F.count(F.lit(1)).alias("c"))
+    prs = o.select("pr").distinct()
+    pes = o.sparkSession.range(2).select(F.col("id").cast("int").alias("per"))
+    grid = (
+        prs.crossJoin(pes)
+        .join(cell, ["pr", "per"], "left")
+        .select("pr", "per", F.coalesce(F.col("c"), F.lit(0)).alias("c"))
+    )
+    rowt = grid.groupBy("pr").agg(F.sum("c").alias("rt"))
+    colt = grid.groupBy("per").agg(F.sum("c").alias("ct"))
+    n = grid.agg(F.sum("c").alias("n"))
+    t = (
+        grid.join(F.broadcast(rowt), "pr")
+        .join(F.broadcast(colt), "per")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "pr",
+            "per",
+            "c",
+            ((F.col("rt") * F.col("ct")).cast("double") / F.col("n")).alias(
+                "e"
+            ),
+        )
+    )
+    contrib = F.when(
+        F.col("e") > 0,
+        F.floor(
+            (F.col("c") - F.col("e"))
+            * (F.col("c") - F.col("e"))
+            / F.col("e")
+            * _CHI_SCALE
+        ).cast("bigint"),
+    ).otherwise(F.lit(0))
+    return (
+        t.groupBy("pr")
+        .agg(
+            F.sum(F.when(F.col("per") == 0, F.col("c")))
+            .cast("bigint")
+            .alias("n_early"),
+            F.sum(F.when(F.col("per") == 1, F.col("c")))
+            .cast("bigint")
+            .alias("n_late"),
+            F.sum(contrib).cast("bigint").alias("contrib_scaled"),
+        )
+        .orderBy("pr")
+    )

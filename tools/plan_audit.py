@@ -84,6 +84,7 @@ AUDITED_EXTRA = [
     "text_ngram_novelty",
     "ann_knn_label_eval",
     "multimodal_tiff_metadata",
+    "dq_chi_square_drift",
     "sample_balanced_classes",
 ]
 
