@@ -100,6 +100,59 @@ def stream_distinct_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "stream_cms_topk",
+    oracle="""
+    WITH ev AS (
+      SELECT time_bucket(INTERVAL 1 HOUR, ts) AS ws, user_id
+      FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL
+    ),
+    pairs AS (
+      SELECT ws, i.i AS i,
+             ('0x' || substr(md5(i.i || ':' || user_id), 1, 8))::BIGINT
+               % 512 AS b
+      FROM ev, LATERAL (SELECT unnest(range(0, 4)) AS i) i
+    ),
+    counters AS (SELECT ws, i, b, COUNT(*) AS c FROM pairs GROUP BY 1, 2, 3),
+    exact AS (
+      SELECT ws, user_id, exact_cnt FROM (
+        SELECT ws, user_id, COUNT(*) AS exact_cnt,
+               ROW_NUMBER() OVER (PARTITION BY ws
+                                  ORDER BY COUNT(*) DESC, user_id) AS rn
+        FROM ev GROUP BY ws, user_id
+      ) WHERE rn <= 5
+    ),
+    probes AS (
+      SELECT e.ws, e.user_id, e.exact_cnt, i.i AS i,
+             ('0x' || substr(md5(i.i || ':' || e.user_id), 1, 8))::BIGINT
+               % 512 AS b
+      FROM exact e, LATERAL (SELECT unnest(range(0, 4)) AS i) i
+    )
+    SELECT p.ws,
+           CAST(p.user_id AS BIGINT) AS user_id,
+           CAST(p.exact_cnt AS BIGINT) AS exact_cnt,
+           CAST(MIN(c.c) AS BIGINT) AS est_cnt,
+           CAST(MIN(c.c) - p.exact_cnt AS BIGINT) AS overestimate
+    FROM probes p
+    JOIN counters c ON c.ws = p.ws AND c.i = p.i AND c.b = p.b
+    GROUP BY p.ws, p.user_id, p.exact_cnt
+    ORDER BY p.ws, exact_cnt DESC, user_id
+    """,
+)
+def stream_cms_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming per-window heavy hitters via Count-Min Sketch counters
+    as stream state (streaming/pipeline.py::run_stream_cms_topk): the
+    state is the (window × 4 × 512) counter grid — bounded no matter how
+    many distinct users arrive, and cell-wise ADDITIVE, so micro-batches,
+    shards and days all merge by the same groupBy-SUM.  The exact
+    per-window top-5 probe (batch-side harness) reads est = min over the
+    key's 4 cells; overestimate exposes the collision load.  Layout
+    shared with sketch_cms_heavy_hitters."""
+    from lakehouse_sfc_spark.streaming import run_stream_cms_topk
+
+    return run_stream_cms_topk(spark, sf_dir)
+
+
+@register(
     "stream_dedup",
     oracle="""
     WITH uniq AS (SELECT DISTINCT event_id, event_type, value FROM events)

@@ -10,6 +10,7 @@ from lakehouse_sfc_spark.streaming.pipeline import (
     run_sliding_agg,
     run_stream_asof_enrich,
     run_stream_interval_join,
+    run_stream_cms_topk,
     run_stream_distinct_hll,
     run_tumbling_agg,
     sessionize_stateful,
@@ -26,6 +27,7 @@ __all__ = [
     "run_sliding_agg",
     "run_stream_asof_enrich",
     "run_stream_interval_join",
+    "run_stream_cms_topk",
     "run_stream_distinct_hll",
     "run_tumbling_agg",
     "sessionize_stateful",

@@ -256,6 +256,133 @@ def run_stream_distinct_hll(
     )
 
 
+def run_stream_cms_topk(
+    spark: SparkSession,
+    sf_dir: str,
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+    d: int = 4,
+    w_buckets: int = 512,
+    topk: int = 5,
+    timeout_s: int = 300,
+) -> DataFrame:
+    """Streaming per-window heavy-hitter counting via Count-Min Sketch
+    counters as the STREAMING STATE: each event feeds d=4 hashed counter
+    cells, the state is the (window × d × 512) counter grid — bounded
+    regardless of key cardinality, where exact per-key streaming counts
+    grow with the user universe — and COUNT/SUM is the canonical
+    streaming aggregate (mergeable across micro-batches AND across
+    shards: per-day sketches add cell-wise).  The per-window probe of the
+    exact top-k users (computed batch-side, as a harness would) reads
+    est = min over the key's d cells; CMS guarantees est >= exact, and
+    the overestimate column shows the collision load.  Hash/bucket layout
+    shared with queries/sketchq.py::sketch_cms_heavy_hitters."""
+    from pyspark.sql import Window as W
+
+    from lakehouse_sfc_spark.queries.datapipe import _h32
+    from lakehouse_sfc_spark.sources.loader import load_table
+
+    name = f"cms_{uuid.uuid4().hex[:8]}"
+    ev = (
+        read_events_stream(spark, sf_dir)
+        .filter(F.col("ts").isNotNull() & F.col("user_id").isNotNull())
+        .withWatermark("ts", watermark)
+    )
+    rows = ev.select(
+        F.window("ts", window).alias("w"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("i"),
+                        (
+                            _h32(
+                                F.concat(
+                                    F.lit(f"{i}:"),
+                                    F.col("user_id").cast("string"),
+                                )
+                            )
+                            % w_buckets
+                        ).alias("b"),
+                    )
+                    for i in range(d)
+                ]
+            )
+        ).alias("p"),
+    ).select("w", "p.i", "p.b")
+    counters = (
+        rows.groupBy("w", "i", "b")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .select(
+            F.col("w.start").cast("timestamp_ntz").alias("ws"), "i", "b", "c"
+        )
+    )
+    sink = _replay_to_memory(
+        spark, counters, name, "lakehouse-sfc-stream-", "complete", timeout_s
+    )
+    exact = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("ts").isNotNull() & F.col("user_id").isNotNull())
+        .groupBy(
+            F.window("ts", window).alias("w"), F.col("user_id")
+        )
+        .agg(F.count(F.lit(1)).alias("exact_cnt"))
+        .select(
+            F.col("w.start").cast("timestamp_ntz").alias("ws"),
+            "user_id",
+            "exact_cnt",
+        )
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                W.partitionBy("ws").orderBy(
+                    F.desc("exact_cnt"), F.col("user_id")
+                )
+            ),
+        )
+        .filter(F.col("rn") <= topk)
+    )
+    probes = exact.select(
+        "ws",
+        "user_id",
+        "exact_cnt",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("i"),
+                        (
+                            _h32(
+                                F.concat(
+                                    F.lit(f"{i}:"),
+                                    F.col("user_id").cast("string"),
+                                )
+                            )
+                            % w_buckets
+                        ).alias("b"),
+                    )
+                    for i in range(d)
+                ]
+            )
+        ).alias("p"),
+    ).select("ws", "user_id", "exact_cnt", "p.i", "p.b")
+    return (
+        probes.join(F.broadcast(sink), ["ws", "i", "b"])
+        .groupBy("ws", "user_id", "exact_cnt")
+        .agg(F.min("c").alias("est_cnt"))
+        .select(
+            "ws",
+            F.col("user_id").cast("bigint").alias("user_id"),
+            F.col("exact_cnt").cast("bigint").alias("exact_cnt"),
+            F.col("est_cnt").cast("bigint").alias("est_cnt"),
+            (F.col("est_cnt") - F.col("exact_cnt"))
+            .cast("bigint")
+            .alias("overestimate"),
+        )
+        .orderBy("ws", F.desc("exact_cnt"), "user_id")
+    )
+
+
 def run_sliding_agg(
     spark: SparkSession,
     sf_dir: str,

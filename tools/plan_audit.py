@@ -85,6 +85,7 @@ AUDITED_EXTRA = [
     "ann_knn_label_eval",
     "multimodal_tiff_metadata",
     "dq_chi_square_drift",
+    "stream_cms_topk",
     "sample_balanced_classes",
 ]
 
