@@ -758,3 +758,75 @@ def snap_tags(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         out = agg if out is None else out.unionByName(agg)
     return out.orderBy("tag")
+
+
+@register(
+    "snap_clone",
+    oracle=f"""
+    {_SQL_STATES},
+    state3 AS (SELECT * FROM state2 UNION ALL SELECT * FROM appended),
+    clone_extra AS (
+        SELECT o_orderkey + 300000000 AS o_orderkey, o_custkey,
+               o_totalprice, o_orderdate
+        FROM orders WHERE o_orderkey % 103 = 0
+    )
+    SELECT 'clone' AS rel, COUNT(*) AS cnt,
+           {sql_dsum("o_totalprice", "sum_price")},
+           TRUE AS refs_source_files
+    FROM (SELECT * FROM state3 UNION ALL SELECT * FROM clone_extra)
+    UNION ALL
+    SELECT 'source', COUNT(*), {sql_dsum("o_totalprice", "sum_price")},
+           FALSE
+    FROM state3
+    ORDER BY rel
+    """,
+)
+def snap_clone(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SHALLOW CLONE + divergence (Delta CLONE parity): clone the
+    4-commit orders chain at its head — a metadata-only commit that
+    references the source's files, zero data copied — append a divergent
+    slice to the clone, and read BOTH tables back: the source must be
+    bit-unchanged and the clone must equal source ∪ extra.
+    ``refs_source_files`` is computed from the actual manifests (does the
+    relation's head reference any file outside its own directory?) — true
+    for the clone (the zero-copy proof), false for the source — and the
+    oracle pins it as the closed-form expectation.  The Delta-documented
+    caveat (source vacuum orphans shallow clones) lives on
+    ``SnapshotTable.clone_to``; ``snap_vacuum`` runs on an isolated chain
+    for exactly that reason."""
+    src = _snapshot_table(spark, sf_dir)
+    root = _fingerprinted_dir(_scratch_root(), sf_dir, ("orders",))
+    cpath = os.path.join(root, "orders_clone")
+    if not os.path.exists(_manifest_path(cpath, 1)):
+        import shutil
+
+        shutil.rmtree(cpath, ignore_errors=True)
+        clone = src.clone_to(cpath)
+        orders = load_table(spark, sf_dir, "orders").select(*_COLS)
+        extra = orders.filter(F.col("o_orderkey") % 103 == 0).withColumn(
+            "o_orderkey", F.col("o_orderkey") + 300_000_000
+        )
+        clone.append(extra)
+    else:
+        clone = SnapshotTable(spark, cpath)
+
+    def _refs_foreign(t: SnapshotTable) -> bool:
+        own = os.path.abspath(t.path)
+        return any(
+            not os.path.abspath(u.replace("file://", "")).startswith(own)
+            for u in t.manifest()["files"]
+        )
+
+    def _summary(t: SnapshotTable, rel: str) -> DataFrame:
+        return t.read().agg(
+            F.lit(rel).alias("rel"),
+            F.count(F.lit(1)).alias("cnt"),
+            dsum("o_totalprice", "sum_price"),
+            F.lit(_refs_foreign(t)).alias("refs_source_files"),
+        ).select("rel", "cnt", "sum_price", "refs_source_files")
+
+    return (
+        _summary(clone, "clone")
+        .unionByName(_summary(src, "source"))
+        .orderBy("rel")
+    )

@@ -784,6 +784,39 @@ class SnapshotTable:
         os.remove(self._branch_path(name))
         return {"discarded": name, "files_deleted": len(b["staged_files"])}
 
+    def clone_to(self, dest: str, version: int | None = None
+                 ) -> "SnapshotTable":
+        """SHALLOW clone (Delta ``CREATE TABLE ... SHALLOW CLONE`` parity,
+        Iceberg snapshot-ref semantics): a new table whose v0 manifest
+        references THIS table's data files — metadata-only, zero data
+        copied, O(manifest) time regardless of table size.  Subsequent
+        writes to the clone land under the CLONE's directory, so the two
+        tables diverge without ever touching each other's files; CHECK
+        constraints are carried like any other commit.
+
+        Caveat (same as Delta documents for shallow clones): vacuuming the
+        SOURCE past the cloned version deletes files the clone still
+        references — vacuum() reasons only over its own table's manifests.
+        A deep clone is ``clone_to(...)`` followed by ``optimize()`` on
+        the clone, which rewrites every referenced file locally."""
+        m = self.manifest(version)
+        os.makedirs(dest, exist_ok=True)
+        t = SnapshotTable(self.spark, dest)
+        if t.versions():
+            raise FileExistsError(f"clone target {dest} already has a log")
+        t._publish(
+            0,
+            "CLONE",
+            dict(m["files"]),
+            StructType.fromJson(m["schema"]),
+            list(m["stats_cols"]),
+            extra=self._carry(
+                m,
+                {"source_path": self.path, "source_version": m["version"]},
+            ),
+        )
+        return t
+
     def restore(self, version: int) -> dict:
         """Delta ``RESTORE TABLE ... TO VERSION`` parity: a METADATA-ONLY
         commit whose file set and schema are the target version's.  Data

@@ -556,3 +556,50 @@ def test_vacuum_keeps_files_needed_by_staged_branch(table, orders):
         assert os.path.exists(uri.replace("file://", "")), uri
     # the audit view is still fully readable after vacuum
     assert table.read_branch("audit").count() == n_expected
+
+
+def test_shallow_clone_diverges_without_copying(spark, tmp_path):
+    """clone_to is metadata-only (v0 references the source's files), the
+    clone and source diverge independently, and a second clone into the
+    same directory refuses."""
+    import pyspark.sql.functions as F
+
+    from lakehouse_sfc_spark.table.snapshots import SnapshotTable
+
+    df = spark.range(100).select(
+        F.col("id").alias("k"), (F.col("id") * 2).alias("v")
+    )
+    src = SnapshotTable.create(
+        df, str(tmp_path / "src"), stats_cols=["k"], num_files=2
+    )
+    clone = src.clone_to(str(tmp_path / "clone"))
+    # zero-copy: every v0 file of the clone lives under the SOURCE dir
+    assert all(
+        str(tmp_path / "src") in u for u in clone.manifest(0)["files"]
+    )
+    assert clone.manifest(0)["operation"] == "CLONE"
+    assert clone.manifest(0)["source_version"] == 0
+    assert clone.read().count() == 100
+    # divergence: append to the clone, source unchanged
+    clone.append(
+        spark.range(5).select(
+            (F.col("id") + 1000).alias("k"), F.lit(0).cast("long").alias("v")
+        )
+    )
+    assert clone.read().count() == 105
+    assert src.read().count() == 100
+    # the appended files land under the CLONE dir, not the source's
+    new_files = [
+        u
+        for u in clone.manifest()["files"]
+        if u not in clone.manifest(0)["files"]
+    ]
+    assert new_files and all(str(tmp_path / "clone") in u for u in new_files)
+    import pytest as _pytest
+
+    with _pytest.raises(FileExistsError):
+        src.clone_to(str(tmp_path / "clone"))
+    # head-version clone survives a source vacuum (head files are retained);
+    # the DOCUMENTED caveat is vacuuming past the cloned version
+    src.vacuum(retain_last=1)
+    assert clone.read().count() == 105

@@ -86,6 +86,7 @@ AUDITED_EXTRA = [
     "multimodal_tiff_metadata",
     "dq_chi_square_drift",
     "stream_cms_topk",
+    "snap_clone",
     "sample_balanced_classes",
 ]
 
