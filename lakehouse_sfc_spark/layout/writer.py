@@ -28,7 +28,7 @@ from pyspark.sql import functions as F
 from lakehouse_sfc_spark.layout.stats import collect_file_stats
 from lakehouse_sfc_spark.sfc.keys import add_sfc_key
 
-LAYOUTS = ("baseline", "hashed", "linear", "zorder", "hilbert")
+LAYOUTS = ("baseline", "hashed", "linear", "zorder", "hilbert", "kdtree")
 
 _LAYOUT_ALIASES = {
     # Hudi spelling normalization (tpch_all_loader.py:117-122)
@@ -61,6 +61,54 @@ def plan_num_files(df: DataFrame, target_file_mb: int) -> int:
     if nbytes is None:
         return df.sparkSession.sparkContext.defaultParallelism
     return max(1, math.ceil(nbytes / (target_file_mb * 1024 * 1024)))
+
+
+def _kdtree_cells(df: DataFrame, layout_cols: list[str], n: int) -> DataFrame:
+    """Median-adaptive kd clustering (the Delta 'liquid clustering' /
+    kd-tree shape): split on the MEDIAN of the first layout column, then
+    within each half on the median of the next (cycling), depth =
+    ceil(log2(n)).  Unlike the fixed-grid SFC layouts, cell boundaries
+    adapt to the data distribution — skewed columns still yield balanced,
+    DISJOINT per-file bounding boxes, so the min/max sidecar prunes box
+    predicates tightly with no curve-order interleaving loss.
+
+    Plan shape: per level ONE tiny aggregate (a median per current cell —
+    ≤ 2^level rows) broadcast back onto the data; the data relation
+    shuffles once at the end (range partition on the final cell id).  At
+    100 TB each level is a map-side pass + a 1-row-per-cell broadcast —
+    the same scale discipline as the power-iteration broadcasts."""
+    depth = max(1, (n - 1).bit_length())
+    out = df.withColumn("_kd", F.lit(0))
+
+    def _ordered(c: str):
+        # percentile() wants numerics; timestamps order identically through
+        # an epoch-seconds surrogate (split POSITION is all that matters)
+        t = dict(df.dtypes)[c]
+        col = F.col(c)
+        if t.startswith("timestamp"):
+            return col.cast("timestamp_ltz").cast("double")
+        return col.cast("double")
+
+    for level in range(depth):
+        col = layout_cols[level % len(layout_cols)]
+        surrogate = _ordered(col)
+        med = out.groupBy("_kd").agg(
+            F.percentile(surrogate, F.lit(0.5)).alias("_kd_med")
+        )
+        out = (
+            out.join(F.broadcast(med), "_kd")
+            .withColumn(
+                "_kd",
+                F.col("_kd") * 2
+                + F.when(surrogate > F.col("_kd_med"), 1).otherwise(0),
+            )
+            .drop("_kd_med")
+        )
+    return (
+        out.repartitionByRange(n, F.col("_kd"))
+        .sortWithinPartitions(*layout_cols)
+        .drop("_kd")
+    )
 
 
 def layout_write(
@@ -106,6 +154,8 @@ def layout_write(
         out = df.repartitionByRange(n, *layout_cols).sortWithinPartitions(
             *layout_cols
         )
+    elif layout == "kdtree":
+        out = _kdtree_cells(df, layout_cols, n)
     else:
         keyed = add_sfc_key(
             df, layout_cols, curve=layout, bits=bits, mode=cell_mode

@@ -103,6 +103,15 @@ def layout_hilbert_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _pruned_box_agg(spark, sf_dir, "hilbert")
 
 
+@register("layout_kdtree_scan", oracle=_ORACLE)
+def layout_kdtree_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Median-adaptive kd clustering (liquid-clustering shape:
+    data-adaptive DISJOINT cell boxes instead of a fixed SFC grid) +
+    min/max file-pruned scan; per split level one ≤2^level-row median
+    broadcast, one final range shuffle (layout/writer.py::_kdtree_cells)."""
+    return _pruned_box_agg(spark, sf_dir, "kdtree")
+
+
 @register("layout_linear_scan", oracle=_ORACLE)
 def layout_linear_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Linear (lexicographic) clustered write + pruned scan

@@ -299,3 +299,38 @@ def test_scoped_upsert_preserves_blooms(spark, tmp_path):
     rows = tbl.scan([Pred("l_orderkey", "==", key)]).collect()
     assert rows and all(r["l_quantity"] > 1000 for r in rows)
     assert tbl.last_scan_metrics["files_scanned"] < len(sidecar["files"])
+
+
+def test_kdtree_layout_prunes_box_predicates(spark):
+    """The median-adaptive kd layout must produce per-file stats that
+    actually prune the standard box predicate (fewer survivor files than
+    total), and the pruned scan must equal the plain filter."""
+    import datetime
+
+    from lakehouse_sfc_spark.queries.layouts import (
+        _PREDS,
+        _layout_table,
+    )
+
+    from lakehouse_sfc_spark.layout.stats import read_sidecar
+
+    tbl = _layout_table(spark, "/root/testdata/sf0.001", "kdtree")
+    sidecar = read_sidecar(tbl.path)
+    total = len(sidecar["files"])
+    from lakehouse_sfc_spark.table.pruning import prune_files
+
+    keep, _ = prune_files(sidecar, _PREDS)
+    assert total >= 8
+    assert len(keep) < total, (
+        f"kd layout pruned nothing ({len(keep)}/{total} files survive)"
+    )
+    got = tbl.scan(_PREDS).count()
+    from lakehouse_sfc_spark.sources.loader import load_table
+    import pyspark.sql.functions as F
+
+    li = load_table(spark, "/root/testdata/sf0.001", "lineitem")
+    want = li.filter(
+        F.col("l_shipdate").between("1996-01-01", "1997-06-30")
+        & F.col("l_quantity").between(10.0, 30.0)
+    ).count()
+    assert got == want

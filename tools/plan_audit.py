@@ -87,6 +87,7 @@ AUDITED_EXTRA = [
     "dq_chi_square_drift",
     "stream_cms_topk",
     "snap_clone",
+    "layout_kdtree_scan",
     "sample_balanced_classes",
 ]
 
