@@ -4128,3 +4128,74 @@ def ann_knn_label_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("true_label")
     )
+
+
+@register(
+    "sample_group_holdout",
+    oracle="""
+    WITH e AS (
+      SELECT user_id, event_id, value FROM events WHERE user_id IS NOT NULL
+    ),
+    b AS (
+      SELECT user_id, event_id, value,
+             CASE WHEN ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8))
+                       ::BIGINT % 10 < 8
+                  THEN 'train' ELSE 'test' END AS split
+      FROM e
+    ),
+    straddle AS (
+      SELECT COUNT(*) AS n FROM (
+        SELECT user_id FROM b GROUP BY user_id
+        HAVING COUNT(DISTINCT split) > 1
+      )
+    )
+    SELECT split,
+           COUNT(*) AS n_rows,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_groups,
+           CAST(SUM(event_id) AS BIGINT) AS id_checksum,
+           (SELECT CAST(n AS BIGINT) FROM straddle) AS straddling_groups
+    FROM b GROUP BY split ORDER BY split
+    """,
+)
+def sample_group_holdout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUP holdout split (sklearn GroupKFold / GroupShuffleSplit
+    semantics): the 80/20 train/test assignment hashes the GROUP key
+    (user), not the row, so EVERY event of a user lands in one split —
+    the leakage rule for user-generated training data (row-hash splits
+    leak a user's near-identical events across the boundary and inflate
+    eval scores; sibling of sample_split's content-hash and
+    sample_temporal_split's time cut).  The output carries the proof
+    obligation: ``straddling_groups`` — users observed in both splits —
+    is computed from the assignment itself and must be 0, and the
+    id_checksum pins exact membership.
+
+    Scale shape: the assignment is a map-only expression on the group
+    key (no join against a membership table — the hash IS the
+    membership), one groupBy for the summary, one for the straddle
+    audit; re-shards, late data and re-runs can never move a user."""
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("user_id").isNotNull()
+    )
+    split = F.when(
+        F.pmod(_h32(F.col("user_id").cast("string")), F.lit(10)) < 8,
+        "train",
+    ).otherwise("test")
+    b = ev.select("user_id", "event_id", "value", split.alias("split"))
+    straddle = (
+        b.groupBy("user_id")
+        .agg(F.count_distinct("split").alias("ns"))
+        .filter(F.col("ns") > 1)
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    return (
+        b.groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.count_distinct("user_id").cast("bigint").alias("n_groups"),
+            F.sum("event_id").cast("bigint").alias("id_checksum"),
+        )
+        .crossJoin(F.broadcast(straddle.select(
+            F.col("n").cast("bigint").alias("straddling_groups")
+        )))
+        .orderBy("split")
+    )

@@ -88,6 +88,7 @@ AUDITED_EXTRA = [
     "stream_cms_topk",
     "snap_clone",
     "layout_kdtree_scan",
+    "sample_group_holdout",
     "sample_balanced_classes",
 ]
 
