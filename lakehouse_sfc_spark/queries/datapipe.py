@@ -4021,9 +4021,9 @@ def text_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_KNN_QMOD = 7  # eval sample: labeled vectors with vec_id % 7 == 0
-_KNN_CMOD = 3  # neighbor corpus: labeled vectors with vec_id % 3 == 0
-_KNN_K = 10
+_KNNEVAL_QMOD = 7  # eval sample: labeled vectors with vec_id % 7 == 0
+_KNNEVAL_CMOD = 3  # neighbor corpus: labeled vectors with vec_id % 3 == 0
+_KNNEVAL_K = 10
 
 
 @register(
@@ -4036,11 +4036,11 @@ _KNN_K = 10
       FROM c0 JOIN lbl ON lbl.vec_id = c0.vec_id
     ),
     corpus AS MATERIALIZED (
-      SELECT * FROM valid WHERE vec_id % {_KNN_CMOD} = 0
+      SELECT * FROM valid WHERE vec_id % {_KNNEVAL_CMOD} = 0
     ),
     q AS MATERIALIZED (
       SELECT vec_id AS q_id, emb, nrm, label AS true_label
-      FROM valid WHERE vec_id % {_KNN_QMOD} = 0
+      FROM valid WHERE vec_id % {_KNNEVAL_QMOD} = 0
     ),
     topk AS (
       SELECT q_id, true_label, label FROM (
@@ -4049,7 +4049,7 @@ _KNN_K = 10
                                   ORDER BY {_sql_cos("c", "q")} DESC,
                                            c.vec_id) AS rn
         FROM q JOIN corpus c ON c.vec_id != q.q_id
-      ) WHERE rn <= {_KNN_K}
+      ) WHERE rn <= {_KNNEVAL_K}
     ),
     votes AS (
       SELECT q_id, true_label, label, COUNT(*) AS c
@@ -4092,8 +4092,8 @@ def ann_knn_label_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         e.filter(F.col("label").isNotNull()).select("vec_id", "label"),
         "vec_id",
     )
-    corpus = valid.filter(F.col("vec_id") % _KNN_CMOD == 0)
-    q = valid.filter(F.col("vec_id") % _KNN_QMOD == 0).select(
+    corpus = valid.filter(F.col("vec_id") % _KNNEVAL_CMOD == 0)
+    q = valid.filter(F.col("vec_id") % _KNNEVAL_QMOD == 0).select(
         F.col("vec_id").alias("q_id"),
         F.col("emb").alias("qemb"),
         F.col("nrm").alias("qnrm"),
@@ -4105,7 +4105,7 @@ def ann_knn_label_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         corpus.join(F.broadcast(q), F.col("vec_id") != F.col("q_id"))
         .select("q_id", "true_label", "label", "vec_id", cos.alias("s"))
         .withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= _KNN_K)
+        .filter(F.col("rn") <= _KNNEVAL_K)
     )
     votes = topk.groupBy("q_id", "true_label", "label").agg(
         F.count(F.lit(1)).alias("c")
