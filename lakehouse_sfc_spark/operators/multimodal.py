@@ -303,8 +303,12 @@ def decode_image(payload: bytes) -> "np.ndarray":
         from lakehouse_sfc_spark.operators.webp import decode_webp
 
         return decode_webp(payload)
+    if payload[:4] == b"qoif":
+        from lakehouse_sfc_spark.operators.qoi import decode_qoi
+
+        return decode_qoi(payload)
     raise NotImplementedError(
-        "BMP, PNG, GIF, TIFF, ICO, lossless WebP (VP8L) and baseline "
+        "BMP, PNG, GIF, TIFF, ICO, QOI, lossless WebP (VP8L) and baseline "
         "JPEG decode natively; other image formats are not supported in "
         "this environment"
     )
@@ -686,6 +690,33 @@ def synth_ico_batches(
                 int(d), max(1, int(w) // 2), max(1, int(h) // 2)
             )
             payloads.append(encode_ico([thumb, full], [st, st]))
+        yield pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"].astype("int64"),
+                "payload": pd.Series(payloads, dtype="object"),
+                "width": pdf["width"].astype("int32"),
+                "height": pdf["height"].astype("int32"),
+            }
+        )
+
+
+def synth_qoi_batches(
+    batches: Iterable[pd.DataFrame],
+) -> Iterator[pd.DataFrame]:
+    """(doc_id, width, height) → (doc_id, payload, width, height) with the
+    payload a REAL QOI 1.0 stream of the deterministic grid
+    (operators/qoi.py).  The +3-per-column gray gradient keeps the encoder
+    in 2-byte QOI_OP_LUMA for most pixels (the step exceeds DIFF's 2-bit
+    range), the mod-251 wrap hits QOI_OP_RGB and revisited colors hit
+    QOI_OP_INDEX — every grid exercises LUMA/INDEX/RGB decode, and DIFF is
+    pinned by the golden fixture in pytest."""
+    from lakehouse_sfc_spark.operators.qoi import encode_qoi
+
+    for pdf in batches:
+        payloads = [
+            encode_qoi(_synth_pixels(int(d), int(w), int(h)))
+            for d, w, h in zip(pdf["doc_id"], pdf["width"], pdf["height"])
+        ]
         yield pd.DataFrame(
             {
                 "doc_id": pdf["doc_id"].astype("int64"),

@@ -1834,6 +1834,63 @@ def multimodal_webp_real(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "multimodal_qoi_real",
+    oracle="""
+    WITH p AS (
+      SELECT doc_id,
+             (16 + doc_id % 21)::INTEGER AS width,
+             (8 + doc_id % 13)::INTEGER AS height
+      FROM documents WHERE doc_id % 19 = 0
+    ),
+    g AS (
+      SELECT p.doc_id, p.width, p.height, x.r AS x, y.r AS y
+      FROM p, LATERAL (SELECT unnest(range(0, p.width)) AS r) x,
+              LATERAL (SELECT unnest(range(0, p.height)) AS r) y
+    )
+    SELECT doc_id,
+           MIN(width)::INTEGER AS width,
+           MIN(height)::INTEGER AS height,
+           1::INTEGER AS frames,
+           SUM(3 * ((3*x + 7*y + doc_id) % 251))::BIGINT AS pixel_sum
+    FROM g GROUP BY doc_id
+    """,
+)
+def multimodal_qoi_real(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL QOI (qoiformat.org spec 1.0) end-to-end: deterministic grids
+    byte-packed through the full QOI op set (operators/qoi.py — RUN /
+    INDEX / 2-bit DIFF / LUMA / RGB literals with the 64-slot rolling
+    hash table), then decoded back through the production image dispatch.
+    The gradient grids keep the encoder mostly in 2-byte LUMA ops (the
+    +3 gray step exceeds DIFF's 2-bit range) while the mod-251 wrap and
+    revisited colors force RGB / INDEX on every document; DIFF decode is
+    pinned by the golden fixture and encoder test in pytest.
+    QOI is lossless, so the full closed-form pixel_sum contract holds; a
+    hand-assembled golden bitstream pins the wire format in pytest and
+    malformed streams (bad magic/channels, truncation, missing end
+    marker, run overflow) refuse loudly by name.  n_bytes excluded like
+    the other codec rows."""
+    from lakehouse_sfc_spark.operators.multimodal import (
+        DECODED_STATS_SCHEMA,
+        decode_real_stats_batches,
+        synth_qoi_batches,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    params = d.filter(F.col("doc_id") % 19 == 0).select(
+        "doc_id",
+        (F.pmod(F.col("doc_id"), F.lit(21)) + 16).cast("int").alias("width"),
+        (F.pmod(F.col("doc_id"), F.lit(13)) + 8).cast("int").alias("height"),
+    )
+    encoded = params.mapInPandas(
+        synth_qoi_batches,
+        "doc_id bigint, payload binary, width int, height int",
+    )
+    return encoded.mapInPandas(
+        decode_real_stats_batches, DECODED_STATS_SCHEMA
+    ).drop("n_bytes")
+
+
+@register(
     "multimodal_tiff_metadata",
     oracle="""
     SELECT doc_id,

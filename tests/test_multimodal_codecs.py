@@ -696,3 +696,155 @@ def test_webp_dispatches_through_decode_image_not_as_wav():
     px = _ico_grid(5, 9, 7)
     out = decode_image(encode_webp(px))
     assert (out == px).all()
+
+
+# --- QOI (operators/qoi.py) -------------------------------------------------
+
+
+def test_qoi_roundtrip_gradient_and_random():
+    from lakehouse_sfc_spark.operators.qoi import decode_qoi, encode_qoi
+
+    px = _gradient(11, 17)
+    assert (decode_qoi(encode_qoi(px)) == px).all()
+    rng = np.random.default_rng(7)
+    noisy = rng.integers(0, 256, size=(9, 13, 3), dtype=np.uint8)
+    assert (decode_qoi(encode_qoi(noisy)) == noisy).all()
+
+
+def test_qoi_long_run_splits_at_62():
+    """A 130-pixel constant image needs RUN chunks of 62+62+5 plus the
+    initial literal — the run-length cap must split correctly."""
+    from lakehouse_sfc_spark.operators.qoi import decode_qoi, encode_qoi
+
+    px = np.full((10, 13, 3), 77, dtype=np.uint8)
+    payload = encode_qoi(px)
+    assert (decode_qoi(payload) == px).all()
+    # constant image: header(14) + 1 literal + 3 run chunks + end(8)
+    assert len(payload) <= 14 + 4 + 3 + 8
+
+
+def test_qoi_gradient_hits_luma_index_rgb():
+    """The synth grids exercise LUMA (the +3 gray step), INDEX (revisited
+    colors) and RGB (mod-251 wraps) on every doc — the registry sweep's
+    decoder coverage.  DIFF is outside the gradient's step size; it is
+    pinned by the golden fixture and the dedicated encoder test below."""
+    from lakehouse_sfc_spark.operators.multimodal import _synth_pixels
+    from lakehouse_sfc_spark.operators.qoi import decode_qoi, encode_qoi
+
+    px = _synth_pixels(19, 30, 20)
+    payload = encode_qoi(px)
+    body = payload[14:-8]
+    seen = {"rgb": False, "index": False, "luma": False}
+    pos = 0
+    while pos < len(body):
+        op = body[pos]
+        if op == 0xFE:
+            seen["rgb"] = True
+            pos += 4
+        elif op == 0xFF:
+            pos += 5
+        elif op & 0xC0 == 0x00:
+            seen["index"] = True
+            pos += 1
+        elif op & 0xC0 == 0x40:
+            pos += 1
+        elif op & 0xC0 == 0x80:
+            seen["luma"] = True
+            pos += 2
+        else:
+            pos += 1
+    assert all(seen.values()), seen
+    assert (decode_qoi(payload) == px).all()
+
+
+def test_qoi_encoder_emits_diff_for_small_deltas():
+    from lakehouse_sfc_spark.operators.qoi import decode_qoi, encode_qoi
+
+    px = np.array([[[100, 100, 100], [101, 100, 98]]], dtype=np.uint8)
+    payload = encode_qoi(px)
+    body = payload[14:-8]
+    assert any(b & 0xC0 == 0x40 and b < 0xFE for b in body)
+    assert (decode_qoi(payload) == px).all()
+
+
+def test_qoi_golden_fixture_hand_assembled():
+    """Fixed hand-assembled QOI bytes (NOT produced by encode_qoi): one
+    RGB literal, one DIFF, one LUMA, a run of 2, one INDEX lookup.  Pins
+    the wire format against matched encoder/decoder drift (the interop
+    concern ADVICE raised for TIFF)."""
+    import struct
+
+    from lakehouse_sfc_spark.operators.qoi import decode_qoi
+
+    stream = (
+        b"qoif" + struct.pack(">IIBB", 3, 2, 3, 0)
+        + bytes([0xFE, 10, 20, 30])  # RGB literal -> (10,20,30), slot 9
+        + bytes([0x78])              # DIFF +1,0,-2 -> (11,20,28)
+        + bytes([0xAA, 0x5D])        # LUMA dg=+10, dr-dg=-3, db-dg=+5 -> (18,30,43)
+        + bytes([0xC1])              # RUN 2 -> (18,30,43) x2
+        + bytes([0x09])              # INDEX slot 9 -> (10,20,30)
+        + b"\x00" * 7 + b"\x01"
+    )
+    out = decode_qoi(stream)
+    expect = np.array(
+        [
+            [[10, 20, 30], [11, 20, 28], [18, 30, 43]],
+            [[18, 30, 43], [18, 30, 43], [10, 20, 30]],
+        ],
+        dtype=np.uint8,
+    )
+    assert (out == expect).all()
+
+
+def test_qoi_decodes_rgba_stream_with_opaque_alpha():
+    """channels=4 streams decode through the same kernel; fully-opaque
+    alpha is validated and dropped, non-opaque refuses loudly."""
+    import struct
+
+    from lakehouse_sfc_spark.operators.qoi import decode_qoi
+
+    head = b"qoif" + struct.pack(">IIBB", 2, 1, 4, 0)
+    opaque = head + bytes([0xFF, 5, 6, 7, 255, 0xC0]) + b"\x00" * 7 + b"\x01"
+    out = decode_qoi(opaque)
+    assert out.shape == (1, 2, 3) and (out[0, 0] == (5, 6, 7)).all()
+
+    translucent = head + bytes([0xFF, 5, 6, 7, 128, 0xC0]) + b"\x00" * 7 + b"\x01"
+    with pytest.raises(NotImplementedError, match="alpha"):
+        decode_qoi(translucent)
+
+
+def test_qoi_refusals_are_loud_and_typed():
+    import struct
+
+    from lakehouse_sfc_spark.operators.qoi import decode_qoi, encode_qoi
+
+    good = encode_qoi(_gradient(4, 5))
+    with pytest.raises(ValueError, match="magic"):
+        decode_qoi(b"qoix" + good[4:])
+    with pytest.raises(ValueError, match="channels"):
+        decode_qoi(good[:12] + bytes([5]) + good[13:])
+    with pytest.raises(ValueError, match="end marker"):
+        decode_qoi(good[:-1] + b"\x02")
+    with pytest.raises(ValueError, match="truncated"):
+        decode_qoi(good[:10])
+    # pixel stream ends before all w*h pixels are produced
+    short = (
+        b"qoif" + struct.pack(">IIBB", 4, 4, 3, 0)
+        + bytes([0xFE, 1, 2, 3]) + b"\x00" * 7 + b"\x01"
+    )
+    with pytest.raises(ValueError, match="truncated"):
+        decode_qoi(short)
+    # a run chunk overflowing the declared pixel count
+    overflow = (
+        b"qoif" + struct.pack(">IIBB", 2, 1, 3, 0)
+        + bytes([0xFE, 1, 2, 3, 0xC0 | 61]) + b"\x00" * 7 + b"\x01"
+    )
+    with pytest.raises(ValueError, match="overflow"):
+        decode_qoi(overflow)
+
+
+def test_qoi_dispatches_through_decode_image():
+    from lakehouse_sfc_spark.operators.qoi import encode_qoi
+
+    px = _gradient(6, 8)
+    assert (decode_image(encode_qoi(px)) == px).all()

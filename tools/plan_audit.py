@@ -90,6 +90,7 @@ AUDITED_EXTRA = [
     "layout_kdtree_scan",
     "sample_group_holdout",
     "sample_balanced_classes",
+    "multimodal_qoi_real",
 ]
 
 #: intended-plan annotations for rows that would otherwise read as
