@@ -2085,3 +2085,80 @@ def text_ttr(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+# --- T15: BPE tokenizer induction -------------------------------------------
+
+
+@register(
+    "text_bpe_pair_merge",
+    oracle=f"""
+    WITH words AS (
+      SELECT unnest({_SQL_TOKENS}) AS w FROM documents
+    ),
+    wcnt AS (
+      SELECT w, COUNT(*)::BIGINT AS wcnt
+      FROM words WHERE w <> ''
+      GROUP BY 1 HAVING length(w) >= 2
+    ),
+    pairs AS (
+      SELECT w, wcnt, substring(w, i.r::INTEGER, 2) AS pair
+      FROM wcnt, LATERAL (SELECT unnest(range(1, length(w))) AS r) i
+    ),
+    counted AS (
+      SELECT pair,
+             SUM(wcnt)::BIGINT AS cnt,
+             COUNT(DISTINCT w)::BIGINT AS n_types
+      FROM pairs GROUP BY 1
+    ),
+    ranked AS (
+      SELECT *, ROW_NUMBER() OVER (ORDER BY cnt DESC, pair) AS rk
+      FROM counted
+    )
+    SELECT pair, cnt, n_types, rk FROM ranked WHERE rk <= 20 ORDER BY rk
+    """,
+)
+def text_bpe_pair_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE tokenizer induction, the core training kernel: corpus-frequency-
+    weighted adjacent symbol-pair counts ranked into the merge table (the
+    top row IS the first BPE merge; repeating this kernel over re-segmented
+    vocabularies is the whole training loop).
+
+    Scale shape — the classic BPE-training trick: pairs are generated over
+    the DISTINCT-WORD table weighted by word count, never over the raw
+    token stream.  At 100 TB the corpus→vocabulary step is one map-side-
+    combinable shuffle that collapses ~10^12 tokens to a ~10^7-row
+    vocabulary; the pair explosion then costs |vocab|·avg_len rows, ~5
+    orders of magnitude less than exploding the corpus.  Pair extraction is
+    pure codegen (``transform(sequence(...), i -> substring(w, i, 2))`` —
+    codepoint-indexed identically in both engines, pinned by the
+    substring_multibyte row of tests/test_engine_semantics.py), the pair
+    aggregation is a second map-side-combined shuffle, and the top-20 is
+    TakeOrderedAndProject with the rank window running on 20 survivors
+    only.  Ties break on the pair's UTF-8 byte order, identical in both
+    engines.  Guard: ``length(w) >= 2`` keeps Spark's descending
+    ``sequence(1, 0)`` surprise out of the transform (DuckDB's
+    ``range(1, 1)`` is empty, Spark's sequence would count DOWN)."""
+    docs = load_table(spark, sf_dir, "documents")
+    words = docs.select(F.explode(_tokens(F.col("text"))).alias("w")).filter(
+        F.col("w") != ""
+    )
+    wcnt = (
+        words.groupBy("w")
+        .agg(F.count(F.lit(1)).alias("wcnt"))
+        .filter(F.length("w") >= 2)
+    )
+    pairs = wcnt.select(
+        "w",
+        "wcnt",
+        F.explode(
+            F.expr("transform(sequence(1, length(w)-1), i -> substring(w, i, 2))")
+        ).alias("pair"),
+    )
+    counted = pairs.groupBy("pair").agg(
+        F.sum("wcnt").alias("cnt"),
+        F.count_distinct("w").alias("n_types"),
+    )
+    top = counted.orderBy(F.desc("cnt"), "pair").limit(20)
+    w_rank = Window.orderBy(F.desc("cnt"), "pair")
+    return top.withColumn("rk", F.row_number().over(w_rank)).orderBy("rk")

@@ -91,6 +91,7 @@ AUDITED_EXTRA = [
     "sample_group_holdout",
     "sample_balanced_classes",
     "multimodal_qoi_real",
+    "text_bpe_pair_merge",
 ]
 
 #: intended-plan annotations for rows that would otherwise read as
