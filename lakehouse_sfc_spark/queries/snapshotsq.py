@@ -830,3 +830,91 @@ def snap_clone(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(_summary(src, "source"))
         .orderBy("rel")
     )
+
+
+# --- partition-spec evolution ------------------------------------------------
+
+_EVO_CUT = datetime.datetime(1996, 7, 1)
+_EVO_CUSTKEY_MAX = 500
+
+
+def _specevo_table(spark: SparkSession, sf_dir: str) -> SnapshotTable:
+    """v0 CREATE: pre-1996-07 orders clustered + stat'd on o_orderdate only
+    (spec A: time-partitioned facts).  v1 EVOLVE-SPEC: future writes
+    cluster + stat on o_custkey (spec B: the access pattern changed to
+    per-customer lookups — the canonical reason Iceberg grew spec
+    evolution).  v2 APPEND: the remaining orders land under spec B.  The
+    chain is cached per dataset fingerprint like every snap_* chain."""
+    root = _fingerprinted_dir(_scratch_root(), sf_dir, ("orders",))
+    path = os.path.join(root, "orders_specevo")
+    if os.path.exists(_manifest_path(path, 2)):
+        return SnapshotTable(spark, path)
+
+    import shutil
+
+    shutil.rmtree(path, ignore_errors=True)
+    cols = [
+        "o_orderkey", "o_custkey", "o_totalprice", "o_orderdate",
+        "o_orderpriority",
+    ]
+    orders = load_table(spark, sf_dir, "orders").select(*cols)
+    t = SnapshotTable.create(
+        orders.filter(F.col("o_orderdate") < _EVO_CUT),
+        path,
+        stats_cols=["o_orderdate"],
+        layout="linear",
+        layout_cols=["o_orderdate"],
+        num_files=8,
+    )
+    t.evolve_spec(
+        layout="linear", layout_cols=["o_custkey"], stats_cols=["o_custkey"]
+    )
+    t.append(orders.filter(F.col("o_orderdate") >= _EVO_CUT), num_files=8)
+    return t
+
+
+@register(
+    "snap_partition_evolution",
+    oracle=f"""
+    SELECT o_orderpriority,
+           COUNT(*) AS cnt,
+           {sql_dsum("o_totalprice", "sum_price")}
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+      AND o_custkey <= {_EVO_CUSTKEY_MAX}
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+)
+def snap_partition_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partition-spec evolution end-to-end (Iceberg ``ADD PARTITION FIELD``
+    parity, natively): the chain's old files are date-clustered with
+    date-only stats, its post-evolution files are custkey-clustered with
+    custkey stats, and ONE scan with predicates on both dimensions prunes
+    each file under the spec it was written with — date stats knock out
+    every pre-evolution file (all < 1996-07), custkey stats knock out most
+    post-evolution files, and no file is ever wrongly pruned on a column it
+    carries no stats for (the conservative per-file rule in
+    ``pruning.prune_files``; pytest pins the file-count proof).  The
+    surviving files still get the exact residual filter, so the result
+    equals the plain filtered aggregate the oracle runs.
+
+    100-TB shape: spec evolution is a metadata-only commit (zero data
+    rewritten — the whole point vs. re-clustering the table), scans stay
+    O(surviving files), and the manifest's stats union means one planning
+    pass handles arbitrarily many historical specs."""
+    t = _specevo_table(spark, sf_dir)
+    pruned = t.scan(
+        [
+            Pred("o_orderdate", ">=", datetime.datetime(1997, 1, 1)),
+            Pred("o_custkey", "<=", _EVO_CUSTKEY_MAX),
+        ]
+    )
+    return (
+        pruned.groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            dsum("o_totalprice", "sum_price"),
+        )
+        .orderBy("o_orderpriority")
+    )

@@ -92,7 +92,11 @@ def _may_match(pred: Pred, mn, mx) -> bool:
 
 def prune_files(sidecar: dict, predicates: list[Pred]) -> tuple[list[str], dict]:
     """Surviving file URIs + metrics.  Predicates on columns without stats
-    never prune (conservative)."""
+    never prune (conservative) — both when the whole sidecar lacks the
+    column and PER FILE, because after partition-spec evolution a manifest
+    mixes files written under different specs: pre-evolution files carry no
+    stats for the new clustering column and must always survive it
+    (Iceberg's partition-evolution planning rule)."""
     stat_cols = set(sidecar.get("columns", []))
     survivors: list[str] = []
     total_bytes = 0
@@ -103,8 +107,8 @@ def prune_files(sidecar: dict, predicates: list[Pred]) -> tuple[list[str], dict]
         keep = True
         for p in predicates:
             if p.col in stat_cols:
-                cs = info["cols"][p.col]
-                if not _may_match(p, cs["min"], cs["max"]):
+                cs = info["cols"].get(p.col)
+                if cs is not None and not _may_match(p, cs["min"], cs["max"]):
                     keep = False
                     break
             # Bloom probe for equality/IN: prunes hash-distributed keys

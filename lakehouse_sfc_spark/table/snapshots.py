@@ -183,9 +183,23 @@ class SnapshotTable:
         """Commit metadata inherited across versions (constraints survive
         every commit unless explicitly replaced)."""
         out = dict(extra or {})
-        if parent.get("constraints") and "constraints" not in out:
-            out["constraints"] = parent["constraints"]
+        for key in ("constraints", "spec", "spec_history"):
+            if parent.get(key) and key not in out:
+                out[key] = parent[key]
         return out
+
+    @staticmethod
+    def _spec_kwargs(parent: dict) -> dict:
+        """Layout kwargs for staging a write under the table's CURRENT
+        partition spec (set by ``evolve_spec``; empty before any
+        evolution, which keeps the historical default layout)."""
+        spec = parent.get("spec") or {}
+        if not spec:
+            return {}
+        return {
+            "layout": spec.get("layout", "baseline"),
+            "layout_cols": spec.get("layout_cols"),
+        }
 
     def _enforce_constraints(self, parent: dict, incoming: DataFrame) -> None:
         cons = parent.get("constraints", {})
@@ -259,10 +273,50 @@ class SnapshotTable:
         parent = self.manifest()
         self._enforce_constraints(parent, df)
         v = parent["version"] + 1
-        new = self._stage(df, v, parent["stats_cols"], num_files=num_files)
+        new = self._stage(
+            df, v, parent["stats_cols"], num_files=num_files,
+            **self._spec_kwargs(parent),
+        )
         return self._publish(
             v, "APPEND", {**parent["files"], **new}, df.schema,
             parent["stats_cols"], extra=self._carry(parent),
+        )
+
+    def evolve_spec(
+        self,
+        layout: str,
+        layout_cols: list[str] | None,
+        stats_cols: list[str],
+    ) -> dict:
+        """Partition-spec evolution (Iceberg ``ALTER TABLE ... ADD PARTITION
+        FIELD`` / ``REPLACE PARTITION FIELD`` parity; reference engines
+        delegate this to Iceberg's spec-id machinery, here it is native):
+        a METADATA-ONLY commit that changes how FUTURE writes (append/
+        upsert/delete rewrites) are clustered and which per-file stats they
+        publish.  Existing files are untouched and stay time-travelable;
+        because they carry no stats for the new clustering columns they
+        simply never prune on those columns (the conservative per-file rule
+        in ``pruning.prune_files``) — exactly Iceberg's split-planning
+        behavior for data written under an older spec.  The manifest's
+        ``stats_cols`` becomes the union of every spec's stats so scans can
+        prune each file under the spec it was written with; ``spec_history``
+        records every evolution for audit."""
+        parent = self.manifest()
+        v = parent["version"] + 1
+        spec = {"layout": layout, "layout_cols": layout_cols}
+        new_stats = list(dict.fromkeys([*parent["stats_cols"], *stats_cols]))
+        history = list(parent.get("spec_history") or []) + [
+            {"version": v, **spec, "stats_cols": new_stats}
+        ]
+        return self._publish(
+            v,
+            "EVOLVE-SPEC",
+            parent["files"],
+            StructType.fromJson(parent["schema"]),
+            new_stats,
+            extra=self._carry(
+                parent, {"spec": spec, "spec_history": history}
+            ),
         )
 
     def optimize(
@@ -360,7 +414,10 @@ class SnapshotTable:
         else:
             merged_in = batch
         merged = dedup_latest(merged_in, record_keys, precombine)
-        new = self._stage(merged, v, parent["stats_cols"], num_files=num_files)
+        new = self._stage(
+            merged, v, parent["stats_cols"], num_files=num_files,
+            **self._spec_kwargs(parent),
+        )
         return self._publish(
             v,
             "UPSERT",
@@ -503,7 +560,10 @@ class SnapshotTable:
                 .parquet(*affected)
                 .filter(~preds_to_column(preds))
             )
-            new = self._stage(kept, v, parent["stats_cols"], num_files=num_files)
+            new = self._stage(
+                kept, v, parent["stats_cols"], num_files=num_files,
+                **self._spec_kwargs(parent),
+            )
         schema = StructType.fromJson(parent["schema"])
         return self._publish(
             v,

@@ -603,3 +603,69 @@ def test_shallow_clone_diverges_without_copying(spark, tmp_path):
     # the DOCUMENTED caveat is vacuuming past the cloned version
     src.vacuum(retain_last=1)
     assert clone.read().count() == 105
+
+
+def test_evolve_spec_is_metadata_only_and_reclusters_future_writes(
+    table, orders, spark
+):
+    import datetime
+
+    files_before = set(table.manifest()["files"])
+    m = table.evolve_spec(
+        layout="linear", layout_cols=["o_custkey"], stats_cols=["o_custkey"]
+    )
+    # metadata-only: same files, widened stats union, spec recorded
+    assert set(m["files"]) == files_before
+    assert m["operation"] == "EVOLVE-SPEC"
+    assert m["stats_cols"] == ["o_orderkey", "o_custkey"]
+    assert m["spec"] == {"layout": "linear", "layout_cols": ["o_custkey"]}
+    assert m["spec_history"][-1]["version"] == m["version"]
+
+    # a post-evolution append is clustered on o_custkey: its files carry
+    # custkey stats and are disjoint in custkey ranges (linear layout)
+    extra = orders.withColumn(
+        "o_orderkey", F.col("o_orderkey") + 50_000_000
+    )
+    m2 = table.append(extra, num_files=4)
+    new_files = {
+        u: s for u, s in m2["files"].items() if u not in files_before
+    }
+    assert len(new_files) == 4
+    assert all("o_custkey" in s["cols"] for s in new_files.values())
+    ranges = sorted(
+        (s["cols"]["o_custkey"]["min"], s["cols"]["o_custkey"]["max"])
+        for s in new_files.values()
+    )
+    for (_, hi), (lo, _) in zip(ranges, ranges[1:]):
+        assert hi <= lo  # disjoint custkey clustering
+    # spec carries across commits
+    assert m2["spec"] == m["spec"]
+
+
+def test_evolve_spec_scan_prunes_per_file_spec(table, orders):
+    """Old files (no custkey stats) must always survive a custkey
+    predicate; new files must prune by it — and the scan result must
+    still equal the exact filtered read."""
+    from lakehouse_sfc_spark.table.pruning import prune_files
+
+    files_before = set(table.manifest()["files"])
+    table.evolve_spec(
+        layout="linear", layout_cols=["o_custkey"], stats_cols=["o_custkey"]
+    )
+    extra = orders.withColumn(
+        "o_orderkey", F.col("o_orderkey") + 50_000_000
+    )
+    m2 = table.append(extra, num_files=4)
+
+    lo = orders.agg(F.min("o_custkey")).collect()[0][0]
+    pred = Pred("o_custkey", "<=", lo)  # matches only the lowest-key file
+    pseudo = {"columns": m2["stats_cols"], "files": m2["files"]}
+    keep, metrics = prune_files(pseudo, [pred])
+    kept_old = [u for u in keep if u in files_before]
+    kept_new = [u for u in keep if u not in files_before]
+    assert set(kept_old) == files_before  # conservative: no custkey stats
+    assert len(kept_new) < 4  # new files actually pruned
+
+    got = table.scan([pred]).count()
+    want = table.read().filter(F.col("o_custkey") <= lo).count()
+    assert got == want

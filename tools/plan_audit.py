@@ -92,6 +92,7 @@ AUDITED_EXTRA = [
     "sample_balanced_classes",
     "multimodal_qoi_real",
     "text_bpe_pair_merge",
+    "snap_partition_evolution",
 ]
 
 #: intended-plan annotations for rows that would otherwise read as
