@@ -93,6 +93,7 @@ AUDITED_EXTRA = [
     "multimodal_qoi_real",
     "text_bpe_pair_merge",
     "snap_partition_evolution",
+    "j_interval_overlap",
 ]
 
 #: intended-plan annotations for rows that would otherwise read as
