@@ -706,3 +706,110 @@ def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("community")
     )
+
+
+# --- multi-source BFS frontier expansion --------------------------------------
+
+_BFS_ROUNDS = 3
+_BFS_SEED_MOD = 97
+
+
+def _sql_bfs_round(k: int) -> str:
+    """One unrolled BFS round: neighbors of the current frontier minus
+    everything already reached."""
+    return f"""
+    n{k} AS MATERIALIZED (
+        SELECT DISTINCT e.d AS v FROM und e JOIN f{k - 1} f ON f.v = e.s
+    ),
+    f{k} AS MATERIALIZED (SELECT v FROM n{k} EXCEPT SELECT v FROM r{k - 1}),
+    r{k} AS MATERIALIZED (SELECT v FROM r{k - 1} UNION SELECT v FROM f{k})"""
+
+
+@register(
+    "graph_bfs_frontier",
+    oracle=f"""
+    WITH edges AS ({_SQL_EDGES}),
+    und AS MATERIALIZED (
+        SELECT p1 AS s, p2 AS d FROM edges
+        UNION ALL SELECT p2 AS s, p1 AS d FROM edges),
+    f0 AS MATERIALIZED (
+        SELECT DISTINCT s AS v FROM und WHERE s % {_BFS_SEED_MOD} = 0),
+    r0 AS MATERIALIZED (SELECT v FROM f0),
+    {",".join(_sql_bfs_round(k) for k in range(1, _BFS_ROUNDS + 1))}
+    SELECT * FROM (
+        {" UNION ALL ".join(
+            f'''SELECT {k} AS round,
+                   (SELECT COUNT(*) FROM f{k}) AS frontier_size,
+                   (SELECT COUNT(*) FROM r{k}) AS n_reached,
+                   (SELECT CAST(COALESCE(SUM(v), 0) AS BIGINT) FROM f{k})
+                       AS frontier_checksum'''
+            for k in range(1, _BFS_ROUNDS + 1)
+        )}
+    ) ORDER BY round
+    """,
+)
+def graph_bfs_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-source BFS, {_BFS_ROUNDS} synchronous rounds: seeds are every
+    vertex whose id ≡ 0 mod {_BFS_SEED_MOD} (a deterministic seed set that
+    needs no global aggregate, so the plan has no scalar broadcast);
+    each round expands the CURRENT frontier to its unvisited neighbors.
+    Output is the per-round expansion curve — frontier size, cumulative
+    reach, and a frontier membership checksum pinning WHICH vertices are
+    at distance k, not just how many (distance-k ring = frontier_k,
+    exactly BFS level sets).
+
+    Scale shape (the Pregel pattern on plain DataFrames): per round ONE
+    semi-join of the stationary |E|-sized edge list against the frontier
+    (broadcast here — frontiers are ≤|V|; at 100 TB the same join
+    shuffles on the vertex key both sides and the edge relation's
+    partitioning is reused every round), one distinct, and one anti-join
+    against the reached set.  Work per round is proportional to the
+    frontier's incident edges — the textbook level-synchronous BFS cost —
+    and the unrolled lineage is cut per round (localCheckpoint, lazy)."""
+    e = _edges(spark, sf_dir)
+    und = (
+        e.select(F.col("p1").alias("s"), F.col("p2").alias("d"))
+        .unionAll(e.select(F.col("p2").alias("s"), F.col("p1").alias("d")))
+        .localCheckpoint(eager=False)
+    )
+    frontier = (
+        und.filter(F.col("s") % _BFS_SEED_MOD == 0)
+        .select(F.col("s").alias("v"))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    reached = frontier
+    rows = []
+    for k in range(1, _BFS_ROUNDS + 1):
+        nbrs = (
+            und.join(
+                F.broadcast(frontier.select(F.col("v").alias("s"))),
+                "s",
+                "left_semi",
+            )
+            .select(F.col("d").alias("v"))
+            .distinct()
+        )
+        frontier = nbrs.join(reached, "v", "left_anti").localCheckpoint(
+            eager=False
+        )
+        reached = (
+            reached.unionAll(frontier).localCheckpoint(eager=False)
+        )
+        stats = frontier.agg(
+            F.lit(k).alias("round"),
+            F.count(F.lit(1)).alias("frontier_size"),
+            F.coalesce(F.sum("v"), F.lit(0)).cast("bigint").alias(
+                "frontier_checksum"
+            ),
+        )
+        n_reached = reached.agg(F.count(F.lit(1)).alias("n_reached"))
+        rows.append(
+            stats.crossJoin(n_reached).select(
+                "round", "frontier_size", "n_reached", "frontier_checksum"
+            )
+        )
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionAll(r)
+    return out.orderBy("round")

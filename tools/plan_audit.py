@@ -94,6 +94,7 @@ AUDITED_EXTRA = [
     "text_bpe_pair_merge",
     "snap_partition_evolution",
     "j_interval_overlap",
+    "graph_bfs_frontier",
 ]
 
 #: intended-plan annotations for rows that would otherwise read as
@@ -102,6 +103,11 @@ ANNOTATIONS = {
     "graph_kcore": (
         "the BroadcastNestedLoopJoin×3 are the intended per-round 1-row "
         "stats×edge-count crossJoins (condition-less, 1 row each side, "
+        "bounded) — never relation×relation"
+    ),
+    "graph_bfs_frontier": (
+        "the BroadcastNestedLoopJoin×3 are the intended per-round 1-row "
+        "stats×reached-count crossJoins (condition-less, 1 row each side, "
         "bounded) — never relation×relation"
     ),
     "ann_ivf_partitioned_topk": (
