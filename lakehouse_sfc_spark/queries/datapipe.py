@@ -4199,3 +4199,84 @@ def sample_group_holdout(spark: SparkSession, sf_dir: str) -> DataFrame:
         )))
         .orderBy("split")
     )
+
+
+# --- deterministic random projection (Johnson-Lindenstrauss sketch) ----------
+
+_RP_DIMS = 16
+_RP_TICK = 1_000_000
+
+
+@register(
+    "emb_random_projection",
+    oracle=f"""
+    WITH c AS ({_SQL_EMB_CTE}),
+    t AS MATERIALIZED (
+        SELECT vec_id, i.i AS i,
+               CAST(FLOOR(emb[i.i + 1] * {_RP_TICK}) AS BIGINT) AS t
+        FROM c, LATERAL (SELECT unnest(range(0, len(emb))) AS i) i),
+    y AS MATERIALIZED (
+        SELECT vec_id, j.j AS j,
+               CAST(SUM(CASE WHEN ('0x' || substr(
+                            md5(i || ':' || j.j || ':rp'), 1, 8))::BIGINT
+                            % 2 = 0
+                        THEN t ELSE -t END) AS BIGINT) AS y
+        FROM t, LATERAL (SELECT unnest(range(0, {_RP_DIMS})) AS j) j
+        GROUP BY 1, 2)
+    SELECT j, COUNT(*) AS n_vectors,
+           CAST(SUM(y) AS BIGINT) AS sum_y,
+           CAST(SUM(y * y) AS BIGINT) AS sum_y2
+    FROM y GROUP BY j ORDER BY j
+    """,
+)
+def emb_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic Johnson-Lindenstrauss sign projection (Achlioptas'
+    database-friendly ±1 variant): project every 64-dim embedding to
+    {_RP_DIMS} dims with a HASH-DERIVED sign matrix s(i,j) = ±1 from the
+    shared 32-bit md5 hash of (i, j) — no stored projection matrix, no
+    RNG state, any worker regenerates any sign on demand (exactly how
+    JL sketches ship at scale).  Output is the per-projected-dim moment
+    summary (count, Σy, Σy²) — the energy diagnostic JL guarantees are
+    stated over.
+
+    Exactness: inputs are FLOOR-quantized to integer ticks (×{_RP_TICK})
+    before any summation, so y_j = Σ ±t_i is exact BIGINT in both engines
+    regardless of order; Σy² here stays < 2^62 (|t| ≤ 6e5 · 64 dims ·
+    2e3 vectors), at larger corpora the moment ladder rides DECIMAL(38,0).
+
+    Scale shape: one posexplode of the tick array (|rows| = n·64), a
+    {_RP_DIMS}-way dim fan-out, and two hash aggregations — all JVM
+    expressions (md5/conv/sum), no Python, no shuffle beyond the two
+    groupBys, embarrassingly parallel in n."""
+    c = _emb(spark, sf_dir)
+    t = c.select(
+        "vec_id",
+        F.posexplode(
+            F.expr(
+                f"transform(emb, x -> cast(floor(x * {_RP_TICK}) as bigint))"
+            )
+        ).alias("i", "t"),
+    )
+    tj = t.withColumn("j", F.explode(F.expr(f"sequence(0, {_RP_DIMS - 1})")))
+    sign = F.when(
+        _h32(
+            F.concat_ws(
+                ":", F.col("i"), F.col("j"), F.lit("rp")
+            )
+        )
+        % 2
+        == 0,
+        F.lit(1),
+    ).otherwise(F.lit(-1))
+    y = tj.groupBy("vec_id", "j").agg(
+        F.sum(sign * F.col("t")).cast("bigint").alias("y")
+    )
+    return (
+        y.groupBy("j")
+        .agg(
+            F.count(F.lit(1)).alias("n_vectors"),
+            F.sum("y").cast("bigint").alias("sum_y"),
+            F.sum(F.col("y") * F.col("y")).cast("bigint").alias("sum_y2"),
+        )
+        .orderBy("j")
+    )

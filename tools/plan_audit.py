@@ -95,6 +95,7 @@ AUDITED_EXTRA = [
     "snap_partition_evolution",
     "j_interval_overlap",
     "graph_bfs_frontier",
+    "emb_random_projection",
 ]
 
 #: intended-plan annotations for rows that would otherwise read as
