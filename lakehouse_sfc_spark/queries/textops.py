@@ -2162,3 +2162,99 @@ def text_bpe_pair_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     top = counted.orderBy(F.desc("cnt"), "pair").limit(20)
     w_rank = Window.orderBy(F.desc("cnt"), "pair")
     return top.withColumn("rk", F.row_number().over(w_rank)).orderBy("rk")
+
+
+# --- Heaps'-law vocabulary growth curve --------------------------------------
+
+_VG_CHECKPOINTS = 10
+
+
+@register(
+    "text_vocab_growth",
+    oracle=f"""
+    WITH d AS (SELECT doc_id, text FROM documents
+               WHERE doc_id IS NOT NULL AND text IS NOT NULL),
+    occ AS MATERIALIZED (
+        SELECT doc_id, unnest({_SQL_TOKENS}) AS w FROM d),
+    fst AS (SELECT w, MIN(doc_id) AS fd FROM occ GROUP BY w),
+    nv AS (SELECT fd AS doc_id, COUNT(*) AS nv FROM fst GROUP BY fd),
+    nt AS (SELECT doc_id, COUNT(*) AS nt FROM occ GROUP BY doc_id),
+    bk AS (SELECT doc_id, NTILE({_VG_CHECKPOINTS}) OVER (ORDER BY doc_id)
+               AS cp
+           FROM (SELECT DISTINCT doc_id FROM d)),
+    per AS (SELECT bk.cp, COUNT(*) AS n_docs,
+                   MAX(bk.doc_id) AS boundary_id,
+                   CAST(SUM(nt.nt) AS BIGINT) AS toks,
+                   CAST(SUM(COALESCE(nv.nv, 0)) AS BIGINT) AS voc
+            FROM bk JOIN nt ON nt.doc_id = bk.doc_id
+            LEFT JOIN nv ON nv.doc_id = bk.doc_id
+            GROUP BY bk.cp)
+    SELECT cp AS checkpoint,
+           boundary_id,
+           CAST(SUM(n_docs) OVER w AS BIGINT) AS cum_docs,
+           CAST(SUM(toks) OVER w AS BIGINT) AS cum_tokens,
+           CAST(SUM(voc) OVER w AS BIGINT) AS cum_vocab
+    FROM per
+    WINDOW w AS (ORDER BY cp ROWS BETWEEN UNBOUNDED PRECEDING
+                 AND CURRENT ROW)
+    ORDER BY checkpoint
+    """,
+)
+def text_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heaps'-law vocabulary growth: cumulative distinct-token count vs
+    cumulative token count at {_VG_CHECKPOINTS} ingestion checkpoints
+    (doc_id = ingestion order).  The curve V(n) ~ K·n^β is the standard
+    corpus-health screen — a flattening curve means the crawl is
+    re-reading itself (duplicate mass), a super-Heaps curve means noisy
+    tokenization.  Vocabulary is attributed by FIRST occurrence (one hash
+    agg on the token key — the same inverted-index shuffle as
+    text_ngram_novelty), so cumulative vocab at checkpoint k is a plain
+    SUM over buckets ≤ k — exact integers end to end, no distinct-count
+    re-scan per checkpoint (the naive form re-counts the whole prefix
+    {_VG_CHECKPOINTS} times).
+
+    Scale note: checkpoint assignment uses NTILE over the DISTINCT doc-id
+    relation — a global sort, single-reducer on the id list.  At 100 TB
+    the same curve uses precomputed boundary quantiles (approx_percentile
+    on doc_id, then a width_bucket join) so assignment is map-only; the
+    first-occurrence aggregation — the data-sized stage — is unchanged."""
+    d = load_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id").isNotNull() & F.col("text").isNotNull()
+    )
+    occ = d.select("doc_id", F.explode(_tokens(F.col("text"))).alias("w"))
+    fst = occ.groupBy("w").agg(F.min("doc_id").alias("fd"))
+    nv = fst.groupBy(F.col("fd").alias("doc_id")).agg(
+        F.count(F.lit(1)).alias("nv")
+    )
+    nt = occ.groupBy("doc_id").agg(F.count(F.lit(1)).alias("nt"))
+    bk = (
+        d.select("doc_id")
+        .distinct()
+        .withColumn(
+            "cp",
+            F.ntile(_VG_CHECKPOINTS).over(Window.orderBy("doc_id")),
+        )
+    )
+    per = (
+        bk.join(nt, "doc_id")
+        .join(nv, "doc_id", "left")
+        .groupBy("cp")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.max("doc_id").alias("boundary_id"),
+            F.sum("nt").cast("bigint").alias("toks"),
+            F.sum(F.coalesce(F.col("nv"), F.lit(0)))
+            .cast("bigint")
+            .alias("voc"),
+        )
+    )
+    wc = Window.orderBy("cp").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return per.select(
+        F.col("cp").alias("checkpoint"),
+        "boundary_id",
+        F.sum("n_docs").over(wc).cast("bigint").alias("cum_docs"),
+        F.sum("toks").over(wc).cast("bigint").alias("cum_tokens"),
+        F.sum("voc").over(wc).cast("bigint").alias("cum_vocab"),
+    ).orderBy("checkpoint")

@@ -96,6 +96,7 @@ AUDITED_EXTRA = [
     "j_interval_overlap",
     "graph_bfs_frontier",
     "emb_random_projection",
+    "text_vocab_growth",
 ]
 
 #: intended-plan annotations for rows that would otherwise read as
