@@ -918,3 +918,130 @@ def snap_partition_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderpriority")
     )
+
+
+# --- row lineage --------------------------------------------------------------
+
+
+def _lineage_table(spark: SparkSession, sf_dir: str) -> SnapshotTable:
+    """v0 CREATE with row lineage on o_orderkey; v1 UPSERT (+1000 updates
+    on %7 keys, inserts %97 shifted +100M); v2 UPSERT (+5000 updates on
+    %13 keys — strictly beats any prior value so latest-wins is
+    key-arithmetic-predictable, inserts %89 shifted +200M)."""
+    root = _fingerprinted_dir(_scratch_root(), sf_dir, ("orders",))
+    path = os.path.join(root, "orders_lineage")
+    if os.path.exists(_manifest_path(path, 2)):
+        return SnapshotTable(spark, path)
+
+    import shutil
+
+    shutil.rmtree(path, ignore_errors=True)
+    orders = load_table(spark, sf_dir, "orders").select(*_COLS)
+    t = SnapshotTable.create(
+        orders,
+        path,
+        stats_cols=["o_orderkey"],
+        layout="linear",
+        layout_cols=["o_orderkey"],
+        num_files=8,
+        lineage_keys=["o_orderkey"],
+    )
+    up1 = (
+        orders.filter(F.col("o_orderkey") % 7 == 0)
+        .withColumn("o_totalprice", F.col("o_totalprice") + 1000.0)
+        .unionByName(
+            orders.filter(F.col("o_orderkey") % 97 == 0).withColumn(
+                "o_orderkey", F.col("o_orderkey") + 100_000_000
+            )
+        )
+    )
+    t.upsert(up1, ["o_orderkey"], "o_totalprice")
+    up2 = (
+        orders.filter(F.col("o_orderkey") % 13 == 0)
+        .withColumn("o_totalprice", F.col("o_totalprice") + 5000.0)
+        .unionByName(
+            orders.filter(F.col("o_orderkey") % 89 == 0).withColumn(
+                "o_orderkey", F.col("o_orderkey") + 200_000_000
+            )
+        )
+    )
+    t.upsert(up2, ["o_orderkey"], "o_totalprice")
+    return t
+
+
+@register(
+    "snap_row_lineage",
+    oracle=f"""
+    WITH base AS (
+        SELECT o_orderkey, o_totalprice,
+               ROW_NUMBER() OVER (ORDER BY o_orderkey) AS rid
+        FROM orders),
+    n0 AS (SELECT COUNT(*) AS n FROM base),
+    ins1 AS (
+        SELECT o_totalprice,
+               (SELECT n FROM n0)
+                 + ROW_NUMBER() OVER (ORDER BY o_orderkey) AS rid
+        FROM orders WHERE o_orderkey % 97 = 0),
+    n1 AS (SELECT COUNT(*) AS n FROM ins1),
+    ins2 AS (
+        SELECT o_totalprice,
+               (SELECT n FROM n0) + (SELECT n FROM n1)
+                 + ROW_NUMBER() OVER (ORDER BY o_orderkey) AS rid
+        FROM orders WHERE o_orderkey % 89 = 0),
+    fin AS (
+        SELECT rid,
+               CASE WHEN o_orderkey % 13 = 0 THEN o_totalprice + 5000.0
+                    WHEN o_orderkey % 7 = 0 THEN o_totalprice + 1000.0
+                    ELSE o_totalprice END AS price,
+               CASE WHEN o_orderkey % 13 = 0 THEN 2
+                    WHEN o_orderkey % 7 = 0 THEN 1
+                    ELSE 0 END AS lu
+        FROM base
+        UNION ALL SELECT rid, o_totalprice, 1 FROM ins1
+        UNION ALL SELECT rid, o_totalprice, 2 FROM ins2)
+    SELECT lu AS last_updated_version,
+           COUNT(*) AS cnt,
+           CAST(SUM(rid) AS BIGINT) AS rid_checksum,
+           CAST(MIN(rid) AS BIGINT) AS min_rid,
+           CAST(MAX(rid) AS BIGINT) AS max_rid,
+           {sql_dsum("price", "sum_price")}
+    FROM fin GROUP BY lu ORDER BY lu
+    """,
+)
+def snap_row_lineage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row lineage end-to-end (Iceberg v3 row-lineage parity, natively):
+    every row carries a stable ``_row_id`` assigned at its first commit
+    and a ``_last_updated_version`` stamped by the commit that last
+    changed it.  Updates REWRITE the row but KEEP its id (an upsert is
+    the same logical row); inserts draw fresh ids from the table's
+    counter; copy-on-write file rewrites carry untouched rows' lineage
+    through unchanged.  The aggregate groups the final state by
+    last-updated commit and checksums the row-id population per group —
+    so the driver pins WHICH rows each commit touched, not just counts.
+
+    The oracle reconstructs ids arithmetically (base rows rank by key;
+    each batch's inserts continue the counter in key order) — possible
+    precisely because id assignment is deterministic, the property that
+    makes lineage auditable at all.
+
+    100-TB shape: lineage adds two BIGINT columns and ONE extra hash
+    join per upsert (winner ⋈ old-id map, both sides already key-
+    partitioned by the merge shuffle); id assignment for new rows is a
+    counter handout — Iceberg's manifest gives each data file a
+    contiguous id range, so at scale it is per-file arithmetic with no
+    global coordination (see SnapshotTable._with_new_row_ids)."""
+    t = _lineage_table(spark, sf_dir)
+    return (
+        t.read()
+        .groupBy(
+            F.col("_last_updated_version").alias("last_updated_version")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.sum("_row_id").cast("bigint").alias("rid_checksum"),
+            F.min("_row_id").cast("bigint").alias("min_rid"),
+            F.max("_row_id").cast("bigint").alias("max_rid"),
+            dsum("o_totalprice", "sum_price"),
+        )
+        .orderBy("last_updated_version")
+    )

@@ -46,7 +46,7 @@ import shutil
 import time
 from urllib.parse import urlparse
 
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql.types import StructType
 
@@ -183,10 +183,34 @@ class SnapshotTable:
         """Commit metadata inherited across versions (constraints survive
         every commit unless explicitly replaced)."""
         out = dict(extra or {})
-        for key in ("constraints", "spec", "spec_history"):
+        for key in ("constraints", "spec", "spec_history", "lineage"):
             if parent.get(key) and key not in out:
                 out[key] = parent[key]
         return out
+
+    # --------------------------------------------------------- row lineage
+
+    _LINEAGE_COLS = ("_row_id", "_last_updated_version")
+
+    @staticmethod
+    def _with_new_row_ids(df: DataFrame, lin: dict, version: int) -> DataFrame:
+        """Stamp brand-new rows with fresh lineage: ids continue from the
+        table's ``next_row_id`` counter, ordered by the lineage keys so the
+        assignment is deterministic and engine-independent.  (Iceberg v3
+        assigns from a metadata counter in file order; at 100-TB scale the
+        same counter hands each data file a contiguous id RANGE from the
+        manifest, so assignment is per-file arithmetic — no global sort.)"""
+        w = Window.orderBy(*lin["keys"])
+        return df.withColumn(
+            "_row_id",
+            (F.row_number().over(w) + F.lit(lin["next_row_id"] - 1)).cast(
+                "long"
+            ),
+        ).withColumn("_last_updated_version", F.lit(version))
+
+    def _lineage_next(self, merged: DataFrame, lin: dict) -> int:
+        top = merged.agg(F.max("_row_id")).collect()[0][0]
+        return max(lin["next_row_id"] - 1, int(top or 0)) + 1
 
     @staticmethod
     def _spec_kwargs(parent: dict) -> dict:
@@ -259,11 +283,27 @@ class SnapshotTable:
         layout: str = "baseline",
         layout_cols: list[str] | None = None,
         num_files: int | None = None,
+        lineage_keys: list[str] | None = None,
     ) -> "SnapshotTable":
+        """``lineage_keys`` enables ROW LINEAGE (Iceberg v3 row-lineage
+        parity): every row gets a stable ``_row_id`` (assigned once, kept
+        across upsert rewrites) and a ``_last_updated_version`` (the commit
+        that last changed it).  Keys must be unique and non-null; ids are
+        assigned in lineage-key order so the numbering is deterministic."""
         os.makedirs(path, exist_ok=True)
         t = cls(df.sparkSession, path)
+        extra = None
+        if lineage_keys:
+            lin = {"keys": lineage_keys, "next_row_id": 1}
+            df = cls._with_new_row_ids(df, lin, 0)
+            extra = {
+                "lineage": {
+                    "keys": lineage_keys,
+                    "next_row_id": t._lineage_next(df, lin),
+                }
+            }
         files = t._stage(df, 0, stats_cols, layout, layout_cols, num_files)
-        t._publish(0, "CREATE", files, df.schema, stats_cols)
+        t._publish(0, "CREATE", files, df.schema, stats_cols, extra=extra)
         return t
 
     def append(self, df: DataFrame, num_files: int | None = None) -> dict:
@@ -273,13 +313,20 @@ class SnapshotTable:
         parent = self.manifest()
         self._enforce_constraints(parent, df)
         v = parent["version"] + 1
+        extra = None
+        lin = parent.get("lineage")
+        if lin:
+            df = self._with_new_row_ids(df, lin, v)
+            extra = {
+                "lineage": {**lin, "next_row_id": self._lineage_next(df, lin)}
+            }
         new = self._stage(
             df, v, parent["stats_cols"], num_files=num_files,
             **self._spec_kwargs(parent),
         )
         return self._publish(
             v, "APPEND", {**parent["files"], **new}, df.schema,
-            parent["stats_cols"], extra=self._carry(parent),
+            parent["stats_cols"], extra=self._carry(parent, extra),
         )
 
     def evolve_spec(
@@ -406,14 +453,36 @@ class SnapshotTable:
             for f, info in parent["files"].items()
             if f not in set(affected)
         }
+        lin = parent.get("lineage")
+        existing = None
+        if lin:
+            # batch rows carry no ids yet; _src breaks precombine TIES in the
+            # batch's favor (Hudi latest-wins) WITHOUT letting the lineage
+            # columns themselves perturb the winner choice
+            batch = (
+                batch.withColumn("_row_id", F.lit(None).cast("long"))
+                .withColumn("_last_updated_version", F.lit(v))
+                .withColumn("_src", F.lit(1))
+            )
         if affected:
             existing = self.spark.read.option("mergeSchema", "true").parquet(
                 *affected
             )
+            if lin:
+                existing = existing.withColumn("_src", F.lit(0))
             merged_in = existing.unionByName(batch, allowMissingColumns=True)
         else:
             merged_in = batch
-        merged = dedup_latest(merged_in, record_keys, precombine)
+        extra: dict = {"files_rewritten": len(affected)}
+        if lin:
+            merged = self._lineage_merge(
+                merged_in, existing, record_keys, precombine, lin
+            )
+            extra["lineage"] = {
+                **lin, "next_row_id": self._lineage_next(merged, lin),
+            }
+        else:
+            merged = dedup_latest(merged_in, record_keys, precombine)
         new = self._stage(
             merged, v, parent["stats_cols"], num_files=num_files,
             **self._spec_kwargs(parent),
@@ -424,7 +493,59 @@ class SnapshotTable:
             {**untouched, **new},
             merged.schema,
             parent["stats_cols"],
-            extra=self._carry(parent, {"files_rewritten": len(affected)}),
+            extra=self._carry(parent, extra),
+        )
+
+    def _lineage_merge(
+        self,
+        merged_in: DataFrame,
+        existing: DataFrame | None,
+        record_keys: list[str],
+        precombine: str,
+        lin: dict,
+    ) -> DataFrame:
+        """Latest-wins dedup that PRESERVES row identity: the winner per
+        key keeps the key's existing ``_row_id`` (updates are the same row,
+        Iceberg v3 row-lineage rule); brand-new keys draw fresh ids from
+        the counter.  ``_last_updated_version`` rides the winning row — an
+        untouched existing row keeps its old value, a winning batch row
+        carries the new commit version."""
+        skip = set(self._LINEAGE_COLS) | {precombine, "_src"}
+        order = [F.desc(precombine), F.desc("_src")] + [
+            F.desc(c) for c in merged_in.columns if c not in skip
+        ]
+        w = Window.partitionBy(*record_keys).orderBy(*order)
+        winner = (
+            merged_in.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .drop("__rn", "_src")
+        )
+        if existing is not None:
+            oldids = existing.select(
+                *record_keys, F.col("_row_id").alias("__old_rid")
+            )
+            winner = (
+                winner.join(oldids, record_keys, "left")
+                .withColumn(
+                    "_row_id", F.coalesce("_row_id", "__old_rid")
+                )
+                .drop("__old_rid")
+            )
+        wn = Window.partitionBy(F.col("_row_id").isNull()).orderBy(
+            *lin["keys"]
+        )
+        return (
+            winner.withColumn("__nrn", F.row_number().over(wn))
+            .withColumn(
+                "_row_id",
+                F.coalesce(
+                    F.col("_row_id"),
+                    (F.col("__nrn") + F.lit(lin["next_row_id"] - 1)).cast(
+                        "long"
+                    ),
+                ),
+            )
+            .drop("__nrn")
         )
 
     def merge_into(
@@ -446,8 +567,17 @@ class SnapshotTable:
         stats overlap the source's key bounds are rewritten, prior versions
         keep referencing the replaced files (time travel).  The matched/
         unmatched split is two hash joins against the source's key set — at
-        scale the source is the small side and broadcasts."""
+        scale the source is the small side and broadcasts.
+
+        Not yet lineage-aware: refuses on a row-lineage table rather than
+        silently minting NULL ``_row_id`` rows (upsert/append/delete all
+        preserve lineage; extend with ``_lineage_merge`` if needed)."""
         parent = self.manifest()
+        if parent.get("lineage"):
+            raise NotImplementedError(
+                "merge_into on a row-lineage table: use upsert (lineage-"
+                "aware) or extend merge_into with _lineage_merge"
+            )
         v = parent["version"] + 1
         bounds = source.agg(
             *[F.min(k).alias(f"lo_{k}") for k in record_keys],

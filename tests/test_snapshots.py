@@ -669,3 +669,92 @@ def test_evolve_spec_scan_prunes_per_file_spec(table, orders):
     got = table.scan([pred]).count()
     want = table.read().filter(F.col("o_custkey") <= lo).count()
     assert got == want
+
+
+def test_row_lineage_ids_stable_across_updates(spark, orders, tmp_path):
+    t = SnapshotTable.create(
+        orders,
+        str(tmp_path / "lin"),
+        stats_cols=["o_orderkey"],
+        layout="linear",
+        layout_cols=["o_orderkey"],
+        num_files=4,
+        lineage_keys=["o_orderkey"],
+    )
+    n0 = orders.count()
+    m0 = t.manifest()
+    assert m0["lineage"] == {"keys": ["o_orderkey"], "next_row_id": n0 + 1}
+    v0 = t.read(0)
+    # ids are 1..n in key order, all stamped by commit 0
+    assert v0.agg(F.min("_row_id"), F.max("_row_id")).collect()[0] == (1, n0)
+    assert v0.select("_last_updated_version").distinct().collect() == [(0,)]
+    id_of = dict(
+        v0.filter(F.col("o_orderkey") <= 200)
+        .select("o_orderkey", "_row_id")
+        .collect()
+    )
+
+    updates = orders.filter(F.col("o_orderkey") <= 100).withColumn(
+        "o_totalprice", F.col("o_totalprice") + 5.0
+    )
+    inserts = orders.filter(F.col("o_orderkey") % 50 == 0).withColumn(
+        "o_orderkey", F.col("o_orderkey") + 10_000_000
+    )
+    n_ins = inserts.count()
+    m1 = t.upsert(updates.unionByName(inserts), ["o_orderkey"],
+                  "o_totalprice")
+    assert m1["lineage"]["next_row_id"] == n0 + n_ins + 1
+    v1 = t.read(1)
+    assert v1.count() == n0 + n_ins
+    # updated rows KEEP their ids and bump last_updated
+    upd = dict(
+        v1.filter(F.col("o_orderkey") <= 100)
+        .select("o_orderkey", "_row_id")
+        .collect()
+    )
+    for k, rid in upd.items():
+        assert id_of[k] == rid
+    lu = {
+        r["o_orderkey"]: r["_last_updated_version"]
+        for r in v1.filter(F.col("o_orderkey") <= 200).collect()
+    }
+    assert all(v == 1 for k, v in lu.items() if k <= 100)
+    assert all(v == 0 for k, v in lu.items() if k > 100)
+    # inserts draw fresh ids continuing the counter, in key order
+    fresh = (
+        v1.filter(F.col("o_orderkey") >= 10_000_000)  # key 0 exists -> 10M
+        .orderBy("o_orderkey")
+        .select("_row_id", "_last_updated_version")
+        .collect()
+    )
+    assert [r["_row_id"] for r in fresh] == list(
+        range(n0 + 1, n0 + n_ins + 1)
+    )
+    assert all(r["_last_updated_version"] == 1 for r in fresh)
+
+    # row ids are globally unique
+    assert v1.select("_row_id").distinct().count() == n0 + n_ins
+
+
+def test_row_lineage_append_and_merge_guard(spark, orders, tmp_path):
+    t = SnapshotTable.create(
+        orders.limit(50),
+        str(tmp_path / "lin2"),
+        stats_cols=["o_orderkey"],
+        lineage_keys=["o_orderkey"],
+    )
+    base_next = t.manifest()["lineage"]["next_row_id"]
+    extra = orders.filter(F.col("o_orderkey") % 11 == 0).withColumn(
+        "o_orderkey", F.col("o_orderkey") + 20_000_000
+    )
+    n_extra = extra.count()
+    m = t.append(extra)
+    assert m["lineage"]["next_row_id"] == base_next + n_extra
+    appended = t.read().filter(F.col("o_orderkey") >= 20_000_000)
+    assert appended.agg(F.min("_row_id")).collect()[0][0] == base_next
+    assert (
+        appended.select("_last_updated_version").distinct().collect()
+        == [(1,)]
+    )
+    with pytest.raises(NotImplementedError):
+        t.merge_into(extra, ["o_orderkey"])

@@ -97,6 +97,7 @@ AUDITED_EXTRA = [
     "graph_bfs_frontier",
     "emb_random_projection",
     "text_vocab_growth",
+    "snap_row_lineage",
 ]
 
 #: intended-plan annotations for rows that would otherwise read as
