@@ -969,3 +969,80 @@ def avi_frames_stats_batches(
                 "fidelity_ok": pd.Series(rows["fidelity_ok"], dtype="bool"),
             }
         )
+
+
+# --- real FLAC audio --------------------------------------------------------
+
+FLAC_REAL_SCHEMA = (
+    "doc_id bigint, sample_rate int, n_samples bigint, n_channels int, "
+    "n_frames bigint, duration_s double, sum_samples bigint"
+)
+
+
+def _synth_samples_ch2(doc_id: int, n: int) -> "np.ndarray":
+    """Second deterministic channel: s_i = (11*doc_id + 17*i) % 4001 - 2000."""
+    i = np.arange(n, dtype=np.int64)
+    return ((11 * doc_id + 17 * i) % 4001 - 2000).astype("<i2")
+
+
+def synth_flac_batches(
+    batches: Iterable[pd.DataFrame],
+) -> Iterator[pd.DataFrame]:
+    """(doc_id, n_samples, n_channels) → (doc_id, payload) with the payload
+    a REAL FLAC encoding (fixed predictors + Rice residuals) of the
+    deterministic waveform(s)."""
+    from lakehouse_sfc_spark.operators.flac import encode_flac
+
+    for pdf in batches:
+        payloads = []
+        for d, n, ch in zip(
+            pdf["doc_id"], pdf["n_samples"], pdf["n_channels"]
+        ):
+            d, n = int(d), int(n)
+            a = _synth_samples(d, n).astype(np.int16)
+            if int(ch) == 2:
+                a = np.stack(
+                    [a, _synth_samples_ch2(d, n).astype(np.int16)], axis=1
+                )
+            payloads.append(encode_flac(a, _SYNTH_RATE))
+        yield pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"].astype("int64"),
+                "payload": pd.Series(payloads, dtype="object"),
+            }
+        )
+
+
+def flac_real_stats_batches(
+    batches: Iterable[pd.DataFrame],
+) -> Iterator[pd.DataFrame]:
+    """Decode REAL FLAC payloads (CRC-8/CRC-16/MD5 all verified inside
+    ``decode_flac``) and emit closed-form-checkable stats including the
+    exact integer sample sum over every channel."""
+    from lakehouse_sfc_spark.operators.flac import decode_flac
+
+    for pdf in batches:
+        rates, counts, chans, frames, sums = [], [], [], [], []
+        for p in pdf["payload"]:
+            rate, samples = decode_flac(bytes(p))
+            n = int(samples.shape[0])
+            ch = 1 if samples.ndim == 1 else int(samples.shape[1])
+            rates.append(rate)
+            counts.append(n)
+            chans.append(ch)
+            frames.append((n + 4095) // 4096)
+            sums.append(int(samples.astype(np.int64).sum()))
+        yield pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"].astype("int64"),
+                "sample_rate": pd.Series(rates, dtype="int32"),
+                "n_samples": pd.Series(counts, dtype="int64"),
+                "n_channels": pd.Series(chans, dtype="int32"),
+                "n_frames": pd.Series(frames, dtype="int64"),
+                "duration_s": pd.Series(
+                    [c / float(_SYNTH_RATE) for c in counts],
+                    dtype="float64",
+                ),
+                "sum_samples": pd.Series(sums, dtype="int64"),
+            }
+        )

@@ -21,6 +21,7 @@ from pyspark.sql import functions as F
 from lakehouse_sfc_spark.operators.multimodal import (
     AUDIO_REAL_SCHEMA,
     AUDIO_SCHEMA,
+    FLAC_REAL_SCHEMA,
     DECODED_SCHEMA,
     DECODED_STATS_SCHEMA,
     RESIZED_SCHEMA,
@@ -30,6 +31,8 @@ from lakehouse_sfc_spark.operators.multimodal import (
     decode_real_stats_batches,
     resize_stub_batches,
     synth_audio_batches,
+    synth_flac_batches,
+    flac_real_stats_batches,
     synth_gif_batches,
     synth_image_batches,
     synth_png_batches,
@@ -2258,3 +2261,63 @@ def text_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("toks").over(wc).cast("bigint").alias("cum_tokens"),
         F.sum("voc").over(wc).cast("bigint").alias("cum_vocab"),
     ).orderBy("checkpoint")
+
+
+@register(
+    "multimodal_flac_real",
+    oracle="""
+    WITH p AS (
+      SELECT doc_id,
+             (CASE WHEN doc_id % 165 = 0 THEN 5000
+                   ELSE 400 + doc_id % 257 END)::BIGINT AS n,
+             (CASE WHEN doc_id % 22 = 0 THEN 2 ELSE 1 END)::INTEGER AS ch
+      FROM documents WHERE doc_id % 11 = 0
+    ),
+    g AS (
+      SELECT p.doc_id, p.n, p.ch, i.r AS i
+      FROM p, LATERAL (SELECT unnest(range(0, p.n)) AS r) i
+    )
+    SELECT doc_id,
+           16000::INTEGER AS sample_rate,
+           MIN(n)::BIGINT AS n_samples,
+           MIN(ch)::INTEGER AS n_channels,
+           CAST((MIN(n) + 4095) // 4096 AS BIGINT) AS n_frames,
+           MIN(n) / 16000.0 AS duration_s,
+           CAST(SUM((7*doc_id + 13*i) % 4001 - 2000
+                + CASE WHEN ch = 2
+                       THEN (11*doc_id + 17*i) % 4001 - 2000
+                       ELSE 0 END) AS BIGINT) AS sum_samples
+    FROM g GROUP BY doc_id
+    """,
+)
+def multimodal_flac_real(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL COMPRESSED audio codec end-to-end: deterministic int16
+    waveforms (mono and 2-channel) are encoded as genuine FLAC streams —
+    fixed predictors 0–4, Rice-coded residuals, UTF-8-coded frame
+    numbers, CRC-8/CRC-16, STREAMINFO MD5 (operators/flac.py, RFC 9639
+    subset) — then decoded back with every integrity check verified, and
+    the exact integer sample sum over all channels is pinned against the
+    closed form.  One doc in several spans two 4096-sample frames so the
+    multi-frame path is exercised; LPC / wasted bits / mid-side refuse
+    loudly by name.  Extends the 'compressed codecs need external libs'
+    refutation from PNG/JPEG/GIF/TIFF/WebP/QOI to audio.
+
+    Scale shape: pure map — synth → encode → decode → stats inside two
+    Arrow-batched mapInPandas kernels, no shuffle; codec CPU tracks the
+    selected-document count exactly like multimodal_gif_real."""
+    d = load_table(spark, sf_dir, "documents")
+    params = d.filter(F.col("doc_id") % 11 == 0).select(
+        "doc_id",
+        F.when(F.col("doc_id") % 165 == 0, F.lit(5000))
+        .otherwise(F.pmod(F.col("doc_id"), F.lit(257)) + 400)
+        .cast("long")
+        .alias("n_samples"),
+        F.when(F.col("doc_id") % 22 == 0, F.lit(2))
+        .otherwise(F.lit(1))
+        .cast("int")
+        .alias("n_channels"),
+    )
+    encoded = params.mapInPandas(
+        synth_flac_batches, "doc_id bigint, payload binary"
+    )
+    return encoded.mapInPandas(flac_real_stats_batches, FLAC_REAL_SCHEMA)

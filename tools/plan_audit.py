@@ -98,6 +98,7 @@ AUDITED_EXTRA = [
     "emb_random_projection",
     "text_vocab_growth",
     "snap_row_lineage",
+    "multimodal_flac_real",
 ]
 
 #: intended-plan annotations for rows that would otherwise read as
