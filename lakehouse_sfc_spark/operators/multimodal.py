@@ -1046,3 +1046,64 @@ def flac_real_stats_batches(
                 "sum_samples": pd.Series(sums, dtype="int64"),
             }
         )
+
+
+# --- real ZIP containers -----------------------------------------------------
+
+ZIP_REAL_SCHEMA = (
+    "doc_id bigint, n_members int, total_bytes bigint, content_sum bigint"
+)
+
+
+def synth_zip_batches(
+    batches: Iterable[pd.DataFrame],
+) -> Iterator[pd.DataFrame]:
+    """(doc_id, k) → (doc_id, payload): a REAL ZIP archive with k members;
+    member j holds 100 + (doc_id + j) % 97 bytes of the deterministic
+    stream (doc_id*3 + j*5 + i) % 251, methods alternating store/deflate."""
+    from lakehouse_sfc_spark.operators.zipc import DEFLATE, STORE, encode_zip
+
+    for pdf in batches:
+        payloads = []
+        for d, k in zip(pdf["doc_id"], pdf["k"]):
+            d, k = int(d), int(k)
+            entries = []
+            for j in range(k):
+                n = 100 + (d + j) % 97
+                data = bytes((d * 3 + j * 5 + i) % 251 for i in range(n))
+                entries.append(
+                    (f"member-{j:02d}.bin", data,
+                     DEFLATE if j % 2 else STORE)
+                )
+            payloads.append(encode_zip(entries))
+        yield pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"].astype("int64"),
+                "payload": pd.Series(payloads, dtype="object"),
+            }
+        )
+
+
+def zip_real_stats_batches(
+    batches: Iterable[pd.DataFrame],
+) -> Iterator[pd.DataFrame]:
+    """Extract REAL ZIP payloads (central-directory walk, per-member
+    CRC-32 + size verification inside ``decode_zip``) and emit the
+    closed-form member/byte/content summary."""
+    from lakehouse_sfc_spark.operators.zipc import decode_zip
+
+    for pdf in batches:
+        members, totals, sums = [], [], []
+        for p in pdf["payload"]:
+            entries = decode_zip(bytes(p))
+            members.append(len(entries))
+            totals.append(sum(len(d) for _, d in entries))
+            sums.append(sum(sum(d) for _, d in entries))
+        yield pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"].astype("int64"),
+                "n_members": pd.Series(members, dtype="int32"),
+                "total_bytes": pd.Series(totals, dtype="int64"),
+                "content_sum": pd.Series(sums, dtype="int64"),
+            }
+        )

@@ -99,6 +99,7 @@ AUDITED_EXTRA = [
     "text_vocab_growth",
     "snap_row_lineage",
     "multimodal_flac_real",
+    "multimodal_zip_real",
 ]
 
 #: intended-plan annotations for rows that would otherwise read as
