@@ -4280,3 +4280,83 @@ def emb_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("j")
     )
+
+
+# --- deterministic epoch shuffling (training data ordering) -------------------
+
+_SHUF_EPOCHS = 3
+_SHUF_SHARDS = 8
+
+
+@register(
+    "sample_epoch_shuffle",
+    oracle=f"""
+    WITH e AS (SELECT unnest(range(0, {_SHUF_EPOCHS})) AS epoch),
+    h AS (
+      SELECT e.epoch, d.doc_id,
+             ('0x' || substr(md5(d.doc_id || ':' || e.epoch || ':shuffle'),
+                             1, 8))::BIGINT AS h
+      FROM documents d, e WHERE d.doc_id IS NOT NULL
+    ),
+    s AS (
+      SELECT epoch, doc_id, h, CAST(h % {_SHUF_SHARDS} AS INTEGER) AS shard,
+             ROW_NUMBER() OVER (
+                 PARTITION BY epoch, h % {_SHUF_SHARDS}
+                 ORDER BY h, doc_id) AS pos
+      FROM h
+    )
+    SELECT CAST(epoch AS INTEGER) AS epoch, shard,
+           COUNT(*) AS n_docs,
+           CAST(SUM(doc_id) AS BIGINT) AS id_checksum,
+           CAST(MIN(CASE WHEN pos = 1 THEN doc_id END) AS BIGINT)
+               AS first_doc,
+           CAST(SUM(pos * doc_id) AS BIGINT) AS order_checksum
+    FROM s GROUP BY epoch, shard ORDER BY epoch, shard
+    """,
+)
+def sample_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic EPOCH SHUFFLING — the data-ordering stage of a
+    training pipeline: for each of {_SHUF_EPOCHS} epochs every document
+    gets a hash-derived shard ({_SHUF_SHARDS}-way) and a within-shard
+    position (sort by the epoch-salted hash), i.e. a reproducible
+    permutation per epoch with NO stored shuffle state — any worker
+    recomputes any example's (epoch, shard, position) from the id alone,
+    which is exactly how large-scale loaders ship determinism across
+    restarts.  order_checksum = Σ position·doc_id pins the PERMUTATION
+    itself (two epochs with identical membership but different order get
+    different checksums); first_doc pins each shard's head.
+
+    Scale shape: one map to (shard, hash) per epoch — a {_SHUF_EPOCHS}×
+    fan-out of the id column only — then ONE hash shuffle on
+    (epoch, shard) and a within-partition sort; shards are hash-balanced
+    so no task skew.  At 100 TB positions come from the same sort run
+    per shard file — never a global sort."""
+    d = load_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id").isNotNull()
+    )
+    e = d.select("doc_id").withColumn(
+        "epoch", F.explode(F.expr(f"sequence(0, {_SHUF_EPOCHS - 1})"))
+    )
+    h = e.withColumn(
+        "h",
+        _h32(F.concat_ws(":", F.col("doc_id"), F.col("epoch"),
+                         F.lit("shuffle"))),
+    ).withColumn("shard", (F.col("h") % _SHUF_SHARDS).cast("int"))
+    w = Window.partitionBy("epoch", "shard").orderBy("h", "doc_id")
+    s = h.withColumn("pos", F.row_number().over(w))
+    return (
+        s.groupBy(
+            F.col("epoch").cast("int").alias("epoch"), F.col("shard")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("doc_id").cast("bigint").alias("id_checksum"),
+            F.min(F.when(F.col("pos") == 1, F.col("doc_id")))
+            .cast("bigint")
+            .alias("first_doc"),
+            F.sum(F.col("pos") * F.col("doc_id"))
+            .cast("bigint")
+            .alias("order_checksum"),
+        )
+        .orderBy("epoch", "shard")
+    )

@@ -1039,3 +1039,66 @@ def dq_chi_square_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("pr")
     )
+
+
+@register(
+    "dq_sequence_gaps",
+    oracle="""
+    WITH k AS (
+      SELECT DISTINCT o_orderkey AS k FROM orders
+      WHERE o_orderkey IS NOT NULL
+    ),
+    g AS (
+      SELECT LEAD(k) OVER (ORDER BY k) - k AS gap FROM k
+    ),
+    b AS (
+      SELECT CASE WHEN gap >= 10 THEN 10 ELSE gap END::INTEGER
+                 AS gap_bucket
+      FROM g WHERE gap IS NOT NULL
+    )
+    SELECT gap_bucket,
+           COUNT(*) AS n_pairs,
+           CAST(SUM(gap_bucket) AS BIGINT) AS bucket_checksum
+    FROM b GROUP BY gap_bucket ORDER BY gap_bucket
+    """,
+)
+def dq_sequence_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Id-sequence completeness audit: the histogram of consecutive-key
+    gaps over the distinct order-key sequence — gap 1 = dense run, gap
+    2-9 = small holes (lost rows? filtered ingest?), bucket 10 = >=10
+    (TPC-H's deliberate key sparsity shows up here as a signature).  The
+    DQ twin of w_gap_histogram (which audits TIME gaps on events); this
+    audits KEY-SPACE continuity, the check that catches a dropped ingest
+    shard whose rows are spread uniformly in time but contiguous in key.
+
+    Scale shape: LEAD over the globally-ordered distinct key relation.
+    Here that is one window sort; at 100 TB the same audit runs as
+    repartitionByRange(k) + within-partition LEAD, plus one tiny exchange
+    of the n_partitions boundary keys — gaps never cross more than one
+    boundary, so the global sort is unnecessary (noted, not needed at
+    bench scale)."""
+    from pyspark.sql import Window
+
+    k = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey").isNotNull())
+        .select(F.col("o_orderkey").alias("k"))
+        .distinct()
+    )
+    g = k.select(
+        (F.lead("k").over(Window.orderBy("k")) - F.col("k")).alias("gap")
+    ).filter(F.col("gap").isNotNull())
+    b = g.select(
+        F.when(F.col("gap") >= 10, F.lit(10))
+        .otherwise(F.col("gap"))
+        .cast("int")
+        .alias("gap_bucket")
+    )
+    return (
+        b.groupBy("gap_bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.sum("gap_bucket").cast("bigint").alias("bucket_checksum"),
+        )
+        .orderBy("gap_bucket")
+    )

@@ -100,6 +100,8 @@ AUDITED_EXTRA = [
     "snap_row_lineage",
     "multimodal_flac_real",
     "multimodal_zip_real",
+    "dq_sequence_gaps",
+    "sample_epoch_shuffle",
 ]
 
 #: intended-plan annotations for rows that would otherwise read as
