@@ -31,7 +31,11 @@ from lakehouse_sfc_spark.queries.layouts import _fingerprinted_dir
 from lakehouse_sfc_spark.queries.registry import dsum, register, sql_dsum
 from lakehouse_sfc_spark.sources.loader import load_table
 from lakehouse_sfc_spark.table import Pred
-from lakehouse_sfc_spark.table.snapshots import SnapshotTable, _manifest_path
+from lakehouse_sfc_spark.table.snapshots import (
+    SnapshotTable,
+    _local,
+    _manifest_path,
+)
 
 _VERSION = "v2"  # bump when the commit-chain semantics change
 _CUTOFF = datetime.datetime(1997, 1, 1)
@@ -1044,4 +1048,90 @@ def snap_row_lineage(spark: SparkSession, sf_dir: str) -> DataFrame:
             dsum("o_totalprice", "sum_price"),
         )
         .orderBy("last_updated_version")
+    )
+
+
+# --- orphan-file GC -----------------------------------------------------------
+
+
+def _orphan_table(spark: SparkSession, sf_dir: str) -> SnapshotTable:
+    root = _fingerprinted_dir(_scratch_root(), sf_dir, ("orders",))
+    path = os.path.join(root, "orders_orphan")
+    if os.path.exists(_manifest_path(path, 1)):
+        return SnapshotTable(spark, path)
+
+    import shutil
+
+    shutil.rmtree(path, ignore_errors=True)
+    orders = load_table(spark, sf_dir, "orders").select(*_COLS)
+    t = SnapshotTable.create(
+        orders, path, stats_cols=["o_orderkey"], num_files=4
+    )
+    t.append(
+        orders.filter(F.col("o_orderkey") % 101 == 0).withColumn(
+            "o_orderkey", F.col("o_orderkey") + 300_000_000
+        ),
+        num_files=4,
+    )
+    return t
+
+
+@register(
+    "snap_orphan_files",
+    oracle=f"""
+    WITH state AS (
+        SELECT o_totalprice FROM orders
+        UNION ALL
+        SELECT o_totalprice FROM orders WHERE o_orderkey % 101 = 0
+    )
+    SELECT CAST(3 AS BIGINT) AS n_orphans_found,
+           CAST(3 AS BIGINT) AS n_orphans_removed,
+           CAST(8 AS BIGINT) AS n_live_files,
+           CAST(0 AS BIGINT) AS n_orphans_after,
+           COUNT(*) AS cnt,
+           {sql_dsum("o_totalprice", "sum_price")}
+    FROM state
+    """,
+)
+def snap_orphan_files(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Orphan-file GC end-to-end (Iceberg ``remove_orphan_files`` parity,
+    natively): three orphan data files — the debris a crashed writer or
+    aborted stage leaves INSIDE the table directory without any manifest
+    reference — are planted next to a 2-version chain, detected by a
+    dry run (manifest-union ∖ on-disk diff, branch manifests included),
+    removed, and verified gone; the final aggregate over the table proves
+    no LIVE file was touched.  The complement of snap_vacuum: vacuum
+    expires formerly-referenced files, orphan GC removes never-referenced
+    ones — confusing the two deletes data (vacuum must keep what any
+    manifest references; orphan GC must keep what ANY version references,
+    not just the head).
+
+    100-TB shape: one object-store LIST of the table prefix diffed
+    against the manifest union — O(files) metadata work, no data read;
+    Iceberg runs the same plan as a distributed anti-join of the listing
+    against the manifest file set."""
+    t = _orphan_table(spark, sf_dir)
+    # plant fresh orphans EVERY run (idempotent: removed again below)
+    import shutil
+
+    src = _local(next(iter(t.manifest()["files"])))
+    for i in range(3):
+        shutil.copyfile(src, os.path.join(t.path, f"orphan-{i:02d}.parquet"))
+    dry = t.remove_orphans(dry_run=True)
+    real = t.remove_orphans()
+    after = t.remove_orphans(dry_run=True)
+    return (
+        t.read()
+        .agg(
+            F.lit(dry["n_orphans"]).cast("bigint").alias("n_orphans_found"),
+            F.lit(real["n_orphans"]).cast("bigint").alias(
+                "n_orphans_removed"
+            ),
+            F.lit(real["n_live"]).cast("bigint").alias("n_live_files"),
+            F.lit(after["n_orphans"]).cast("bigint").alias(
+                "n_orphans_after"
+            ),
+            F.count(F.lit(1)).alias("cnt"),
+            dsum("o_totalprice", "sum_price"),
+        )
     )

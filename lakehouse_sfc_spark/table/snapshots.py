@@ -1068,3 +1068,39 @@ class SnapshotTable:
             "versions_expired": drop_vs,
             "versions_kept": keep_vs,
         }
+
+    def remove_orphans(self, dry_run: bool = False) -> dict:
+        """GC for UNTRACKED files (Iceberg ``remove_orphan_files`` parity)
+        — the complement of ``vacuum``: vacuum expires files that old
+        manifests still reference; this removes data files in the table
+        directory that NO manifest version and NO staged branch references
+        at all (crashed writers, aborted stages, manual copies).  Every
+        referenced file — any version, any branch — is live; only
+        ``*.parquet`` files outside that set are touched, never manifests
+        or foreign extensions.  ``dry_run`` reports without deleting."""
+        import glob as _glob
+
+        live: set[str] = set()
+        for v in self.versions():
+            live |= set(self.manifest(v)["files"])
+        for bp in _glob.glob(
+            os.path.join(self.path, _LOG_DIR, "branch-*.json")
+        ):
+            with open(bp) as fh:
+                b = json.load(fh)
+            live |= set(b.get("files", []))
+            live |= set(b.get("staged_files", []))
+        on_disk = {
+            f"file://{p}"
+            for p in _glob.glob(os.path.join(self.path, "*.parquet"))
+        }
+        orphans = sorted(on_disk - live)
+        if not dry_run:
+            for uri in orphans:
+                os.remove(_local(uri))
+        return {
+            "orphans": orphans,
+            "n_orphans": len(orphans),
+            "n_live": len(on_disk & live),
+            "dry_run": dry_run,
+        }

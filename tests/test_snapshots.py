@@ -758,3 +758,57 @@ def test_row_lineage_append_and_merge_guard(spark, orders, tmp_path):
     )
     with pytest.raises(NotImplementedError):
         t.merge_into(extra, ["o_orderkey"])
+
+
+def test_remove_orphans_spares_all_referenced_files(table, orders, spark):
+    import shutil
+
+    from lakehouse_sfc_spark.table.snapshots import _local
+
+    # rewrite some files so OLD versions reference files the head does not
+    table.upsert(
+        orders.filter(F.col("o_orderkey") <= 100).withColumn(
+            "o_totalprice", F.col("o_totalprice") + 1.0
+        ),
+        ["o_orderkey"],
+        "o_totalprice",
+    )
+    src = _local(next(iter(table.manifest()["files"])))
+    for i in range(2):
+        shutil.copyfile(src, os.path.join(table.path, f"junk-{i}.parquet"))
+
+    dry = table.remove_orphans(dry_run=True)
+    assert dry["n_orphans"] == 2 and dry["dry_run"]
+    for uri in dry["orphans"]:
+        assert os.path.exists(_local(uri))  # dry run deletes nothing
+
+    res = table.remove_orphans()
+    assert res["n_orphans"] == 2
+    for uri in res["orphans"]:
+        assert not os.path.exists(_local(uri))
+    # EVERY version's files survive (not just the head's)
+    for v in table.versions():
+        for uri in table.manifest(v)["files"]:
+            assert os.path.exists(_local(uri))
+    assert table.read(0).count() == orders.count()
+    assert table.remove_orphans(dry_run=True)["n_orphans"] == 0
+
+
+def test_remove_orphans_keeps_staged_branch_files(table, orders):
+    import shutil
+
+    from lakehouse_sfc_spark.table.snapshots import _local
+
+    table.stage_append(
+        "audit",
+        orders.filter(F.col("o_orderkey") % 13 == 0).withColumn(
+            "o_orderkey", F.col("o_orderkey") + 40_000_000
+        ),
+    )
+    src = _local(next(iter(table.manifest()["files"])))
+    shutil.copyfile(src, os.path.join(table.path, "stray.parquet"))
+    res = table.remove_orphans()
+    # ONLY the stray goes; the staged branch's files are live
+    assert res["n_orphans"] == 1
+    assert res["orphans"][0].endswith("stray.parquet")
+    assert table.read_branch("audit").count() > 0

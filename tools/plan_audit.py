@@ -102,6 +102,7 @@ AUDITED_EXTRA = [
     "multimodal_zip_real",
     "dq_sequence_gaps",
     "sample_epoch_shuffle",
+    "snap_orphan_files",
 ]
 
 #: intended-plan annotations for rows that would otherwise read as
