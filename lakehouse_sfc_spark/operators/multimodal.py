@@ -1107,3 +1107,61 @@ def zip_real_stats_batches(
                 "content_sum": pd.Series(sums, dtype="int64"),
             }
         )
+
+
+# --- real .tar.gz shards ------------------------------------------------------
+
+TARGZ_REAL_SCHEMA = (
+    "doc_id bigint, n_members int, total_bytes bigint, content_sum bigint"
+)
+
+
+def synth_targz_batches(
+    batches: Iterable[pd.DataFrame],
+) -> Iterator[pd.DataFrame]:
+    """(doc_id, k) → (doc_id, payload): a REAL .tar.gz shard with k member
+    files; member j holds 80 + (doc_id*2 + j*7) % 120 bytes of the
+    deterministic stream (doc_id*5 + j*11 + i) % 241."""
+    from lakehouse_sfc_spark.operators.tarc import encode_targz
+
+    for pdf in batches:
+        payloads = []
+        for d, k in zip(pdf["doc_id"], pdf["k"]):
+            d, k = int(d), int(k)
+            entries = []
+            for j in range(k):
+                n = 80 + (d * 2 + j * 7) % 120
+                data = bytes((d * 5 + j * 11 + i) % 241 for i in range(n))
+                entries.append((f"shard/{j:03d}.bin", data))
+            payloads.append(encode_targz(entries))
+        yield pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"].astype("int64"),
+                "payload": pd.Series(payloads, dtype="object"),
+            }
+        )
+
+
+def targz_real_stats_batches(
+    batches: Iterable[pd.DataFrame],
+) -> Iterator[pd.DataFrame]:
+    """Extract REAL .tar.gz payloads (gzip CRC-32/ISIZE + ustar header
+    checksums all verified inside ``decode_targz``) and emit the
+    closed-form member/byte/content summary."""
+    from lakehouse_sfc_spark.operators.tarc import decode_targz
+
+    for pdf in batches:
+        members, totals, sums = [], [], []
+        for p in pdf["payload"]:
+            entries = decode_targz(bytes(p))
+            members.append(len(entries))
+            totals.append(sum(len(d) for _, d in entries))
+            sums.append(sum(sum(d) for _, d in entries))
+        yield pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"].astype("int64"),
+                "n_members": pd.Series(members, dtype="int32"),
+                "total_bytes": pd.Series(totals, dtype="int64"),
+                "content_sum": pd.Series(sums, dtype="int64"),
+            }
+        )

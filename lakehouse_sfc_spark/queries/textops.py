@@ -22,6 +22,7 @@ from lakehouse_sfc_spark.operators.multimodal import (
     AUDIO_REAL_SCHEMA,
     AUDIO_SCHEMA,
     FLAC_REAL_SCHEMA,
+    TARGZ_REAL_SCHEMA,
     ZIP_REAL_SCHEMA,
     DECODED_SCHEMA,
     DECODED_STATS_SCHEMA,
@@ -34,6 +35,8 @@ from lakehouse_sfc_spark.operators.multimodal import (
     synth_audio_batches,
     synth_flac_batches,
     flac_real_stats_batches,
+    synth_targz_batches,
+    targz_real_stats_batches,
     synth_zip_batches,
     zip_real_stats_batches,
     synth_gif_batches,
@@ -2380,3 +2383,60 @@ def multimodal_zip_real(spark: SparkSession, sf_dir: str) -> DataFrame:
         synth_zip_batches, "doc_id bigint, payload binary"
     )
     return encoded.mapInPandas(zip_real_stats_batches, ZIP_REAL_SCHEMA)
+
+
+@register(
+    "multimodal_targz_real",
+    oracle="""
+    WITH p AS (
+      SELECT doc_id, (2 + doc_id % 4)::INTEGER AS k
+      FROM documents WHERE doc_id % 10 = 5
+    ),
+    m AS (
+      SELECT p.doc_id, j.r AS j,
+             (80 + (p.doc_id*2 + j.r*7) % 120)::BIGINT AS n
+      FROM p, LATERAL (SELECT unnest(range(0, p.k)) AS r) j
+    ),
+    g AS (
+      SELECT m.doc_id, m.j, i.r AS i
+      FROM m, LATERAL (SELECT unnest(range(0, m.n)) AS r) i
+    ),
+    per AS (
+      SELECT doc_id, COUNT(*)::INTEGER AS n_members,
+             CAST(SUM(n) AS BIGINT) AS total_bytes
+      FROM m GROUP BY doc_id
+    ),
+    cs AS (
+      SELECT doc_id,
+             CAST(SUM((doc_id*5 + j*11 + i) % 241) AS BIGINT)
+                 AS content_sum
+      FROM g GROUP BY doc_id
+    )
+    SELECT per.doc_id, per.n_members, per.total_bytes, cs.content_sum
+    FROM per JOIN cs ON per.doc_id = cs.doc_id
+    """,
+)
+def multimodal_targz_real(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL ``.tar.gz`` shards end-to-end (operators/tarc.py): per
+    document a genuine gzip-wrapped POSIX ustar archive — the WebDataset
+    /CommonCrawl-derivative shard shape — is written, then extracted back
+    with gzip CRC-32/ISIZE and ustar header checksums verified, pinning
+    the exact content-byte sum against the closed form.  The pytest
+    suite pins the wire format against the independent stdlib tarfile +
+    gzip in both directions; PAX/GNU-longname/symlink/sparse/multi-
+    member-gzip refuse loudly by name.  Completes the container family:
+    ZIP (random access, per-member compression) vs tar.gz (streaming,
+    whole-archive compression) — the two shapes grouped small files
+    actually arrive in.
+
+    Scale shape: pure map, two Arrow-batched mapInPandas kernels, no
+    shuffle; container CPU tracks selected-document count."""
+    d = load_table(spark, sf_dir, "documents")
+    params = d.filter(F.col("doc_id") % 10 == 5).select(
+        "doc_id",
+        (F.pmod(F.col("doc_id"), F.lit(4)) + 2).cast("int").alias("k"),
+    )
+    encoded = params.mapInPandas(
+        synth_targz_batches, "doc_id bigint, payload binary"
+    )
+    return encoded.mapInPandas(targz_real_stats_batches, TARGZ_REAL_SCHEMA)

@@ -103,6 +103,7 @@ AUDITED_EXTRA = [
     "dq_sequence_gaps",
     "sample_epoch_shuffle",
     "snap_orphan_files",
+    "multimodal_targz_real",
 ]
 
 #: intended-plan annotations for rows that would otherwise read as
