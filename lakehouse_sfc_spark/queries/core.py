@@ -1119,3 +1119,90 @@ def a_calendar_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("dow")
     )
+
+
+@register(
+    "a_weighted_median",
+    oracle="""
+    WITH base AS (
+      SELECT l_returnflag AS rf, l_extendedprice AS p,
+             CAST(FLOOR(l_quantity) AS BIGINT) AS w
+      FROM lineitem
+      WHERE l_extendedprice IS NOT NULL AND l_quantity IS NOT NULL
+    ),
+    d AS (
+      SELECT rf, p, SUM(w) AS w, COUNT(*) AS cnt
+      FROM base GROUP BY rf, p
+    ),
+    c AS (
+      SELECT rf, p, w, cnt,
+             SUM(w) OVER (PARTITION BY rf ORDER BY p
+                          ROWS BETWEEN UNBOUNDED PRECEDING
+                          AND CURRENT ROW) AS cw,
+             SUM(w) OVER (PARTITION BY rf) AS tot,
+             SUM(cnt) OVER (PARTITION BY rf) AS n
+      FROM d
+    )
+    SELECT rf AS returnflag,
+           CAST(MAX(n) AS BIGINT) AS n_rows,
+           CAST(MAX(tot) AS BIGINT) AS total_weight,
+           MIN(CASE WHEN 2*cw >= tot THEN p END) AS weighted_median
+    FROM c GROUP BY rf ORDER BY rf NULLS LAST
+    """,
+)
+def a_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact WEIGHTED median per group — the aggregate neither engine has
+    natively (Spark's percentile/median are unweighted): the smallest
+    price whose cumulative quantity-weight reaches half the group total
+    (the lower weighted median, the form inventory/pricing pipelines
+    use).  Tie-safe by construction: weights are pre-aggregated PER
+    DISTINCT VALUE before the cumulative window, so equal prices
+    contribute one row and the running sum never depends on an arbitrary
+    tie order — the subtlety that makes naive row-level cumsum medians
+    nondeterministic.  The median itself is a picked input value, so no
+    float arithmetic is compared — only exact integer weights.
+
+    Scale shape: one hash aggregation on (group, value), one window sort
+    within group over the DISTINCT-value relation (orders of magnitude
+    smaller than the row count), map-side partials everywhere; at 100 TB
+    the distinct-value relation is the only sorted thing — never the
+    fact table."""
+    base = (
+        load_table(spark, sf_dir, "lineitem")
+        .filter(
+            F.col("l_extendedprice").isNotNull()
+            & F.col("l_quantity").isNotNull()
+        )
+        .select(
+            F.col("l_returnflag").alias("rf"),
+            F.col("l_extendedprice").alias("p"),
+            F.floor("l_quantity").cast("bigint").alias("w"),
+        )
+    )
+    d = base.groupBy("rf", "p").agg(
+        F.sum("w").alias("w"), F.count(F.lit(1)).alias("cnt")
+    )
+    wc = (
+        Window.partitionBy("rf")
+        .orderBy("p")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wt = Window.partitionBy("rf")
+    c = d.select(
+        "rf",
+        "p",
+        F.sum("w").over(wc).alias("cw"),
+        F.sum("w").over(wt).alias("tot"),
+        F.sum("cnt").over(wt).alias("n"),
+    )
+    return (
+        c.groupBy(F.col("rf").alias("returnflag"))
+        .agg(
+            F.max("n").cast("bigint").alias("n_rows"),
+            F.max("tot").cast("bigint").alias("total_weight"),
+            F.min(
+                F.when(F.lit(2) * F.col("cw") >= F.col("tot"), F.col("p"))
+            ).alias("weighted_median"),
+        )
+        .orderBy(F.col("returnflag").asc_nulls_last())
+    )

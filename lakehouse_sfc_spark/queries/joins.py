@@ -843,3 +843,91 @@ def j_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("suppkey")
     )
+
+
+@register(
+    "j_scd2_build",
+    oracle="""
+    WITH ch AS (
+      SELECT o_custkey AS k, o_orderdate AS d, o_orderkey AS id
+      FROM orders
+      WHERE o_custkey IS NOT NULL AND o_orderdate IS NOT NULL
+        AND o_orderkey IS NOT NULL
+    ),
+    v AS (
+      SELECT k, d,
+             LEAD(d) OVER (PARTITION BY k ORDER BY d, id) AS vto
+      FROM ch
+    ),
+    per AS (
+      SELECT k, COUNT(*) AS nv,
+             CAST(SUM(CASE WHEN vto IS NOT NULL
+                      THEN DATEDIFF('day', CAST(d AS DATE),
+                                    CAST(vto AS DATE))
+                      ELSE 0 END) AS BIGINT) AS closed
+      FROM v GROUP BY k
+    )
+    SELECT (CASE WHEN nv >= 10 THEN 10 ELSE nv END)::INTEGER
+               AS versions_bucket,
+           COUNT(*) AS n_keys,
+           CAST(SUM(closed) AS BIGINT) AS closed_days,
+           CAST(SUM(k) AS BIGINT) AS key_checksum
+    FROM per GROUP BY 1 ORDER BY 1
+    """,
+)
+def j_scd2_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BUILD a type-2 slowly-changing dimension from a change log — the
+    write-side twin of j_scd2_pit (which reads one): each customer's
+    orders are treated as change records, and validity intervals
+    [valid_from, valid_to) come from ONE LEAD window per key ordered by
+    (change time, change id) — the id tie-break is what makes same-day
+    changes deterministic, the classic SCD2-build bug.  The open (current)
+    version per key is the NULL-lead row.  Output pins the version-count
+    histogram, per-bucket key membership, and the exact closed-interval
+    day mass — so a wrong interval anywhere moves a checksum.
+
+    Scale shape: one hash shuffle on the key, one within-partition sort
+    per key (LEAD), then pure aggregation — the canonical
+    build-SCD2-in-one-pass plan; no self-join, no per-version scan.  At
+    100 TB the shuffle is the only data movement and AQE splits any hot
+    customer."""
+    ch = (
+        load_table(spark, sf_dir, "orders")
+        .filter(
+            F.col("o_custkey").isNotNull()
+            & F.col("o_orderdate").isNotNull()
+            & F.col("o_orderkey").isNotNull()
+        )
+        .select(
+            F.col("o_custkey").alias("k"),
+            F.col("o_orderdate").alias("d"),
+            F.col("o_orderkey").alias("id"),
+        )
+    )
+    w = Window.partitionBy("k").orderBy("d", "id")
+    v = ch.select("k", "d", F.lead("d").over(w).alias("vto"))
+    per = v.groupBy("k").agg(
+        F.count(F.lit(1)).alias("nv"),
+        F.sum(
+            F.when(
+                F.col("vto").isNotNull(),
+                F.datediff(F.to_date("vto"), F.to_date("d")),
+            ).otherwise(F.lit(0))
+        )
+        .cast("bigint")
+        .alias("closed"),
+    )
+    return (
+        per.groupBy(
+            F.when(F.col("nv") >= 10, F.lit(10))
+            .otherwise(F.col("nv"))
+            .cast("int")
+            .alias("versions_bucket")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_keys"),
+            F.sum("closed").cast("bigint").alias("closed_days"),
+            F.sum("k").cast("bigint").alias("key_checksum"),
+        )
+        .orderBy("versions_bucket")
+    )

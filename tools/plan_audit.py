@@ -104,6 +104,8 @@ AUDITED_EXTRA = [
     "sample_epoch_shuffle",
     "snap_orphan_files",
     "multimodal_targz_real",
+    "a_weighted_median",
+    "j_scd2_build",
 ]
 
 #: intended-plan annotations for rows that would otherwise read as
