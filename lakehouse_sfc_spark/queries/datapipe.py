@@ -4360,3 +4360,135 @@ def sample_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("epoch", "shard")
     )
+
+
+# --- IVF probe-radius recall/cost sweep ---------------------------------------
+
+_RS_RADII = (0, 1, 2)
+
+
+def _sql_rs_radius(r: int) -> str:
+    return f"""
+    SELECT {r} AS probe_radius,
+           (SELECT CAST(COALESCE(SUM(hits), 0) AS BIGINT) FROM (
+              SELECT COUNT(*) AS hits
+              FROM gt JOIN (
+                SELECT q_id, vec_id FROM (
+                  SELECT q_id, vec_id,
+                         ROW_NUMBER() OVER (PARTITION BY q_id
+                                            ORDER BY s DESC, vec_id) AS rn
+                  FROM scored WHERE hd <= {r}) WHERE rn <= {_RE_K}
+              ) iv ON gt.q_id = iv.q_id AND gt.vec_id = iv.vec_id
+              GROUP BY gt.q_id)) AS total_hits,
+           (SELECT COUNT(*) FROM q) AS n_queries,
+           (SELECT COUNT(*) FROM scored WHERE hd <= {r}) AS cand_pairs"""
+
+
+@register(
+    "ann_ivf_recall_sweep",
+    oracle=f"""
+    WITH c0 AS ({_SQL_EMB_CTE}),
+    corpus AS MATERIALIZED (SELECT * FROM c0 WHERE vec_id % {_RE_CMOD} = 0),
+    nb AS (SELECT {_DETK_BITS_SQL} AS b FROM corpus),
+    cc AS MATERIALIZED (
+      SELECT vec_id, emb, nrm, {_SQL_CELL_B.format(e="emb", b="nb.b")} AS cell
+      FROM corpus CROSS JOIN nb
+    ),
+    q AS MATERIALIZED (
+      SELECT vec_id AS q_id, emb, nrm,
+             {_SQL_CELL_B.format(e="emb", b="nb.b")} AS cell
+      FROM c0 CROSS JOIN nb WHERE vec_id % {_RE_QMOD} = 0
+    ),
+    scored AS MATERIALIZED (
+      SELECT q.q_id, cc.vec_id, {_sql_cos("cc", "q")} AS s,
+             bit_count(xor(cc.cell::BIGINT, q.cell::BIGINT)) AS hd
+      FROM q JOIN cc ON cc.vec_id != q.q_id
+    ),
+    gt AS MATERIALIZED (SELECT q_id, vec_id FROM (
+             SELECT q_id, vec_id,
+                    ROW_NUMBER() OVER (PARTITION BY q_id
+                                       ORDER BY s DESC, vec_id) AS rn
+             FROM scored) WHERE rn <= {_RE_K})
+    SELECT * FROM (
+      {" UNION ALL ".join(_sql_rs_radius(r) for r in _RS_RADII)}
+    ) ORDER BY probe_radius
+    """,
+)
+def ann_ivf_recall_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The RECALL-vs-COST curve every ANN deployment is tuned on: the
+    sign-cell IVF probe evaluated at widening Hamming probe radii
+    (radius r ≈ nprobe: how many neighboring cells are searched), each
+    radius reporting total ground-truth hits AND the candidate-pair
+    volume — the latency proxy — so the curve exposes the tradeoff
+    directly (r=0 is cheapest and lossiest, r=2 nears brute force at a
+    multiple of the cost).  Sibling of ann_recall_eval (single-radius
+    histogram); same deterministic cosine folds and (score, id)
+    tie-breaks.
+
+    Scale shape: ONE scored relation (query-sample broadcast against the
+    corpus-sample partitions, checkpointed) feeds every radius — the
+    sweep adds top-k windows, never re-scores; at 100 TB each radius is
+    one filter + window over the same materialization."""
+    emb = _emb(spark, sf_dir)
+    corpus = emb.filter(F.col("vec_id") % _RE_CMOD == 0).localCheckpoint(
+        eager=False
+    )
+    bits = _detk_bits(corpus.count())
+    cc = corpus.withColumn("cell", _cell_bits(F.col("emb"), bits))
+    q = (
+        emb.filter(F.col("vec_id") % _RE_QMOD == 0)
+        .withColumn("qcell", _cell_bits(F.col("emb"), bits))
+        .select(
+            F.col("vec_id").alias("q_id"),
+            F.col("emb").alias("qemb"),
+            F.col("nrm").alias("qnrm"),
+            "qcell",
+        )
+    )
+    cos = _dot(F.col("emb"), F.col("qemb")) / (F.col("nrm") * F.col("qnrm"))
+    hd = F.bit_count(
+        F.col("cell").cast("long").bitwiseXOR(F.col("qcell").cast("long"))
+    )
+    scored = (
+        cc.join(F.broadcast(q), F.col("vec_id") != F.col("q_id"))
+        .select("q_id", "vec_id", cos.alias("s"), hd.alias("hd"))
+        .localCheckpoint(eager=False)
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("s"), "vec_id")
+    gt = (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= _RE_K)
+        .select("q_id", "vec_id")
+        .localCheckpoint(eager=False)
+    )
+    n_queries = q.agg(F.count(F.lit(1)).alias("n_queries"))
+    rows = []
+    for r in _RS_RADII:
+        iv = (
+            scored.filter(F.col("hd") <= r)
+            .withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= _RE_K)
+            .select("q_id", "vec_id")
+        )
+        hits = gt.join(F.broadcast(iv), ["q_id", "vec_id"]).agg(
+            F.coalesce(F.count(F.lit(1)), F.lit(0))
+            .cast("bigint")
+            .alias("total_hits")
+        )
+        cand = scored.filter(F.col("hd") <= r).agg(
+            F.count(F.lit(1)).alias("cand_pairs")
+        )
+        rows.append(
+            hits.crossJoin(n_queries)
+            .crossJoin(cand)
+            .select(
+                F.lit(r).alias("probe_radius"),
+                "total_hits",
+                "n_queries",
+                "cand_pairs",
+            )
+        )
+    out = rows[0]
+    for x in rows[1:]:
+        out = out.unionAll(x)
+    return out.orderBy("probe_radius")

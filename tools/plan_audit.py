@@ -106,6 +106,7 @@ AUDITED_EXTRA = [
     "multimodal_targz_real",
     "a_weighted_median",
     "j_scd2_build",
+    "ann_ivf_recall_sweep",
 ]
 
 #: intended-plan annotations for rows that would otherwise read as
@@ -166,6 +167,12 @@ ANNOTATIONS = {
     "w_cusum_drift": (
         "the BroadcastNestedLoopJoin×1 is the intended 1-row broadcast of "
         "the (n, total) scalar (condition-less crossJoin, bounded)"
+    ),
+    "ann_ivf_recall_sweep": (
+        "the BroadcastNestedLoopJoins are the intended per-radius 1-row "
+        "hits×n_queries×cand_pairs crossJoins (condition-less, 1 row each "
+        "side, bounded) plus the query-sample broadcast — never "
+        "relation×relation"
     ),
     "sample_balanced_classes": (
         "the BroadcastNestedLoopJoin×1 is the intended 1-row broadcast of "
