@@ -4492,3 +4492,199 @@ def ann_ivf_recall_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     for x in rows[1:]:
         out = out.unionAll(x)
     return out.orderBy("probe_radius")
+
+
+# --- Matryoshka prefix-dimension ranking agreement -----------------------------
+
+_MRL_QMOD = 193  # query sample: vec_id % _MRL_QMOD == 0
+_MRL_CMOD = 3  # evaluation corpus: vec_id % _MRL_CMOD == 0
+_MRL_K = 10
+_MRL_DIMS = (16, 32, 64)
+
+
+def _sql_mrl_dim(m: int) -> str:
+    return f"""
+    SELECT {m} AS prefix_dims,
+           (SELECT COUNT(*) FROM q) AS n_queries,
+           (SELECT CAST(COALESCE(SUM(hits), 0) AS BIGINT) FROM (
+              SELECT COUNT(*) AS hits
+              FROM gt JOIN (
+                SELECT q_id, vec_id FROM (
+                  SELECT q_id, vec_id,
+                         ROW_NUMBER() OVER (PARTITION BY q_id
+                                            ORDER BY s{m} DESC, vec_id)
+                             AS rn
+                  FROM scored) WHERE rn <= {_MRL_K}
+              ) pv ON gt.q_id = pv.q_id AND gt.vec_id = pv.vec_id
+              GROUP BY gt.q_id)) AS total_hits,
+           (SELECT COUNT(*) FROM (
+              SELECT q_id FROM (
+                SELECT q_id, vec_id,
+                       ROW_NUMBER() OVER (PARTITION BY q_id
+                                          ORDER BY s{m} DESC, vec_id) AS rn
+                FROM scored) WHERE rn = 1
+              ) p1 JOIN (
+              SELECT q_id, vec_id FROM (
+                SELECT q_id, vec_id,
+                       ROW_NUMBER() OVER (PARTITION BY q_id
+                                          ORDER BY s64 DESC, vec_id) AS rn
+                FROM scored) f1 WHERE rn = 1
+              ) g1 USING (q_id)
+              WHERE (SELECT vec_id FROM (
+                       SELECT q_id AS qq, vec_id,
+                              ROW_NUMBER() OVER (PARTITION BY q_id
+                                  ORDER BY s{m} DESC, vec_id) AS rn
+                       FROM scored) WHERE qq = p1.q_id AND rn = 1)
+                    = g1.vec_id) AS exact_top1"""
+
+
+@register(
+    "emb_matryoshka_eval",
+    oracle=f"""
+    WITH c0 AS ({_SQL_EMB_CTE}),
+    base AS MATERIALIZED (
+      SELECT vec_id, emb, emb[1:16] AS e16, emb[1:32] AS e32
+      FROM c0
+      WHERE sqrt({_SQL_DOT.format(a="emb[1:16]", b="emb[1:16]")}) > 0
+    ),
+    pre AS MATERIALIZED (
+      SELECT vec_id, emb, e16, e32,
+             sqrt({_SQL_DOT.format(a="e16", b="e16")}) AS n16,
+             sqrt({_SQL_DOT.format(a="e32", b="e32")}) AS n32,
+             sqrt({_SQL_DOT.format(a="emb", b="emb")}) AS n64
+      FROM base
+    ),
+    corpus AS MATERIALIZED (
+      SELECT * FROM pre WHERE vec_id % {_MRL_CMOD} = 0),
+    q AS MATERIALIZED (
+      SELECT vec_id AS q_id, emb AS qe, e16 AS qe16, e32 AS qe32,
+             n16 AS qn16, n32 AS qn32, n64 AS qn64
+      FROM pre WHERE vec_id % {_MRL_QMOD} = 0),
+    scored AS MATERIALIZED (
+      SELECT q.q_id, c.vec_id,
+             {_SQL_DOT.format(a="c.e16", b="q.qe16")} / (c.n16 * q.qn16)
+                 AS s16,
+             {_SQL_DOT.format(a="c.e32", b="q.qe32")} / (c.n32 * q.qn32)
+                 AS s32,
+             {_SQL_DOT.format(a="c.emb", b="q.qe")} / (c.n64 * q.qn64)
+                 AS s64
+      FROM q JOIN corpus c ON c.vec_id != q.q_id
+    ),
+    gt AS MATERIALIZED (SELECT q_id, vec_id FROM (
+           SELECT q_id, vec_id,
+                  ROW_NUMBER() OVER (PARTITION BY q_id
+                                     ORDER BY s64 DESC, vec_id) AS rn
+           FROM scored) WHERE rn <= {_MRL_K})
+    SELECT * FROM (
+      {" UNION ALL ".join(_sql_mrl_dim(m) for m in _MRL_DIMS)}
+    ) ORDER BY prefix_dims
+    """,
+)
+def emb_matryoshka_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka-representation evaluation (Kusupati et al. 2022): how
+    well do PREFIX slices of the embedding (16 and 32 of 64 dims) rank
+    the corpus compared to the full vector?  Per prefix width: top-10
+    overlap with the full-dimension ground truth and exact rank-1
+    agreement — the two numbers that decide whether a truncated index
+    (4× smaller, 4× faster to scan) is deployable.  The 64-dim row is
+    the built-in sanity anchor (perfect overlap by construction).  One
+    eval population (prefix-16 norm > 0, which implies every wider norm)
+    keeps all widths comparable; identical fold order and (score, id)
+    tie-breaks keep both engines bit-equal.
+
+    Scale shape: ONE scored relation (query-sample broadcast against the
+    corpus sample) carries all three cosines — prefix scores are slices
+    of the SAME arrays, so adding a width adds a column, not a pass; per
+    width one top-k window."""
+    emb = _emb(spark, sf_dir)
+    e16 = F.slice(F.col("emb"), 1, 16)
+    pre = (
+        emb.withColumn("e16", e16)
+        .withColumn("e32", F.slice(F.col("emb"), 1, 32))
+        .withColumn("n16", F.sqrt(_dot(F.col("e16"), F.col("e16"))))
+        .filter(F.col("n16") > 0)
+        .withColumn("n32", F.sqrt(_dot(F.col("e32"), F.col("e32"))))
+        .withColumn("n64", F.col("nrm"))
+    )
+    corpus = pre.filter(F.col("vec_id") % _MRL_CMOD == 0)
+    q = pre.filter(F.col("vec_id") % _MRL_QMOD == 0).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("emb").alias("qe"),
+        F.col("e16").alias("qe16"),
+        F.col("e32").alias("qe32"),
+        F.col("n16").alias("qn16"),
+        F.col("n32").alias("qn32"),
+        F.col("n64").alias("qn64"),
+    )
+    scored = (
+        corpus.join(F.broadcast(q), F.col("vec_id") != F.col("q_id"))
+        .select(
+            "q_id",
+            "vec_id",
+            (_dot(F.col("e16"), F.col("qe16"))
+             / (F.col("n16") * F.col("qn16"))).alias("s16"),
+            (_dot(F.col("e32"), F.col("qe32"))
+             / (F.col("n32") * F.col("qn32"))).alias("s32"),
+            (_dot(F.col("emb"), F.col("qe"))
+             / (F.col("n64") * F.col("qn64"))).alias("s64"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    w64 = Window.partitionBy("q_id").orderBy(F.desc("s64"), "vec_id")
+    gt = (
+        scored.withColumn("rn", F.row_number().over(w64))
+        .filter(F.col("rn") <= _MRL_K)
+        .select("q_id", "vec_id")
+        .localCheckpoint(eager=False)
+    )
+    gt1 = gt.join(
+        scored.withColumn("rn", F.row_number().over(w64))
+        .filter(F.col("rn") == 1)
+        .select("q_id", F.col("vec_id").alias("g1")),
+        "q_id",
+    ).select("q_id", "vec_id", "g1").localCheckpoint(eager=False)
+    n_queries = (
+        scored.select("q_id").distinct().agg(
+            F.count(F.lit(1)).alias("n_queries")
+        )
+    )
+    rows = []
+    for m in _MRL_DIMS:
+        wm = Window.partitionBy("q_id").orderBy(F.desc(f"s{m}"), "vec_id")
+        top = (
+            scored.withColumn("rn", F.row_number().over(wm))
+            .filter(F.col("rn") <= _MRL_K)
+            .select("q_id", "vec_id", "rn")
+        )
+        hits = gt.join(
+            F.broadcast(top.select("q_id", "vec_id")), ["q_id", "vec_id"]
+        ).agg(
+            F.coalesce(F.count(F.lit(1)), F.lit(0))
+            .cast("bigint")
+            .alias("total_hits")
+        )
+        top1 = (
+            top.filter(F.col("rn") == 1)
+            .join(
+                F.broadcast(
+                    gt1.select("q_id", F.col("g1")).distinct()
+                ),
+                "q_id",
+            )
+            .filter(F.col("vec_id") == F.col("g1"))
+            .agg(F.count(F.lit(1)).alias("exact_top1"))
+        )
+        rows.append(
+            n_queries.crossJoin(hits)
+            .crossJoin(top1)
+            .select(
+                F.lit(m).alias("prefix_dims"),
+                "n_queries",
+                "total_hits",
+                "exact_top1",
+            )
+        )
+    out = rows[0]
+    for x in rows[1:]:
+        out = out.unionAll(x)
+    return out.orderBy("prefix_dims")

@@ -107,6 +107,7 @@ AUDITED_EXTRA = [
     "a_weighted_median",
     "j_scd2_build",
     "ann_ivf_recall_sweep",
+    "emb_matryoshka_eval",
 ]
 
 #: intended-plan annotations for rows that would otherwise read as
@@ -173,6 +174,11 @@ ANNOTATIONS = {
         "hits×n_queries×cand_pairs crossJoins (condition-less, 1 row each "
         "side, bounded) plus the query-sample broadcast — never "
         "relation×relation"
+    ),
+    "emb_matryoshka_eval": (
+        "the BroadcastNestedLoopJoins are the intended per-width 1-row "
+        "n_queries×hits×top1 crossJoins plus the query-sample broadcast "
+        "(condition-less, bounded) — never relation×relation"
     ),
     "sample_balanced_classes": (
         "the BroadcastNestedLoopJoin×1 is the intended 1-row broadcast of "
