@@ -591,3 +591,56 @@ def stream_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     return run_stream_decontaminate(spark, sf_dir).orderBy("doc_id")
+
+
+@register(
+    "stream_late_drop",
+    oracle="""
+    WITH base AS (
+      SELECT event_id, ts, value,
+             NTILE(4) OVER (ORDER BY ts, event_id) - 1 AS chunk
+      FROM events WHERE ts IS NOT NULL AND event_id IS NOT NULL
+    ),
+    f AS (
+      SELECT event_id, ts, value,
+             CASE WHEN event_id % 37 = 0 AND chunk < 2
+                  THEN chunk + 2 ELSE chunk END AS file
+      FROM base
+    ),
+    m AS (SELECT file, MAX(ts) AS mx FROM f GROUP BY file),
+    wm AS (
+      SELECT k.r AS file,
+             (SELECT MAX(mx) FROM m WHERE m.file <= k.r - 2)
+                 - INTERVAL 1 HOUR AS fwm
+      FROM (SELECT unnest(range(0, 4)) AS r) k
+    ),
+    kept AS (
+      SELECT f.ts, f.value FROM f JOIN wm ON wm.file = f.file
+      WHERE wm.fwm IS NULL
+         OR time_bucket(INTERVAL 1 HOUR, f.ts) + INTERVAL 1 HOUR > wm.fwm
+    ),
+    tot AS (
+      SELECT (SELECT COUNT(*) FROM f) - COUNT(*) AS dropped FROM kept
+    )
+    SELECT time_bucket(INTERVAL 1 HOUR, kept.ts) AS ws,
+           COUNT(*) AS cnt,
+           CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value,
+           (SELECT CAST(dropped AS BIGINT) FROM tot) AS total_dropped
+    FROM kept GROUP BY 1
+    """,
+)
+def stream_late_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermark late-data DROP accounting on a real Structured Streaming
+    replay: a mostly-time-ordered backlog with deterministic stragglers
+    displaced two micro-batches late, through a watermarked tumbling
+    aggregation.  The oracle replays Spark's EXACT drop rule — a row in
+    batch k is dropped iff its window end <= max(event time over batches
+    0..k-2) - delay, i.e. the filter watermark lags two batches (probed
+    empirically and pinned in tests/test_streaming_late.py) — so the
+    windowed counts, value sums AND the total drop count must all agree.
+    The one streaming entry whose result deliberately DIFFERS from the
+    batch aggregate: the difference IS the measurement (how much data a
+    1-hour watermark deletes from this stream)."""
+    from lakehouse_sfc_spark.streaming.pipeline import run_late_drop
+
+    return run_late_drop(spark, sf_dir)

@@ -1278,3 +1278,141 @@ def stream_cdc_tombstones(
         )
     finally:
         shutil.rmtree(work, ignore_errors=True)
+
+
+# --- watermark late-data drop accounting --------------------------------------
+
+_LATE_FILES = 4
+_LATE_DELAY = "1 hour"
+_LATE_STRAGGLER_MOD = 37
+
+
+def run_late_drop(
+    spark: SparkSession, sf_dir: str, timeout_s: int = 120
+) -> DataFrame:
+    """Watermark LATE-DATA DROP semantics, measured — not assumed: the
+    events backlog is replayed as {_LATE_FILES} time-ordered source files
+    in which every ``event_id % {_LATE_STRAGGLER_MOD} == 0`` row from the
+    first half is DISPLACED two files later (the realistic
+    mostly-ordered-with-stragglers stream), through a watermarked 1-hour
+    tumbling aggregation (delay {_LATE_DELAY}), one file per micro-batch.
+
+    The drop rule this pins (empirically, Spark 4.1, and asserted in
+    tests/test_streaming_late.py so an upgrade that changes it fails
+    loudly): a row in micro-batch k is dropped iff its WINDOW END is
+    <= max(event time over batches 0..k-2) - delay — i.e. the filter
+    watermark lags the data by TWO batches (the progress log's
+    ``eventTime.watermark`` for batch k is max over 0..k-1; the filter
+    applies the PREVIOUS batch's committed value).  The oracle replays
+    the same rule in SQL.  total_dropped is measured as input rows minus
+    survived rows — NOT from numRowsDroppedByWatermark, which counts rows
+    arriving at the STATE operator, i.e. after map-side partial
+    aggregation: two same-window rows dropped in one batch collapse into
+    one partial and the counter reads 1 (a real metric trap, pinned in
+    tests/test_streaming_late.py).
+
+    At 100 TB this operator is the curve you tune `withWatermark` on:
+    delay too small silently deletes straggler data (what this measures),
+    delay too large holds state forever."""
+    import shutil
+
+    from lakehouse_sfc_spark.sources.loader import load_table
+    from pyspark.sql.window import Window
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    work = tempfile.mkdtemp(prefix="lakehouse-sfc-late-")
+    src_dir = os.path.join(work, "src")
+    os.makedirs(src_dir)
+    try:
+        ev = (
+            load_table(spark, sf_dir, "events")
+            .filter(F.col("ts").isNotNull() & F.col("event_id").isNotNull())
+            .select("event_id", "ts", "value")
+        )
+        chunk = (
+            F.ntile(_LATE_FILES).over(Window.orderBy("ts", "event_id")) - 1
+        )
+        f = ev.withColumn("chunk", chunk).withColumn(
+            "file",
+            F.when(
+                (F.col("event_id") % _LATE_STRAGGLER_MOD == 0)
+                & (F.col("chunk") < _LATE_FILES // 2),
+                F.col("chunk") + 2,
+            ).otherwise(F.col("chunk")),
+        )
+        f = f.localCheckpoint()  # one deterministic assignment, reused 4x
+        n_input = f.count()
+        for k in range(_LATE_FILES):
+            part_dir = os.path.join(work, f"part-{k}")
+            (
+                f.filter(F.col("file") == k)
+                .select("event_id", "ts", "value")
+                .coalesce(1)
+                .write.parquet(part_dir)
+            )
+            src = [
+                p for p in os.listdir(part_dir) if p.endswith(".parquet")
+            ][0]
+            dst = os.path.join(src_dir, f"batch-{k:02d}.parquet")
+            os.rename(os.path.join(part_dir, src), dst)
+            os.utime(dst, (1_000_000 + k * 100,) * 2)
+
+        stream = (
+            spark.readStream.schema(
+                "event_id long, ts timestamp, value double"
+            )  # watermark requires TIMESTAMP; session tz is UTC
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src_dir)
+        )
+        agg = (
+            stream.withWatermark("ts", _LATE_DELAY)
+            .groupBy(F.window("ts", "1 hour").alias("w"))
+            .agg(
+                F.count(F.lit(1)).alias("cnt"),
+                F.sum(F.col("value").cast("decimal(18,4)"))
+                .cast("double")
+                .alias("sum_value"),
+            )
+        )
+        name = f"late_drop_{uuid.uuid4().hex[:8]}"
+        checkpoint = os.path.join(work, "ckpt")
+        with _capped_state_partitions(spark):
+            q = (
+                agg.writeStream.format("memory")
+                .queryName(name)
+                .outputMode("update")
+                .option("checkpointLocation", checkpoint)
+                .trigger(availableNow=True)
+                .start()
+            )
+            try:
+                q.awaitTermination(timeout_s)
+            finally:
+                if q.isActive:
+                    q.stop()
+        # update-mode sink holds one row per (window, update); the FINAL
+        # update per window is the one with the highest count (counts are
+        # strictly monotone per update)
+        sink = spark.table(name)
+        wlast = Window.partitionBy("w").orderBy(F.desc("cnt"))
+        final = (
+            sink.withColumn("rn", F.row_number().over(wlast))
+            .filter(F.col("rn") == 1)
+            .localCheckpoint()
+        )
+        kept = final.agg(F.sum("cnt")).collect()[0][0] or 0
+        dropped = n_input - int(kept)
+        return (
+            final
+            .select(
+                # back to NTZ so the schema matches the batch/oracle side
+                F.col("w.start").cast("timestamp_ntz").alias("ws"),
+                "cnt",
+                "sum_value",
+                F.lit(int(dropped)).cast("bigint").alias("total_dropped"),
+            )
+            .orderBy("ws")
+            .localCheckpoint()  # materialize before src_dir disappears
+        )
+    finally:
+        shutil.rmtree(work, ignore_errors=True)

@@ -108,6 +108,7 @@ AUDITED_EXTRA = [
     "j_scd2_build",
     "ann_ivf_recall_sweep",
     "emb_matryoshka_eval",
+    "stream_late_drop",
 ]
 
 #: intended-plan annotations for rows that would otherwise read as
