@@ -1135,3 +1135,101 @@ def snap_orphan_files(spark: SparkSession, sf_dir: str) -> DataFrame:
             dsum("o_totalprice", "sum_price"),
         )
     )
+
+
+# --- cherry-pick --------------------------------------------------------------
+
+
+def _cherry_table(spark: SparkSession, sf_dir: str) -> SnapshotTable:
+    """v0 CREATE; v1 UPSERT (+1000 on %7 keys); v2 APPEND (%101, +300M
+    keys); v3 RESTORE to v0 (wipes v1+v2 from the head); v4 CHERRY-PICK
+    of v1 (selectively recovers ONLY the upsert, not the append)."""
+    root = _fingerprinted_dir(_scratch_root(), sf_dir, ("orders",))
+    path = os.path.join(root, "orders_cherry")
+    if os.path.exists(_manifest_path(path, 4)):
+        return SnapshotTable(spark, path)
+
+    import shutil
+
+    shutil.rmtree(path, ignore_errors=True)
+    orders = load_table(spark, sf_dir, "orders").select(*_COLS)
+    t = SnapshotTable.create(
+        orders, path, stats_cols=["o_orderkey"], num_files=4
+    )
+    t.upsert(
+        orders.filter(F.col("o_orderkey") % 7 == 0).withColumn(
+            "o_totalprice", F.col("o_totalprice") + 1000.0
+        ),
+        ["o_orderkey"],
+        "o_totalprice",
+    )
+    t.append(
+        orders.filter(F.col("o_orderkey") % 101 == 0).withColumn(
+            "o_orderkey", F.col("o_orderkey") + 300_000_000
+        )
+    )
+    t.restore(0)
+    t.cherry_pick(1, ["o_orderkey"], "o_totalprice")
+    return t
+
+
+@register(
+    "snap_cherrypick",
+    oracle=f"""
+    WITH v1 AS (
+        SELECT o_orderkey,
+               CASE WHEN o_orderkey % 7 = 0 THEN o_totalprice + 1000.0
+                    ELSE o_totalprice END AS price
+        FROM orders
+    ),
+    v2 AS (
+        SELECT price FROM v1
+        UNION ALL
+        SELECT o_totalprice FROM orders WHERE o_orderkey % 101 = 0
+    )
+    SELECT CAST(0 AS INT) AS version, COUNT(*) AS cnt,
+           {sql_dsum("o_totalprice", "sum_price")} FROM orders
+    UNION ALL
+    SELECT CAST(1 AS INT), COUNT(*), {sql_dsum("price", "sum_price")}
+    FROM v1
+    UNION ALL
+    SELECT CAST(2 AS INT), COUNT(*), {sql_dsum("price", "sum_price")}
+    FROM v2
+    UNION ALL
+    SELECT CAST(3 AS INT), COUNT(*), {sql_dsum("o_totalprice", "sum_price")}
+    FROM orders
+    UNION ALL
+    SELECT CAST(4 AS INT), COUNT(*), {sql_dsum("price", "sum_price")}
+    FROM v1
+    ORDER BY version
+    """,
+)
+def snap_cherrypick(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CHERRY-PICK end-to-end: a RESTORE wipes two commits from the head,
+    then ONE of them (the upsert, not the append) is selectively
+    recovered by replaying its change data feed as a keyed upsert —
+    git-style reapply for table commits, the operation that saves you
+    when a rollback threw away one good commit along with a bad one.
+    The aggregate over EVERY version pins the whole timeline: v4 must
+    equal v1 exactly (the cherry-pick recovered precisely the picked
+    commit's effect — no append rows resurrected), while v3 equals v0
+    (the restore) and v1/v2 stay time-travelable.  Deletes in a picked
+    commit refuse loudly (needs an anti-join delete path).
+
+    100-TB shape: the CDF diff reads only the picked commit's changed
+    files and the replay is one scoped upsert — O(picked commit), never
+    O(table)."""
+    t = _cherry_table(spark, sf_dir)
+    rows = []
+    for v in range(5):
+        rows.append(
+            t.read(v).agg(
+                F.lit(v).cast("int").alias("version"),
+                F.count(F.lit(1)).alias("cnt"),
+                dsum("o_totalprice", "sum_price"),
+            )
+        )
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionAll(r)
+    return out.orderBy("version")

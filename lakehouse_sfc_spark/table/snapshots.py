@@ -1069,6 +1069,40 @@ class SnapshotTable:
             "versions_kept": keep_vs,
         }
 
+    def cherry_pick(
+        self,
+        version: int,
+        record_keys: list[str],
+        precombine: str,
+        num_files: int | None = None,
+    ) -> dict:
+        """Re-apply ONE historical commit's changes onto the current head
+        (Delta ``CHERRY-PICK`` / git-style reapply): the change data feed
+        of ``version`` (vs its parent) is replayed as a keyed upsert, so
+        a commit undone by RESTORE can be selectively recovered without
+        replaying everything after it.  Insert/update post-images replay
+        directly; a commit containing DELETES refuses loudly (replaying a
+        delete needs an anti-join delete path, not a predicate delete —
+        extend ``delete_where`` before allowing it).
+
+        100-TB shape: the CDF diff reads only the files that changed in
+        the picked commit, and the replay is one ordinary scoped upsert —
+        cherry-pick costs O(picked commit), never O(table)."""
+        diff = self.changes(version - 1, version, record_keys)
+        n_deletes = diff.filter(F.col("_change_type") == "delete").count()
+        if n_deletes:
+            raise NotImplementedError(
+                f"cherry_pick of version {version}: commit contains "
+                f"{n_deletes} deletes; replaying deletes needs an anti-"
+                "join delete path (predicate deletes cannot express a "
+                "key list)"
+            )
+        ups = diff.filter(
+            F.col("_change_type").isin("insert", "update")
+        ).drop("_change_type")
+        return self.upsert(ups, record_keys, precombine,
+                           num_files=num_files)
+
     def remove_orphans(self, dry_run: bool = False) -> dict:
         """GC for UNTRACKED files (Iceberg ``remove_orphan_files`` parity)
         — the complement of ``vacuum``: vacuum expires files that old

@@ -812,3 +812,31 @@ def test_remove_orphans_keeps_staged_branch_files(table, orders):
     assert res["n_orphans"] == 1
     assert res["orphans"][0].endswith("stray.parquet")
     assert table.read_branch("audit").count() > 0
+
+
+def test_cherry_pick_recovers_one_commit(table, orders):
+    dec = F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+    v0_sum = table.read(0).agg(dec).collect()[0][0]
+    upd = orders.filter(F.col("o_orderkey") % 9 == 0).withColumn(
+        "o_totalprice", F.col("o_totalprice") + 50.0
+    )
+    table.upsert(upd, ["o_orderkey"], "o_totalprice")  # v1
+    v1_sum = table.read(1).agg(dec).collect()[0][0]
+    table.append(
+        orders.limit(10).withColumn(
+            "o_orderkey", F.col("o_orderkey") + 30_000_000
+        )
+    )  # v2
+    table.restore(0)  # v3: both commits wiped from head
+    assert table.read().agg(dec).collect()[0][0] == v0_sum
+    table.cherry_pick(1, ["o_orderkey"], "o_totalprice")  # v4
+    # exactly v1's effect recovered: no append rows resurrected
+    assert table.read().agg(dec).collect()[0][0] == v1_sum
+    assert table.read().count() == orders.count()
+
+
+def test_cherry_pick_refuses_deletes(table, orders):
+    table.delete_where([Pred("o_orderkey", "<=", 100)])  # v1 has deletes
+    table.restore(0)
+    with pytest.raises(NotImplementedError, match="delete"):
+        table.cherry_pick(1, ["o_orderkey"], "o_totalprice")

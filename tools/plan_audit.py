@@ -109,6 +109,7 @@ AUDITED_EXTRA = [
     "ann_ivf_recall_sweep",
     "emb_matryoshka_eval",
     "stream_late_drop",
+    "snap_cherrypick",
 ]
 
 #: intended-plan annotations for rows that would otherwise read as
