@@ -1206,3 +1206,82 @@ def a_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.col("returnflag").asc_nulls_last())
     )
+
+
+@register(
+    "a_trend_slope",
+    oracle="""
+    WITH b AS (
+      SELECT o_orderpriority AS pr,
+             CAST(DATEDIFF('day', DATE '1995-01-01',
+                           CAST(o_orderdate AS DATE)) AS BIGINT) AS x,
+             CAST(FLOOR(o_totalprice) AS BIGINT) AS y
+      FROM orders
+      WHERE o_orderdate IS NOT NULL AND o_totalprice IS NOT NULL
+    ),
+    s AS (
+      SELECT pr, COUNT(*) AS n,
+             CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+             CAST(SUM(x*y) AS BIGINT) AS sxy,
+             CAST(SUM(x*x) AS BIGINT) AS sxx
+      FROM b GROUP BY pr
+    )
+    SELECT pr AS priority, n,
+           CAST(sx AS BIGINT) AS sum_x, CAST(sy AS BIGINT) AS sum_y,
+           CAST(n * sxy - sx * sy AS BIGINT) AS slope_num,
+           CAST(n * sxx - sx * sx AS BIGINT) AS slope_den
+    FROM s ORDER BY priority NULLS LAST
+    """,
+)
+def a_trend_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group OLS TREND SLOPE in exact integer arithmetic: is order
+    value drifting over time within each priority class?  Slope =
+    (nΣxy − ΣxΣy) / (nΣxx − (Σx)²) — numerator and denominator are
+    emitted SEPARATELY as exact BIGINTs (x = days since 1995-01-01,
+    y = floored dollars), so the result is bit-deterministic with no
+    float division to compare at all; the caller divides (or compares
+    numerators cross-group at common denominators).  Spark's native
+    regr_slope computes the same quantity in floating point — order-
+    dependent across partitions, which is exactly why it can't be
+    oracle-matched and this formulation can.
+
+    Scale shape: one map-side-combinable aggregation (5 sums), one
+    shuffle on the group key.  Magnitudes: |x|≤3e3, |y|≤6e5, so
+    n·Σxy stays < 2^62 through ~100k rows/group; beyond that the same
+    ladder rides DECIMAL(38,0) sums (documented, not needed at bench
+    scale)."""
+    b = (
+        load_table(spark, sf_dir, "orders")
+        .filter(
+            F.col("o_orderdate").isNotNull()
+            & F.col("o_totalprice").isNotNull()
+        )
+        .select(
+            F.col("o_orderpriority").alias("pr"),
+            F.datediff(
+                F.to_date("o_orderdate"), F.lit("1995-01-01").cast("date")
+            )
+            .cast("bigint")
+            .alias("x"),
+            F.floor("o_totalprice").cast("bigint").alias("y"),
+        )
+    )
+    s = b.groupBy("pr").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+    )
+    return s.select(
+        F.col("pr").alias("priority"),
+        "n",
+        F.col("sx").cast("bigint").alias("sum_x"),
+        F.col("sy").cast("bigint").alias("sum_y"),
+        (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy"))
+        .cast("bigint")
+        .alias("slope_num"),
+        (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
+        .cast("bigint")
+        .alias("slope_den"),
+    ).orderBy(F.col("priority").asc_nulls_last())

@@ -110,6 +110,7 @@ AUDITED_EXTRA = [
     "emb_matryoshka_eval",
     "stream_late_drop",
     "snap_cherrypick",
+    "a_trend_slope",
 ]
 
 #: intended-plan annotations for rows that would otherwise read as
