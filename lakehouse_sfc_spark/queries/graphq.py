@@ -813,3 +813,90 @@ def graph_bfs_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
     for r in rows[1:]:
         out = out.unionAll(r)
     return out.orderBy("round")
+
+
+@register(
+    "graph_assortativity",
+    oracle=f"""
+    WITH edges AS ({_SQL_EDGES}),
+    und AS (SELECT p1 AS s, p2 AS d FROM edges
+            UNION ALL SELECT p2 AS s, p1 AS d FROM edges),
+    deg AS (SELECT s, COUNT(*) AS dg FROM und GROUP BY s),
+    ed AS (
+        SELECT da.dg AS x, db.dg AS y
+        FROM und e JOIN deg da ON da.s = e.s JOIN deg db ON db.s = e.d
+    )
+    SELECT COUNT(*) AS n_endpoints,
+           CAST(SUM(x) AS BIGINT) AS sum_x,
+           CAST(SUM(y) AS BIGINT) AS sum_y,
+           CAST(COUNT(*) * SUM(x*y) - SUM(x) * SUM(y) AS BIGINT)
+               AS corr_num,
+           CAST(COUNT(*) * SUM(x*x) - SUM(x) * SUM(x) AS BIGINT)
+               AS corr_den_x,
+           CAST(COUNT(*) * SUM(y*y) - SUM(y) * SUM(y) AS BIGINT)
+               AS corr_den_y
+    FROM ed
+    """,
+)
+def graph_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree ASSORTATIVITY of the co-purchase graph (Newman 2002): do
+    high-degree parts co-occur with other high-degree parts?  The Pearson
+    correlation of endpoint degrees over the directed edge list, emitted
+    as exact integer components — numerator n·Σxy − ΣxΣy and the two
+    denominator factors — so r = num / sqrt(den_x·den_y) is recoverable
+    by the caller while the engine comparison stays sqrt-free and
+    bit-exact (same discipline as a_trend_slope).  Sign alone answers
+    the question: positive = assortative (hub-hub shopping baskets),
+    negative = disassortative (hubs bridge long-tail parts) — the single
+    most load-bearing scalar for choosing graph partitioning strategy
+    (disassortative graphs hot-spot on hub-keyed shuffles).
+
+    Plan shape: degree aggregation (one shuffle on the vertex key), then
+    the |E|-sized edge list joins the |V|-sized degree relation twice
+    (broadcast here; at 100 TB both joins reuse the edge list's s-key
+    partitioning for the first and one d-key shuffle for the second),
+    and ONE global 6-sum aggregate — map-side combinable, no window, no
+    sort."""
+    e = _edges(spark, sf_dir)
+    und = (
+        e.select(F.col("p1").alias("s"), F.col("p2").alias("d"))
+        .unionAll(e.select(F.col("p2").alias("s"), F.col("p1").alias("d")))
+        .localCheckpoint(eager=False)
+    )
+    deg = und.groupBy("s").agg(F.count(F.lit(1)).alias("dg"))
+    ed = (
+        und.join(
+            F.broadcast(deg.select(F.col("s"), F.col("dg").alias("x"))),
+            "s",
+        )
+        .join(
+            F.broadcast(
+                deg.select(F.col("s").alias("d"), F.col("dg").alias("y"))
+            ),
+            "d",
+        )
+        .select("x", "y")
+    )
+    return ed.agg(
+        F.count(F.lit(1)).alias("n_endpoints"),
+        F.sum("x").cast("bigint").alias("sum_x"),
+        F.sum("y").cast("bigint").alias("sum_y"),
+        (
+            F.count(F.lit(1)) * F.sum(F.col("x") * F.col("y"))
+            - F.sum("x") * F.sum("y")
+        )
+        .cast("bigint")
+        .alias("corr_num"),
+        (
+            F.count(F.lit(1)) * F.sum(F.col("x") * F.col("x"))
+            - F.sum("x") * F.sum("x")
+        )
+        .cast("bigint")
+        .alias("corr_den_x"),
+        (
+            F.count(F.lit(1)) * F.sum(F.col("y") * F.col("y"))
+            - F.sum("y") * F.sum("y")
+        )
+        .cast("bigint")
+        .alias("corr_den_y"),
+    )

@@ -111,6 +111,7 @@ AUDITED_EXTRA = [
     "stream_late_drop",
     "snap_cherrypick",
     "a_trend_slope",
+    "graph_assortativity",
 ]
 
 #: intended-plan annotations for rows that would otherwise read as
