@@ -1233,3 +1233,110 @@ def snap_cherrypick(spark: SparkSession, sf_dir: str) -> DataFrame:
     for r in rows[1:]:
         out = out.unionAll(r)
     return out.orderBy("version")
+
+
+_SDRIFT_SCALE = 1_000_000_000  # FLOOR-tick ladder, 1e-9 resolution
+
+
+@register(
+    "snap_version_drift",
+    oracle=f"""
+    {_SQL_STATES},
+    head AS (SELECT o_orderdate FROM state2
+             UNION ALL SELECT o_orderdate FROM appended),
+    u AS (
+      SELECT CAST(YEAR(o_orderdate) AS INTEGER) AS pr, 0 AS per
+      FROM state0 WHERE o_orderdate IS NOT NULL
+      UNION ALL
+      SELECT CAST(YEAR(o_orderdate) AS INTEGER), 1
+      FROM head WHERE o_orderdate IS NOT NULL
+    ),
+    cell AS (SELECT pr, per, COUNT(*) AS c FROM u GROUP BY 1, 2),
+    prs AS (SELECT DISTINCT pr FROM u),
+    pes AS (SELECT 0 AS per UNION ALL SELECT 1),
+    grid AS (
+      SELECT prs.pr, pes.per, COALESCE(cell.c, 0) AS c
+      FROM prs CROSS JOIN pes
+      LEFT JOIN cell ON cell.pr = prs.pr AND cell.per = pes.per
+    ),
+    rowt AS (SELECT pr, SUM(c) AS rt FROM grid GROUP BY 1),
+    colt AS (SELECT per, SUM(c) AS ct FROM grid GROUP BY 1),
+    n AS (SELECT SUM(c) AS n FROM grid),
+    t AS (
+      SELECT g.pr, g.per, g.c,
+             CAST(r.rt * cl.ct AS DOUBLE) / n.n AS e
+      FROM grid g
+      JOIN rowt r ON r.pr = g.pr
+      JOIN colt cl ON cl.per = g.per
+      CROSS JOIN n
+    )
+    SELECT pr AS year,
+           CAST(SUM(CASE WHEN per = 0 THEN c END) AS BIGINT) AS n_v0,
+           CAST(SUM(CASE WHEN per = 1 THEN c END) AS BIGINT) AS n_head,
+           CAST(SUM(CASE WHEN e > 0 THEN CAST(FLOOR(
+               (c - e) * (c - e) / e * {_SDRIFT_SCALE}
+           ) AS BIGINT) ELSE 0 END) AS BIGINT) AS contrib_scaled
+    FROM t GROUP BY pr ORDER BY pr
+    """,
+)
+def snap_version_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TIME-TRAVEL DRIFT AUDIT: the chi-square homogeneity screen run
+    between two VERSIONS of the same snapshot table (v0 vs head) —
+    "did our delete/upsert/append pipeline change the data's shape?",
+    the governance check a lakehouse uniquely enables because old
+    versions stay queryable.  Here the head deleted every pre-1997
+    order, so the year distribution collapses and the per-year
+    contribution decomposition points at exactly the years the pipeline
+    removed.  Same FLOOR-tick integer ladder as dq_chi_square_drift
+    (order-free, bit-identical cross-engine); categories are order
+    years.
+
+    Scale shape: both versions read through their own manifests (shared
+    files read once each), two map-side-combinable aggregations, a tiny
+    grid join — drift cost is O(two scans), never O(history)."""
+    t = _snapshot_table(spark, sf_dir)
+    year = F.year("o_orderdate").cast("int").alias("pr")
+    u = (
+        t.read(0)
+        .filter(F.col("o_orderdate").isNotNull())
+        .select(year, F.lit(0).alias("per"))
+        .unionByName(
+            t.read()
+            .filter(F.col("o_orderdate").isNotNull())
+            .select(year, F.lit(1).alias("per"))
+        )
+    )
+    cell = u.groupBy("pr", "per").agg(F.count(F.lit(1)).alias("c"))
+    prs = u.select("pr").distinct()
+    pes = spark.range(2).select(F.col("id").cast("int").alias("per"))
+    grid = (
+        prs.crossJoin(pes)
+        .join(cell, ["pr", "per"], "left")
+        .select("pr", "per", F.coalesce(F.col("c"), F.lit(0)).alias("c"))
+    )
+    rowt = grid.groupBy("pr").agg(F.sum("c").alias("rt"))
+    colt = grid.groupBy("per").agg(F.sum("c").alias("ct"))
+    n = grid.agg(F.sum("c").alias("n"))
+    e = (F.col("rt") * F.col("ct")).cast("double") / F.col("n")
+    contrib = F.when(
+        e > 0,
+        F.floor(
+            (F.col("c") - e) * (F.col("c") - e) / e * _SDRIFT_SCALE
+        ).cast("bigint"),
+    ).otherwise(F.lit(0))
+    return (
+        grid.join(F.broadcast(rowt), "pr")
+        .join(F.broadcast(colt), "per")
+        .crossJoin(F.broadcast(n))
+        .groupBy(F.col("pr").alias("year"))
+        .agg(
+            F.sum(F.when(F.col("per") == 0, F.col("c")))
+            .cast("bigint")
+            .alias("n_v0"),
+            F.sum(F.when(F.col("per") == 1, F.col("c")))
+            .cast("bigint")
+            .alias("n_head"),
+            F.sum(contrib).cast("bigint").alias("contrib_scaled"),
+        )
+        .orderBy("year")
+    )

@@ -112,6 +112,7 @@ AUDITED_EXTRA = [
     "snap_cherrypick",
     "a_trend_slope",
     "graph_assortativity",
+    "snap_version_drift",
 ]
 
 #: intended-plan annotations for rows that would otherwise read as
@@ -183,6 +184,11 @@ ANNOTATIONS = {
         "the BroadcastNestedLoopJoins are the intended per-width 1-row "
         "n_queries×hits×top1 crossJoins plus the query-sample broadcast "
         "(condition-less, bounded) — never relation×relation"
+    ),
+    "snap_version_drift": (
+        "the BroadcastNestedLoopJoin×1 is the intended 1-row broadcast of "
+        "the grand-total N scalar (condition-less crossJoin, bounded) — "
+        "same shape as dq_chi_square_drift"
     ),
     "sample_balanced_classes": (
         "the BroadcastNestedLoopJoin×1 is the intended 1-row broadcast of "
