@@ -1165,3 +1165,61 @@ def targz_real_stats_batches(
                 "content_sum": pd.Series(sums, dtype="int64"),
             }
         )
+
+
+# --- real PDF containers ------------------------------------------------------
+
+PDF_META_SCHEMA = (
+    "doc_id bigint, n_objects int, n_pages int, content_bytes bigint, "
+    "content_sum bigint"
+)
+
+
+def synth_pdf_batches(
+    batches: Iterable[pd.DataFrame],
+) -> Iterator[pd.DataFrame]:
+    """(doc_id, n_pages) → (doc_id, payload): a REAL classic-xref PDF with
+    one FlateDecode content stream per page; page j holds
+    60 + (doc_id + j) % 50 bytes of the deterministic printable stream."""
+    from lakehouse_sfc_spark.operators.pdf import encode_pdf
+
+    for pdf in batches:
+        payloads = [
+            encode_pdf(int(d), int(np), lambda j, d=int(d): 60 + (d + j) % 50)
+            for d, np in zip(pdf["doc_id"], pdf["n_pages"])
+        ]
+        yield pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"].astype("int64"),
+                "payload": pd.Series(payloads, dtype="object"),
+            }
+        )
+
+
+def pdf_meta_batches(
+    batches: Iterable[pd.DataFrame],
+) -> Iterator[pd.DataFrame]:
+    """Parse REAL PDF payloads without rendering (xref offsets validated
+    byte-exactly, /Count checked, streams Flate-decoded against /Length
+    inside ``pdf_metadata``) and emit the closed-form summary."""
+    from lakehouse_sfc_spark.operators.pdf import pdf_metadata
+
+    for pdf in batches:
+        rows = [pdf_metadata(bytes(p)) for p in pdf["payload"]]
+        yield pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"].astype("int64"),
+                "n_objects": pd.Series(
+                    [r["n_objects"] for r in rows], dtype="int32"
+                ),
+                "n_pages": pd.Series(
+                    [r["n_pages"] for r in rows], dtype="int32"
+                ),
+                "content_bytes": pd.Series(
+                    [r["content_bytes"] for r in rows], dtype="int64"
+                ),
+                "content_sum": pd.Series(
+                    [r["content_sum"] for r in rows], dtype="int64"
+                ),
+            }
+        )

@@ -22,6 +22,7 @@ from lakehouse_sfc_spark.operators.multimodal import (
     AUDIO_REAL_SCHEMA,
     AUDIO_SCHEMA,
     FLAC_REAL_SCHEMA,
+    PDF_META_SCHEMA,
     TARGZ_REAL_SCHEMA,
     ZIP_REAL_SCHEMA,
     DECODED_SCHEMA,
@@ -35,6 +36,8 @@ from lakehouse_sfc_spark.operators.multimodal import (
     synth_audio_batches,
     synth_flac_batches,
     flac_real_stats_batches,
+    synth_pdf_batches,
+    pdf_meta_batches,
     synth_targz_batches,
     targz_real_stats_batches,
     synth_zip_batches,
@@ -2440,3 +2443,62 @@ def multimodal_targz_real(spark: SparkSession, sf_dir: str) -> DataFrame:
         synth_targz_batches, "doc_id bigint, payload binary"
     )
     return encoded.mapInPandas(targz_real_stats_batches, TARGZ_REAL_SCHEMA)
+
+
+@register(
+    "multimodal_pdf_metadata",
+    oracle="""
+    WITH p AS (
+      SELECT doc_id, (1 + doc_id % 4)::INTEGER AS np
+      FROM documents WHERE doc_id % 12 = 3
+    ),
+    m AS (
+      SELECT p.doc_id, p.np, j.r AS j,
+             (60 + (p.doc_id + j.r) % 50)::BIGINT AS n
+      FROM p, LATERAL (SELECT unnest(range(0, p.np)) AS r) j
+    ),
+    g AS (
+      SELECT m.doc_id, m.j, i.r AS i
+      FROM m, LATERAL (SELECT unnest(range(0, m.n)) AS r) i
+    ),
+    per AS (
+      SELECT doc_id, MIN(np)::INTEGER AS n_pages,
+             (2 + 2 * MIN(np))::INTEGER AS n_objects,
+             CAST(SUM(n) AS BIGINT) AS content_bytes
+      FROM m GROUP BY doc_id
+    ),
+    cs AS (
+      SELECT doc_id,
+             CAST(SUM((doc_id*7 + j*13 + i) % 95 + 32) AS BIGINT)
+                 AS content_sum
+      FROM g GROUP BY doc_id
+    )
+    SELECT per.doc_id, per.n_objects, per.n_pages, per.content_bytes,
+           cs.content_sum
+    FROM per JOIN cs ON per.doc_id = cs.doc_id
+    """,
+)
+def multimodal_pdf_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL PDF containers, metadata-only (the curation fast path for the
+    web's dominant document format): per document a genuine multi-page
+    classic-xref PDF — catalog → page tree → Page objects → FlateDecode
+    content streams, byte-offset-exact xref table — is written by
+    operators/pdf.py, then parsed WITHOUT rendering: startxref located
+    from the tail, every object offset validated against the actual
+    bytes, /Count checked against /Kids, each stream Flate-decoded and
+    length-checked, and the exact content-byte sum pinned against the
+    closed form.  Encrypted PDFs, xref streams, object streams,
+    incremental updates and non-Flate filters refuse loudly by name —
+    the features that silently corrupt naive PDF scrapers.
+
+    Scale shape: pure map, two Arrow-batched mapInPandas kernels, no
+    shuffle; parse CPU is O(objects), never O(render)."""
+    d = load_table(spark, sf_dir, "documents")
+    params = d.filter(F.col("doc_id") % 12 == 3).select(
+        "doc_id",
+        (F.pmod(F.col("doc_id"), F.lit(4)) + 1).cast("int").alias("n_pages"),
+    )
+    encoded = params.mapInPandas(
+        synth_pdf_batches, "doc_id bigint, payload binary"
+    )
+    return encoded.mapInPandas(pdf_meta_batches, PDF_META_SCHEMA)

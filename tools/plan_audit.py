@@ -113,6 +113,7 @@ AUDITED_EXTRA = [
     "a_trend_slope",
     "graph_assortativity",
     "snap_version_drift",
+    "multimodal_pdf_metadata",
 ]
 
 #: intended-plan annotations for rows that would otherwise read as
