@@ -187,9 +187,10 @@ ANNOTATIONS = {
         "(condition-less, bounded) — never relation×relation"
     ),
     "snap_version_drift": (
-        "the BroadcastNestedLoopJoin×1 is the intended 1-row broadcast of "
-        "the grand-total N scalar (condition-less crossJoin, bounded) — "
-        "same shape as dq_chi_square_drift"
+        "the BroadcastNestedLoopJoins are the intended bounded crossJoins "
+        "of the chi-square grid (|years|×2 category grid, grand-total N "
+        "scalar; both sides O(10) rows) — same shape as "
+        "dq_chi_square_drift, never relation×relation"
     ),
     "sample_balanced_classes": (
         "the BroadcastNestedLoopJoin×1 is the intended 1-row broadcast of "
