@@ -1340,3 +1340,63 @@ def snap_version_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("year")
     )
+
+
+@register(
+    "snap_history_audit",
+    oracle=f"""
+    {_SQL_STATES}
+    SELECT 0 AS version, 'CREATE' AS operation,
+           (SELECT COUNT(*) FROM state0) AS n_rows,
+           (SELECT COUNT(*) FROM state0) AS rows_delta
+    UNION ALL
+    SELECT 1, 'UPSERT',
+           (SELECT COUNT(*) FROM state1),
+           (SELECT COUNT(*) FROM state1) - (SELECT COUNT(*) FROM state0)
+    UNION ALL
+    SELECT 2, 'DELETE',
+           (SELECT COUNT(*) FROM state2),
+           (SELECT COUNT(*) FROM state2) - (SELECT COUNT(*) FROM state1)
+    UNION ALL
+    SELECT 3, 'APPEND',
+           (SELECT COUNT(*) FROM state2) + (SELECT COUNT(*) FROM appended),
+           (SELECT COUNT(*) FROM appended)
+    ORDER BY version
+    """,
+)
+def snap_history_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``DESCRIBE HISTORY`` as a queryable relation (Delta parity): the
+    commit timeline — operation kind, live row count per version, and the
+    row delta each commit contributed — read from MANIFESTS ONLY (each
+    manifest already carries per-file row counts from the stats sidecar,
+    so the audit costs zero data reads; the oracle recomputes every
+    version's row count from first principles, which is exactly what
+    makes the manifest metadata trustworthy).  The audit every ingest
+    pipeline wires an alert on: a DELETE whose |delta| is 100× the daily
+    norm is the fat-finger this table catches before anyone queries the
+    data.
+
+    The audit covers the chain's deterministic creation prefix
+    (versions 0-3); sibling entries may append further commits (e.g.
+    snap_optimize_layout's OPTIMIZE) to the shared cached chain, so an
+    unbounded history would depend on sweep order.
+
+    100-TB shape: O(versions) manifest reads on the driver, one tiny
+    createDataFrame — no executor work at all."""
+    t = _snapshot_table(spark, sf_dir)
+    hist = [h for h in t.history() if h["version"] <= 3]
+    rows = []
+    prev = 0
+    for h in hist:
+        rows.append(
+            (
+                int(h["version"]),
+                str(h["operation"]),
+                int(h["n_rows"]),
+                int(h["n_rows"]) - prev,
+            )
+        )
+        prev = int(h["n_rows"])
+    return spark.createDataFrame(
+        rows, "version int, operation string, n_rows bigint, rows_delta bigint"
+    ).orderBy("version")

@@ -114,6 +114,7 @@ AUDITED_EXTRA = [
     "graph_assortativity",
     "snap_version_drift",
     "multimodal_pdf_metadata",
+    "snap_history_audit",
 ]
 
 #: intended-plan annotations for rows that would otherwise read as
