@@ -4688,3 +4688,141 @@ def emb_matryoshka_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     for x in rows[1:]:
         out = out.unionAll(x)
     return out.orderBy("prefix_dims")
+
+
+# --- PQ reconstruction-distortion evaluation -----------------------------------
+
+_PQD_TICK = 1_000_000_000  # FLOOR-tick ladder: 1e-9 error resolution
+
+
+def _sql_pqd_subspace(s: int) -> str:
+    lo, hi = _PQ_SUB * s + 1, _PQ_SUB * (s + 1)
+    l2_ts = _SQL_L2.format(a="t.e", b="sd.ce")
+    l2_tk = _SQL_L2.format(a="t.e", b="k.ce")
+    return f"""
+    sub{s} AS (SELECT vec_id, emb[{lo}:{hi}] AS e FROM c),
+    seed{s} AS (SELECT vec_id AS cid, e AS ce FROM sub{s}
+                WHERE vec_id < {_PQ_K}),
+    a{s} AS MATERIALIZED (SELECT vec_id, cid, e FROM (
+        SELECT t.vec_id, sd.cid, t.e,
+               ROW_NUMBER() OVER (PARTITION BY t.vec_id
+                 ORDER BY {l2_ts}, sd.cid) AS rn
+        FROM sub{s} t, seed{s} sd) z WHERE rn = 1),
+    pd{s} AS (SELECT cid, pos,
+                     CAST(SUM(CAST(x AS DECIMAL(18,9))) AS DOUBLE)
+                       / COUNT(*) AS m
+              FROM (SELECT cid, UNNEST(e) AS x,
+                           UNNEST(range(1, len(e)+1)) AS pos FROM a{s}) u
+              GROUP BY 1, 2),
+    cent{s} AS (SELECT cid, list(m ORDER BY pos) AS ce
+                FROM pd{s} GROUP BY cid),
+    err{s} AS MATERIALIZED (SELECT vec_id, cid, err FROM (
+        SELECT t.vec_id, k.cid, {l2_tk} AS err,
+               ROW_NUMBER() OVER (PARTITION BY t.vec_id
+                 ORDER BY {l2_tk}, k.cid) AS rn
+        FROM sub{s} t, cent{s} k) z WHERE rn = 1)"""
+
+
+@register(
+    "ann_pq_distortion_eval",
+    oracle=(
+        f"WITH c AS ({_SQL_EMB_CTE}),"
+        + ",".join(_sql_pqd_subspace(s) for s in range(_PQ_M))
+        + f"""
+    SELECT * FROM (
+      {" UNION ALL ".join(
+        f'''SELECT {s} AS subspace,
+               (SELECT COUNT(*) FROM err{s}) AS n_vectors,
+               (SELECT COUNT(DISTINCT cid) FROM err{s}) AS codes_used,
+               (SELECT CAST(SUM(CAST(FLOOR(err * {_PQD_TICK}) AS BIGINT))
+                       AS BIGINT) FROM err{s}) AS err_ticks'''
+        for s in range(_PQ_M)
+      )}
+    ) ORDER BY subspace
+    """
+    ),
+)
+def ann_pq_distortion_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ RECONSTRUCTION DISTORTION — the quantity that predicts ADC
+    ranking quality before any query runs (FAISS reports it as
+    imbalance/quantization error): per 16-dim subspace, the exact total
+    squared reconstruction error Σ‖x − centroid(code(x))‖² over the
+    corpus, FLOOR-quantized to 1e-9 BIGINT ticks per vector so the
+    cross-row sum is order-free and bit-identical in both engines, plus
+    codebook utilization (distinct codes actually used of {_PQ_K} — a
+    collapsed codebook is the classic PQ training failure).  Shares the
+    exact codebook construction with ann_pq_topk (seed + one
+    exact-decimal Lloyd pass), so the number measured is the number the
+    index actually ships.
+
+    Scale shape: per subspace one broadcast codebook join + min_by
+    assignment (map-side) and one global aggregate; the corpus is
+    scanned once per subspace over a 16-dim slice — at 100 TB all four
+    subspaces run in ONE pass over the full array (a column per
+    subspace), which this declarative form already expresses."""
+    c = _emb(spark, sf_dir)
+    rows = []
+    for s in range(_PQ_M):
+        sub = c.select(
+            "vec_id",
+            F.slice(F.col("emb"), _PQ_SUB * s + 1, _PQ_SUB).alias("e"),
+        )
+        seeds = sub.filter(F.col("vec_id") < _PQ_K).select(
+            F.col("vec_id").alias("cid"), F.col("e").alias("ce")
+        )
+
+        def assign_err(vecs, cents):
+            d = _l2(F.col("e"), F.col("ce"))
+            return (
+                vecs.join(F.broadcast(cents))
+                .select("vec_id", "e", "cid", d.alias("d"))
+                .groupBy("vec_id")
+                .agg(
+                    F.min_by(
+                        F.struct("cid", "d"), F.struct("d", "cid")
+                    ).alias("w"),
+                    F.first("e").alias("e"),
+                )
+                .select(
+                    "vec_id", F.col("w.cid").alias("cid"),
+                    F.col("w.d").alias("err"), "e",
+                )
+            )
+
+        a1 = assign_err(sub, seeds)
+        cent = (
+            a1.select("cid", F.posexplode("e").alias("pos", "x"))
+            .groupBy("cid", "pos")
+            .agg(
+                (
+                    F.sum(F.col("x").cast("decimal(18,9)")).cast("double")
+                    / F.count(F.lit(1))
+                ).alias("m")
+            )
+            .groupBy("cid")
+            .agg(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct(F.col("pos"), F.col("m")))
+                    ),
+                    lambda st: st["m"],
+                ).alias("ce")
+            )
+        )
+        err = assign_err(sub, cent)
+        rows.append(
+            err.agg(
+                F.lit(s).alias("subspace"),
+                F.count(F.lit(1)).alias("n_vectors"),
+                F.count_distinct(F.col("cid")).alias("codes_used"),
+                F.sum(
+                    F.floor(F.col("err") * _PQD_TICK).cast("bigint")
+                )
+                .cast("bigint")
+                .alias("err_ticks"),
+            )
+        )
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionAll(r)
+    return out.orderBy("subspace")

@@ -115,6 +115,7 @@ AUDITED_EXTRA = [
     "snap_version_drift",
     "multimodal_pdf_metadata",
     "snap_history_audit",
+    "ann_pq_distortion_eval",
 ]
 
 #: intended-plan annotations for rows that would otherwise read as
@@ -192,6 +193,12 @@ ANNOTATIONS = {
         "of the chi-square grid (|years|×2 category grid, grand-total N "
         "scalar; both sides O(10) rows) — same shape as "
         "dq_chi_square_drift, never relation×relation"
+    ),
+    "ann_pq_distortion_eval": (
+        "the BroadcastNestedLoopJoins are the intended bounded codebook "
+        "crossJoins (corpus × 16-row sub-codebook per subspace, the PQ "
+        "assignment shape shared with ann_pq_topk) — never "
+        "relation×relation"
     ),
     "sample_balanced_classes": (
         "the BroadcastNestedLoopJoin×1 is the intended 1-row broadcast of "
