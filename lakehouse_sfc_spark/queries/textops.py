@@ -2502,3 +2502,82 @@ def multimodal_pdf_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
         synth_pdf_batches, "doc_id bigint, payload binary"
     )
     return encoded.mapInPandas(pdf_meta_batches, PDF_META_SCHEMA)
+
+
+# --- truncation-vs-chunking loss accounting ------------------------------------
+
+_TRUNC_WINDOWS = (128, 256, 512)
+
+
+@register(
+    "pack_truncation_loss",
+    oracle=f"""
+    WITH d AS (
+      SELECT doc_id, len({_SQL_TOKENS})::BIGINT AS n
+      FROM documents WHERE doc_id IS NOT NULL AND text IS NOT NULL
+    )
+    SELECT * FROM (
+      {" UNION ALL ".join(
+        f'''SELECT {w} AS window_size,
+               (SELECT COUNT(*) FROM d) AS n_docs,
+               (SELECT COUNT(*) FROM d WHERE n > {w}) AS docs_truncated,
+               (SELECT CAST(SUM(n) AS BIGINT) FROM d) AS total_tokens,
+               (SELECT CAST(COALESCE(SUM(n - {w}), 0) AS BIGINT)
+                FROM d WHERE n > {w}) AS tokens_lost,
+               (SELECT CAST(SUM(CASE WHEN n > {w}
+                        THEN n - (n // {w}) * {w}
+                        ELSE 0 END) AS BIGINT) FROM d) AS tail_waste'''
+        for w in _TRUNC_WINDOWS
+      )}
+    ) ORDER BY window_size
+    """,
+)
+def pack_truncation_loss(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The TRUNCATE-vs-CHUNK policy table every pretraining data pipeline
+    decides from: for each candidate context window, how many documents
+    overflow it, how many tokens a truncate-at-window policy DELETES
+    (tokens_lost — the documents' tails, which skews long-form content
+    out of the corpus), and how many tokens a chunk-everything policy
+    leaves as sub-window tail fragments (tail_waste — paid in padding or
+    packing complexity instead).  The difference between those two
+    columns at your window size IS the cost of the lazy policy; exact
+    integers end to end.
+
+    Scale shape: ONE token-count aggregation over the corpus feeds every
+    window size (the sweep adds CASE columns, not passes); map-side
+    combinable, no join, no window function."""
+    d = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id").isNotNull() & F.col("text").isNotNull())
+        .select(
+            F.size(_tokens(F.col("text"))).cast("bigint").alias("n")
+        )
+    )
+    rows = []
+    for w in _TRUNC_WINDOWS:
+        over = F.col("n") > w
+        rows.append(
+            d.agg(
+                F.lit(w).alias("window_size"),
+                F.count(F.lit(1)).alias("n_docs"),
+                F.count(F.when(over, 1)).alias("docs_truncated"),
+                F.sum("n").cast("bigint").alias("total_tokens"),
+                F.coalesce(
+                    F.sum(F.when(over, F.col("n") - w)), F.lit(0)
+                )
+                .cast("bigint")
+                .alias("tokens_lost"),
+                F.sum(
+                    F.when(
+                        over,
+                        F.col("n") - F.floor(F.col("n") / w) * w,
+                    ).otherwise(F.lit(0))
+                )
+                .cast("bigint")
+                .alias("tail_waste"),
+            )
+        )
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionAll(r)
+    return out.orderBy("window_size")

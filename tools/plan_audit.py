@@ -116,6 +116,7 @@ AUDITED_EXTRA = [
     "multimodal_pdf_metadata",
     "snap_history_audit",
     "ann_pq_distortion_eval",
+    "pack_truncation_loss",
 ]
 
 #: intended-plan annotations for rows that would otherwise read as
