@@ -4826,3 +4826,88 @@ def ann_pq_distortion_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     for r in rows[1:]:
         out = out.unionAll(r)
     return out.orderBy("subspace")
+
+
+# --- per-dimension z-score outlier screen --------------------------------------
+
+_EOS_TICK = 1_000_000  # FLOOR-tick ladder on the per-vector score
+_EOS_K = 10
+
+
+@register(
+    "emb_outlier_score",
+    oracle=f"""
+    WITH c AS ({_SQL_EMB_CTE}),
+    t AS MATERIALIZED (
+      SELECT vec_id, i.i AS pos, emb[i.i + 1] AS x
+      FROM c, LATERAL (SELECT unnest(range(0, len(emb))) AS i) i
+    ),
+    st AS MATERIALIZED (
+      SELECT pos,
+             CAST(SUM(CAST(x AS DECIMAL(18,9))) AS DOUBLE) / COUNT(*)
+                 AS mu,
+             CAST(SUM(CAST(x AS DECIMAL(18,9))
+                      * CAST(x AS DECIMAL(18,9))) AS DOUBLE) / COUNT(*)
+                 AS ex2,
+             COUNT(*) AS n
+      FROM t GROUP BY pos
+    ),
+    sv AS (SELECT pos, mu, ex2 - mu * mu AS var FROM st),
+    sc AS (
+      SELECT t.vec_id,
+             CAST(SUM(CAST(FLOOR(
+               CASE WHEN sv.var > 0
+                    THEN (t.x - sv.mu) * (t.x - sv.mu) / sv.var
+                    ELSE 0 END * {_EOS_TICK}) AS BIGINT)) AS BIGINT)
+                 AS score_ticks
+      FROM t JOIN sv ON sv.pos = t.pos
+      GROUP BY t.vec_id
+    )
+    SELECT vec_id, score_ticks FROM sc
+    ORDER BY score_ticks DESC, vec_id LIMIT {_EOS_K}
+    """,
+)
+def emb_outlier_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space OUTLIER screen (diagonal Mahalanobis): per
+    dimension, mean and variance from exact-decimal sums; per vector, the
+    summed squared z-score — the cheap first-pass filter that catches
+    corrupted encoders, mis-normalized batches and off-manifold junk
+    before they poison dedup thresholds or ANN recall.  Each dimension's
+    contribution is FLOOR-ticked to a BIGINT before the cross-dimension
+    sum, so the score is order-free and bit-identical in both engines;
+    zero-variance dimensions contribute nothing (guarded identically).
+    Output: the top-{_EOS_K} most anomalous vectors.
+
+    Scale shape: one posexplode pass for the per-dim moment aggregation
+    (64 groups — map-side combinable to almost nothing), a broadcast of
+    the 64-row stats relation back onto the exploded view, one per-vector
+    aggregation, TakeOrderedAndProject for the top-k.  Two passes over
+    the corpus total, both embarrassingly parallel."""
+    c = _emb(spark, sf_dir)
+    t = c.select(
+        "vec_id", F.posexplode(F.col("emb")).alias("pos", "x")
+    )
+    dec = F.col("x").cast("decimal(18,9)")
+    st = t.groupBy("pos").agg(
+        (F.sum(dec).cast("double") / F.count(F.lit(1))).alias("mu"),
+        (F.sum(dec * dec).cast("double") / F.count(F.lit(1))).alias("ex2"),
+    )
+    sv = st.select(
+        "pos", "mu", (F.col("ex2") - F.col("mu") * F.col("mu")).alias("var")
+    )
+    contrib = F.when(
+        F.col("var") > 0,
+        (F.col("x") - F.col("mu"))
+        * (F.col("x") - F.col("mu"))
+        / F.col("var"),
+    ).otherwise(F.lit(0.0))
+    sc = (
+        t.join(F.broadcast(sv), "pos")
+        .groupBy("vec_id")
+        .agg(
+            F.sum(F.floor(contrib * _EOS_TICK).cast("bigint"))
+            .cast("bigint")
+            .alias("score_ticks")
+        )
+    )
+    return sc.orderBy(F.desc("score_ticks"), "vec_id").limit(_EOS_K)

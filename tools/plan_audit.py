@@ -117,6 +117,7 @@ AUDITED_EXTRA = [
     "snap_history_audit",
     "ann_pq_distortion_eval",
     "pack_truncation_loss",
+    "emb_outlier_score",
 ]
 
 #: intended-plan annotations for rows that would otherwise read as
