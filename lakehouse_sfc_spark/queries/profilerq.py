@@ -533,3 +533,104 @@ def profile_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.sqrt(vx.cast("double") * vy.cast("double"))
         ).alias("r1"),
     )
+
+
+# --- deterministic bootstrap confidence interval -------------------------------
+
+_BOOT_B = 32  # bootstrap replicas
+
+
+@register(
+    "profile_bootstrap_ci",
+    oracle=f"""
+    WITH o AS MATERIALIZED (
+      SELECT o_totalprice AS y,
+             ROW_NUMBER() OVER (ORDER BY o_orderkey) - 1 AS rk
+      FROM orders WHERE o_orderkey IS NOT NULL
+    ),
+    n AS (SELECT COUNT(*) AS n FROM o),
+    d AS MATERIALIZED (
+      SELECT CAST(i.id // n.n AS INTEGER) AS b,
+             CAST(('0x' || substr(md5((i.id % n.n) || ':'
+                   || (i.id // n.n) || ':boot'), 1, 8))::BIGINT % n.n
+                 AS BIGINT) AS rk
+      FROM n, LATERAL (SELECT unnest(range(0, n.n * {_BOOT_B})) AS id) i
+    )
+    SELECT d.b AS replica,
+           COUNT(*) AS n_draws,
+           COUNT(o.y) AS n_nonnull,
+           CAST(SUM(CAST(o.y AS DECIMAL(18,2))) AS DOUBLE) / COUNT(o.y)
+               AS mean_price
+    FROM d JOIN o ON o.rk = d.rk
+    GROUP BY d.b ORDER BY d.b
+    """,
+)
+def profile_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DETERMINISTIC bootstrap — the resampling engine behind every error
+    bar, made reproducible and engine-independent: replica b's j-th draw
+    picks the row ranked md5(j:b) % n, so the full multinomial resample
+    is a pure function of (row rank, replica) with no RNG state; the
+    {_BOOT_B} replica means are exact-decimal sums with ONE double
+    division each, and their spread IS the standard-error estimate (the
+    caller reads min/max/stddev of the replica column).  Seeded RNG
+    bootstraps are reproducible on one engine but never across engines —
+    hash-derived draws are the cross-engine form.
+
+    Scale shape: the draw relation is synthesized (range(n·B) — no data
+    explosion, just ids), joined to the ranked rows on the rank key (one
+    hash shuffle), then a {_BOOT_B}-group aggregation.  The global
+    ROW_NUMBER rank is the demo's single sort; at 100 TB ranks come from
+    a range-partitioned zipWithIndex-style assignment (per-partition
+    offsets from one count pass), no global sort."""
+    from pyspark.sql import Window
+
+    o = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey").isNotNull())
+        .select(
+            F.col("o_totalprice").alias("y"),
+            (
+                F.row_number().over(Window.orderBy("o_orderkey")) - 1
+            ).alias("rk"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    n = o.count()
+    d = (
+        spark.range(n * _BOOT_B)
+        .select(
+            (F.col("id") / n).cast("int").alias("b"),
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat_ws(
+                            ":",
+                            (F.col("id") % n).cast("long"),
+                            (F.col("id") / n).cast("int"),
+                            F.lit("boot"),
+                        )
+                    ),
+                    1,
+                    8,
+                ),
+                16,
+                10,
+            )
+            .cast("long")
+            .__mod__(n)
+            .alias("rk"),
+        )
+    )
+    return (
+        d.join(o, "rk")
+        .groupBy(F.col("b").alias("replica"))
+        .agg(
+            F.count(F.lit(1)).alias("n_draws"),
+            F.count("y").alias("n_nonnull"),
+            (
+                F.sum(F.col("y").cast("decimal(18,2)")).cast("double")
+                / F.count("y")
+            ).alias("mean_price"),
+        )
+        .orderBy("replica")
+    )

@@ -118,6 +118,7 @@ AUDITED_EXTRA = [
     "ann_pq_distortion_eval",
     "pack_truncation_loss",
     "emb_outlier_score",
+    "profile_bootstrap_ci",
 ]
 
 #: intended-plan annotations for rows that would otherwise read as
