@@ -423,3 +423,91 @@ def w_cusum_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("drift_score"),
         )
     )
+
+
+@register(
+    "w_max_drawdown",
+    oracle="""
+    WITH b AS (
+      SELECT o_custkey AS k, o_orderdate AS d, o_orderkey AS id,
+             CASE WHEN o_orderstatus = 'F'
+                  THEN CAST(FLOOR(o_totalprice) AS BIGINT)
+                  ELSE -CAST(FLOOR(o_totalprice) AS BIGINT) END AS flow
+      FROM orders
+      WHERE o_custkey IS NOT NULL AND o_orderdate IS NOT NULL
+        AND o_orderkey IS NOT NULL AND o_totalprice IS NOT NULL
+    ),
+    p0 AS (
+      SELECT k, d, id,
+             SUM(flow) OVER (PARTITION BY k ORDER BY d, id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS bal
+      FROM b
+    ),
+    p AS (
+      SELECT k, bal,
+             MAX(bal) OVER (PARTITION BY k ORDER BY d, id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS peak
+      FROM p0
+    ),
+    dd AS (
+      SELECT k, COUNT(*) AS n_orders,
+             CAST(MAX(peak - bal) AS BIGINT) AS max_drawdown
+      FROM p GROUP BY k
+    )
+    SELECT k AS custkey, n_orders, max_drawdown
+    FROM dd ORDER BY max_drawdown DESC, custkey LIMIT 10
+    """,
+)
+def w_max_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MAX DRAWDOWN per customer — the canonical prefix-extremum window
+    pattern (Kadane's problem in SQL form): over each customer's signed
+    order flow in time order (F-status orders credit, others debit,
+    floored-dollar BIGINT ticks), the running balance, its running peak,
+    and the maximum peak-to-balance drop.  The trick: a sequential-
+    looking scan statistic becomes TWO stacked windows over ONE
+    partition sort (cumulative sum, then cumulative max of it) — no
+    recursion, no UDAF, exact integers end to end; the (date, id)
+    tie-break makes same-day orders deterministic.
+
+    Scale shape: one hash shuffle on the customer key, one in-partition
+    sort feeding both frames, then a per-key aggregate and a top-10
+    TakeOrderedAndProject.  At 100 TB the sort is per-customer-partition
+    local — never global."""
+    b = (
+        load_table(spark, sf_dir, "orders")
+        .filter(
+            F.col("o_custkey").isNotNull()
+            & F.col("o_orderdate").isNotNull()
+            & F.col("o_orderkey").isNotNull()
+            & F.col("o_totalprice").isNotNull()
+        )
+        .select(
+            F.col("o_custkey").alias("k"),
+            F.col("o_orderdate").alias("d"),
+            F.col("o_orderkey").alias("id"),
+            F.when(
+                F.col("o_orderstatus") == "F",
+                F.floor("o_totalprice").cast("bigint"),
+            )
+            .otherwise(-F.floor("o_totalprice").cast("bigint"))
+            .alias("flow"),
+        )
+    )
+    w = (
+        Window.partitionBy("k")
+        .orderBy("d", "id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    p0 = b.select("k", "d", "id", F.sum("flow").over(w).alias("bal"))
+    p = p0.select("k", "bal", F.max("bal").over(w).alias("peak"))
+    return (
+        p.groupBy(F.col("k").alias("custkey"))
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.max(F.col("peak") - F.col("bal"))
+            .cast("bigint")
+            .alias("max_drawdown"),
+        )
+        .orderBy(F.desc("max_drawdown"), "custkey")
+        .limit(10)
+    )

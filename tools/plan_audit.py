@@ -119,6 +119,7 @@ AUDITED_EXTRA = [
     "pack_truncation_loss",
     "emb_outlier_score",
     "profile_bootstrap_ci",
+    "w_max_drawdown",
 ]
 
 #: intended-plan annotations for rows that would otherwise read as
