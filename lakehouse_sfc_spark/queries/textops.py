@@ -2581,3 +2581,80 @@ def pack_truncation_loss(spark: SparkSession, sf_dir: str) -> DataFrame:
     for r in rows[1:]:
         out = out.unionAll(r)
     return out.orderBy("window_size")
+
+
+@register(
+    "text_sentence_dedup",
+    oracle=f"""
+    WITH s AS (
+      SELECT doc_id,
+             trim(unnest(string_split(lower(text), '.'))) AS sent
+      FROM documents WHERE text IS NOT NULL AND doc_id IS NOT NULL
+    ),
+    f AS (SELECT doc_id, sent FROM s WHERE len(sent) >= 20),
+    g AS (
+      SELECT sent, COUNT(*) AS n_occurrences,
+             COUNT(DISTINCT doc_id) AS n_docs,
+             CAST(MIN(doc_id) AS BIGINT) AS first_doc
+      FROM f GROUP BY sent HAVING COUNT(DISTINCT doc_id) >= 2
+    )
+    SELECT md5(sent) AS sent_hash,
+           CAST(len(sent) AS BIGINT) AS sent_len,
+           n_occurrences, n_docs, first_doc
+    FROM g
+    ORDER BY n_docs DESC, n_occurrences DESC, sent_hash
+    LIMIT 20
+    """,
+)
+def text_sentence_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SUB-DOCUMENT boilerplate detection: exact dedup at SENTENCE
+    granularity — the curation pass that catches repeated disclaimers,
+    navigation crumbs and license blurbs that document-level dedup
+    (dedup_exact) and prefix detection (text_boilerplate_prefix) both
+    miss because the surrounding documents differ.  Sentences are
+    period-split, lowercased, trimmed, and floored at 20 chars (drops
+    abbreviation fragments); the top 20 cross-document repeats ship as
+    md5 hashes + occurrence/document counts + first-seen doc — exactly
+    the removal list a cleaning pass consumes.  Lee et al. 2022 measure
+    this sub-document duplication as the dominant repeated-text mass in
+    web corpora.
+
+    Scale shape: one explode, one hash aggregation on the sentence key
+    (map-side combinable; the 32-byte md5 could shuffle instead of the
+    raw sentence at 100 TB — here the raw key keeps the oracle simple),
+    TakeOrderedAndProject top-20."""
+    d = load_table(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull() & F.col("doc_id").isNotNull()
+    )
+    s = (
+        d.select(
+            "doc_id",
+            F.explode(F.split(F.lower(F.col("text")), r"\.", -1)).alias(
+                "raw"
+            ),
+        )
+        .select("doc_id", F.trim("raw").alias("sent"))
+        .filter(F.length("sent") >= 20)
+    )
+    g = (
+        s.groupBy("sent")
+        .agg(
+            F.count(F.lit(1)).alias("n_occurrences"),
+            F.count_distinct("doc_id").alias("n_docs"),
+            F.min("doc_id").cast("bigint").alias("first_doc"),
+        )
+        .filter(F.col("n_docs") >= 2)
+    )
+    return (
+        g.select(
+            F.md5("sent").alias("sent_hash"),
+            F.length("sent").cast("bigint").alias("sent_len"),
+            "n_occurrences",
+            "n_docs",
+            "first_doc",
+        )
+        .orderBy(
+            F.desc("n_docs"), F.desc("n_occurrences"), "sent_hash"
+        )
+        .limit(20)
+    )

@@ -120,6 +120,7 @@ AUDITED_EXTRA = [
     "emb_outlier_score",
     "profile_bootstrap_ci",
     "w_max_drawdown",
+    "text_sentence_dedup",
 ]
 
 #: intended-plan annotations for rows that would otherwise read as
