@@ -2658,3 +2658,96 @@ def text_sentence_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .limit(20)
     )
+
+
+# --- skip-gram window co-occurrence --------------------------------------------
+
+_COOC_WIN = 5  # forward window (tokens)
+_COOC_TOPK = 20
+
+
+@register(
+    "text_window_cooccurrence",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, w, pos FROM (
+        SELECT doc_id,
+               unnest({_SQL_TOKENS}) AS w,
+               unnest(range(0, len({_SQL_TOKENS}))) AS pos
+        FROM documents WHERE text IS NOT NULL AND doc_id IS NOT NULL
+      ) WHERE len(w) >= 3
+    ),
+    p AS (
+      SELECT a.w AS w1, b.w AS w2, COUNT(*) AS n_cooc,
+             COUNT(DISTINCT a.doc_id) AS n_docs
+      FROM t a JOIN t b
+        ON a.doc_id = b.doc_id
+       AND b.pos > a.pos AND b.pos <= a.pos + {_COOC_WIN}
+       AND a.w <> b.w
+      GROUP BY a.w, b.w
+    )
+    SELECT md5(w1 || ':' || w2) AS pair_hash,
+           CAST(len(w1) + len(w2) AS BIGINT) AS pair_len,
+           n_cooc, n_docs
+    FROM p
+    ORDER BY n_cooc DESC, n_docs DESC, pair_hash
+    LIMIT {_COOC_TOPK}
+    """,
+)
+def text_window_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skip-gram WINDOW CO-OCCURRENCE — the counting pass word2vec/GloVe
+    style embedding training and collocation mining start from: ordered
+    token pairs within a forward {_COOC_WIN}-token window, aggregated to
+    the corpus co-occurrence matrix, top-{_COOC_TOPK} by raw count (PMI
+    needs log(); raw counts + document frequencies are the exact-integer
+    form both engines agree on bit-for-bit).  Pairs ship as md5 hashes
+    because ORDER BY on raw multi-byte tokens hits the non-ASCII
+    collation divergence (engine-semantics matrix class); token length
+    ≥ 3 drops stopword-ish debris identically on both sides.
+
+    Scale shape: the positional self-join is per-document key-equality
+    with a bounded window predicate — fanout ≤ {_COOC_WIN} per token by
+    construction, so the pair volume is O(tokens·window), never O(n²);
+    one hash aggregation on the pair key, TakeOrderedAndProject top-k.
+    At 100 TB the standard refinement is hashing the pair to a 64-bit
+    key before the shuffle (graph_common_neighbors' packing trick)."""
+    d = load_table(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull() & F.col("doc_id").isNotNull()
+    )
+    t = (
+        d.select(
+            "doc_id",
+            F.posexplode(_tokens(F.col("text"))).alias("pos", "w"),
+        )
+        .filter(F.length("w") >= 3)
+        .localCheckpoint(eager=False)
+    )
+    a, b = t.alias("a"), t.alias("b")
+    p = (
+        a.join(
+            b,
+            (F.col("a.doc_id") == F.col("b.doc_id"))
+            & (F.col("b.pos") > F.col("a.pos"))
+            & (F.col("b.pos") <= F.col("a.pos") + _COOC_WIN)
+            & (F.col("a.w") != F.col("b.w")),
+        )
+        .groupBy(
+            F.col("a.w").alias("w1"), F.col("b.w").alias("w2")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_cooc"),
+            F.count_distinct(F.col("a.doc_id")).alias("n_docs"),
+        )
+    )
+    return (
+        p.select(
+            F.md5(F.concat_ws(":", "w1", "w2")).alias("pair_hash"),
+            (F.length("w1") + F.length("w2"))
+            .cast("bigint")
+            .alias("pair_len"),
+            "n_cooc",
+            "n_docs",
+        )
+        .orderBy(F.desc("n_cooc"), F.desc("n_docs"), "pair_hash")
+        .limit(_COOC_TOPK)
+    )

@@ -121,6 +121,7 @@ AUDITED_EXTRA = [
     "profile_bootstrap_ci",
     "w_max_drawdown",
     "text_sentence_dedup",
+    "text_window_cooccurrence",
 ]
 
 #: intended-plan annotations for rows that would otherwise read as
