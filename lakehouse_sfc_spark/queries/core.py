@@ -1285,3 +1285,65 @@ def a_trend_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("slope_den"),
     ).orderBy(F.col("priority").asc_nulls_last())
+
+
+@register(
+    "a_share_of_total",
+    oracle=f"""
+    WITH g AS (
+      SELECT c.c_mktsegment AS segment,
+             COUNT(*) AS cnt,
+             SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS rev
+      FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+      GROUP BY c.c_mktsegment
+    ),
+    t AS (SELECT SUM(rev) AS tot, SUM(cnt) AS n FROM g)
+    SELECT g.segment, g.cnt,
+           CAST(g.rev AS DOUBLE) AS revenue,
+           CAST(g.rev AS DOUBLE) / CAST(t.tot AS DOUBLE) AS rev_share,
+           CAST(g.cnt AS DOUBLE) / t.n AS cnt_share
+    FROM g, t ORDER BY segment NULLS LAST
+    """,
+)
+def a_share_of_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RATIO-TO-REPORT (Oracle's ratio_to_report / every BI tool's
+    percent-of-total): each segment's revenue and order share of the
+    grand total.  The naive form — a partition-less window SUM — funnels
+    the whole aggregate through one reducer; this form aggregates per
+    group first, then broadcasts the 1-row grand total back (a bounded
+    crossJoin), so the fact table is touched once and nothing global is
+    sorted.  Shares are exact-decimal sums with ONE double division each
+    (numerator and denominator both decimal-exact before the cast), so
+    both engines agree bit-for-bit.
+
+    Scale shape: one fact⋈dim broadcast join, one group aggregation, one
+    1-row total broadcast — the percent-of-total plan that survives any
+    scale."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    g = (
+        o.join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .groupBy(F.col("c_mktsegment").alias("segment"))
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias(
+                "rev"
+            ),
+        )
+    )
+    t = g.agg(
+        F.sum("rev").alias("tot"), F.sum("cnt").alias("n")
+    )
+    return (
+        g.crossJoin(F.broadcast(t))
+        .select(
+            "segment",
+            "cnt",
+            F.col("rev").cast("double").alias("revenue"),
+            (
+                F.col("rev").cast("double") / F.col("tot").cast("double")
+            ).alias("rev_share"),
+            (F.col("cnt").cast("double") / F.col("n")).alias("cnt_share"),
+        )
+        .orderBy(F.col("segment").asc_nulls_last())
+    )

@@ -122,6 +122,7 @@ AUDITED_EXTRA = [
     "w_max_drawdown",
     "text_sentence_dedup",
     "text_window_cooccurrence",
+    "a_share_of_total",
 ]
 
 #: intended-plan annotations for rows that would otherwise read as
@@ -205,6 +206,11 @@ ANNOTATIONS = {
         "crossJoins (corpus × 16-row sub-codebook per subspace, the PQ "
         "assignment shape shared with ann_pq_topk) — never "
         "relation×relation"
+    ),
+    "a_share_of_total": (
+        "the BroadcastNestedLoopJoin×1 is the intended 1-row broadcast of "
+        "the grand-total scalar (condition-less crossJoin, bounded) — the "
+        "percent-of-total shape that avoids a partition-less window"
     ),
     "sample_balanced_classes": (
         "the BroadcastNestedLoopJoin×1 is the intended 1-row broadcast of "
