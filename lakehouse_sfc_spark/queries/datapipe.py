@@ -140,8 +140,13 @@ def _docs_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     width = compute_width(spark)
     if d.rdd.getNumPartitions() < width:
         d = d.repartition(width)
-    return d.select(
-        "doc_id", "source", _ngrams3(_tokens(F.col("text"))).alias("ng")
+    # 3. The token array is materialized in its OWN projection: inlining
+    #    _tokens into _ngrams3 makes codegen re-split the text per array
+    #    element (O(tokens²) per doc — measured ~10x slower at sf0.1 on
+    #    text_ngram_novelty).  CollapseProject keeps the split separate
+    #    because the alias is referenced by non-cheap expressions.
+    return d.select("doc_id", "source", _tokens(F.col("text")).alias("w")).select(
+        "doc_id", "source", _ngrams3(F.col("w")).alias("ng")
     )
 
 
@@ -2280,9 +2285,13 @@ def text_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     # re-evaluates the whole tokenize+shingle tree per reference in
     # interpreted mode — measured 31 s -> 2.7 s at sf0.1.  Materializing
     # the 2×-consumed relation is the right call at 100 TB too.
-    g = d.select(
-        "doc_id", _ngrams(_tokens(F.col("text")), _DECON_K).alias("ng")
-    ).localCheckpoint(eager=False)
+    # tokens materialized in their own projection: inlining _tokens into
+    # _ngrams re-splits the text per array element (O(tokens²) per doc)
+    g = (
+        d.select("doc_id", _tokens(F.col("text")).alias("w"))
+        .select("doc_id", _ngrams(F.col("w"), _DECON_K).alias("ng"))
+        .localCheckpoint(eager=False)
+    )
     mod = F.col("doc_id") % _DECON_MOD
     bench = (
         g.filter(mod == 0)
@@ -2693,15 +2702,19 @@ def dedup_substring_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     width = compute_width(spark)
     if pruned.rdd.getNumPartitions() < width:
         pruned = pruned.repartition(width)
-    w = _tokens(F.col("text"))
+    # tokens materialized in their own projection before the window lambda:
+    # an inline split referenced per element re-splits the text per
+    # position (O(tokens²) per doc)
+    wa = F.col("w")
     wins = F.array_distinct(
         F.transform(
-            F.sequence(F.lit(1), F.size(w) - _SW_W + 1, F.lit(_SW_S)),
-            lambda i: F.array_join(F.slice(w, i, _SW_W), " "),
+            F.sequence(F.lit(1), F.size(wa) - _SW_W + 1, F.lit(_SW_S)),
+            lambda i: F.array_join(F.slice(wa, i, _SW_W), " "),
         )
     )
     e = (
-        pruned.select("doc_id", "source", F.explode(wins).alias("win"))
+        pruned.select("doc_id", "source", _tokens(F.col("text")).alias("w"))
+        .select("doc_id", "source", F.explode(wins).alias("win"))
         .repartition("win")
         .localCheckpoint(eager=False)
     )
@@ -3306,12 +3319,13 @@ def sample_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
     split = (
         F.when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test")
     )
+    # tokens materialized first: inlining _tokens into _ngrams3 re-splits
+    # the text per array element (O(tokens²) per doc)
     ngr = (
         d.select(
-            "doc_id",
-            _ngrams3(_tokens(F.col("text"))).alias("ng"),
-            split.alias("split"),
+            "doc_id", _tokens(F.col("text")).alias("w"), split.alias("split")
         )
+        .select("doc_id", _ngrams3(F.col("w")).alias("ng"), "split")
         .withColumn(
             "hg", F.array_distinct(F.transform("ng", lambda g: F.xxhash64(g)))
         )
@@ -3976,33 +3990,46 @@ def text_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     Training Data Makes Language Models Better').  Exact integer counts
     per doc + ONE double division, reduced by MIN/MAX (order-free).
 
-    Scale shape: first-occurrence is one hash aggregation on the gram key
-    (the inverted-index shuffle every dedup op here shares); the join
-    back is gram-key equality with map-side partial aggregation on
-    (doc, source) before the per-source reduce.  At 100 TB the gram
-    relation is the big side both times — no broadcast of data-sized
-    state, no window over the whole corpus."""
+    Scale shape: ONE traversal of the exploded gram relation — it is
+    hash-clustered on the gram key once, collapsed to per-(gram, doc)
+    occurrence counts in place (no exchange: HashPartitioning(gr)
+    satisfies the superset grouping key), and first-occurrence is a
+    co-partitioned window MIN over the collapsed relation (sort only,
+    no exchange, no join back).  The only later shuffle moves the
+    distinct (gram, doc) pairs, not the raw occurrences.  At 100 TB the
+    gram relation is materialized exactly once — no broadcast of
+    data-sized state, no window over the raw corpus."""
+    from pyspark.sql import Window
+
     from lakehouse_sfc_spark.sources.loader import compute_width
 
     d = load_table(spark, sf_dir, "documents")
+    # materialize the token array in its own projection BEFORE the gram
+    # lambda: inlining _tokens into _ngrams3 makes codegen re-split the
+    # text per array element (O(tokens²) per doc — measured 10x slower at
+    # sf0.1); CollapseProject keeps the split separate because the alias
+    # is referenced more than once by a non-cheap expression
+    toks = d.select("doc_id", "source", _tokens(F.col("text")).alias("w"))
     # hash-cluster the exploded gram relation ONCE at core-count width (not
-    # the session's 200): the first-occurrence groupBy AND the join back are
-    # then co-partitioned — same discipline as text_token_df_score
-    occ = d.select(
+    # the session's 200): the per-(gram, doc) collapse AND the first-doc
+    # window are then co-partitioned — same discipline as text_token_df_score
+    occ = toks.select(
         "doc_id",
         "source",
-        F.explode(_ngrams3(_tokens(F.col("text")))).alias("gr"),
+        F.explode(_ngrams3(F.col("w"))).alias("gr"),
     ).repartition(compute_width(spark), "gr")
-    first = occ.groupBy("gr").agg(F.min("doc_id").alias("first_doc"))
-    per_doc = (
-        occ.join(first, "gr")
-        .groupBy("doc_id", "source")
-        .agg(
-            F.count(F.lit(1)).alias("n_ng"),
-            F.sum(
-                F.when(F.col("first_doc") == F.col("doc_id"), 1).otherwise(0)
-            ).alias("n_novel"),
-        )
+    gd = occ.groupBy("gr", "doc_id", "source").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    gd = gd.withColumn(
+        "first_doc", F.min("doc_id").over(Window.partitionBy("gr"))
+    )
+    per_doc = gd.groupBy("doc_id", "source").agg(
+        F.sum("cnt").alias("n_ng"),
+        F.sum(
+            F.when(F.col("first_doc") == F.col("doc_id"), F.col("cnt"))
+            .otherwise(F.lit(0))
+        ).alias("n_novel"),
     )
     return (
         per_doc.groupBy("source")

@@ -1353,13 +1353,17 @@ def text_repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     raw text, no Python."""
     d = load_table(spark, sf_dir, "documents")
     w = _tokens(F.col("text"))
+    # tokens materialized in their own projection before the gram lambda:
+    # referencing the inline split per element makes codegen re-split the
+    # text per position (O(tokens²) per doc)
+    wa = F.col("w")
     grams = F.transform(
-        F.sequence(F.lit(1), F.size(w) - 2),
+        F.sequence(F.lit(1), F.size(wa) - 2),
         lambda i: F.concat_ws(
             " ",
-            F.element_at(w, i),
-            F.element_at(w, i + 1),
-            F.element_at(w, i + 2),
+            F.element_at(wa, i),
+            F.element_at(wa, i + 1),
+            F.element_at(wa, i + 2),
         ),
     )
     # The 3-gram projection is the heavy work; a small-file scan (one row
@@ -1372,7 +1376,9 @@ def text_repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     width = compute_width(spark)
     if d.rdd.getNumPartitions() < width:
         d = d.repartition(width)
-    g = d.select("doc_id", F.explode(grams).alias("gram"))
+    g = d.select("doc_id", w.alias("w")).select(
+        "doc_id", F.explode(grams).alias("gram")
+    )
     c = g.groupBy("doc_id", "gram").agg(F.count(F.lit(1)).alias("cnt"))
     return (
         c.groupBy("doc_id")
