@@ -80,13 +80,33 @@ def _kdtree_cells(df: DataFrame, layout_cols: list[str], n: int) -> DataFrame:
     depth = max(1, (n - 1).bit_length())
     out = df.withColumn("_kd", F.lit(0))
 
+    _NUMERIC = (
+        "tinyint", "smallint", "int", "bigint",
+        "float", "double", "decimal",
+    )
+
     def _ordered(c: str):
-        # percentile() wants numerics; timestamps order identically through
-        # an epoch-seconds surrogate (split POSITION is all that matters)
+        # percentile() wants numerics; timestamps/dates order identically
+        # through an epoch surrogate (split POSITION is all that matters).
+        # Anything else (string, binary, ...) must refuse LOUDLY: a blind
+        # cast("double") yields all-NULL medians, no cell ever splits, and
+        # repartitionByRange on the constant _kd silently collapses the
+        # whole write into ONE file — a scale/pruning degradation worse
+        # than the error.
         t = dict(df.dtypes)[c]
         col = F.col(c)
         if t.startswith("timestamp"):
             return col.cast("timestamp_ltz").cast("double")
+        if t == "date":
+            return F.datediff(col, F.lit("1970-01-01")).cast("double")
+        if t == "boolean":
+            return col.cast("double")
+        if not t.startswith(_NUMERIC):
+            raise ValueError(
+                f"kdtree layout column {c!r} has non-orderable-as-double "
+                f"dtype {t!r}; use a numeric/timestamp/date column or "
+                "pre-derive a numeric surrogate (e.g. a hash or key prefix)"
+            )
         return col.cast("double")
 
     for level in range(depth):

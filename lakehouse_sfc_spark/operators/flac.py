@@ -199,7 +199,10 @@ def _rice_param(residual: list[int]) -> int:
         return 0
     mean = sum(abs(x) for x in residual) / len(residual)
     k = 0
-    while (1 << k) < mean and k < 14:
+    # k can reach 15 = the 4-bit ESCAPE code: pathological high-variance
+    # residuals (mean >= 2^14) then take the unencoded fixed-width branch
+    # in _encode_subframe instead of a degenerate k=14 unary blowup
+    while (1 << k) < mean and k < 15:
         k += 1
     return k
 

@@ -1117,9 +1117,12 @@ def snap_orphan_files(spark: SparkSession, sf_dir: str) -> DataFrame:
     src = _local(next(iter(t.manifest()["files"])))
     for i in range(3):
         shutil.copyfile(src, os.path.join(t.path, f"orphan-{i:02d}.parquet"))
-    dry = t.remove_orphans(dry_run=True)
-    real = t.remove_orphans()
-    after = t.remove_orphans(dry_run=True)
+    # older_than_s=0: single-writer demo context (the grace window
+    # exists to protect concurrent in-flight writers; here there are none
+    # and the freshly-planted orphans must be visible immediately)
+    dry = t.remove_orphans(dry_run=True, older_than_s=0.0)
+    real = t.remove_orphans(older_than_s=0.0)
+    after = t.remove_orphans(dry_run=True, older_than_s=0.0)
     return (
         t.read()
         .agg(

@@ -560,6 +560,7 @@ def stream_upsert_ingest(
     from lakehouse_sfc_spark.layout.writer import layout_write
     from lakehouse_sfc_spark.sources.loader import load_table
 
+    _prev_tz = spark.conf.get("spark.sql.session.timeZone")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     work = tempfile.mkdtemp(prefix="lakehouse-sfc-ingest-")
     src_dir = os.path.join(work, "src")
@@ -614,6 +615,7 @@ def stream_upsert_ingest(
             .localCheckpoint()
         )
     finally:
+        spark.conf.set("spark.sql.session.timeZone", _prev_tz)
         shutil.rmtree(work, ignore_errors=True)
 
 
@@ -792,6 +794,7 @@ def sessionize_stateful_complete(
     that column."""
     import shutil
 
+    _prev_tz = spark.conf.get("spark.sql.session.timeZone")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     name = f"sessions_{uuid.uuid4().hex[:8]}"
 
@@ -860,6 +863,7 @@ def sessionize_stateful_complete(
             spark, sessions, name, "lakehouse-sfc-sessfull-", "append", timeout_s
         )
     finally:
+        spark.conf.set("spark.sql.session.timeZone", _prev_tz)
         shutil.rmtree(sentinel_dir, ignore_errors=True)
 
 
@@ -1203,6 +1207,7 @@ def stream_cdc_tombstones(
     from lakehouse_sfc_spark.layout.writer import layout_write
     from lakehouse_sfc_spark.sources.loader import load_table
 
+    _prev_tz = spark.conf.get("spark.sql.session.timeZone")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     work = tempfile.mkdtemp(prefix="lakehouse-sfc-cdc-")
     src_dir = os.path.join(work, "src")
@@ -1277,6 +1282,7 @@ def stream_cdc_tombstones(
             .localCheckpoint()
         )
     finally:
+        spark.conf.set("spark.sql.session.timeZone", _prev_tz)
         shutil.rmtree(work, ignore_errors=True)
 
 
@@ -1319,6 +1325,7 @@ def run_late_drop(
     from lakehouse_sfc_spark.sources.loader import load_table
     from pyspark.sql.window import Window
 
+    _prev_tz = spark.conf.get("spark.sql.session.timeZone")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     work = tempfile.mkdtemp(prefix="lakehouse-sfc-late-")
     src_dir = os.path.join(work, "src")
@@ -1415,4 +1422,5 @@ def run_late_drop(
             .localCheckpoint()  # materialize before src_dir disappears
         )
     finally:
+        spark.conf.set("spark.sql.session.timeZone", _prev_tz)
         shutil.rmtree(work, ignore_errors=True)

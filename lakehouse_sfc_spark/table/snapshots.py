@@ -295,7 +295,12 @@ class SnapshotTable:
         extra = None
         if lineage_keys:
             lin = {"keys": lineage_keys, "next_row_id": 1}
-            df = cls._with_new_row_ids(df, lin, 0)
+            # materialize ONCE: _lineage_next collects max(_row_id) and
+            # _stage then writes the same plan - without the checkpoint
+            # every lineage-enabled commit computes its merge twice
+            df = cls._with_new_row_ids(df, lin, 0).localCheckpoint(
+                eager=False
+            )
             extra = {
                 "lineage": {
                     "keys": lineage_keys,
@@ -316,7 +321,10 @@ class SnapshotTable:
         extra = None
         lin = parent.get("lineage")
         if lin:
-            df = self._with_new_row_ids(df, lin, v)
+            # checkpoint: _lineage_next + _stage both consume this plan
+            df = self._with_new_row_ids(df, lin, v).localCheckpoint(
+                eager=False
+            )
             extra = {
                 "lineage": {**lin, "next_row_id": self._lineage_next(df, lin)}
             }
@@ -477,7 +485,7 @@ class SnapshotTable:
         if lin:
             merged = self._lineage_merge(
                 merged_in, existing, record_keys, precombine, lin
-            )
+            ).localCheckpoint(eager=False)  # _lineage_next + _stage reuse
             extra["lineage"] = {
                 **lin, "next_row_id": self._lineage_next(merged, lin),
             }
@@ -1103,7 +1111,9 @@ class SnapshotTable:
         return self.upsert(ups, record_keys, precombine,
                            num_files=num_files)
 
-    def remove_orphans(self, dry_run: bool = False) -> dict:
+    def remove_orphans(
+        self, dry_run: bool = False, older_than_s: float = 259_200.0
+    ) -> dict:
         """GC for UNTRACKED files (Iceberg ``remove_orphan_files`` parity)
         — the complement of ``vacuum``: vacuum expires files that old
         manifests still reference; this removes data files in the table
@@ -1111,7 +1121,14 @@ class SnapshotTable:
         at all (crashed writers, aborted stages, manual copies).  Every
         referenced file — any version, any branch — is live; only
         ``*.parquet`` files outside that set are touched, never manifests
-        or foreign extensions.  ``dry_run`` reports without deleting."""
+        or foreign extensions.  ``dry_run`` reports without deleting.
+
+        ``older_than_s`` is the mtime grace window (Iceberg's 3-day
+        default): a concurrent writer's freshly-written parquet exists on
+        disk BEFORE its ``_publish``/branch JSON lands, so an unreferenced
+        file younger than the cutoff is in-flight, not orphaned — deleting
+        it would destroy an active commit's output.  Pass ``0.0`` only
+        when single-writer access is guaranteed (tests do)."""
         import glob as _glob
 
         live: set[str] = set()
@@ -1128,7 +1145,12 @@ class SnapshotTable:
             f"file://{p}"
             for p in _glob.glob(os.path.join(self.path, "*.parquet"))
         }
-        orphans = sorted(on_disk - live)
+        cutoff = time.time() - older_than_s
+        orphans = sorted(
+            uri
+            for uri in on_disk - live
+            if os.path.getmtime(_local(uri)) <= cutoff
+        )
         if not dry_run:
             for uri in orphans:
                 os.remove(_local(uri))

@@ -121,3 +121,19 @@ def test_rice_escape_path():
     rng = np.random.RandomState(3)
     a = rng.randint(-32768, 32767, size=6000).astype(np.int16)
     assert (decode_flac(encode_flac(a))[1] == a).all()
+
+
+def test_rice_escape_fires_on_encode():
+    # the ENCODER must actually take the k=15 escape branch (not just
+    # survive it on decode): max-amplitude alternation makes every fixed
+    # order's mean |residual| >= 2^14, so _rice_param returns 15 and the
+    # subframe is written as unencoded fixed-width residuals
+    from lakehouse_sfc_spark.operators.flac import _fixed_residual, _rice_param
+
+    a = np.tile(np.array([32767, -32768], dtype=np.int16), 3000)
+    ks = [
+        _rice_param(_fixed_residual([int(x) for x in a[:4096]], o))
+        for o in range(5)
+    ]
+    assert min(ks) == 15  # every candidate order escapes
+    assert (decode_flac(encode_flac(a))[1] == a).all()

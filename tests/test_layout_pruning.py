@@ -334,3 +334,37 @@ def test_kdtree_layout_prunes_box_predicates(spark):
         & F.col("l_quantity").between(10.0, 30.0)
     ).count()
     assert got == want
+
+
+def test_kdtree_date_column_splits_and_string_refuses(spark, tmp_path):
+    """DATE clustering columns (the most common case) must split cells via
+    the epoch-days surrogate — a blind cast("double") yields all-NULL
+    medians and silently collapses the write into ONE file.  String
+    columns must refuse loudly instead of degrading the same way."""
+    import pytest
+
+    from lakehouse_sfc_spark.layout.writer import _kdtree_cells, layout_write
+    from lakehouse_sfc_spark.sources.loader import load_table
+
+    li = (
+        load_table(spark, "/root/testdata/sf0.001", "lineitem")
+        .select(F.col("l_shipdate").cast("date").alias("d"), "l_quantity")
+    )
+    cells = _kdtree_cells(li, ["d"], 8)
+    # 8 target cells from a date column: the medians were real, so the
+    # range partitioning spreads rows over >1 partition
+    assert cells.rdd.getNumPartitions() > 1
+    parts = (
+        cells.withColumn("p", F.spark_partition_id())
+        .groupBy("p").count().count()
+    )
+    assert parts > 1, "date kd split collapsed into a single partition"
+
+    with pytest.raises(ValueError, match="l_returnflag.*string"):
+        layout_write(
+            load_table(spark, "/root/testdata/sf0.001", "lineitem"),
+            str(tmp_path / "kd_str"),
+            layout="kdtree",
+            layout_cols=["l_returnflag"],
+            num_files=4,
+        )

@@ -777,12 +777,15 @@ def test_remove_orphans_spares_all_referenced_files(table, orders, spark):
     for i in range(2):
         shutil.copyfile(src, os.path.join(table.path, f"junk-{i}.parquet"))
 
-    dry = table.remove_orphans(dry_run=True)
+    # default grace window: freshly-copied junk is younger than the
+    # cutoff, so it must be classified in-flight, NOT orphaned
+    assert table.remove_orphans(dry_run=True)["n_orphans"] == 0
+    dry = table.remove_orphans(dry_run=True, older_than_s=0.0)
     assert dry["n_orphans"] == 2 and dry["dry_run"]
     for uri in dry["orphans"]:
         assert os.path.exists(_local(uri))  # dry run deletes nothing
 
-    res = table.remove_orphans()
+    res = table.remove_orphans(older_than_s=0.0)
     assert res["n_orphans"] == 2
     for uri in res["orphans"]:
         assert not os.path.exists(_local(uri))
@@ -791,7 +794,10 @@ def test_remove_orphans_spares_all_referenced_files(table, orders, spark):
         for uri in table.manifest(v)["files"]:
             assert os.path.exists(_local(uri))
     assert table.read(0).count() == orders.count()
-    assert table.remove_orphans(dry_run=True)["n_orphans"] == 0
+    assert (
+        table.remove_orphans(dry_run=True, older_than_s=0.0)["n_orphans"]
+        == 0
+    )
 
 
 def test_remove_orphans_keeps_staged_branch_files(table, orders):
@@ -807,7 +813,7 @@ def test_remove_orphans_keeps_staged_branch_files(table, orders):
     )
     src = _local(next(iter(table.manifest()["files"])))
     shutil.copyfile(src, os.path.join(table.path, "stray.parquet"))
-    res = table.remove_orphans()
+    res = table.remove_orphans(older_than_s=0.0)
     # ONLY the stray goes; the staged branch's files are live
     assert res["n_orphans"] == 1
     assert res["orphans"][0].endswith("stray.parquet")

@@ -145,6 +145,34 @@ PIPELINE_OPS = [
 ]
 
 
+#: heavy-tail operators additionally measured at sf1 (10x sf0.1, generated
+#: by tools/make_sf1_fixture.py into .scratch/sf1) — converts the 100-TB
+#: design claims for the dedup/ANN/graph/codec tail from plan-shape argument
+#: to a measured 1000x trend.  Section emitted only when the fixture exists.
+SF1_OPS = [
+    "text_ngram_novelty",
+    "multimodal_flac_real",
+    "dedup_edit_distance",
+    "stream_cdc_tombstones",
+    "stream_late_drop",
+    "dedup_incremental",
+    "dedup_containment",
+    "dedup_minhash_lsh",
+    "graph_common_neighbors",
+    "dedup_minhash_estimate_error",
+    "dedup_simhash",
+    "sketch_cms_heavy_hitters",
+    "stream_cms_topk",
+    "dedup_embedding_topk",
+    "sample_split_leakage",
+    "dedup_ngram_jaccard",
+    "ann_knn_label_eval",
+    "graph_kcore",
+    "w_gap_histogram",
+    "text_repetition_ratio",
+]
+
+
 def main() -> None:
     from lakehouse_sfc_spark.queries.registry import QUERIES
     import lakehouse_sfc_spark.queries  # noqa: F401
@@ -220,6 +248,44 @@ def main() -> None:
             f"| {name} | {r[SFS[0]]:.3f} | {r[SFS[1]]:.3f} |"
             f" {r[SFS[2]]:.3f} | {ratio:.1f}x |"
         )
+    sf1_dir = _REPO / ".scratch" / "sf1"
+    if sf1_dir.is_dir():
+        sf1_results: dict[str, float] = {}
+        for name in SF1_OPS:
+            fn = QUERIES[name].fn
+            spark.catalog.clearCache()
+            fn(spark, str(sf1_dir)).count()  # warmup
+            samples = []
+            for _ in range(2):
+                t0 = time.perf_counter()
+                fn(spark, str(sf1_dir)).count()
+                samples.append(time.perf_counter() - t0)
+            sf1_results[name] = min(samples)
+        lines += [
+            "",
+            "## Heavy-tail extension: measured sf1 point (1000x sf0.001)",
+            "",
+            "The slowest pipeline operators re-run at the sf1 fixture",
+            "(`tools/make_sf1_fixture.py`: 6M lineitem rows, 50k docs, 20k",
+            "vectors — key-shifted replicas + freshly sampled text/vectors,",
+            "so per-key densities and dup rates match sf0.1 instead of",
+            "multiplying).  `10x step` is sf1/sf0.1 — a value near or below",
+            "10 means the ratio TRACKS data into the fourth decade; far",
+            "above 10 would flag super-linear behavior the 100x sweep",
+            "missed.",
+            "",
+            "| operator | sf0.1 (s) | sf1 (s) | 10x step | 1000x ratio |",
+            "|---|---|---|---|---|",
+        ]
+        for name in SF1_OPS:
+            base = pipe_results[name]
+            t1 = sf1_results[name]
+            step = t1 / base[SFS[2]] if base[SFS[2]] > 0 else float("inf")
+            full = t1 / base[SFS[0]] if base[SFS[0]] > 0 else float("inf")
+            lines.append(
+                f"| {name} | {base[SFS[2]]:.3f} | {t1:.3f} |"
+                f" {step:.1f}x | {full:.0f}x |"
+            )
     lines += [
         "",
         "## Bound-cause footnotes (ratios repeatedly above ~2x)",
@@ -234,9 +300,16 @@ def main() -> None:
         "- `profile_bootstrap_ci`: the draw relation is 32x the row count",
         "  by construction (B=32 bootstrap replicas) — the measurement IS",
         "  the 32x resample; cost tracks n*B exactly as designed.",
-        "- `w_max_drawdown`: per-customer window sort over the full fact",
-        "  table — the in-partition sort legitimately tracks data volume;",
-        "  still ~40x sublinear vs the 100x growth.",
+        "- `w_max_drawdown` / `w_gap_histogram`: per-key window sort over",
+        "  the full fact/event table — the in-partition sort legitimately",
+        "  tracks data volume (LAG/drawdown need per-key order); still",
+        "  ~40x sublinear vs the 100x growth.",
+        "- `ann_knn_label_eval` / `ann_recall_eval`: sampled-MEASUREMENT",
+        "  contracts — candidate volume is eval-sample x corpus-sample",
+        "  (1/7 x 1/3 of labeled vectors for the kNN eval), quadratic in",
+        "  the label population BY DESIGN; these are the harnesses that",
+        "  grade the bucketed ANN operators, and production sizing is the",
+        "  sample fractions, not the corpus.",
         "- `multimodal_gif_real` / `multimodal_tiff_real` /",
         "  `multimodal_webp_real` / `multimodal_ico_real` /",
         "  `multimodal_flac_real`: pure-Python codec CPU (encode + decode",
@@ -261,7 +334,8 @@ def main() -> None:
         "  (extract once, iterate on the reduced graph).",
         "- `dedup_edit_distance` / `dedup_ngram_jaccard` /",
         "  `sample_split_leakage` / `dedup_containment` /",
-        "  `dedup_minhash_*`: candidate volume on this synthetic corpus",
+        "  `dedup_minhash_*` / `dedup_simhash` / `dedup_embedding_topk` /",
+        "  `dedup_incremental`: candidate volume on this synthetic corpus",
         "  grows faster than rows BY CONSTRUCTION (templated near-dup",
         "  texts), so verify work tracks candidates — the prefix/LSH",
         "  candidate generation stays key-equality, and the two-phase",
