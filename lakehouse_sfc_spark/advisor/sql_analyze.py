@@ -183,6 +183,11 @@ def _split_top_bool(expr: str, op: str) -> list[str]:
     parts, buf, i, depth = [], [], 0, 0
     lowered = expr.lower()
     n = len(expr)
+    # BETWEEN lo AND hi: the AND is part of the ternary operator, not a
+    # boolean conjunction — without this, `x BETWEEN DATE 'a' AND DATE 'b'`
+    # splits into a half-predicate and a spurious `DATE 'b'` leaf that
+    # scores a phantom column named `date`
+    pending_between = False
     while i < n:
         ch = expr[i]
         if ch in "'\"":
@@ -194,11 +199,17 @@ def _split_top_bool(expr: str, op: str) -> list[str]:
             depth += 1
         elif ch == ")":
             depth -= 1
-        if depth == 0 and not ch.isspace() and _phrase_at(lowered, i, op):
-            parts.append("".join(buf))
-            buf = []
-            i += len(op)
-            continue
+        if depth == 0 and not ch.isspace():
+            if _phrase_at(lowered, i, "between"):
+                pending_between = True
+            elif _phrase_at(lowered, i, op):
+                if op == "and" and pending_between:
+                    pending_between = False  # the BETWEEN's own AND
+                else:
+                    parts.append("".join(buf))
+                    buf = []
+                    i += len(op)
+                    continue
         buf.append(ch)
         i += 1
     parts.append("".join(buf))

@@ -17,5 +17,6 @@ from lakehouse_sfc_spark.queries import sketchq  # noqa: E402,F401
 from lakehouse_sfc_spark.queries import graphq  # noqa: E402,F401
 from lakehouse_sfc_spark.queries import behavior  # noqa: E402,F401
 from lakehouse_sfc_spark.queries import quality  # noqa: E402,F401
+from lakehouse_sfc_spark.queries import advisorq  # noqa: E402,F401
 
 __all__ = ["QUERIES", "queries", "oracles"]
