@@ -91,23 +91,66 @@ def main() -> None:
         }
 
     total = round(sum(timings.values()), 4)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "spread": spread,
-                "repeats": repeats,
-                "total_min": round(sum(s["min"] for s in spread.values()), 4),
-                "total_max": round(sum(s["max"] for s in spread.values()), 4),
-                "cpu_calib_sec": _cpu_calibration(),
-                "sf": sf,
-            }
-        )
-    )
+    calib = _cpu_calibration()
+    out = {
+        "metric": "headline_queries_total",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "spread": spread,
+        "repeats": repeats,
+        "total_min": round(sum(s["min"] for s in spread.values()), 4),
+        "total_max": round(sum(s["max"] for s in spread.values()), 4),
+        "cpu_calib_sec": calib,
+        "sf": sf,
+    }
+    out["vs_prev"] = _vs_prev(timings, spread, calib)
+    print(json.dumps(out))
     spark.stop()
+
+
+def _vs_prev(timings: dict, spread: dict, calib: float) -> dict:
+    """Spread-aware regression flagging against the latest BENCH_r*.json.
+
+    A cross-round delta only means something when it clears BOTH rounds'
+    run-to-run spreads after host-speed normalization (the calibration
+    ratio): a query is flagged out-of-spread only when this round's MIN,
+    scaled to the previous host's speed, still exceeds the previous
+    round's MAX by >10%.  Anything inside the spreads is JIT/host noise,
+    not a plan change — the r7 q3_group_by/layout_zorder_scan lesson."""
+    import glob
+
+    prevs = sorted(glob.glob(str(_REPO / "BENCH_r*.json")))
+    if not prevs:
+        return {"source": None}
+    src = prevs[-1]
+    try:
+        with open(src) as fh:
+            prev = json.load(fh)
+    except (OSError, ValueError):
+        return {"source": None}
+    prev_q = prev.get("queries", {})
+    prev_spread = prev.get("spread", {})
+    prev_calib = prev.get("cpu_calib_sec") or calib
+    ratio = calib / prev_calib if prev_calib else 1.0
+    flags: dict[str, dict] = {}
+    for name, med in timings.items():
+        if name not in prev_q:
+            continue
+        prev_max = prev_spread.get(name, {}).get("max", prev_q[name])
+        cur_min_scaled = spread[name]["min"] / ratio if ratio else med
+        if cur_min_scaled > prev_max * 1.10:
+            flags[name] = {
+                "prev_median": prev_q[name],
+                "prev_max": prev_max,
+                "cur_median": med,
+                "cur_min_scaled": round(cur_min_scaled, 4),
+            }
+    return {
+        "source": Path(src).name,
+        "calib_ratio": round(ratio, 4),
+        "out_of_spread": flags,
+    }
 
 
 if __name__ == "__main__":
