@@ -142,6 +142,9 @@ PIPELINE_OPS = [
     "text_sentence_dedup",
     "text_window_cooccurrence",
     "a_share_of_total",
+    # round 8 additions
+    "advisor_table_ranking",
+    "advisor_column_sets",
 ]
 
 
