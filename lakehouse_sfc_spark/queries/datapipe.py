@@ -4048,7 +4048,7 @@ def text_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_KNNEVAL_QMOD = 7  # eval sample: labeled vectors with vec_id % 7 == 0
+_KNNEVAL_NQ = 300  # FIXED eval budget: hash-ordered first 300 labeled vecs
 _KNNEVAL_CMOD = 3  # neighbor corpus: labeled vectors with vec_id % 3 == 0
 _KNNEVAL_K = 10
 
@@ -4067,7 +4067,8 @@ _KNNEVAL_K = 10
     ),
     q AS MATERIALIZED (
       SELECT vec_id AS q_id, emb, nrm, label AS true_label
-      FROM valid WHERE vec_id % {_KNNEVAL_QMOD} = 0
+      FROM valid
+      ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT {_KNNEVAL_NQ}
     ),
     topk AS (
       SELECT q_id, true_label, label FROM (
@@ -4103,28 +4104,39 @@ def ann_knn_label_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Leave-one-out kNN CLASSIFICATION eval over the embedding space —
     the standard embedding-quality probe (a representation whose k=10
     cosine neighborhood can't predict the label is not ready for
-    retrieval or clustering): for each labeled eval vector (1/7 sample),
-    majority label of its 10 nearest labeled corpus neighbors (1/3
-    sample, self excluded), per-class accuracy.  Identical left-to-right
-    cosine folds and (score, vec_id) / (votes, label) tie-breaks make
-    prediction bit-deterministic in both engines.
+    retrieval or clustering): for a FIXED-BUDGET eval set (the first
+    300 labeled vectors in md5-hash order — a deterministic unbiased
+    draw whose SIZE does not grow with the corpus, the way a production
+    eval harness pins its query budget), majority label of the 10
+    nearest labeled corpus neighbors (1/3 sample, self excluded),
+    per-class accuracy.  Identical left-to-right cosine folds and
+    (score, vec_id) / (votes, label) tie-breaks make prediction
+    bit-deterministic in both engines.
 
-    Scale shape: same sampled-measurement contract as ann_recall_eval —
-    brute force ONLY over the bounded eval sample × corpus sample (one
-    broadcast of the query block, one map-side score pass, one top-k
-    window); the full-corpus path is the IVF/PQ family, and this entry is
-    the harness that would grade it."""
+    Scale shape: eval cost is O(budget x corpus) = LINEAR in the corpus
+    (round 7's 1/7-fraction sample made it quadratic — the sf1 sweep
+    measured a 100x step for 10x data and forced this redesign): one
+    TakeOrdered for the hash-budget draw, one broadcast of the 300-row
+    query block, one map-side score pass, one top-k window.  The
+    full-corpus path is the IVF/PQ family; this entry is the harness
+    that grades it."""
     e = load_table(spark, sf_dir, "embeddings")
     valid = _emb(spark, sf_dir).join(
         e.filter(F.col("label").isNotNull()).select("vec_id", "label"),
         "vec_id",
     )
     corpus = valid.filter(F.col("vec_id") % _KNNEVAL_CMOD == 0)
-    q = valid.filter(F.col("vec_id") % _KNNEVAL_QMOD == 0).select(
-        F.col("vec_id").alias("q_id"),
-        F.col("emb").alias("qemb"),
-        F.col("nrm").alias("qnrm"),
-        F.col("label").alias("true_label"),
+    # fixed eval budget: TakeOrdered by (md5(vec_id), vec_id) — a
+    # deterministic unbiased draw whose size does NOT grow with the corpus
+    q = (
+        valid.orderBy(F.md5(F.col("vec_id").cast("string")), "vec_id")
+        .limit(_KNNEVAL_NQ)
+        .select(
+            F.col("vec_id").alias("q_id"),
+            F.col("emb").alias("qemb"),
+            F.col("nrm").alias("qnrm"),
+            F.col("label").alias("true_label"),
+        )
     )
     cos = _dot(F.col("emb"), F.col("qemb")) / (F.col("nrm") * F.col("qnrm"))
     w = Window.partitionBy("q_id").orderBy(F.desc("s"), "vec_id")

@@ -123,6 +123,9 @@ AUDITED_EXTRA = [
     "text_sentence_dedup",
     "text_window_cooccurrence",
     "a_share_of_total",
+    # round 8 additions
+    "advisor_table_ranking",
+    "advisor_column_sets",
 ]
 
 #: intended-plan annotations for rows that would otherwise read as

@@ -308,11 +308,13 @@ def main() -> None:
         "  tracks data volume (LAG/drawdown need per-key order); still",
         "  ~40x sublinear vs the 100x growth.",
         "- `ann_knn_label_eval` / `ann_recall_eval`: sampled-MEASUREMENT",
-        "  contracts — candidate volume is eval-sample x corpus-sample",
-        "  (1/7 x 1/3 of labeled vectors for the kNN eval), quadratic in",
-        "  the label population BY DESIGN; these are the harnesses that",
-        "  grade the bucketed ANN operators, and production sizing is the",
-        "  sample fractions, not the corpus.",
+        "  contracts — the harnesses that grade the bucketed ANN",
+        "  operators.  The kNN eval uses a FIXED 300-query hash-ordered",
+        "  budget (round 8: the earlier 1/7-fraction sample made cost",
+        "  quadratic — the first sf1 run measured a 100x step for 10x",
+        "  data and forced the redesign to O(budget x corpus), now ~6x",
+        "  per decade); recall_eval keeps its 1/3-corpus sample, bounded",
+        "  by the same argument.",
         "- `multimodal_gif_real` / `multimodal_tiff_real` /",
         "  `multimodal_webp_real` / `multimodal_ico_real` /",
         "  `multimodal_flac_real`: pure-Python codec CPU (encode + decode",
@@ -343,7 +345,17 @@ def main() -> None:
         "  texts), so verify work tracks candidates — the prefix/LSH",
         "  candidate generation stays key-equality, and the two-phase",
         "  hashed verify (round 6 containment, round 7 the symmetric",
-        "  Jaccard family) keeps the verify join narrow.",
+        "  Jaccard family) keeps the verify join narrow.  The sf1 column",
+        "  makes the same cause measurable: the fixture's vocabulary is",
+        "  FIXED (~120 words inherited from sf0.1), so every gram/band",
+        "  key's document frequency grows with the corpus and equality-",
+        "  bucket pair volume grows ~df² — that is why",
+        "  `dedup_edit_distance` (15.9x) and `dedup_simhash` (11.7x)",
+        "  exceed the linear 10x step there.  Real corpora grow their",
+        "  vocabulary with size (Heaps' law), which bounds df growth; at",
+        "  100 TB the standard extra guard is a per-bucket candidate cap",
+        "  (drop saturated stopword-gram/band buckets), the same",
+        "  df-ordered prefix trick these operators already apply per-doc.",
         "- `text_decontaminate` / `text_repetition_ratio` /",
         "  `text_ngram_stats`: per-token/ngram expression work rides the",
         "  scan (row-volume-bound map work, no shuffle growth).",
