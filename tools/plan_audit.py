@@ -131,6 +131,31 @@ AUDITED_EXTRA = [
 #: intended-plan annotations for rows that would otherwise read as
 #: violations of the repo's own discipline
 ANNOTATIONS = {
+    "dq_chi_square_drift": (
+        "the BroadcastNestedLoopJoins are the intended bounded crossJoins "
+        "of the chi-square grid (|years|×2 category grid, grand-total N "
+        "scalar; both sides O(10) rows) — never relation×relation"
+    ),
+    "sample_group_holdout": (
+        "the BroadcastNestedLoopJoin×1 is the intended 1-row broadcast of "
+        "the split-totals scalar for the in-output proof columns "
+        "(condition-less crossJoin, bounded)"
+    ),
+    "advisor_column_sets": (
+        "the BroadcastNestedLoopJoins are the intended combination "
+        "enumeration over the ≤12-row candidate POOL (inequality-only "
+        "self-joins cname<cname over a localCheckpointed 12-row relation, "
+        "plus 1-row stat broadcasts) — bounded by the pool cap, never "
+        "relation×relation; 0 parquet scans here because the pool job "
+        "(which scans lineitem once with pushed pruning) is materialized "
+        "before this plan"
+    ),
+    "ann_knn_label_eval": (
+        "the BroadcastNestedLoopJoin×1 is the intended broadcast of the "
+        "FIXED 300-row eval-budget query block against the corpus "
+        "(non-equi self-exclusion vec_id != q_id) — bounded by the "
+        "budget, never relation×relation"
+    ),
     "graph_kcore": (
         "the BroadcastNestedLoopJoin×3 are the intended per-round 1-row "
         "stats×edge-count crossJoins (condition-less, 1 row each side, "
