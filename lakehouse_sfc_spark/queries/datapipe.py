@@ -4950,3 +4950,148 @@ def emb_outlier_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return sc.orderBy(F.desc("score_ticks"), "vec_id").limit(_EOS_K)
+
+
+@register(
+    "emb_cluster_purity",
+    oracle=f"""
+    WITH nb AS (SELECT {_DETK_BITS_SQL} AS b FROM ({_SQL_EMB_CTE})),
+    lbl AS (SELECT vec_id, label FROM embeddings WHERE label IS NOT NULL),
+    cl AS (
+      SELECT {_SQL_CELL_B.format(e="c0.emb", b="nb.b")} AS cell, lbl.label
+      FROM ({_SQL_EMB_CTE}) c0 JOIN lbl ON lbl.vec_id = c0.vec_id
+      CROSS JOIN nb
+    ),
+    cnt AS (SELECT cell, label, COUNT(*) AS c FROM cl GROUP BY 1, 2),
+    tot AS (SELECT cell, CAST(SUM(c) AS BIGINT) AS n_cell FROM cnt GROUP BY 1),
+    maj AS (
+      SELECT cell, label AS majority_label, c AS maj_cnt FROM (
+        SELECT cell, label, c,
+               ROW_NUMBER() OVER (PARTITION BY cell
+                                  ORDER BY c DESC, label) AS rn
+        FROM cnt
+      ) r WHERE rn = 1
+    )
+    SELECT m.majority_label,
+           COUNT(*) AS n_cells,
+           CAST(SUM(t.n_cell) AS BIGINT) AS n_vecs,
+           CAST(SUM(m.maj_cnt) AS BIGINT) AS n_majority,
+           CAST(SUM(m.maj_cnt) AS DOUBLE) / SUM(t.n_cell) AS purity
+    FROM maj m JOIN tot t ON t.cell = m.cell
+    GROUP BY m.majority_label ORDER BY m.majority_label
+    """,
+)
+def emb_cluster_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sign-cell LABEL PURITY — the clustering-quality probe that closes
+    the loop between the ANN cell machinery and the labels: per cell
+    (same data-scaled sign quantizer the dedup/ANN operators bucket by),
+    the majority label and its share; reported per majority label as a
+    weighted purity (Σ majority / Σ members, exact integers with ONE
+    double division).  High purity means the cheap sign-bucket geometry
+    already separates classes — the precondition for the IVF/sign-probe
+    family's recall; a collapsed purity flags an embedding (or a bit
+    count) whose buckets mix classes and whose probes will thrash.
+
+    Scale shape: map-only cell assignment, two key-equality hash
+    aggregations, a per-cell top-1 window co-partitioned with the
+    (cell, label) aggregate, and an O(cells) join — no pairwise work,
+    no data-sized broadcast."""
+    e = load_table(spark, sf_dir, "embeddings")
+    emb = _emb(spark, sf_dir)
+    bits = _detk_bits(emb.count())
+    cl = emb.join(
+        e.filter(F.col("label").isNotNull()).select("vec_id", "label"),
+        "vec_id",
+    ).select(_cell_bits(F.col("emb"), bits).alias("cell"), "label")
+    cnt = cl.groupBy("cell", "label").agg(F.count(F.lit(1)).alias("c"))
+    tot = cnt.groupBy("cell").agg(F.sum("c").cast("bigint").alias("n_cell"))
+    w = Window.partitionBy("cell").orderBy(F.desc("c"), "label")
+    maj = (
+        cnt.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "cell",
+            F.col("label").alias("majority_label"),
+            F.col("c").alias("maj_cnt"),
+        )
+    )
+    return (
+        maj.join(tot, "cell")
+        .groupBy("majority_label")
+        .agg(
+            F.count(F.lit(1)).alias("n_cells"),
+            F.sum("n_cell").cast("bigint").alias("n_vecs"),
+            F.sum("maj_cnt").cast("bigint").alias("n_majority"),
+            (
+                F.sum("maj_cnt").cast("double") / F.sum("n_cell")
+            ).alias("purity"),
+        )
+        .orderBy("majority_label")
+    )
+
+
+@register(
+    "sample_importance_weighted",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id, source, n_chars
+      FROM documents
+      WHERE doc_id IS NOT NULL AND n_chars IS NOT NULL AND n_chars > 0
+    ),
+    mx AS (SELECT CAST(MAX(n_chars) AS BIGINT) AS mw FROM d),
+    sel AS (
+      SELECT d.source, d.n_chars,
+             CASE WHEN ('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8))
+                       ::BIGINT * mx.mw < d.n_chars * 4294967296
+                  THEN 1 ELSE 0 END AS hit
+      FROM d CROSS JOIN mx
+    )
+    SELECT source,
+           COUNT(*) AS n_docs,
+           CAST(SUM(hit) AS BIGINT) AS n_sampled,
+           CAST(SUM(n_chars) AS BIGINT) AS sum_w,
+           CAST(SUM(n_chars) AS DOUBLE) / (SELECT mw FROM mx)
+               AS expected_sampled
+    FROM sel GROUP BY source ORDER BY source NULLS LAST
+    """,
+)
+def sample_importance_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Importance-WEIGHTED document selection — the quality-weighted
+    curation draw (keep a document with probability proportional to its
+    quality weight, here the n_chars proxy): inclusion is the pure
+    INTEGER comparison hash32(doc_id)·max_w < w·2^32, so the Bernoulli
+    draw is deterministic, reproducible across engines and re-runs, and
+    free of float thresholds entirely.  Reported per source with the
+    analytic expectation Σw/max_w (exact integer sums, ONE double
+    division) next to the realized count — the bias audit a production
+    sampler ships with its output.
+
+    Scale shape: one narrow scan, a 1-row max_w broadcast, map-side
+    hashing, one key-equality aggregate; at 100 TB the draw stays a
+    stateless map over the corpus."""
+    d = load_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id").isNotNull()
+        & F.col("n_chars").isNotNull()
+        & (F.col("n_chars") > 0)
+    )
+    mx = d.agg(F.max("n_chars").cast("bigint").alias("mw"))
+    hit = (
+        F.when(
+            _h32(F.col("doc_id").cast("string")) * F.col("mw")
+            < F.col("n_chars") * F.lit(4294967296),
+            1,
+        ).otherwise(0)
+    ).alias("hit")
+    sel = d.crossJoin(F.broadcast(mx)).select("source", "n_chars", "mw", hit)
+    return (
+        sel.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("hit").cast("bigint").alias("n_sampled"),
+            F.sum("n_chars").cast("bigint").alias("sum_w"),
+            (F.sum("n_chars").cast("double") / F.max("mw")).alias(
+                "expected_sampled"
+            ),
+        )
+        .orderBy(F.col("source").asc_nulls_last())
+    )

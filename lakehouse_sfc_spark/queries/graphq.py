@@ -900,3 +900,49 @@ def graph_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("corr_den_y"),
     )
+
+
+@register(
+    "graph_degree_histogram",
+    oracle=f"""
+    WITH edges AS ({_SQL_EDGES}),
+    ends AS (
+      SELECT p1 AS node FROM edges
+      UNION ALL SELECT p2 FROM edges
+    ),
+    deg AS (SELECT node, COUNT(*) AS degree FROM ends GROUP BY node)
+    SELECT degree,
+           COUNT(*) AS n_parts,
+           CAST(degree * COUNT(*) AS BIGINT) AS endpoint_sum
+    FROM deg GROUP BY degree ORDER BY degree
+    """,
+)
+def graph_degree_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree DISTRIBUTION of the co-purchase graph — the first plot of
+    any graph analysis (is this a hub-dominated heavy-tail graph or a
+    near-regular one?), and the capacity-planning input for every
+    neighborhood-expansion operator here (wedge volume for
+    graph_common_neighbors is exactly Σ degree² of this histogram).
+    Pure integer counts.
+
+    Scale shape: reuses the fingerprint-cached distinct edge relation
+    (the shared extraction stage every graph query amortizes), then two
+    key-equality hash aggregations — node and degree — both map-side
+    combinable; output is O(distinct degrees), tiny at any scale."""
+    e = _edges(spark, sf_dir)
+    ends = e.select(F.col("p1").alias("node")).unionAll(
+        e.select(F.col("p2").alias("node"))
+    )
+    deg = ends.groupBy("node").agg(F.count(F.lit(1)).alias("degree"))
+    return (
+        deg.groupBy("degree")
+        .agg(F.count(F.lit(1)).alias("n_parts"))
+        .select(
+            "degree",
+            "n_parts",
+            (F.col("degree") * F.col("n_parts"))
+            .cast("bigint")
+            .alias("endpoint_sum"),
+        )
+        .orderBy("degree")
+    )

@@ -2757,3 +2757,94 @@ def text_window_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n_cooc"), F.desc("n_docs"), "pair_hash")
         .limit(_COOC_TOPK)
     )
+
+
+_OOV_VOCAB_K = 1000  # corpus vocabulary = top-1000 tokens by frequency
+
+
+@register(
+    "text_oov_rate",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, source, unnest({_SQL_TOKENS}) AS w
+      FROM documents WHERE doc_id IS NOT NULL AND text IS NOT NULL
+    ),
+    t AS (SELECT doc_id, source, w FROM tok WHERE w <> ''),
+    vocab AS (
+      SELECT w FROM (
+        SELECT w, ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC, md5(w)) AS rk
+        FROM t GROUP BY w
+      ) r WHERE rk <= {_OOV_VOCAB_K}
+    ),
+    per_doc AS (
+      SELECT t.doc_id, t.source,
+             COUNT(*) AS n_tok,
+             SUM(CASE WHEN v.w IS NULL THEN 1 ELSE 0 END) AS n_oov
+      FROM t LEFT JOIN vocab v ON v.w = t.w
+      GROUP BY t.doc_id, t.source
+    )
+    SELECT source,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_tok) AS BIGINT) AS total_tokens,
+           CAST(SUM(n_oov) AS BIGINT) AS total_oov,
+           MIN(CAST(n_oov AS DOUBLE) / n_tok) AS min_oov_ratio,
+           MAX(CAST(n_oov AS DOUBLE) / n_tok) AS max_oov_ratio
+    FROM per_doc GROUP BY source ORDER BY source NULLS LAST
+    """,
+)
+def text_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Out-of-vocabulary RATE against the corpus's own top-1000 token
+    vocabulary — the tokenizer-budget curation metric (a document whose
+    tokens mostly fall outside the head vocabulary fragments into long
+    byte-level sequences and burns context window; gibberish and
+    wrong-language text score high).  Vocabulary ranking tie-breaks by
+    md5(token), NOT the raw token, so multi-byte strings never hit the
+    cross-engine collation divergence (engine-semantics matrix).  Exact
+    integer counts; the only doubles are per-doc single divisions reduced
+    by MIN/MAX (order-free).
+
+    Scale shape: one token explode feeding a map-side-combinable
+    frequency aggregate, a bounded top-K vocabulary that BROADCASTS to
+    the membership join (the big exploded side never shuffles for it),
+    then per-doc and per-source key-equality aggregations."""
+    d = load_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id").isNotNull() & F.col("text").isNotNull()
+    )
+    t = (
+        d.select("doc_id", "source", _tokens(F.col("text")).alias("ws"))
+        .select("doc_id", "source", F.explode("ws").alias("w"))
+        .filter(F.col("w") != "")
+    )
+    wv = Window.orderBy(F.desc("cnt"), F.md5(F.col("w")))
+    vocab = (
+        t.groupBy("w")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .withColumn("rk", F.row_number().over(wv))
+        .filter(F.col("rk") <= _OOV_VOCAB_K)
+        .select(F.col("w").alias("vw"))
+    )
+    per_doc = (
+        t.join(F.broadcast(vocab), t.w == vocab.vw, "left")
+        .groupBy("doc_id", "source")
+        .agg(
+            F.count(F.lit(1)).alias("n_tok"),
+            F.sum(
+                F.when(F.col("vw").isNull(), 1).otherwise(0)
+            ).alias("n_oov"),
+        )
+    )
+    return (
+        per_doc.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tok").cast("bigint").alias("total_tokens"),
+            F.sum("n_oov").cast("bigint").alias("total_oov"),
+            F.min(F.col("n_oov").cast("double") / F.col("n_tok")).alias(
+                "min_oov_ratio"
+            ),
+            F.max(F.col("n_oov").cast("double") / F.col("n_tok")).alias(
+                "max_oov_ratio"
+            ),
+        )
+        .orderBy(F.col("source").asc_nulls_last())
+    )
