@@ -1403,3 +1403,125 @@ def snap_history_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         rows, "version int, operation string, n_rows bigint, rows_delta bigint"
     ).orderBy("version")
+
+
+# --- CHECK constraints ---------------------------------------------------------
+
+
+def _constraint_table(spark: SparkSession, sf_dir: str) -> SnapshotTable:
+    root = _fingerprinted_dir(_scratch_root(), sf_dir, ("orders",))
+    path = os.path.join(root, "orders_constraints")
+    if os.path.exists(_manifest_path(path, 2)):
+        return SnapshotTable(spark, path)
+
+    import shutil
+
+    shutil.rmtree(path, ignore_errors=True)
+    orders = load_table(spark, sf_dir, "orders").select(*_COLS)
+    t = SnapshotTable.create(
+        orders.filter(F.col("o_orderkey") % 7 == 0),
+        path,
+        stats_cols=["o_orderkey"],
+        num_files=4,
+    )
+    t.set_constraint("positive_price", "o_totalprice > 0")  # v1
+    t.append(  # v2: every row satisfies the constraint
+        orders.filter(F.col("o_orderkey") % 11 == 0).withColumn(
+            "o_orderkey", F.col("o_orderkey") + 500_000_000
+        ),
+        num_files=4,
+    )
+    return t
+
+
+@register(
+    "snap_constraints",
+    oracle=f"""
+    WITH base AS (
+      SELECT o_orderkey, o_custkey, o_totalprice, o_orderdate
+      FROM orders WHERE o_orderkey % 7 = 0
+    ),
+    valid AS (
+      SELECT o_orderkey + 500000000 AS o_orderkey, o_custkey,
+             o_totalprice, o_orderdate
+      FROM orders WHERE o_orderkey % 11 = 0
+    ),
+    viol AS (SELECT * FROM orders WHERE o_orderkey % 13 = 0),
+    b AS (SELECT COUNT(*) AS cnt, {sql_dsum("o_totalprice", "s")} FROM base),
+    v AS (SELECT COUNT(*) AS cnt, {sql_dsum("o_totalprice", "s")} FROM valid),
+    w AS (SELECT COUNT(*) AS cnt FROM viol),
+    u AS (SELECT COUNT(*) AS cnt, {sql_dsum("o_totalprice", "s")}
+          FROM (SELECT * FROM base UNION ALL SELECT * FROM valid) z)
+    SELECT 1 AS step, 'add_constraint' AS op, TRUE AS accepted,
+           CAST(0 AS BIGINT) AS n_batch,
+           b.cnt AS table_rows, b.s AS sum_price FROM b
+    UNION ALL
+    SELECT 2, 'append_valid', TRUE, v.cnt, u.cnt, u.s FROM v, u
+    UNION ALL
+    SELECT 3, 'append_violating', FALSE, w.cnt, u.cnt, u.s FROM w, u
+    UNION ALL
+    SELECT 4, 'add_violated_constraint', FALSE, CAST(0 AS BIGINT),
+           u.cnt, u.s FROM u
+    ORDER BY step
+    """,
+)
+def snap_constraints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CHECK-constraint enforcement as a relation (Delta ``ALTER TABLE
+    ADD CONSTRAINT`` parity, previously pytest-only): a constraint is a
+    metadata-only commit that every LATER write must satisfy — a valid
+    append lands, a violating batch is REFUSED atomically (no partial
+    rows, no new version), and adding a constraint existing data already
+    violates is refused too.  Each step is emitted with the batch size,
+    whether it was accepted, and the table's row count + exact-decimal
+    price sum AFTER the step — proving refusals left state untouched.
+
+    Scale shape: enforcement is one predicate scan of the INCOMING batch
+    (plus, at ADD time, one pushed-filter probe of existing data);
+    rejected writes cost no rewrite.  At 100 TB the same plan: metadata
+    commit + O(batch) validation."""
+    t = _constraint_table(spark, sf_dir)
+    orders = load_table(spark, sf_dir, "orders").select(*_COLS)
+
+    def _state(
+        step: int, op: str, accepted: bool, n_batch, version: int
+    ) -> DataFrame:
+        # time travel to the version the step left behind — the table is
+        # fingerprint-cached at its final version, so "state after step"
+        # must come from the manifest log, not the head
+        return t.read(version).agg(
+            F.lit(step).cast("int").alias("step"),
+            F.lit(op).alias("op"),
+            F.lit(accepted).alias("accepted"),
+            n_batch.cast("bigint").alias("n_batch"),
+            F.count(F.lit(1)).alias("table_rows"),
+            dsum("o_totalprice", "sum_price"),
+        )
+
+    rows = [
+        _state(1, "add_constraint", True, F.lit(0), 1),
+        _state(
+            2, "append_valid", True,
+            F.lit(orders.filter(F.col("o_orderkey") % 11 == 0).count()), 2,
+        ),
+    ]
+    viol = orders.filter(F.col("o_orderkey") % 13 == 0).withColumn(
+        "o_totalprice", -F.col("o_totalprice")
+    )
+    try:
+        t.append(viol)
+        raise AssertionError("violating append must be refused")
+    except ValueError:
+        rows.append(
+            _state(3, "append_violating", False, F.lit(viol.count()), 2)
+        )
+    try:
+        t.set_constraint("impossible", "o_totalprice > 1e12")
+        raise AssertionError("violated constraint add must be refused")
+    except ValueError:
+        rows.append(
+            _state(4, "add_violated_constraint", False, F.lit(0), 2)
+        )
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionByName(r)
+    return out.orderBy("step")

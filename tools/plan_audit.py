@@ -126,6 +126,12 @@ AUDITED_EXTRA = [
     # round 8 additions
     "advisor_table_ranking",
     "advisor_column_sets",
+    "graph_degree_histogram",
+    "emb_cluster_purity",
+    "sample_importance_weighted",
+    "text_oov_rate",
+    "snap_constraints",
+    "advisor_workload_coverage",
 ]
 
 #: intended-plan annotations for rows that would otherwise read as
@@ -155,6 +161,10 @@ ANNOTATIONS = {
         "FIXED 300-row eval-budget query block against the corpus "
         "(non-equi self-exclusion vec_id != q_id) — bounded by the "
         "budget, never relation×relation"
+    ),
+    "sample_importance_weighted": (
+        "the BroadcastNestedLoopJoin×1 is the intended 1-row broadcast of "
+        "the max-weight scalar (condition-less crossJoin, bounded)"
     ),
     "graph_kcore": (
         "the BroadcastNestedLoopJoin×3 are the intended per-round 1-row "

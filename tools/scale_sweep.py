@@ -145,6 +145,12 @@ PIPELINE_OPS = [
     # round 8 additions
     "advisor_table_ranking",
     "advisor_column_sets",
+    "graph_degree_histogram",
+    "emb_cluster_purity",
+    "sample_importance_weighted",
+    "text_oov_rate",
+    "snap_constraints",
+    "advisor_workload_coverage",
 ]
 
 
