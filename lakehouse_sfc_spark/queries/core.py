@@ -1228,8 +1228,10 @@ def a_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT pr AS priority, n,
            CAST(sx AS BIGINT) AS sum_x, CAST(sy AS BIGINT) AS sum_y,
-           CAST(n * sxy - sx * sy AS BIGINT) AS slope_num,
-           CAST(n * sxx - sx * sx AS BIGINT) AS slope_den
+           CAST(CAST(n AS HUGEINT) * sxy - CAST(sx AS HUGEINT) * sy
+                AS DECIMAL(38,0)) AS slope_num,
+           CAST(CAST(n AS HUGEINT) * sxx - CAST(sx AS HUGEINT) * sx
+                AS DECIMAL(38,0)) AS slope_den
     FROM s ORDER BY priority NULLS LAST
     """,
 )
@@ -1246,10 +1248,11 @@ def a_trend_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle-matched and this formulation can.
 
     Scale shape: one map-side-combinable aggregation (5 sums), one
-    shuffle on the group key.  Magnitudes: |x|≤3e3, |y|≤6e5, so
-    n·Σxy stays < 2^62 through ~100k rows/group; beyond that the same
-    ladder rides DECIMAL(38,0) sums (documented, not needed at bench
-    scale)."""
+    shuffle on the group key.  Magnitudes: |x|≤3e3, |y|≤6e5, so n·Σxy
+    passes 2^63 near ~300k rows/group — the sf1 probe hit exactly that
+    overflow — so the final combine rides exact DECIMAL(38,0) (good to
+    ~1e31 rows/group; the per-row products and sums stay BIGINT, only
+    the two cross-products are decimal)."""
     b = (
         load_table(spark, sf_dir, "orders")
         .filter(
@@ -1273,16 +1276,23 @@ def a_trend_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("x") * F.col("y")).alias("sxy"),
         F.sum(F.col("x") * F.col("x")).alias("sxx"),
     )
+    d19 = "decimal(19,0)"
     return s.select(
         F.col("pr").alias("priority"),
         "n",
         F.col("sx").cast("bigint").alias("sum_x"),
         F.col("sy").cast("bigint").alias("sum_y"),
-        (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy"))
-        .cast("bigint")
+        (
+            F.col("n").cast(d19) * F.col("sxy").cast(d19)
+            - F.col("sx").cast(d19) * F.col("sy").cast(d19)
+        )
+        .cast("decimal(38,0)")
         .alias("slope_num"),
-        (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
-        .cast("bigint")
+        (
+            F.col("n").cast(d19) * F.col("sxx").cast(d19)
+            - F.col("sx").cast(d19) * F.col("sx").cast(d19)
+        )
+        .cast("decimal(38,0)")
         .alias("slope_den"),
     ).orderBy(F.col("priority").asc_nulls_last())
 

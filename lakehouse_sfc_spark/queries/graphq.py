@@ -829,11 +829,14 @@ def graph_bfs_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT COUNT(*) AS n_endpoints,
            CAST(SUM(x) AS BIGINT) AS sum_x,
            CAST(SUM(y) AS BIGINT) AS sum_y,
-           CAST(COUNT(*) * SUM(x*y) - SUM(x) * SUM(y) AS BIGINT)
+           CAST(CAST(COUNT(*) AS HUGEINT) * SUM(x*y)
+                - CAST(SUM(x) AS HUGEINT) * SUM(y) AS DECIMAL(38,0))
                AS corr_num,
-           CAST(COUNT(*) * SUM(x*x) - SUM(x) * SUM(x) AS BIGINT)
+           CAST(CAST(COUNT(*) AS HUGEINT) * SUM(x*x)
+                - CAST(SUM(x) AS HUGEINT) * SUM(x) AS DECIMAL(38,0))
                AS corr_den_x,
-           CAST(COUNT(*) * SUM(y*y) - SUM(y) * SUM(y) AS BIGINT)
+           CAST(CAST(COUNT(*) AS HUGEINT) * SUM(y*y)
+                - CAST(SUM(y) AS HUGEINT) * SUM(y) AS DECIMAL(38,0))
                AS corr_den_y
     FROM ed
     """,
@@ -845,7 +848,9 @@ def graph_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
     as exact integer components — numerator n·Σxy − ΣxΣy and the two
     denominator factors — so r = num / sqrt(den_x·den_y) is recoverable
     by the caller while the engine comparison stays sqrt-free and
-    bit-exact (same discipline as a_trend_slope).  Sign alone answers
+    bit-exact (same discipline as a_trend_slope; cross-products in
+    exact DECIMAL(38,0) since the sf1 fixture overflows int64).  Sign
+    alone answers
     the question: positive = assortative (hub-hub shopping baskets),
     negative = disassortative (hubs bridge long-tail parts) — the single
     most load-bearing scalar for choosing graph partitioning strategy
@@ -877,27 +882,34 @@ def graph_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("x", "y")
     )
+    # the cross-products n·Σxy − ΣxΣy pass 2^63 once |endpoints|·Σxy
+    # does (the sf1 probe hit the overflow) — combine in DECIMAL(38,0);
+    # the inner per-row products and sums stay BIGINT (bounded by Σdeg²)
+    d19 = "decimal(19,0)"
     return ed.agg(
         F.count(F.lit(1)).alias("n_endpoints"),
         F.sum("x").cast("bigint").alias("sum_x"),
         F.sum("y").cast("bigint").alias("sum_y"),
         (
-            F.count(F.lit(1)) * F.sum(F.col("x") * F.col("y"))
-            - F.sum("x") * F.sum("y")
+            F.count(F.lit(1)).cast(d19)
+            * F.sum(F.col("x") * F.col("y")).cast(d19)
+            - F.sum("x").cast(d19) * F.sum("y").cast(d19)
         )
-        .cast("bigint")
+        .cast("decimal(38,0)")
         .alias("corr_num"),
         (
-            F.count(F.lit(1)) * F.sum(F.col("x") * F.col("x"))
-            - F.sum("x") * F.sum("x")
+            F.count(F.lit(1)).cast(d19)
+            * F.sum(F.col("x") * F.col("x")).cast(d19)
+            - F.sum("x").cast(d19) * F.sum("x").cast(d19)
         )
-        .cast("bigint")
+        .cast("decimal(38,0)")
         .alias("corr_den_x"),
         (
-            F.count(F.lit(1)) * F.sum(F.col("y") * F.col("y"))
-            - F.sum("y") * F.sum("y")
+            F.count(F.lit(1)).cast(d19)
+            * F.sum(F.col("y") * F.col("y")).cast(d19)
+            - F.sum("y").cast(d19) * F.sum("y").cast(d19)
         )
-        .cast("bigint")
+        .cast("decimal(38,0)")
         .alias("corr_den_y"),
     )
 
