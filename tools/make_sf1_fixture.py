@@ -42,14 +42,18 @@ OUT = _REPO / ".scratch" / "sf1"
 REPLICAS = 10
 SEED = 4242
 
-# per-table primary-key offsets (round numbers well above the sf0.1 max)
+# per-table primary-key offsets.  Far above the sf0.1 max AND above every
+# shifted-key convention the registry entries use on their own batches
+# (snap_* chains shift o_orderkey by +4e7..+5e8; a replica offset of 1e7
+# collided with the MERGE demo's +5e7 inserts and produced duplicate
+# source keys at sf1 — hence the 1e9 stride).
 OFF = {
-    "c_custkey": 1_000_000,
-    "s_suppkey": 100_000,
-    "p_partkey": 1_000_000,
-    "o_orderkey": 10_000_000,
-    "event_id": 10_000_000,
-    "user_id": 1_000_000,
+    "c_custkey": 100_000_000,
+    "s_suppkey": 10_000_000,
+    "p_partkey": 100_000_000,
+    "o_orderkey": 1_000_000_000,
+    "event_id": 1_000_000_000,
+    "user_id": 100_000_000,
 }
 
 #: table -> {column: offset-key} for every key column (PK and FKs)
