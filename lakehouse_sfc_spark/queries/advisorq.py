@@ -361,9 +361,26 @@ def advisor_table_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(_RANK_SQL.format(EV=_events_view(spark)))
 
 
+#: oracle twin of _COMBO_SQL: DuckDB inlines multi-referenced CTEs, so
+#: without MATERIALIZED the 6M-row lineitem scan in `listats` and the
+#: whole pool derivation re-run once per combos/members/cps reference —
+#: measured 514 s at sf1 vs seconds with the hints.  Spark never parses
+#: this text (it has no MATERIALIZED syntax); its two-step path
+#: localCheckpoints the pool instead.
+_COMBO_SQL_ORACLE = (
+    _COMBO_SQL
+    .replace("listats AS (", "listats AS MATERIALIZED (")
+    .replace("colscore AS (", "colscore AS MATERIALIZED (")
+    .replace("pool AS (", "pool AS MATERIALIZED (")
+    .replace("combos2 AS (", "combos2 AS MATERIALIZED (")
+    .replace("members AS (", "members AS MATERIALIZED (")
+    .replace("fcols AS (", "fcols AS MATERIALIZED (")
+)
+
+
 @register(
     "advisor_column_sets",
-    oracle=_COMBO_SQL.format(EV=_ADV_EV_ORACLE, LI="lineitem"),
+    oracle=_COMBO_SQL_ORACLE.format(EV=_ADV_EV_ORACLE, LI="lineitem"),
 )
 def advisor_column_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Layout-advisor COLUMN-SET recommendation for the top table — ranked
