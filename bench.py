@@ -119,8 +119,14 @@ def _vs_prev(timings: dict, spread: dict, calib: float) -> dict:
     round's MAX by >10%.  Anything inside the spreads is JIT/host noise,
     not a plan change — the r7 q3_group_by/layout_zorder_scan lesson."""
     import glob
+    import re
 
-    prevs = sorted(glob.glob(str(_REPO / "BENCH_r*.json")))
+    # Sort by the NUMERIC round (lexicographic sort breaks the moment an
+    # unpadded BENCH_r9.json meets BENCH_r10.json).
+    prevs = sorted(
+        glob.glob(str(_REPO / "BENCH_r*.json")),
+        key=lambda p: int(re.search(r"r(\d+)", os.path.basename(p)).group(1)),
+    )
     if not prevs:
         return {"source": None}
     src = prevs[-1]

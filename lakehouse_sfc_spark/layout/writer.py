@@ -80,10 +80,12 @@ def _kdtree_cells(df: DataFrame, layout_cols: list[str], n: int) -> DataFrame:
     depth = max(1, (n - 1).bit_length())
     out = df.withColumn("_kd", F.lit(0))
 
-    _NUMERIC = (
-        "tinyint", "smallint", "int", "bigint",
-        "float", "double", "decimal",
-    )
+    # Exact names, not prefixes: startswith("int") would also match
+    # "interval day to second" / "interval year to month", silently
+    # routing interval columns around the loud-refusal path below.
+    _NUMERIC_EXACT = {
+        "tinyint", "smallint", "int", "bigint", "float", "double",
+    }
 
     def _ordered(c: str):
         # percentile() wants numerics; timestamps/dates order identically
@@ -101,7 +103,7 @@ def _kdtree_cells(df: DataFrame, layout_cols: list[str], n: int) -> DataFrame:
             return F.datediff(col, F.lit("1970-01-01")).cast("double")
         if t == "boolean":
             return col.cast("double")
-        if not t.startswith(_NUMERIC):
+        if t not in _NUMERIC_EXACT and not t.startswith("decimal"):
             raise ValueError(
                 f"kdtree layout column {c!r} has non-orderable-as-double "
                 f"dtype {t!r}; use a numeric/timestamp/date column or "

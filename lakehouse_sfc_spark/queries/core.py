@@ -1228,10 +1228,10 @@ def a_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT pr AS priority, n,
            CAST(sx AS BIGINT) AS sum_x, CAST(sy AS BIGINT) AS sum_y,
-           CAST(CAST(n AS HUGEINT) * sxy - CAST(sx AS HUGEINT) * sy
-                AS DECIMAL(38,0)) AS slope_num,
-           CAST(CAST(n AS HUGEINT) * sxx - CAST(sx AS HUGEINT) * sx
-                AS DECIMAL(38,0)) AS slope_den
+           CAST(CAST(CAST(n AS HUGEINT) * sxy - CAST(sx AS HUGEINT) * sy
+                AS DECIMAL(38,0)) AS VARCHAR) AS slope_num,
+           CAST(CAST(CAST(n AS HUGEINT) * sxx - CAST(sx AS HUGEINT) * sx
+                AS DECIMAL(38,0)) AS VARCHAR) AS slope_den
     FROM s ORDER BY priority NULLS LAST
     """,
 )
@@ -1251,8 +1251,13 @@ def a_trend_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffle on the group key.  Magnitudes: |x|≤3e3, |y|≤6e5, so n·Σxy
     passes 2^63 near ~300k rows/group — the sf1 probe hit exactly that
     overflow — so the final combine rides exact DECIMAL(38,0) (good to
-    ~1e31 rows/group; the per-row products and sums stay BIGINT, only
-    the two cross-products are decimal)."""
+    ~1e31 rows/group; the per-row products and sums stay BIGINT).  The
+    two cross-products are EMITTED AS CANONICAL STRINGS: DuckDB's
+    DECIMAL(38,0) renders as exact Decimal via fetchall() but float64
+    via the pandas fetch path (the r8 driver red row), so no final
+    output column may be decimal-typed — VARCHAR of a scale-0 decimal
+    is render-identical on every fetch path and exact at any
+    magnitude (see tests/test_oracle_types.py)."""
     b = (
         load_table(spark, sf_dir, "orders")
         .filter(
@@ -1287,12 +1292,14 @@ def a_trend_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
             - F.col("sx").cast(d19) * F.col("sy").cast(d19)
         )
         .cast("decimal(38,0)")
+        .cast("string")
         .alias("slope_num"),
         (
             F.col("n").cast(d19) * F.col("sxx").cast(d19)
             - F.col("sx").cast(d19) * F.col("sx").cast(d19)
         )
         .cast("decimal(38,0)")
+        .cast("string")
         .alias("slope_den"),
     ).orderBy(F.col("priority").asc_nulls_last())
 

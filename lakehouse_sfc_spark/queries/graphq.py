@@ -829,15 +829,15 @@ def graph_bfs_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT COUNT(*) AS n_endpoints,
            CAST(SUM(x) AS BIGINT) AS sum_x,
            CAST(SUM(y) AS BIGINT) AS sum_y,
-           CAST(CAST(COUNT(*) AS HUGEINT) * SUM(x*y)
+           CAST(CAST(CAST(COUNT(*) AS HUGEINT) * SUM(x*y)
                 - CAST(SUM(x) AS HUGEINT) * SUM(y) AS DECIMAL(38,0))
-               AS corr_num,
-           CAST(CAST(COUNT(*) AS HUGEINT) * SUM(x*x)
+               AS VARCHAR) AS corr_num,
+           CAST(CAST(CAST(COUNT(*) AS HUGEINT) * SUM(x*x)
                 - CAST(SUM(x) AS HUGEINT) * SUM(x) AS DECIMAL(38,0))
-               AS corr_den_x,
-           CAST(CAST(COUNT(*) AS HUGEINT) * SUM(y*y)
+               AS VARCHAR) AS corr_den_x,
+           CAST(CAST(CAST(COUNT(*) AS HUGEINT) * SUM(y*y)
                 - CAST(SUM(y) AS HUGEINT) * SUM(y) AS DECIMAL(38,0))
-               AS corr_den_y
+               AS VARCHAR) AS corr_den_y
     FROM ed
     """,
 )
@@ -848,9 +848,11 @@ def graph_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
     as exact integer components — numerator n·Σxy − ΣxΣy and the two
     denominator factors — so r = num / sqrt(den_x·den_y) is recoverable
     by the caller while the engine comparison stays sqrt-free and
-    bit-exact (same discipline as a_trend_slope; cross-products in
-    exact DECIMAL(38,0) since the sf1 fixture overflows int64).  Sign
-    alone answers
+    bit-exact (same discipline as a_trend_slope; cross-products combine
+    in exact DECIMAL(38,0) since the sf1 fixture overflows int64, then
+    EMIT AS CANONICAL STRINGS — decimal final columns render float64 on
+    the driver's pandas fetch path, the r8 red-row class; see
+    tests/test_oracle_types.py).  Sign alone answers
     the question: positive = assortative (hub-hub shopping baskets),
     negative = disassortative (hubs bridge long-tail parts) — the single
     most load-bearing scalar for choosing graph partitioning strategy
@@ -896,6 +898,7 @@ def graph_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
             - F.sum("x").cast(d19) * F.sum("y").cast(d19)
         )
         .cast("decimal(38,0)")
+        .cast("string")
         .alias("corr_num"),
         (
             F.count(F.lit(1)).cast(d19)
@@ -903,6 +906,7 @@ def graph_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
             - F.sum("x").cast(d19) * F.sum("x").cast(d19)
         )
         .cast("decimal(38,0)")
+        .cast("string")
         .alias("corr_den_x"),
         (
             F.count(F.lit(1)).cast(d19)
@@ -910,6 +914,7 @@ def graph_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
             - F.sum("y").cast(d19) * F.sum("y").cast(d19)
         )
         .cast("decimal(38,0)")
+        .cast("string")
         .alias("corr_den_y"),
     )
 

@@ -1146,14 +1146,24 @@ class SnapshotTable:
             for p in _glob.glob(os.path.join(self.path, "*.parquet"))
         }
         cutoff = time.time() - older_than_s
-        orphans = sorted(
-            uri
-            for uri in on_disk - live
-            if os.path.getmtime(_local(uri)) <= cutoff
-        )
+
+        def _past_grace(uri: str) -> bool:
+            # A file can vanish between the glob and the stat (another GC
+            # pass, or a writer aborting its own staging file) — treat a
+            # vanished file as not-ours-to-collect this pass instead of
+            # aborting the whole GC with FileNotFoundError.
+            try:
+                return os.path.getmtime(_local(uri)) <= cutoff
+            except OSError:
+                return False
+
+        orphans = sorted(uri for uri in on_disk - live if _past_grace(uri))
         if not dry_run:
             for uri in orphans:
-                os.remove(_local(uri))
+                try:
+                    os.remove(_local(uri))
+                except FileNotFoundError:
+                    pass  # already collected concurrently
         return {
             "orphans": orphans,
             "n_orphans": len(orphans),

@@ -34,8 +34,15 @@ _WITH_ORACLE = sorted(n for n, s in QUERIES.items() if s.oracle is not None)
 
 # Types whose fetch-path render is not a plain Python int/float everywhere:
 # HUGEINT -> Decimal (Arrow) / float64 (pandas); unsigned ints -> may
-# overflow int64 on the pandas path.
-_FORBIDDEN = re.compile(r"HUGEINT|UBIGINT|UINTEGER|USMALLINT|UTINYINT", re.I)
+# overflow int64 on the pandas path; DECIMAL -> exact Decimal via
+# fetchall()/Arrow but float64 via the pandas path (the round-8 driver
+# red row, a_trend_slope: values bit-identical, hash diverged purely on
+# render).  DECIMAL is fine INTERNALLY (the dsum discipline), but no
+# FINAL output column may be decimal-typed — emit exact big integers as
+# canonical strings (CAST(... AS VARCHAR) of a scale-0 decimal) instead.
+_FORBIDDEN = re.compile(
+    r"HUGEINT|UBIGINT|UINTEGER|USMALLINT|UTINYINT|DECIMAL", re.I
+)
 
 _DUCK_INT = {"BIGINT", "INTEGER", "SMALLINT", "TINYINT"}
 
@@ -113,6 +120,38 @@ def test_render_guard_catches_injected_uncast_sum():
     assert value_hash(cols, frows) == value_hash(cols, arows)
 
 
+def test_pandas_render_guard_catches_injected_decimal_output():
+    """driver_sim's new .df() leg must flag the round-8 red-row class —
+    a DECIMAL(38,0) final column renders Decimal via fetchall but float64
+    via the driver's pandas fetch path — while tolerating the benign
+    pandas boxings (nullable BIGINT -> float64, DATE -> midnight
+    Timestamp) that green driver rows have carried since round 1."""
+    import sys
+    from pathlib import Path
+
+    sys.path.insert(0, str(Path(__file__).resolve().parent.parent / "tools"))
+    from driver_sim import pandas_rows, value_hash
+
+    con = duckdb.connect()
+    bad_sql = (
+        "SELECT 1 AS g, CAST(35 AS DECIMAL(38,0)) AS s, "
+        "DATE '1995-01-02' AS d, CAST(NULL AS BIGINT) AS ni"
+    )
+    cols = [d[0] for d in con.execute(bad_sql).description]
+    frows = [tuple(r) for r in con.execute(bad_sql).fetchall()]
+    prows = pandas_rows(con, bad_sql, cols, frows)
+    assert value_hash(cols, frows) != value_hash(cols, prows)
+
+    good_sql = bad_sql.replace(
+        "CAST(35 AS DECIMAL(38,0))", "CAST(CAST(35 AS DECIMAL(38,0)) AS VARCHAR)"
+    )
+    cols = [d[0] for d in con.execute(good_sql).description]
+    frows = [tuple(r) for r in con.execute(good_sql).fetchall()]
+    prows = pandas_rows(con, good_sql, cols, frows)
+    # benign boxings (date, NULL bigint) normalize away; varchar is stable
+    assert value_hash(cols, frows) == value_hash(cols, prows)
+
+
 @pytest.fixture(scope="module")
 def duck_types():
     """name -> [(col, duck_type), ...] for every oracle, via DESCRIBE."""
@@ -133,8 +172,9 @@ def duck_types():
 def test_no_forbidden_duck_types(duck_types, name):
     bad = [(c, t) for c, t in duck_types[name] if _FORBIDDEN.search(t)]
     assert not bad, (
-        f"{name}: oracle output columns {bad} render as Decimal/float64 on "
-        "the driver's Arrow/pandas fetch path — CAST(... AS BIGINT) them"
+        f"{name}: oracle output columns {bad} render inconsistently across "
+        "the driver's fetch paths (fetchall=Decimal/int vs pandas=float64) "
+        "— CAST(... AS BIGINT), or AS VARCHAR for beyond-int64 exact values"
     )
 
 
@@ -158,4 +198,13 @@ def test_type_class_parity(spark, duck_types, name):
     assert not diverged, (
         f"{name}: output type-class divergence (spark, duck): {diverged} — "
         "these hash-differ on at least one driver fetch path"
+    )
+    # Matched decimal<->decimal parity is NOT enough (the round-8 hole):
+    # DuckDB DECIMAL renders float64 on the pandas fetch path while Spark
+    # collects Decimal, so final schemas must carry no DecimalType at all.
+    dec_cols = [c for c, cls in spark_classes.items() if cls == "decimal"]
+    assert not dec_cols, (
+        f"{name}: final Spark schema has DecimalType columns {dec_cols} — "
+        "decimal is internal-only (registry dsum discipline); emit exact "
+        "big values as canonical strings or cast back to bigint/double"
     )

@@ -58,6 +58,52 @@ def render_divergent_cols(cols, rows_a, rows_b):
     return bad
 
 
+def pandas_rows(con, sql, ocols, frows):
+    """Render the oracle result through duckdb's PANDAS fetch path
+    (``.df()``) and normalize the known-benign pandas boxings back to the
+    fetchall representation: numpy scalars unbox via .item(); DATE columns
+    come back as midnight Timestamps; BIGINT columns with any NULL come
+    back float64 (both tolerated by the round driver — green rows have
+    carried nullable ints and dates since r1).  What must NOT be masked is
+    the round-8 red-row class: DECIMAL(38,0) renders Decimal('35') via
+    fetchall but 35.0 here — the fetchall guide type is Decimal, not int,
+    so the float survives into the hash and the divergence flags locally."""
+    import math
+
+    import pandas as pd
+
+    df = con.execute(sql).df()
+    guide = {}
+    for j in range(len(ocols)):
+        for r in frows:
+            if r[j] is not None:
+                guide[j] = type(r[j])
+                break
+    out = []
+    for i in range(len(df)):
+        row = []
+        for j in range(len(ocols)):
+            v = df.iat[i, j]
+            g = guide.get(j)
+            if v is None or v is pd.NaT:
+                row.append(None)
+                continue
+            if isinstance(v, float) and math.isnan(v):
+                row.append(None)
+                continue
+            if type(v).__module__ == "numpy" and hasattr(v, "item"):
+                v = v.item()
+            if isinstance(v, pd.Timestamp):
+                v = v.to_pydatetime()
+                if g is datetime.date and v.time() == datetime.time(0):
+                    v = v.date()
+            if g is int and isinstance(v, float) and v.is_integer():
+                v = int(v)  # NULL-bearing int64 column rendered float64
+            row.append(v)
+        out.append(tuple(row))
+    return out
+
+
 def value_hash(cols, rows):
     order = sorted(range(len(cols)), key=lambda i: cols[i])
     lines = sorted(
@@ -120,6 +166,7 @@ def main() -> int:
                 arows = [
                     tuple(d[c] for c in ocols) for d in atbl.to_pylist()
                 ]
+                prows = pandas_rows(con, oracles[name], ocols, orows)
                 dt = time.time() - t0
                 timings[name] = dt
                 if value_hash(ocols, orows) != value_hash(ocols, arows):
@@ -128,6 +175,15 @@ def main() -> int:
                         f"RESULT {name} MISMATCH(render) {dt:.1f}s "
                         f"fetchall vs arrow disagree on cols={bad} "
                         "(uncast SUM/HUGEINT-style oracle output?)",
+                        flush=True,
+                    )
+                    fails.append(name)
+                elif value_hash(ocols, orows) != value_hash(ocols, prows):
+                    bad = render_divergent_cols(ocols, orows, prows)
+                    print(
+                        f"RESULT {name} MISMATCH(render-pandas) {dt:.1f}s "
+                        f"fetchall vs .df() disagree on cols={bad} "
+                        "(DECIMAL-typed final output? r8 red-row class)",
                         flush=True,
                     )
                     fails.append(name)
