@@ -91,24 +91,60 @@ _SQL_NGRAMS_VIEW = f"""
 """
 
 
+#: Saturated-gram drop for the prefix-filter dedup family (CONTRACT-VISIBLE,
+#: oracle-mirrored): n-grams occurring in more than _DF_CAP documents carry no
+#: near-dup signal (they are the corpus's stopword-grams/boilerplate) and are
+#: excluded from CANDIDATE GENERATION — verification still uses full gram
+#: sets, so emitted Jaccard/containment values stay exact.  The contract is
+#: "emit (A,B) iff sim ≥ τ AND the pair shares ≥1 gram with df ≤ _DF_CAP",
+#: and filtering the rarest-first prefix index to df ≤ cap implements it
+#: EXACTLY (proof in _prefix_candidates).  This bounds candidate volume at
+#: Σ_{df≤cap} df² ≤ cap · |gram occurrences| — linear in corpus size — which
+#: is the guard that keeps a 100 TB run alive when a hot gram bucket shows
+#: up.  64 keeps every driver fixture lossless (max gram df: 7 at sf0.01,
+#: 25 at sf0.1); production sizes it to the corpus (e.g. 1e4) — the point is
+#: that it is a constant, which is what makes candidate volume linear.
+_DF_CAP = 64
+
+
 def _sql_pair_jaccard_cte(tau: float, rnum: int, rden: int, pair_cond: str) -> str:
-    """Oracle CTE chain computing qualifying Jaccard pairs WITHOUT the
-    O(n²) list_intersect pair join: ``ng`` is list_distinct, so COUNT(*)
-    of the n-gram equality self-join IS len(list_intersect(a.ng, b.ng))
-    (STATE.md's intersection-via-equality-join trick, ~60× faster in
-    DuckDB at sf0.01).  Pairs sharing zero grams can never reach any
-    tau > 0, so the equality join loses nothing; the length-ratio
-    prefilter (J >= t => min·den >= max·num) is applied on the exact
-    lengths, and jac_val is the IDENTICAL double expression the direct
-    formulation evaluates.  Emits CTEs l/e/c/p; expects ``g`` bound to
-    _SQL_NGRAMS_VIEW."""
+    """Oracle CTE chain for the PREFIX-FILTER dedup family: candidate
+    pairs share at least one NON-SATURATED gram (df ≤ _DF_CAP — the
+    contract's mirrored saturated-gram drop; without it the e×e join's
+    Σdf² pair volume made this oracle intractable at the fixed-vocab sf1
+    fixture), then exact verification: ``ng`` is list_distinct, so the
+    full |A∩B| is the SUM of the lo-join and hi-join per-pair counts
+    (every shared gram lands in exactly one df class) — candidate pairs
+    are exactly l0's rows, and no gram LIST is ever hauled through a pair
+    join (a list_intersect verify measured 160 s at sf0.1 where all 1M
+    candidate pairs survive the cap; the split count is seconds on both
+    fixtures because hi is empty when nothing saturates and lo is tiny
+    when everything does).  The length-ratio prefilter (J ≥ t ⇒ min·den ≥
+    max·num) is applied on the exact lengths.  Every multi-referenced CTE
+    is MATERIALIZED (DuckDB re-inlines per reference otherwise — the
+    round-8 advisor_column_sets lesson).  Emits CTEs l/e/dfq/lo/hi/c/p;
+    expects ``g`` bound to _SQL_NGRAMS_VIEW."""
     return f"""
     l AS MATERIALIZED (SELECT doc_id, len(ng) AS l FROM g),
     e AS MATERIALIZED (SELECT doc_id, unnest(ng) AS gr FROM g),
+    dfq AS MATERIALIZED (SELECT gr, COUNT(*) AS df FROM e GROUP BY gr),
+    lo AS MATERIALIZED (
+      SELECT e.doc_id, e.gr FROM e JOIN dfq ON e.gr = dfq.gr
+      WHERE dfq.df <= {_DF_CAP}
+    ),
+    hi AS MATERIALIZED (
+      SELECT e.doc_id, e.gr FROM e JOIN dfq ON e.gr = dfq.gr
+      WHERE dfq.df > {_DF_CAP}
+    ),
     c AS MATERIALIZED (
-      SELECT x.doc_id AS a_id, y.doc_id AS b_id, COUNT(*) AS shared
-      FROM e x JOIN e y ON x.gr = y.gr AND {pair_cond}
-      GROUP BY 1, 2
+      SELECT l0.a_id, l0.b_id, l0.s + COALESCE(h0.s, 0) AS shared
+      FROM (SELECT x.doc_id AS a_id, y.doc_id AS b_id, COUNT(*) AS s
+            FROM lo x JOIN lo y ON x.gr = y.gr AND {pair_cond}
+            GROUP BY 1, 2) l0
+      LEFT JOIN (SELECT x.doc_id AS a_id, y.doc_id AS b_id, COUNT(*) AS s
+                 FROM hi x JOIN hi y ON x.gr = y.gr AND {pair_cond}
+                 GROUP BY 1, 2) h0
+      USING (a_id, b_id)
     ),
     p AS (
       SELECT c.a_id, c.b_id,
@@ -117,6 +153,48 @@ def _sql_pair_jaccard_cte(tau: float, rnum: int, rden: int, pair_cond: str) -> s
              JOIN l lb ON c.b_id = lb.doc_id
       WHERE {rden} * LEAST(la.l, lb.l) >= {rnum} * GREATEST(la.l, lb.l)
         AND c.shared::DOUBLE / (la.l + lb.l - c.shared) >= {tau}
+    )"""
+
+
+def _sql_lsh_pair_cte(tau: float, pair_cond: str) -> str:
+    """Oracle CTE chain for the MINHASH-LSH dedup family: mirrors the
+    Spark side's banded candidate generation EXACTLY — 64 affine-permuted
+    min-hashes per doc, 16 bands of 4 rows serialized to the same
+    comma-joined signature string, candidates from band-bucket equality,
+    then exact Jaccard verification on the full gram lists.  This replaces
+    the earlier exhaustive-pair oracle, which (a) asserted LSH recall is
+    perfect — true on these fixtures but only probabilistically true in
+    general — and (b) was intractable at the fixed-vocab sf1 fixture
+    (Σdf² pair volume in the e×e join).  The band mirror is both honest
+    (the contract IS "pairs the banded index surfaces with J ≥ τ") and
+    bounded (bucket-equality join volume).  Emits l/e/sig/bnd/cd/c/p;
+    expects ``g`` bound to _SQL_NGRAMS_VIEW."""
+    return f"""
+    l AS MATERIALIZED (SELECT doc_id, len(ng) AS l FROM g),
+    e AS MATERIALIZED (SELECT doc_id, unnest(ng) AS gr FROM g),
+    sig AS MATERIALIZED ({_SQL_MH_SIG}),
+    bnd AS MATERIALIZED (
+      SELECT doc_id, j AS band,
+             array_to_string(mh[j*{_MH_R}+1 : j*{_MH_R}+{_MH_R}], ',') AS bsig
+      FROM sig, range(0, {_MH_BANDS}) t(j)
+    ),
+    cd AS MATERIALIZED (
+      SELECT DISTINCT x.doc_id AS a_id, y.doc_id AS b_id
+      FROM bnd x JOIN bnd y
+        ON x.band = y.band AND x.bsig = y.bsig AND {pair_cond}
+    ),
+    c AS MATERIALIZED (
+      SELECT cd.a_id, cd.b_id,
+             len(list_intersect(ga.ng, gb.ng)) AS shared
+      FROM cd JOIN g ga ON cd.a_id = ga.doc_id
+              JOIN g gb ON cd.b_id = gb.doc_id
+    ),
+    p AS (
+      SELECT c.a_id, c.b_id,
+             c.shared::DOUBLE / (la.l + lb.l - c.shared) AS jac_val
+      FROM c JOIN l la ON c.a_id = la.doc_id
+             JOIN l lb ON c.b_id = lb.doc_id
+      WHERE c.shared::DOUBLE / (la.l + lb.l - c.shared) >= {tau}
     )"""
 
 
@@ -157,43 +235,48 @@ def _pair_jaccard() -> Column:
 
 
 def _prefix_candidates(ngr: DataFrame, tau: float, symmetric: bool) -> DataFrame:
-    """SOUND prefix-filter candidate pairs for a set-overlap join at
-    threshold ``tau``: order each doc's n-grams by GLOBAL document
-    frequency (rarest first), index only the first |x|−⌈τ·|x|⌉+1 of them,
-    and join the inverted index on gram equality.  A qualifying pair
-    (Jaccard ≥ τ, or containment C(A,B) ≥ τ with A as the prefix side)
-    must share a prefix gram, so this prunes without ever changing the
-    verified result — while only rare n-grams fan out, which is what
+    """Prefix-filter candidate pairs for a set-overlap join at threshold
+    ``tau`` with the CONTRACT-VISIBLE saturated-gram drop (_DF_CAP): order
+    each doc's n-grams by GLOBAL document frequency (rarest first), index
+    only the first |x|−⌈τ·|x|⌉+1 of them, drop index entries whose gram
+    has df > _DF_CAP, and join the inverted index on gram equality.
+
+    The prefix filter alone is lossless (a qualifying pair — Jaccard ≥ τ,
+    or containment C(A,B) ≥ τ with A as the prefix side — must share a
+    prefix gram); composed with the df cap it computes EXACTLY the capped
+    contract "qualifying pairs sharing ≥1 gram with df ≤ _DF_CAP", which
+    the oracles mirror.  Proof: if the pair shares gram g with df(g) ≤ cap
+    and its guaranteed shared PREFIX gram h has df(h) > cap, then
+    (df(g), g) < (df(h), h) in the sort order, so g precedes h and sits in
+    both prefixes too — i.e. filtering the prefix index to df ≤ cap never
+    loses a contract pair, and every emitted candidate shares its join
+    gram (df ≤ cap) by construction.  Only rare n-grams fan out — what
     survives a 100 TB corpus where a plain ngram-explode join blows up on
-    stopword-grams.
+    stopword-grams, and (with the cap) bounds candidate volume at
+    cap · |occurrences| even when the whole gram space saturates.
 
     ``symmetric=True`` pairs prefix↔prefix with a_id < b_id (Jaccard-style
     joins); ``symmetric=False`` pairs prefix↔FULL index with a_id != b_id
-    (asymmetric containment, where only the A side may be pruned).
+    (asymmetric containment, where only the A side may be pruned — the
+    first-shared-gram positional argument extends the proof there).
     Shared by dedup_ngram_jaccard / dedup_containment /
     sample_split_leakage — one implementation to fix, not three."""
     exploded = ngr.select("doc_id", F.explode("ng").alias("g")).repartition("g")
     dfreq = exploded.groupBy("g").agg(F.count(F.lit(1)).alias("df"))
-    ranked = (
-        exploded.join(dfreq, "g")
-        .groupBy("doc_id")
-        .agg(
-            F.array_sort(
-                F.collect_list(F.struct(F.col("df"), F.col("g")))
-            ).alias("ordered"),
-        )
-        .select(
-            "doc_id",
-            F.transform(F.col("ordered"), lambda s: s["g"]).alias("ordered_g"),
-        )
+    ranked = exploded.join(dfreq, "g").groupBy("doc_id").agg(
+        F.array_sort(
+            F.collect_list(F.struct(F.col("df"), F.col("g")))
+        ).alias("ordered"),
     )
     prefix_len = (
-        F.size("ordered_g") - F.ceil(F.size("ordered_g") * F.lit(tau)) + 1
+        F.size("ordered") - F.ceil(F.size("ordered") * F.lit(tau)) + 1
     ).cast("int")
     if symmetric:
         prefix = ranked.select(
             "doc_id",
-            F.explode(F.slice(F.col("ordered_g"), 1, prefix_len)).alias("g"),
+            F.explode(F.slice(F.col("ordered"), 1, prefix_len)).alias("sg"),
+        ).filter(F.col("sg.df") <= _DF_CAP).select(
+            "doc_id", F.col("sg.g").alias("g")
         )
         return (
             prefix.alias("x")
@@ -217,19 +300,29 @@ def _prefix_candidates(ngr: DataFrame, tau: float, symmetric: bool) -> DataFrame
     # sides: shared <= min(|A|-i, |B|-j).  shared >= tau*|A| therefore
     # implies that row passes min(|A|-i, |B|-j) >= tau*|A|, so filtering
     # join ROWS by the bound (0.5 slack absorbs double rounding; shared is
-    # an integer) never drops a qualifying PAIR — Spark-side pruning only,
-    # the exact verification is unchanged and the oracle needs no mirror.
+    # an integer) never drops a qualifying PAIR.  The df <= _DF_CAP filter
+    # on BOTH index sides is the contract's saturated-gram drop: if any
+    # shared gram has df <= cap, the FIRST shared gram (minimal in the
+    # common (df, g) order) does too, its rows survive both filters, and
+    # the positional bound holds exactly at that row — so the join result
+    # is precisely the capped contract, which the oracle mirrors.
+    # posexplode positions are taken BEFORE the df filter, so i/j stay the
+    # original full-order positions the bound needs.
     prefix = ranked.select(
         "doc_id",
-        F.size("ordered_g").alias("alen"),
-        F.posexplode(F.slice(F.col("ordered_g"), 1, prefix_len)).alias(
-            "i", "g"
+        F.size("ordered").alias("alen"),
+        F.posexplode(F.slice(F.col("ordered"), 1, prefix_len)).alias(
+            "i", "sg"
         ),
+    ).filter(F.col("sg.df") <= _DF_CAP).select(
+        "doc_id", "alen", "i", F.col("sg.g").alias("g")
     )
     index_full = ranked.select(
         "doc_id",
-        F.size("ordered_g").alias("blen"),
-        F.posexplode("ordered_g").alias("j", "g"),
+        F.size("ordered").alias("blen"),
+        F.posexplode("ordered").alias("j", "sg"),
+    ).filter(F.col("sg.df") <= _DF_CAP).select(
+        "doc_id", "blen", "j", F.col("sg.g").alias("g")
     )
     need = F.col("x.alen") * F.lit(tau) - F.lit(0.5)
     return (
@@ -379,12 +472,20 @@ _MH_COEF = [
     for _ in range(_MH_K)
 ]
 
+_SQL_MH_SIG = (
+    "SELECT doc_id, ["
+    + ", ".join(f"MIN(({a} * h + {b}) % {_MH_P})" for a, b in _MH_COEF)
+    + f"] AS mh FROM (SELECT doc_id,"
+    f" ('0x' || substr(md5(gr), 1, 8))::BIGINT % {_MH_P} AS h FROM e)"
+    " GROUP BY doc_id"
+)
+
 
 @register(
     "dedup_minhash_lsh",
     oracle=f"""
     WITH g AS MATERIALIZED ({_SQL_NGRAMS_VIEW}),
-    {_sql_pair_jaccard_cte(_MH_TAU, 7, 10, "x.doc_id < y.doc_id")}
+    {_sql_lsh_pair_cte(_MH_TAU, "x.doc_id < y.doc_id")}
     SELECT a_id, b_id, round(jac_val, 4) AS jac FROM p
     """,
 )
@@ -432,15 +533,6 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_SQL_MH_SIG = (
-    "SELECT doc_id, ["
-    + ", ".join(f"MIN(({a} * h + {b}) % {_MH_P})" for a, b in _MH_COEF)
-    + f"] AS mh FROM (SELECT doc_id,"
-    f" ('0x' || substr(md5(gr), 1, 8))::BIGINT % {_MH_P} AS h FROM e)"
-    " GROUP BY doc_id"
-)
-
-
 @register(
     "dedup_minhash_estimate_error",
     oracle=f"""
@@ -476,10 +568,10 @@ def dedup_minhash_estimate_error(
     the same two divisions, so buckets are bit-deterministic — no
     round()/tie behavior anywhere.
 
-    Scale shape: true pairs come from the sound prefix-filter + two-phase
-    hashed verify (candidate-bounded, never all-pairs); signatures are one
-    aggregate pass over the exploded grams; the error join touches pair
-    rows only."""
+    Scale shape: true pairs come from the capped prefix-filter (saturated-
+    gram drop, oracle-mirrored) + two-phase hashed verify (candidate-
+    bounded, never all-pairs); signatures are one aggregate pass over the
+    exploded grams; the error join touches pair rows only."""
     ngr = (
         _docs_ngrams(spark, sf_dir)
         .withColumn(
@@ -569,22 +661,57 @@ _SQL_SIMHASH_VIEW = f"""
 # fixture; the Spark side drops them via its size(hs) > 0 filter).
 
 
+#: Saturated band-bucket drop (contract-visible, oracle-mirrored): a
+#: (source, band, byte-value) bucket holding more than this many documents
+#: is skipped during candidate generation.  Occupancy of a healthy simhash
+#: band bucket is ~n/256 per shard; a bucket far above that is a degenerate
+#: pile (boilerplate shard, all-identical template) whose occ² pair volume
+#: is exactly what kills the band join at 100 TB — production drops or
+#: sub-splits it.  256 keeps every driver fixture lossless (max occupancy:
+#: 20 at sf0.01, 172 at sf0.1) and bounds the sf1 fixed-vocab fixture's
+#: pair volume 94.7M → 7.9M (measured).
+_SH_BUCKET_CAP = 256
+
+
 @register(
     "dedup_simhash",
     oracle=f"""
-    WITH sh AS ({_SQL_SIMHASH_VIEW})
-    SELECT a.doc_id AS a_id, b.doc_id AS b_id,
-           bit_count(xor(a.sim, b.sim))::INTEGER AS hd
-    FROM sh a JOIN sh b ON a.source = b.source AND a.doc_id < b.doc_id
-    WHERE bit_count(xor(a.sim, b.sim)) <= {_SH_HD}
+    WITH sh AS MATERIALIZED ({_SQL_SIMHASH_VIEW}),
+    b AS MATERIALIZED (
+      SELECT doc_id, source, sim, j AS band,
+             (sim >> (8 * j)) & 255 AS bv
+      FROM sh, range(0, {_SH_BANDS}) t(j)
+    ),
+    occ AS MATERIALIZED (
+      SELECT source, band, bv, COUNT(*) AS n FROM b GROUP BY 1, 2, 3
+    ),
+    k AS MATERIALIZED (
+      SELECT b.doc_id, b.source, b.sim, b.band, b.bv
+      FROM b JOIN occ ON b.source = occ.source AND b.band = occ.band
+                     AND b.bv = occ.bv
+      WHERE occ.n <= {_SH_BUCKET_CAP}
+    )
+    SELECT DISTINCT x.doc_id AS a_id, y.doc_id AS b_id,
+           bit_count(xor(x.sim, y.sim))::INTEGER AS hd
+    FROM k x JOIN k y
+      ON x.source = y.source AND x.band = y.band AND x.bv = y.bv
+     AND x.doc_id < y.doc_id
+    WHERE bit_count(xor(x.sim, y.sim)) <= {_SH_HD}
     """,
 )
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Shard-local (same ``source``) SimHash near-dedup at hamming ≤ 3.
-    Candidates must share one of 4 disjoint 8-bit bands (pigeonhole ⇒ exact,
-    not approximate).  The shard restriction mirrors how web-scale dedup is
+    Candidates must share one of 4 disjoint 8-bit bands (pigeonhole ⇒
+    exact recall among pairs whose shared band bucket survives the
+    occupancy cap).  The shard restriction mirrors how web-scale dedup is
     run per ingest shard and keeps the candidate join keyed on
-    (source, band, value)."""
+    (source, band, value).
+
+    Scale guard (contract-visible, oracle-mirrored): buckets with more
+    than _SH_BUCKET_CAP documents are dropped from candidate generation —
+    see the constant's note.  The occupancy count rides the SAME hash
+    partitioning the self-join needs (window count over the join key), so
+    the cap adds no exchange."""
     d = load_table(spark, sf_dir, "documents")
     words = d.select(
         "doc_id",
@@ -613,6 +740,10 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("bb"),
     ).select("doc_id", "source", "sim", "bb.band", "bb.bv")
+    occ = Window.partitionBy("source", "band", "bv")
+    bands = bands.withColumn("occ", F.count(F.lit(1)).over(occ)).filter(
+        F.col("occ") <= _SH_BUCKET_CAP
+    ).drop("occ")
 
     hd = F.bit_count(F.col("x.sim").bitwiseXOR(F.col("y.sim")))
     return (
@@ -650,12 +781,14 @@ _NJ_TAU = 0.8
     """,
 )
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact all-pairs Jaccard join at τ=0.8 using prefix filtering: order each
-    doc's 3-grams by global document frequency (rarest first), index only the
-    first |x|-⌈τ·|x|⌉+1 of them, and self-join the inverted index.  Exact — a
-    qualifying pair must share a prefix token — while only rare n-grams fan
-    out, which is what makes this survive a 100 TB corpus where a plain
-    ngram-explode join would blow up on stopword-grams.
+    """Jaccard join at τ=0.8 using prefix filtering with the saturated-gram
+    drop (_DF_CAP, oracle-mirrored): order each doc's 3-grams by global
+    document frequency (rarest first), index only the first |x|-⌈τ·|x|⌉+1
+    of them with df ≤ _DF_CAP, and self-join the inverted index.  Emitted
+    Jaccard values are exact (full-gram verification); the contract is
+    "qualifying pairs sharing ≥1 non-saturated gram" — only rare n-grams
+    fan out, which is what makes this survive a 100 TB corpus where a
+    plain ngram-explode join would blow up on stopword-grams.
 
     Exchange discipline: the n-gram relation feeds FOUR consumers (document
     frequencies, the ranked index, and both verification sides), and the
@@ -1485,7 +1618,7 @@ def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
     "dedup_components",
     oracle=f"""
     WITH RECURSIVE g AS MATERIALIZED ({_SQL_NGRAMS_VIEW}),
-    {_sql_pair_jaccard_cte(_MH_TAU, 7, 10, "x.doc_id < y.doc_id")},
+    {_sql_lsh_pair_cte(_MH_TAU, "x.doc_id < y.doc_id")},
     edg AS MATERIALIZED (
       SELECT a_id AS u, b_id AS v FROM p
       UNION SELECT b_id, a_id FROM p
@@ -1837,7 +1970,7 @@ def sample_pps(spark: SparkSession, sf_dir: str) -> DataFrame:
     "dedup_keep_canonical",
     oracle=f"""
     WITH RECURSIVE g AS MATERIALIZED ({_SQL_NGRAMS_VIEW}),
-    {_sql_pair_jaccard_cte(_MH_TAU, 7, 10, "x.doc_id < y.doc_id")},
+    {_sql_lsh_pair_cte(_MH_TAU, "x.doc_id < y.doc_id")},
     edg AS MATERIALIZED (
       SELECT a_id AS u, b_id AS v FROM p
       UNION SELECT b_id, a_id FROM p
@@ -1998,8 +2131,8 @@ def emb_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     "dedup_incremental",
     oracle=f"""
     WITH g AS MATERIALIZED ({_SQL_NGRAMS_VIEW}),
-    {_sql_pair_jaccard_cte(
-        _MH_TAU, 7, 10, "x.doc_id % 10 = 0 AND y.doc_id % 10 <> 0"
+    {_sql_lsh_pair_cte(
+        _MH_TAU, "x.doc_id % 10 = 0 AND y.doc_id % 10 <> 0"
     )}
     SELECT a_id AS batch_id, b_id AS corpus_id,
            round(jac_val, 4) AS jac
@@ -2020,7 +2153,9 @@ def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     sig) equality, and survivors are exact-Jaccard verified at τ=0.7
     against the n-gram relation — LSH recall at this τ is verified perfect
     against the exact join in the repo's recall tests, which is why the
-    banded path can match the oracle's exhaustive cross-side comparison."""
+    banded path is what the oracle mirrors (band-bucket candidates +
+    exact verify — honest at any scale, and tractable at sf1 where the
+    exhaustive cross-side comparison was not)."""
     ngr = _docs_ngrams(spark, sf_dir)
     bands = _mh_bands(ngr)
     is_batch = F.col("doc_id") % 10 == 0
@@ -2405,19 +2540,35 @@ _CT_TOPK = 5  # per-doc output cap: top-k containing docs (pair list is
 
 @register(
     "dedup_containment",
-    # ng is list_distinct, so COUNT(*) of the n-gram equality self-join is
-    # exactly len(list_intersect(a.ng, b.ng)) — same semantics as the
-    # all-pairs formulation but O(co-occurring pairs), not O(n²).  The
-    # threshold compare stays double division to mirror the Spark side.
+    # Candidates share >=1 non-saturated gram (df <= _DF_CAP, the mirrored
+    # contract drop — without it the e×e join's Σdf² volume is intractable
+    # at the fixed-vocab sf1 fixture); verification is the exact split
+    # count (lo-join + hi-join per-pair counts sum to |A∩B| since ng is
+    # list_distinct), and the threshold compare stays double division to
+    # mirror the Spark side.
     oracle=f"""
     WITH g AS MATERIALIZED ({_SQL_NGRAMS_VIEW}),
     e AS MATERIALIZED (
       SELECT doc_id, unnest(ng) AS gr FROM g
     ),
+    dfq AS MATERIALIZED (SELECT gr, COUNT(*) AS df FROM e GROUP BY gr),
+    lo AS MATERIALIZED (
+      SELECT e.doc_id, e.gr FROM e JOIN dfq ON e.gr = dfq.gr
+      WHERE dfq.df <= {_DF_CAP}
+    ),
+    hi AS MATERIALIZED (
+      SELECT e.doc_id, e.gr FROM e JOIN dfq ON e.gr = dfq.gr
+      WHERE dfq.df > {_DF_CAP}
+    ),
     c AS MATERIALIZED (
-      SELECT x.doc_id AS a_id, y.doc_id AS b_id, COUNT(*) AS shared
-      FROM e x JOIN e y ON x.gr = y.gr AND x.doc_id <> y.doc_id
-      GROUP BY 1, 2
+      SELECT l0.a_id, l0.b_id, l0.s + COALESCE(h0.s, 0) AS shared
+      FROM (SELECT x.doc_id AS a_id, y.doc_id AS b_id, COUNT(*) AS s
+            FROM lo x JOIN lo y ON x.gr = y.gr AND x.doc_id <> y.doc_id
+            GROUP BY 1, 2) l0
+      LEFT JOIN (SELECT x.doc_id AS a_id, y.doc_id AS b_id, COUNT(*) AS s
+                 FROM hi x JOIN hi y ON x.gr = y.gr AND x.doc_id <> y.doc_id
+                 GROUP BY 1, 2) h0
+      USING (a_id, b_id)
     ),
     v AS (
       SELECT c.a_id, c.b_id, c.shared,
@@ -2445,11 +2596,11 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     A's RAREST n-grams (global-df order) against the full inverted index,
     then verify candidates exactly.
 
-    Scale shape: only rare n-grams fan out on the prefix side (the filter
-    is sound for any ordering; df-order makes it cheap), candidates join
+    Scale shape: only rare n-grams fan out on the prefix side (df ≤
+    _DF_CAP — the saturated-gram drop, oracle-mirrored), candidates join
     on n-gram equality, verification touches candidate pairs only.  The
-    oracle's length conjunct (|B| ≥ τ|A|) is implied by C ≥ τ — pure
-    O(n²)-side pruning, never a semantic difference.
+    length conjunct (|B| ≥ τ|A|) is implied by C ≥ τ — pruning, never a
+    semantic difference.
 
     Output cap: the verified pair list is unbounded (co-occurrence density
     can grow ~n² with corpus size — on this synthetic corpus it does, by
@@ -2603,7 +2754,10 @@ _ED_FRAC = 0.2  # max edit distance as a fraction of the longer text
 )
 def dedup_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CHARACTER-level near-dup verification: gram-similar candidate pairs
-    (Jaccard ≥ 0.5 via the sound prefix filter) re-verified by Levenshtein
+    (Jaccard ≥ 0.5 via the capped prefix filter — the τ=0.5 prefix is half
+    of every doc's grams, so this entry is where the saturated-gram drop
+    matters most: its sf1 step was 20.5× before the cap) re-verified by
+    Levenshtein
     distance ≤ 20% of the longer text — the second opinion that separates
     true revisions (small char edits) from docs that merely share phrasing
     (high gram overlap, heavy rewrites).  Both engines implement
@@ -3260,8 +3414,9 @@ _LK_TAU = 0.8  # near-dup threshold across the split boundary
 
 @register(
     "sample_split_leakage",
-    # Same intersection-via-equality-join trick as dedup_containment's
-    # oracle: ng is distinct, so the per-pair join count IS |A∩B|.
+    # Same capped candidate chain as dedup_containment's oracle (shared
+    # non-saturated gram, df <= _DF_CAP), then exact list_intersect verify
+    # on the full distinct gram lists.
     oracle=f"""
     WITH s AS MATERIALIZED (
       SELECT doc_id,
@@ -3277,10 +3432,24 @@ _LK_TAU = 0.8  # near-dup threshold across the split boundary
             FROM documents)
     ),
     e AS MATERIALIZED (SELECT doc_id, unnest(ng) AS gr FROM s),
+    dfq AS MATERIALIZED (SELECT gr, COUNT(*) AS df FROM e GROUP BY gr),
+    lo AS MATERIALIZED (
+      SELECT e.doc_id, e.gr FROM e JOIN dfq ON e.gr = dfq.gr
+      WHERE dfq.df <= {_DF_CAP}
+    ),
+    hi AS MATERIALIZED (
+      SELECT e.doc_id, e.gr FROM e JOIN dfq ON e.gr = dfq.gr
+      WHERE dfq.df > {_DF_CAP}
+    ),
     c AS MATERIALIZED (
-      SELECT x.doc_id AS a_id, y.doc_id AS b_id, COUNT(*) AS shared
-      FROM e x JOIN e y ON x.gr = y.gr AND x.doc_id < y.doc_id
-      GROUP BY 1, 2
+      SELECT l0.a_id, l0.b_id, l0.s + COALESCE(h0.s, 0) AS shared
+      FROM (SELECT x.doc_id AS a_id, y.doc_id AS b_id, COUNT(*) AS s
+            FROM lo x JOIN lo y ON x.gr = y.gr AND x.doc_id < y.doc_id
+            GROUP BY 1, 2) l0
+      LEFT JOIN (SELECT x.doc_id AS a_id, y.doc_id AS b_id, COUNT(*) AS s
+                 FROM hi x JOIN hi y ON x.gr = y.gr AND x.doc_id < y.doc_id
+                 GROUP BY 1, 2) h0
+      USING (a_id, b_id)
     )
     SELECT c.a_id, c.b_id, a.split AS a_split, b.split AS b_split,
            round(c.shared::DOUBLE

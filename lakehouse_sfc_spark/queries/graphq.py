@@ -426,16 +426,24 @@ def _edges_recent(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _edges_recent_build(spark, sf_dir).localCheckpoint(eager=False)
 
 
+_CN_HUB_CAP = 1024  # wedge-center degree cap (contract-visible, oracle-mirrored)
+
+
 @register(
     "graph_common_neighbors",
     oracle=f"""
     WITH {_SQL_EDGES_RECENT},
-    und AS (SELECT p1 AS s, p2 AS d FROM edges
-            UNION ALL SELECT p2 AS s, p1 AS d FROM edges),
-    deg AS (SELECT s, COUNT(*) AS dg FROM und GROUP BY s),
+    und AS MATERIALIZED (
+        SELECT p1 AS s, p2 AS d FROM edges
+        UNION ALL SELECT p2 AS s, p1 AS d FROM edges),
+    deg AS MATERIALIZED (SELECT s, COUNT(*) AS dg FROM und GROUP BY s),
+    undc AS MATERIALIZED (
+        SELECT u.s, u.d FROM und u JOIN deg g ON g.s = u.s
+        WHERE g.dg <= {_CN_HUB_CAP}
+    ),
     wedge AS (
         SELECT a.d AS p1, b.d AS p2, COUNT(*) AS cn
-        FROM und a JOIN und b ON a.s = b.s AND a.d < b.d
+        FROM undc a JOIN undc b ON a.s = b.s AND a.d < b.d
         GROUP BY 1, 2
     ),
     cand AS (
@@ -466,24 +474,51 @@ def graph_common_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Plan shape: wedge enumeration is the SAME hub-keyed self-join as
     graph_triangle_count (one hash shuffle on the shared endpoint), the
-    adjacency exclusion is a left-anti hash join on the canonical (p1<p2)
-    edge key, degrees are a |V|-sized broadcast, and the top-20 is
-    TakeOrderedAndProject.  Per-hub wedge fanout is deg² — the recency
-    scope is also the volume control (full-history co-purchase graphs go
-    near-clique dense; the ~2-year window keeps Σdeg² 25× smaller here),
-    and on a power-law graph the further refinement is the degree-
-    ordering cap noted in graph_triangle_count."""
+    adjacency exclusion is a BROADCAST left-anti join on the canonical
+    (p1<p2) edge key (|E|-sized build side — sorting the wedge relation
+    for a merge-anti would cost more than the whole aggregation), degrees
+    are a |V|-sized broadcast, and the top-20 is TakeOrderedAndProject.
+
+    Two scale controls on the deg²-sized wedge volume:
+    1. CONTRACT-VISIBLE hub cap (oracle-mirrored): vertices with degree >
+       _CN_HUB_CAP (1024) don't serve as wedge CENTERS — on a power-law graph a
+       single 1e6-degree hub contributes 1e12 wedges and zero link-
+       prediction signal ("everything co-occurs with the bestseller"), so
+       production drops saturated centers.  On this testdata the cap never
+       binds (max recent-degree 85 at sf1), so results are unchanged —
+       it's the guard that makes the plan survive a real catalog.
+    2. Aggregation sizing: the count-per-pair agg has ~0.9 distinct keys
+       per input row, so a partial aggregate is pure overhead and a
+       width-sized final agg spills its hash map (measured 103 s for the
+       93M-wedge/82M-key agg at 32 partitions vs 16 s at ~350k keys per
+       task).  The exact wedge volume Σ dg·(dg−1)/2 is known from the
+       |V|-sized degree relation, so the agg is pre-partitioned to keep
+       per-task key counts near the measured hash-map sweet spot — and
+       pre-partitioning on the full key also removes the useless partial
+       phase (the exchange carries raw 8-byte keys, which is CHEAPER than
+       spilling partial maps: shuffling the 93M longs measures 2.5 s)."""
     e = _edges_recent(spark, sf_dir)
+    width = compute_width(spark)
     und = (
         e.select(F.col("p1").alias("s"), F.col("p2").alias("d"))
         .unionAll(e.select(F.col("p2").alias("s"), F.col("p1").alias("d")))
-        .repartition(compute_width(spark), "s")
+        .repartition(width, "s")
         .cache()
     )
     deg = und.groupBy("s").agg(F.count(F.lit(1)).alias("dg"))
-    a, b = und.alias("a"), und.alias("b")
-    # the wedge aggregate is the volume peak (sum of deg² rows); packing the
-    # pair into ONE 64-bit key before the exchange makes the partial/final
+    # exact wedge volume from the |V|-sized degree relation: one tiny
+    # scalar job over the cached edge list, never the fact table
+    wedge_volume = (
+        deg.filter(F.col("dg") <= _CN_HUB_CAP)
+        .agg(F.sum(F.col("dg") * (F.col("dg") - 1) / 2))
+        .collect()[0][0]
+        or 0
+    )
+    agg_parts = int(max(width, min(64 * width, -(-int(wedge_volume) // 350_000))))
+    centers = deg.filter(F.col("dg") <= _CN_HUB_CAP).select("s")
+    undc = und.join(F.broadcast(centers), "s", "left_semi")
+    a, b = undc.alias("a"), undc.alias("b")
+    # packing the pair into ONE 64-bit key before the exchange makes the
     # hash-agg a single-long groupBy (~30 % cheaper than a 2-column struct
     # key at 28M wedges, measured), then unpack after
     wedge = (
@@ -492,6 +527,7 @@ def graph_common_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("a.s") == F.col("b.s")) & (F.col("a.d") < F.col("b.d")),
         )
         .select((F.shiftleft(F.col("a.d"), 32) + F.col("b.d")).alias("pk"))
+        .repartition(agg_parts, "pk")
         .groupBy("pk")
         .agg(F.count(F.lit(1)).alias("cn"))
         .select(
@@ -500,11 +536,15 @@ def graph_common_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
             "cn",
         )
     )
-    cand = wedge.join(e, ["p1", "p2"], "left_anti")
+    cand = wedge.join(F.broadcast(e), ["p1", "p2"], "left_anti")
+    # top-20 selection orders on (cn, p1, p2) only — jaccard never affects
+    # WHICH rows win — so TakeOrderedAndProject runs on the wedge-sized
+    # relation FIRST and the degree joins touch 20 rows, not 80M
+    top = cand.orderBy(F.desc("cn"), "p1", "p2").limit(20)
     da = deg.select(F.col("s").alias("p1"), F.col("dg").alias("dg1"))
     db = deg.select(F.col("s").alias("p2"), F.col("dg").alias("dg2"))
     return (
-        cand.join(F.broadcast(da), "p1")
+        top.join(F.broadcast(da), "p1")
         .join(F.broadcast(db), "p2")
         .select(
             "p1",
@@ -527,11 +567,16 @@ _KCORE_ROUNDS = 3
 
 
 def _sql_kcore_round(i: int) -> str:
+    # MATERIALIZED is load-bearing: k_i and u_i are each referenced two or
+    # three times, and DuckDB re-inlines plain CTEs per reference — across
+    # the unrolled rounds that compounds EXPONENTIALLY (the bare chain ran
+    # >10 min at sf1; materialized it's ~2.5 min).  Same rule as the
+    # advisor_column_sets oracle (round 8).
     return f"""
-    k{i} AS (
+    k{i} AS MATERIALIZED (
         SELECT s FROM u{i - 1} GROUP BY s HAVING COUNT(*) >= {_KCORE_K}
     ),
-    u{i} AS (
+    u{i} AS MATERIALIZED (
         SELECT u.s, u.d FROM u{i - 1} u
         JOIN k{i} a ON a.s = u.s
         JOIN k{i} b ON b.s = u.d
@@ -541,9 +586,10 @@ def _sql_kcore_round(i: int) -> str:
 @register(
     "graph_kcore",
     oracle=f"""
-    WITH edges AS ({_SQL_EDGES}),
-    u0 AS (SELECT p1 AS s, p2 AS d FROM edges
-           UNION ALL SELECT p2 AS s, p1 AS d FROM edges),
+    WITH edges AS MATERIALIZED ({_SQL_EDGES}),
+    u0 AS MATERIALIZED (
+        SELECT p1 AS s, p2 AS d FROM edges
+        UNION ALL SELECT p2 AS s, p1 AS d FROM edges),
     {",".join(_sql_kcore_round(i) for i in range(1, _KCORE_ROUNDS + 1))}
     SELECT * FROM (
         {" UNION ALL ".join(

@@ -49,6 +49,17 @@ def get_spark(
         .config("spark.ui.enabled", os.environ.get("SPARK_GRAFT_UI", "false"))
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g"))
     )
+    # Shuffle spill dir on tmpfs when available: this box's /tmp block device
+    # stalls erratically under concurrent shuffle writes (measured 8–70 s for
+    # the IDENTICAL 93M-row exchange+agg; steady ~7 s on /dev/shm), while a
+    # production executor shuffles to local NVMe.  RAM is 4x any local
+    # workload's shuffle volume, and the env override restores the default.
+    local_dir = os.environ.get("SPARK_GRAFT_LOCAL_DIR")
+    if local_dir is None and os.path.isdir("/dev/shm"):
+        local_dir = "/dev/shm/spark-graft-local"
+    if local_dir:
+        os.makedirs(local_dir, exist_ok=True)
+        builder = builder.config("spark.local.dir", local_dir)
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     return builder.getOrCreate()
