@@ -674,6 +674,110 @@ _SH_BUCKET_CAP = 256
 
 
 @register(
+    "dedup_saturation_stats",
+    oracle=f"""
+    WITH g AS MATERIALIZED ({_SQL_NGRAMS_VIEW}),
+    e AS MATERIALIZED (SELECT doc_id, unnest(ng) AS gr FROM g),
+    dfq AS MATERIALIZED (SELECT gr, COUNT(*) AS df FROM e GROUP BY gr),
+    perdoc AS (
+      SELECT e.doc_id,
+             COUNT(*) FILTER (WHERE dfq.df <= {_DF_CAP}) AS n_rare
+      FROM e JOIN dfq ON e.gr = dfq.gr GROUP BY e.doc_id
+    ),
+    sh AS MATERIALIZED ({_SQL_SIMHASH_VIEW}),
+    b AS (SELECT doc_id, source, j AS band, (sim >> (8 * j)) & 255 AS bv
+          FROM sh, range(0, {_SH_BANDS}) t(j)),
+    occ AS (SELECT source, band, bv, COUNT(*) AS n FROM b GROUP BY 1, 2, 3)
+    SELECT
+      (SELECT COUNT(*) FROM dfq) AS n_grams,
+      (SELECT COUNT(*) FROM dfq WHERE df > {_DF_CAP}) AS n_saturated_grams,
+      (SELECT CAST(COALESCE(SUM(df) FILTER (WHERE df > {_DF_CAP}), 0)
+              AS DOUBLE) / SUM(df) FROM dfq) AS saturated_occurrence_share,
+      (SELECT COUNT(*) FROM perdoc WHERE n_rare = 0) AS docs_without_rare_gram,
+      (SELECT COUNT(*) FROM occ) AS n_simhash_buckets,
+      (SELECT COUNT(*) FROM occ WHERE n > {_SH_BUCKET_CAP})
+        AS n_saturated_buckets,
+      (SELECT CAST(MAX(n) AS BIGINT) FROM occ) AS max_bucket_occupancy
+    """,
+)
+def dedup_saturation_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CAP OBSERVABILITY — the audit a pipeline runs alongside the capped
+    dedup family ("no silent caps"): how much of the corpus the
+    saturated-gram drop (_DF_CAP) and the simhash bucket cap
+    (_SH_BUCKET_CAP) actually exclude.  Reports the gram-df census
+    (saturated gram count + their share of gram OCCURRENCES), the number
+    of documents with NO sub-cap gram at all (those can only be deduped by
+    the LSH/simhash/embedding families — the coverage-hole number a dedup
+    report must disclose), and the simhash bucket census.  On the driver
+    fixtures every saturation count is 0 — the same evidence the caps'
+    losslessness claims rest on, now driver-hash-checked every round.
+
+    Scale shape: two hash aggregations over the exploded gram relation
+    (gram census + per-doc rare count), one over the banded simhash
+    relation — all key-equality, output is a single row."""
+    ngr = _docs_ngrams(spark, sf_dir)
+    e = ngr.select("doc_id", F.explode("ng").alias("gr")).repartition("gr")
+    e = e.localCheckpoint(eager=False)  # census + per-doc both consume it
+    dfq = e.groupBy("gr").agg(F.count(F.lit(1)).alias("df"))
+    gram_stats = dfq.agg(
+        F.count(F.lit(1)).alias("n_grams"),
+        F.count(F.when(F.col("df") > _DF_CAP, 1)).alias("n_saturated_grams"),
+        (
+            F.coalesce(
+                F.sum(F.when(F.col("df") > _DF_CAP, F.col("df"))), F.lit(0)
+            ).cast("double")
+            / F.sum("df")
+        ).alias("saturated_occurrence_share"),
+    )
+    no_rare = (
+        e.join(dfq, "gr")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.when(F.col("df") <= _DF_CAP, 1)).alias("n_rare")
+        )
+        .filter(F.col("n_rare") == 0)
+        .agg(F.count(F.lit(1)).alias("docs_without_rare_gram"))
+    )
+    d = load_table(spark, sf_dir, "documents")
+    words = d.select(
+        "doc_id",
+        "source",
+        F.transform(
+            F.array_distinct(_tokens(F.col("text"))), lambda x: _h32(x)
+        ).alias("hs"),
+    ).filter(F.size("hs") > 0)
+    sh = words.select("doc_id", "source", _simhash(F.col("hs")).alias("sim"))
+    bands = sh.select(
+        "source",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(j).alias("band"),
+                        F.shiftright(F.col("sim"), 8 * j)
+                        .bitwiseAND(F.lit(255))
+                        .alias("bv"),
+                    )
+                    for j in range(_SH_BANDS)
+                ]
+            )
+        ).alias("bb"),
+    ).select("source", "bb.band", "bb.bv")
+    occ_stats = (
+        bands.groupBy("source", "band", "bv")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .agg(
+            F.count(F.lit(1)).alias("n_simhash_buckets"),
+            F.count(F.when(F.col("n") > _SH_BUCKET_CAP, 1)).alias(
+                "n_saturated_buckets"
+            ),
+            F.max("n").cast("bigint").alias("max_bucket_occupancy"),
+        )
+    )
+    return gram_stats.crossJoin(no_rare).crossJoin(occ_stats)
+
+
+@register(
     "dedup_simhash",
     oracle=f"""
     WITH sh AS MATERIALIZED ({_SQL_SIMHASH_VIEW}),

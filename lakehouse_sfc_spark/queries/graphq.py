@@ -625,11 +625,16 @@ def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     rows = []
     for i in range(1, _KCORE_ROUNDS + 1):
+        # keep is consumed THREE times per round (this round's stats + both
+        # semi-joins) — materialize the |V|-sized survivor set once, or each
+        # consumer re-aggregates the 2|E|-row und relation (measured: the
+        # redundant 24M-row aggs tripled sf1 latency)
         keep = (
             und.groupBy("s")
             .agg(F.count(F.lit(1)).alias("dg"))
             .filter(F.col("dg") >= _KCORE_K)
             .select("s")
+            .localCheckpoint(eager=False)
         )
         und = (
             und.join(F.broadcast(keep), "s", "left_semi")
@@ -640,11 +645,16 @@ def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             .select("s", "d")
         )
-        if i < _KCORE_ROUNDS:
-            # intermediate rounds are consumed 3x (next degree count, next
-            # semi-joins, this round's edge count) — cut the lineage; the
-            # final round feeds one count only, so leave its plan visible
-            und = und.localCheckpoint(eager=False)
+        # The und rounds are deliberately NOT checkpointed: with keep
+        # materialized, every und_i is just narrow broadcast semi-joins
+        # over the fingerprint-cached edge parquet — each consumer's
+        # recompute is one cheap scan pass, while materializing 2|E| rows
+        # per round (3.9 GB at sf1) churned the block manager hard enough
+        # to stall the whole JVM in kernel memory management (measured
+        # 7 s → 118 s run-to-run variance with checkpoints; stable ~7 s
+        # without).  Block-churn rule: checkpoint |V|-sized relations
+        # freely, data-sized relations only when recompute crosses an
+        # exchange.
         stats = keep.agg(
             F.lit(i).alias("round"),
             F.count(F.lit(1)).alias("n_vertices"),
