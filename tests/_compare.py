@@ -16,6 +16,17 @@ from lakehouse_sfc_spark import TABLES
 
 def duckdb_conn(sf_dir: str) -> duckdb.DuckDBPyConnection:
     con = duckdb.connect()
+    # Out-of-core spill goes to the gitignored .scratch/ — DuckDB's default
+    # is `.tmp/` under the CWD, which once landed 7.3 GB in a git snapshot.
+    import os
+
+    _duck_tmp = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        ".scratch",
+        "duckdb_tmp",
+    )
+    os.makedirs(_duck_tmp, exist_ok=True)
+    con.execute(f"SET temp_directory='{_duck_tmp}'")
     for t in TABLES:
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'"

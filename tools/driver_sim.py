@@ -23,6 +23,14 @@ import duckdb  # noqa: E402
 from pyspark.sql import SparkSession  # noqa: E402
 
 SF_DIR = os.environ.get("SF_DIR", "/root/testdata/sf0.01")
+# DuckDB spills out-of-core sorts/joins to `.tmp/` under the CWD by default;
+# a long sf1 oracle once left 7.3 GB there and it got committed.  Spill to
+# the gitignored .scratch/ instead.
+_DUCK_TMP = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    ".scratch",
+    "duckdb_tmp",
+)
 TABLES = (
     "region nation customer supplier part orders lineitem events "
     "documents embeddings"
@@ -136,6 +144,8 @@ def main() -> int:
     oracles = e.oracle_sql()
 
     con = duckdb.connect()
+    os.makedirs(_DUCK_TMP, exist_ok=True)
+    con.execute(f"SET temp_directory='{_DUCK_TMP}'")
     for t in TABLES:
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF_DIR}/{t}.parquet')"

@@ -46,6 +46,14 @@ UNI = "café 咖啡 \U0001F680 naïve mix"
 def build(out_dir: str = DEFAULT_OUT) -> str:
     os.makedirs(out_dir, exist_ok=True)
     con = duckdb.connect()
+    # Spill to gitignored .scratch/, never the worktree-local .tmp/ default.
+    _duck_tmp = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        ".scratch",
+        "duckdb_tmp",
+    )
+    os.makedirs(_duck_tmp, exist_ok=True)
+    con.execute(f"SET temp_directory='{_duck_tmp}'")
 
     def cp(sql: str, name: str) -> None:
         con.execute(
