@@ -109,7 +109,9 @@ def main() -> None:
     spark.stop()
 
 
-def _vs_prev(timings: dict, spread: dict, calib: float) -> dict:
+def _vs_prev(
+    timings: dict, spread: dict, calib: float, bench_dir: Path | None = None
+) -> dict:
     """Spread-aware regression flagging against the latest BENCH_r*.json.
 
     A cross-round delta only means something when it clears BOTH rounds'
@@ -124,7 +126,7 @@ def _vs_prev(timings: dict, spread: dict, calib: float) -> dict:
     # Sort by the NUMERIC round (lexicographic sort breaks the moment an
     # unpadded BENCH_r9.json meets BENCH_r10.json).
     prevs = sorted(
-        glob.glob(str(_REPO / "BENCH_r*.json")),
+        glob.glob(str((bench_dir or _REPO) / "BENCH_r*.json")),
         key=lambda p: int(re.search(r"r(\d+)", os.path.basename(p)).group(1)),
     )
     if not prevs:
@@ -135,6 +137,13 @@ def _vs_prev(timings: dict, spread: dict, calib: float) -> dict:
             prev = json.load(fh)
     except (OSError, ValueError):
         return {"source": None}
+    # The driver wraps this script's JSON line under "parsed" alongside run
+    # metadata ({"n","rc","cpus","sf","tail","parsed":{...}}).  Reading the
+    # wrapper directly made prev_q always {} — no query name ever matched and
+    # the gate could never fire (it silently passed the r9 +30% host-side
+    # move).  Unwrap when present; a bare payload (this script's own output)
+    # still reads unchanged.
+    prev = prev.get("parsed", prev)
     prev_q = prev.get("queries", {})
     prev_spread = prev.get("spread", {})
     prev_calib = prev.get("cpu_calib_sec") or calib
