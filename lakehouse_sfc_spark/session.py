@@ -56,7 +56,18 @@ def get_spark(
     # workload's shuffle volume, and the env override restores the default.
     local_dir = os.environ.get("SPARK_GRAFT_LOCAL_DIR")
     if local_dir is None and os.path.isdir("/dev/shm"):
-        local_dir = "/dev/shm/spark-graft-local"
+        # Capacity gate: shuffle spill exists precisely to exceed RAM, so a
+        # blanket tmpfs default would turn disk-spill runs into ENOSPC on
+        # small-RAM hosts.  Only prefer /dev/shm when it has >=32 GiB free
+        # (this box: 64 GiB tmpfs on 128 GiB RAM, local workloads shuffle
+        # <8 GiB).  SPARK_GRAFT_LOCAL_DIR overrides either way ("" = force
+        # the Spark default /tmp).
+        try:
+            st = os.statvfs("/dev/shm")
+            if st.f_bavail * st.f_frsize >= 32 << 30:
+                local_dir = "/dev/shm/spark-graft-local"
+        except OSError:
+            pass
     if local_dir:
         os.makedirs(local_dir, exist_ok=True)
         builder = builder.config("spark.local.dir", local_dir)
