@@ -13,6 +13,8 @@ scales linearly with orders — never all-pairs.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -428,6 +430,16 @@ def _edges_recent(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _CN_HUB_CAP = 1024  # wedge-center degree cap (contract-visible, oracle-mirrored)
 
+#: Broadcast the adjacency relation into the wedge anti-join only while
+#: |E| stays under this edge count.  The recent-edge relation GROWS WITH
+#: DATA (it is not a bounded dimension), so a hard-coded broadcast hint is
+#: an OOM at 100x — ~32 B/edge in the hashed build side puts 8M edges at
+#: ~256 MiB, the most this plan should ever ship to every task.  Above the
+#: gate the anti-join falls back to a shuffled join (the wedge side already
+#: hashes on the pair key, so the extra exchange is |E|-sized, not
+#: wedge-sized).
+_CN_BCAST_MAX_EDGES = 8_000_000
+
 
 @register(
     "graph_common_neighbors",
@@ -474,10 +486,18 @@ def graph_common_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Plan shape: wedge enumeration is the SAME hub-keyed self-join as
     graph_triangle_count (one hash shuffle on the shared endpoint), the
-    adjacency exclusion is a BROADCAST left-anti join on the canonical
-    (p1<p2) edge key (|E|-sized build side — sorting the wedge relation
-    for a merge-anti would cost more than the whole aggregation), degrees
-    are a |V|-sized broadcast, and the top-20 is TakeOrderedAndProject.
+    adjacency exclusion is a SIZE-GATED broadcast left-anti join on the
+    canonical (p1<p2) edge key: broadcast while |E| (measured by the same
+    scalar probe that sizes the agg) stays under _CN_BCAST_MAX_EDGES,
+    shuffled anti-join beyond — `e` grows with data, so an unconditional
+    hint would OOM at 100x.  Degrees are a |V|-sized broadcast, and the
+    top-20 is TakeOrderedAndProject.
+
+    BUILD-TIME EXECUTION: constructing this DataFrame runs one scalar
+    Spark job (degree-sum probe) because two physical decisions — agg
+    partition count and anti-join strategy — need |E| and the wedge
+    volume before the plan exists.  Set SPARK_GRAFT_LAZY_BUILD=1 for a
+    fully lazy builder (static 8x-width agg sizing, un-hinted anti-join).
 
     Two scale controls on the deg²-sized wedge volume:
     1. CONTRACT-VISIBLE hub cap (oracle-mirrored): vertices with degree >
@@ -506,15 +526,31 @@ def graph_common_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cache()
     )
     deg = und.groupBy("s").agg(F.count(F.lit(1)).alias("dg"))
-    # exact wedge volume from the |V|-sized degree relation: one tiny
-    # scalar job over the cached edge list, never the fact table
-    wedge_volume = (
-        deg.filter(F.col("dg") <= _CN_HUB_CAP)
-        .agg(F.sum(F.col("dg") * (F.col("dg") - 1) / 2))
-        .collect()[0][0]
-        or 0
-    )
-    agg_parts = int(max(width, min(64 * width, -(-int(wedge_volume) // 350_000))))
+    # Exact wedge volume + edge count from the |V|-sized degree relation:
+    # ONE tiny scalar job over the cached edge list, never the fact table.
+    # NOTE this makes plan CONSTRUCTION eager (a Spark job runs inside this
+    # builder) — deliberate, because both the agg partitioning and the
+    # anti-join strategy are physical-plan decisions that need the numbers
+    # before the plan exists.  SPARK_GRAFT_LAZY_BUILD=1 restores a fully
+    # lazy builder with static heuristics (schema inspection / dry runs).
+    if os.environ.get("SPARK_GRAFT_LAZY_BUILD"):
+        wedge_volume, n_edges = None, None
+        agg_parts = 8 * width
+    else:
+        probe = deg.agg(
+            F.sum(
+                F.when(
+                    F.col("dg") <= _CN_HUB_CAP,
+                    F.col("dg") * (F.col("dg") - 1) / 2,
+                )
+            ).alias("wv"),
+            F.sum("dg").alias("sum_dg"),
+        ).collect()[0]
+        wedge_volume = probe["wv"] or 0
+        n_edges = int(probe["sum_dg"] or 0) // 2
+        agg_parts = int(
+            max(width, min(64 * width, -(-int(wedge_volume) // 350_000)))
+        )
     centers = deg.filter(F.col("dg") <= _CN_HUB_CAP).select("s")
     undc = und.join(F.broadcast(centers), "s", "left_semi")
     a, b = undc.alias("a"), undc.alias("b")
@@ -536,7 +572,14 @@ def graph_common_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
             "cn",
         )
     )
-    cand = wedge.join(F.broadcast(e), ["p1", "p2"], "left_anti")
+    # Adjacency exclusion: broadcast the |E|-sized build side only while it
+    # fits (_CN_BCAST_MAX_EDGES); `e` grows with data, so above the gate —
+    # or in lazy-build mode, where |E| is unknown — leave the join
+    # un-hinted and let the optimizer/AQE pick from its own size estimates.
+    if n_edges is not None and n_edges <= _CN_BCAST_MAX_EDGES:
+        cand = wedge.join(F.broadcast(e), ["p1", "p2"], "left_anti")
+    else:
+        cand = wedge.join(e, ["p1", "p2"], "left_anti")
     # top-20 selection orders on (cn, p1, p2) only — jaccard never affects
     # WHICH rows win — so TakeOrderedAndProject runs on the wedge-sized
     # relation FIRST and the degree joins touch 20 rows, not 80M
@@ -557,6 +600,63 @@ def graph_common_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.desc("cn"), "p1", "p2")
         .limit(20)
+    )
+
+
+@register(
+    "graph_saturation_stats",
+    oracle=f"""
+    WITH {_SQL_EDGES_RECENT},
+    und AS (
+        SELECT p1 AS s FROM edges UNION ALL SELECT p2 AS s FROM edges
+    ),
+    deg AS (SELECT s, COUNT(*) AS dg FROM und GROUP BY s)
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_vertices,
+           CAST(MAX(dg) AS BIGINT) AS max_degree,
+           CAST(COUNT(CASE WHEN dg > {_CN_HUB_CAP} THEN 1 END) AS BIGINT)
+               AS n_capped_centers,
+           CAST(COALESCE(SUM(CASE WHEN dg > {_CN_HUB_CAP}
+                                  THEN dg * (dg - 1) / 2 END), 0) AS BIGINT)
+               AS wedges_excluded,
+           CAST(COALESCE(SUM(CASE WHEN dg > {_CN_HUB_CAP}
+                                  THEN dg * (dg - 1) / 2 END), 0) AS DOUBLE)
+               / SUM(dg * (dg - 1) / 2) AS excluded_wedge_share
+    FROM deg
+    """,
+)
+def graph_saturation_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CAP OBSERVABILITY for the graph family — the `dedup_saturation_stats`
+    twin ("no silent caps"): what the _CN_HUB_CAP wedge-center cap in
+    graph_common_neighbors actually excludes on this dataset.  Reports the
+    recent co-purchase graph's vertex count and max degree, the number of
+    capped centers (degree > _CN_HUB_CAP — those vertices never serve as
+    wedge centers), the exact wedge count they would have contributed
+    (Σ dg·(dg−1)/2 over capped vertices), and that count's share of the
+    total wedge volume.  On the driver fixtures every exclusion is 0 (max
+    recent-degree ≈ 85 ≪ 1024) — the cap's losslessness evidence, now
+    driver-hash-checked every round instead of asserted in a docstring.
+
+    Scale shape: one hash aggregation to |V| degrees, one single-row
+    aggregate — both |E|/|V|-sized, never the fact table."""
+    e = _edges_recent(spark, sf_dir)
+    und = e.select(F.col("p1").alias("s")).unionAll(
+        e.select(F.col("p2").alias("s"))
+    )
+    deg = und.groupBy("s").agg(F.count(F.lit(1)).alias("dg"))
+    wedges = F.col("dg") * (F.col("dg") - 1) / 2
+    capped_wedges = F.coalesce(
+        F.sum(F.when(F.col("dg") > _CN_HUB_CAP, wedges)), F.lit(0)
+    )
+    return deg.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_vertices"),
+        F.max("dg").cast("bigint").alias("max_degree"),
+        F.count(F.when(F.col("dg") > _CN_HUB_CAP, 1))
+        .cast("bigint")
+        .alias("n_capped_centers"),
+        capped_wedges.cast("bigint").alias("wedges_excluded"),
+        (capped_wedges.cast("double") / F.sum(wedges)).alias(
+            "excluded_wedge_share"
+        ),
     )
 
 

@@ -467,6 +467,71 @@ def test_common_neighbors_pushes_recency_and_stays_hash_based(spark):
     assert "TakeOrderedAndProject" in raw
 
 
+def test_common_neighbors_broadcast_is_size_gated(spark, monkeypatch):
+    """The adjacency anti-join's broadcast hint must be gated on |E|: the
+    recent-edge relation grows with data, so above _CN_BCAST_MAX_EDGES the
+    plan must fall back to a shuffled anti-join instead of forcing a
+    multi-GB broadcast (the literal-100x-replay failure the r9 verdict
+    flagged).  Simulate the large-|E| regime by dropping the gate to 0."""
+    from lakehouse_sfc_spark.queries import graphq
+
+    def anti_joins(plan: str) -> list[str]:
+        return [ln for ln in plan.splitlines() if "LeftAnti" in ln]
+
+    # Disable auto-broadcast so the ONLY way the anti-join broadcasts is
+    # the explicit hint — isolates the gate from Catalyst's tiny-fixture
+    # size estimates.
+    key = "spark.sql.autoBroadcastJoinThreshold"
+    saved = spark.conf.get(key)
+    try:
+        spark.conf.set(key, "-1")
+        # Gate open (|E| at sf0.001 is far under the cap): the hint forces
+        # the broadcast even with auto-broadcast off.
+        small = _plan(spark, "graph_common_neighbors")
+        assert any("Broadcast" in ln for ln in anti_joins(small)), (
+            "under the gate the |E|-sized build side should broadcast"
+        )
+        # Gate forced closed — as if |E| exceeded _CN_BCAST_MAX_EDGES: no
+        # hint, so the anti-join must plan as a shuffled join.
+        monkeypatch.setattr(graphq, "_CN_BCAST_MAX_EDGES", 0)
+        big = _plan(spark, "graph_common_neighbors")
+        lines = anti_joins(big)
+        assert lines, "anti-join disappeared from the plan"
+        assert all("Broadcast" not in ln for ln in lines), (
+            "broadcast anti-join above the size gate — OOM at 100x"
+        )
+    finally:
+        spark.conf.set(key, saved)
+
+
+def test_common_neighbors_lazy_build_never_collects(spark, monkeypatch):
+    """SPARK_GRAFT_LAZY_BUILD=1 must make the builder lazy: no data job
+    (collect) may run during plan construction — the advisor's dry-run /
+    schema-inspection concern.  (Parquet footer schema reads still happen;
+    those are metadata, not data jobs.)  Verified by making collect()
+    explode: the lazy build must survive, the default build must not."""
+    def _boom(self, *a, **k):
+        raise AssertionError("collect() during plan construction")
+
+    # patch the CONCRETE class (pyspark>=4 routes the abstract
+    # pyspark.sql.DataFrame to a classic/connect subclass with its own
+    # collect), discovered from a live instance
+    concrete = type(spark.range(1))
+    monkeypatch.setattr(concrete, "collect", _boom)
+
+    monkeypatch.setenv("SPARK_GRAFT_LAZY_BUILD", "1")
+    df = QUERIES["graph_common_neighbors"].fn(spark, SF)
+    # schema is inspectable without execution
+    assert set(df.columns) == {"p1", "p2", "cn", "jaccard"}
+
+    # sanity: the default (eager) builder DOES probe — the guard is live
+    monkeypatch.delenv("SPARK_GRAFT_LAZY_BUILD")
+    import pytest as _pytest
+
+    with _pytest.raises(AssertionError, match="plan construction"):
+        QUERIES["graph_common_neighbors"].fn(spark, SF)
+
+
 def test_kcore_rounds_reuse_cached_edges(spark):
     """graph_kcore's three peel rounds run on the materialized edge
     relation: the fact table must never be rescanned, and the survivor
