@@ -423,9 +423,36 @@ def _edges_recent_build(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _edges_recent(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # consumed three times (both und directions + the adjacency anti-join);
-    # materialize once — |E|-sized, not data-sized
-    return _edges_recent_build(spark, sf_dir).localCheckpoint(eager=False)
+    """The recency-scoped co-occurrence edges, MATERIALIZED once per
+    dataset fingerprint — the same extract-once discipline as `_edges`.
+    Within ONE execution the relation is consumed three times (both und
+    directions + the adjacency anti-join); ACROSS executions the
+    data-sized derivation (lineitem⋈orders self-join) used to be redone
+    from the fact table every time, which on this box's stall-prone disk
+    made graph_common_neighbors swing 22–128 s at sf1 (the fact scan
+    dominated, not the graph math).  One parquet write per fingerprint
+    converts every later execution into an |E|-sized columnar read —
+    exactly what a production pipeline does with its edge extraction."""
+    import os as _os
+
+    from lakehouse_sfc_spark.queries.layouts import _fingerprinted_dir
+
+    repo = _os.path.dirname(_os.path.dirname(_os.path.dirname(__file__)))
+    path = _fingerprinted_dir(
+        _os.path.join(repo, ".scratch", "graph_edges_recent", "v1"),
+        sf_dir,
+        ("lineitem", "orders"),
+    )
+    if not _os.path.exists(_os.path.join(path, "_SUCCESS")):
+        if _os.environ.get("SPARK_GRAFT_LAZY_BUILD"):
+            # lazy-build contract: no job may run during plan
+            # construction, so skip cache materialization and hand back
+            # the underlying lazy derivation
+            return _edges_recent_build(spark, sf_dir)
+        _edges_recent_build(spark, sf_dir).write.mode("overwrite").parquet(
+            path
+        )
+    return spark.read.parquet(path)
 
 
 _CN_HUB_CAP = 1024  # wedge-center degree cap (contract-visible, oracle-mirrored)
