@@ -22,35 +22,34 @@ if str(_REPO) not in sys.path:
     sys.path.insert(0, str(_REPO))
 
 
-def _cpu_calibration() -> float:
-    """Seconds for a fixed single-core workload (md5 over 48 MiB + a 256²
-    float matmul), the median of 3.  The VMs the driver schedules rounds on
-    differ several-fold in single-core speed (measured: one session's host
-    ran the identical headline set ~2.5× slower than the previous
-    session's, with this calibration at 0.25 s); comparing
-    value/cpu_calib_sec across rounds separates host speed from real
-    regressions."""
-    import hashlib
+def _host_calibration(sf_dir: str) -> dict:
+    """Three-dimensional host-speed calibration (tools/host_calib.py).
 
-    import numpy as np
+    The single-core probe alone proved non-attributing in round 10: a host
+    with round-9-level single-core speed still ran the 32-way stack ~5x
+    slower (parallel throughput and IO are independent host dimensions).
+    The bench JSON now carries single-core seconds, N-way parallel seconds,
+    and parquet scan MB/s, plus which spark.local.dir was in effect, so a
+    cross-round move can be attributed without a human re-run."""
+    from tools.host_calib import cpu_calib, mcore_calib, scan_mbps
 
-    a = np.full((256, 256), 1.5)
-    blob = bytes(8 << 20)
-    samples = []
-    for _ in range(3):
-        t0 = time.perf_counter()
-        h = hashlib.md5()
-        for _ in range(6):
-            h.update(blob)
-        for _ in range(8):
-            a @ a
-        samples.append(time.perf_counter() - t0)
-    return round(sorted(samples)[1], 4)
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "0")) or os.cpu_count() or 8
+    return {
+        "cpu_calib_sec": cpu_calib(),
+        "mcore_calib_sec": mcore_calib(cpus),
+        "mcore_cpus": cpus,
+        "scan_mbps": scan_mbps(os.path.join(sf_dir, "lineitem.parquet")),
+    }
 
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(Path(sf_dir).name.replace("sf", "") or 0.1)
+
+    # Calibrate BEFORE the Spark session exists: scan_mbps wants the
+    # coldest read this environment allows, and mcore wants the cores to
+    # itself for its ~2 s.
+    calibs = _host_calibration(sf_dir)
 
     from lakehouse_sfc_spark.queries.registry import QUERIES
     import lakehouse_sfc_spark.queries  # noqa: F401  (register all)
@@ -91,7 +90,7 @@ def main() -> None:
         }
 
     total = round(sum(timings.values()), 4)
-    calib = _cpu_calibration()
+    local_dir = spark.sparkContext.getConf().get("spark.local.dir", "")
     out = {
         "metric": "headline_queries_total",
         "value": total,
@@ -101,27 +100,57 @@ def main() -> None:
         "repeats": repeats,
         "total_min": round(sum(s["min"] for s in spread.values()), 4),
         "total_max": round(sum(s["max"] for s in spread.values()), 4),
-        "cpu_calib_sec": calib,
+        "spark_local_dir": local_dir,
         "sf": sf,
+        **calibs,
     }
-    out["vs_prev"] = _vs_prev(timings, spread, calib)
+    out["vs_prev"] = _vs_prev(timings, spread, calibs)
     print(json.dumps(out))
     spark.stop()
 
 
+def _calib_ratios(cur: dict, prev: dict) -> dict[str, float]:
+    """Per-dimension host-slowdown ratios (current vs previous round).
+
+    *_sec probes: slower host ==> larger seconds ==> ratio = cur/prev.
+    scan_mbps: slower host ==> smaller MB/s ==> ratio = prev/cur.  Only
+    dimensions present and non-zero in BOTH rounds contribute (a pre-r11
+    BENCH file carries only cpu_calib_sec)."""
+    ratios: dict[str, float] = {}
+    for dim in ("cpu_calib_sec", "mcore_calib_sec"):
+        p, c = prev.get(dim), cur.get(dim)
+        if p and c:
+            ratios[dim] = round(c / p, 4)
+    p, c = prev.get("scan_mbps"), cur.get("scan_mbps")
+    if p and c:
+        ratios["scan_mbps"] = round(p / c, 4)
+    return ratios
+
+
 def _vs_prev(
-    timings: dict, spread: dict, calib: float, bench_dir: Path | None = None
+    timings: dict,
+    spread: dict,
+    calib: float | dict,
+    bench_dir: Path | None = None,
 ) -> dict:
     """Spread-aware regression flagging against the latest BENCH_r*.json.
 
     A cross-round delta only means something when it clears BOTH rounds'
-    run-to-run spreads after host-speed normalization (the calibration
-    ratio): a query is flagged out-of-spread only when this round's MIN,
-    scaled to the previous host's speed, still exceeds the previous
-    round's MAX by >10%.  Anything inside the spreads is JIT/host noise,
-    not a plan change — the r7 q3_group_by/layout_zorder_scan lesson."""
+    run-to-run spreads after host-speed normalization: a query is flagged
+    out-of-spread only when this round's MIN, scaled to the previous host's
+    speed, still exceeds the previous round's MAX by >10%.  Anything inside
+    the spreads is JIT/host noise, not a plan change — the r7
+    q3_group_by/layout_zorder_scan lesson.
+
+    Host-speed normalization uses the MOST PESSIMISTIC of the calibration
+    dimensions (single-core sec, N-way parallel sec, scan MB/s — r10 verdict
+    task 1: the r10 +107% move lived in parallel throughput, invisible to
+    the single-core probe, and needed a judge to adjudicate twice running).
+    The chosen dimension is reported so a flag names what actually moved."""
     import glob
     import re
+
+    calibs = calib if isinstance(calib, dict) else {"cpu_calib_sec": calib}
 
     # Sort by the NUMERIC round (lexicographic sort breaks the moment an
     # unpadded BENCH_r9.json meets BENCH_r10.json).
@@ -142,12 +171,21 @@ def _vs_prev(
     # wrapper directly made prev_q always {} — no query name ever matched and
     # the gate could never fire (it silently passed the r9 +30% host-side
     # move).  Unwrap when present; a bare payload (this script's own output)
-    # still reads unchanged.
-    prev = prev.get("parsed", prev)
+    # still reads unchanged.  `or prev` (not a plain default) because a
+    # failed round's wrapper carries "parsed": null — .get would return the
+    # None and the .get("queries") below would crash the whole bench run.
+    if isinstance(prev, dict):
+        prev = prev.get("parsed") or prev
+    if not isinstance(prev, dict):
+        return {"source": None}
     prev_q = prev.get("queries", {})
     prev_spread = prev.get("spread", {})
-    prev_calib = prev.get("cpu_calib_sec") or calib
-    ratio = calib / prev_calib if prev_calib else 1.0
+    ratios = _calib_ratios(calibs, prev)
+    if ratios:
+        ratio_dim = max(ratios, key=lambda d: ratios[d])
+        ratio = ratios[ratio_dim]
+    else:
+        ratio_dim, ratio = None, 1.0
     flags: dict[str, dict] = {}
     for name, med in timings.items():
         if name not in prev_q:
@@ -164,6 +202,8 @@ def _vs_prev(
     return {
         "source": Path(src).name,
         "calib_ratio": round(ratio, 4),
+        "calib_ratios": ratios,
+        "calib_ratio_dim": ratio_dim,
         "out_of_spread": flags,
     }
 

@@ -116,6 +116,103 @@ def test_no_prev_files(tmp_path):
     assert out == {"source": None}
 
 
+def test_null_parsed_wrapper_degrades_not_crashes(tmp_path):
+    """A failed round's wrapper carries "parsed": null; the gate must
+    degrade to a no-flag result, not AttributeError on None.get (r10
+    ADVICE item 1)."""
+    (tmp_path / "BENCH_r07.json").write_text(
+        json.dumps({"n": 7, "rc": 1, "tail": "boom", "parsed": None})
+    )
+    out = _vs_prev(
+        {"q1_filter": 0.1},
+        {"q1_filter": {"min": 0.1, "max": 0.1}},
+        calib=0.10,
+        bench_dir=tmp_path,
+    )
+    assert out["source"] == "BENCH_r07.json"
+    assert out["out_of_spread"] == {}
+
+
+_PARSED_MULTI = dict(
+    _PARSED,
+    mcore_calib_sec=0.20,
+    scan_mbps=100.0,
+)
+
+
+def test_multi_dim_rescales_by_worst_ratio(tmp_path):
+    """r10 verdict task 1: a host with UNCHANGED single-core speed but 3x
+    worse parallel throughput must rescale by the parallel dimension —
+    the exact shape of the r10 +107% move the single-core probe missed."""
+    (tmp_path / "BENCH_r09.json").write_text(
+        json.dumps({"n": 9, "parsed": _PARSED_MULTI})
+    )
+    # Raw timings tripled, single-core calib identical, mcore calib 3x.
+    timings = {"q1_filter": 0.300}
+    spread = {"q1_filter": {"min": 0.290, "max": 0.320}}
+    calibs = {"cpu_calib_sec": 0.10, "mcore_calib_sec": 0.60, "scan_mbps": 100.0}
+    out = _vs_prev(timings, spread, calibs, bench_dir=tmp_path)
+    assert out["calib_ratio_dim"] == "mcore_calib_sec"
+    assert out["calib_ratio"] == 3.0
+    assert out["calib_ratios"] == {
+        "cpu_calib_sec": 1.0,
+        "mcore_calib_sec": 3.0,
+        "scan_mbps": 1.0,
+    }
+    # 0.290 / 3.0 = 0.0967 < prev_max 0.110 — correctly attributed to host.
+    assert out["out_of_spread"] == {}
+
+
+def test_scan_mbps_ratio_inverts(tmp_path):
+    """scan_mbps is a throughput (higher = faster): a 2x-slower disk means
+    prev/cur = 2.0, and it must win over flat CPU dims."""
+    (tmp_path / "BENCH_r09.json").write_text(
+        json.dumps({"n": 9, "parsed": _PARSED_MULTI})
+    )
+    calibs = {"cpu_calib_sec": 0.10, "mcore_calib_sec": 0.20, "scan_mbps": 50.0}
+    out = _vs_prev(
+        {"q1_filter": 0.200},
+        {"q1_filter": {"min": 0.190, "max": 0.210}},
+        calibs,
+        bench_dir=tmp_path,
+    )
+    assert out["calib_ratio_dim"] == "scan_mbps"
+    assert out["calib_ratio"] == 2.0
+    assert out["out_of_spread"] == {}
+
+
+def test_multi_dim_still_flags_real_regression(tmp_path):
+    """All host dims flat ==> a 3x query move must still be flagged (the
+    extra dimensions must not blunt the gate's teeth)."""
+    (tmp_path / "BENCH_r09.json").write_text(
+        json.dumps({"n": 9, "parsed": _PARSED_MULTI})
+    )
+    calibs = {"cpu_calib_sec": 0.10, "mcore_calib_sec": 0.20, "scan_mbps": 100.0}
+    out = _vs_prev(
+        {"q1_filter": 0.300},
+        {"q1_filter": {"min": 0.290, "max": 0.320}},
+        calibs,
+        bench_dir=tmp_path,
+    )
+    assert "q1_filter" in out["out_of_spread"]
+
+
+def test_prev_without_new_dims_falls_back_to_cpu(tmp_path):
+    """A pre-r11 BENCH file has only cpu_calib_sec; the gate must use that
+    single shared dimension rather than assuming 1.0."""
+    _write_driver_shaped(tmp_path)  # _PARSED: cpu_calib_sec=0.10 only
+    calibs = {"cpu_calib_sec": 0.20, "mcore_calib_sec": 9.9, "scan_mbps": 1.0}
+    out = _vs_prev(
+        {"q1_filter": 0.155},
+        {"q1_filter": {"min": 0.150, "max": 0.160}},
+        calibs,
+        bench_dir=tmp_path,
+    )
+    assert out["calib_ratios"] == {"cpu_calib_sec": 2.0}
+    assert out["calib_ratio"] == 2.0
+    assert out["out_of_spread"] == {}
+
+
 def test_real_committed_bench_files_unwrap(tmp_path):
     """The actual BENCH_r09.json in the repo must yield a non-empty prev_q
     path (regression guard against the wrapper shape drifting again)."""

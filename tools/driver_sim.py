@@ -305,8 +305,13 @@ def main() -> int:
                             "n": len(orows),
                             "hash": value_hash(ocols, orows),
                         }
-                        with open(cache_path, "w") as fh:
+                        # tmp + os.replace: a crash mid-dump must not leave
+                        # truncated JSON (the loader would reset to {} and
+                        # silently drop ~20 min of accumulated oracle runs)
+                        tmp = cache_path + ".tmp"
+                        with open(tmp, "w") as fh:
                             json.dump(cache, fh)
+                        os.replace(tmp, cache_path)
             else:
                 dt = time.time() - t0
                 timings[name] = dt
