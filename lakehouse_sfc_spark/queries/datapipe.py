@@ -1276,7 +1276,10 @@ def ann_ivf_partitioned_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     plan's PartitionFilters carry the cell predicate."""
     import os as _os
 
-    from lakehouse_sfc_spark.queries.layouts import _fingerprinted_dir
+    from lakehouse_sfc_spark.queries.layouts import (
+        _atomic_cache_write,
+        _fingerprinted_dir,
+    )
 
     repo = _os.path.dirname(_os.path.dirname(_os.path.dirname(__file__)))
     # fingerprint-keyed (stale same-basename siblings pruned): regenerated
@@ -1288,11 +1291,12 @@ def ann_ivf_partitioned_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     if not _os.path.exists(_os.path.join(path, "_SUCCESS")):
         src = _emb(spark, sf_dir).withColumn("cell", _cell(F.col("emb")))
-        (
+        _atomic_cache_write(
             src.repartition("cell")
             .write.mode("overwrite")
             .partitionBy("cell")
-            .parquet(path)
+            .parquet,
+            path,
         )
     c = spark.read.parquet(path)
     q = (
@@ -3975,75 +3979,100 @@ def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     relation with TakeOrderedAndProject, and only the shortlist rows ever
     rejoin the full vectors.  At 100 TB the codebooks would be trained once
     on a sample and the LUT inlined as a literal expression — this
-    declarative twin is the oracle-matched correctness contract."""
+    declarative twin is the oracle-matched correctness contract.
+
+    Plan shape (r10 verdict task 4): the {m} subspaces run as ONE exploded
+    relation (vec_id, s, subvector) through ONE assign/centroid/reassign
+    chain keyed by (vec_id, s) — ~5 shuffles total — rather than {m}
+    independent per-subspace pipelines re-joined on vec_id (~4x the stages
+    and the sweep's slowest entry at 12.6 s).  The arithmetic is unchanged
+    expression-for-expression (same decimal centroid means, same min_by
+    tie-break, same fixed-order d0+d1+d2+d3 ADC sum), so the oracle match
+    is bit-exact as before."""
     c = _emb(spark, sf_dir)
-    codes = None
-    luts = []
-    for s in range(_PQ_M):
-        sub = c.select(
-            "vec_id", F.slice(F.col("emb"), _PQ_SUB * s + 1, _PQ_SUB).alias("e")
-        )
-        seeds = sub.filter(F.col("vec_id") < _PQ_K).select(
-            F.col("vec_id").alias("cid"), F.col("e").alias("ce")
+    # (vec_id, s, e): every vector's M subvectors as one relation.
+    sub = c.select(
+        "vec_id",
+        F.posexplode(
+            F.array(
+                *[
+                    F.slice(F.col("emb"), _PQ_SUB * s + 1, _PQ_SUB)
+                    for s in range(_PQ_M)
+                ]
+            )
+        ).alias("s", "e"),
+    )
+    seeds = sub.filter(F.col("vec_id") < _PQ_K).select(
+        F.col("s").alias("cs"), F.col("vec_id").alias("cid"), F.col("e").alias("ce")
+    )
+
+    def assign(vecs, cents):
+        # per (vector, subspace): nearest sub-centroid of the SAME
+        # subspace, ties to the lowest cid (identical to the per-subspace
+        # min_by of the unfused formulation — s is just a group key now)
+        d = _l2(F.col("e"), F.col("ce"))
+        return (
+            vecs.join(F.broadcast(cents), F.col("s") == F.col("cs"))
+            .select("vec_id", "s", "e", "cid", d.alias("d"))
+            .groupBy("vec_id", "s")
+            .agg(
+                F.min_by("cid", F.struct("d", "cid")).alias("cid"),
+                F.first("e").alias("e"),
+            )
         )
 
-        def assign(vecs, cents):
-            d = _l2(F.col("e"), F.col("ce"))
-            return (
-                vecs.join(F.broadcast(cents))
-                .select("vec_id", "e", "cid", d.alias("d"))
-                .groupBy("vec_id")
-                .agg(
-                    F.min_by("cid", F.struct("d", "cid")).alias("cid"),
-                    F.first("e").alias("e"),
-                )
-            )
-
-        a1 = assign(sub, seeds)
-        cent = (
-            a1.select("cid", F.posexplode("e").alias("pos", "x"))
-            .groupBy("cid", "pos")
-            .agg(
-                (
-                    F.sum(F.col("x").cast("decimal(18,9)")).cast("double")
-                    / F.count(F.lit(1))
-                ).alias("m")
-            )
-            .groupBy("cid")
-            .agg(
-                F.transform(
-                    F.array_sort(
-                        F.collect_list(F.struct(F.col("pos"), F.col("m")))
-                    ),
-                    lambda st: st["m"],
-                ).alias("ce")
-            )
+    a1 = assign(sub, seeds)
+    cent = (
+        a1.select("s", "cid", F.posexplode("e").alias("pos", "x"))
+        .groupBy("s", "cid", "pos")
+        .agg(
+            (
+                F.sum(F.col("x").cast("decimal(18,9)")).cast("double")
+                / F.count(F.lit(1))
+            ).alias("m")
         )
-        code = assign(sub, cent).select(
-            "vec_id", F.col("cid").alias(f"code{s}")
+        .groupBy("s", "cid")
+        .agg(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct(F.col("pos"), F.col("m")))
+                ),
+                lambda st: st["m"],
+            ).alias("ce")
         )
-        codes = code if codes is None else codes.join(code, "vec_id")
-        q = sub.filter(F.col("vec_id") == _ANN_QUERY_ID).select(
-            F.col("e").alias("qe")
-        )
-        lut = (
-            cent.join(F.broadcast(q))
-            .select(
-                F.col("cid").alias(f"lcid{s}"),
-                _l2(F.col("ce"), F.col("qe")).alias(f"d{s}"),
-            )
-        )
-        luts.append(lut)
-    out = codes.filter(F.col("vec_id") != _ANN_QUERY_ID)
-    for s in range(_PQ_M):
-        out = out.join(
-            F.broadcast(luts[s]), F.col(f"code{s}") == F.col(f"lcid{s}")
-        )
+        .select(F.col("s").alias("cs"), "cid", "ce")
+    )
+    codes_long = assign(sub, cent).select(
+        "vec_id", "s", F.col("cid").alias("code")
+    )
+    qs = sub.filter(F.col("vec_id") == _ANN_QUERY_ID).select(
+        F.col("s").alias("qs"), F.col("e").alias("qe")
+    )
+    lut = cent.join(
+        F.broadcast(qs), F.col("cs") == F.col("qs")
+    ).select(
+        F.col("cs").alias("ls"),
+        F.col("cid").alias("lcid"),
+        _l2(F.col("ce"), F.col("qe")).alias("d"),
+    )
+    # One broadcast LUT probe + one pivot-to-wide groupBy, then the ADC sum
+    # in the SAME fixed left-to-right order as the SQL twin (a grouped
+    # SUM would be row-order-dependent in float).
+    scored = codes_long.filter(F.col("vec_id") != _ANN_QUERY_ID).join(
+        F.broadcast(lut),
+        (F.col("s") == F.col("ls")) & (F.col("code") == F.col("lcid")),
+    )
+    wide = scored.groupBy("vec_id").agg(
+        *[
+            F.max(F.when(F.col("s") == s, F.col("d"))).alias(f"d{s}")
+            for s in range(_PQ_M)
+        ]
+    )
     adc = F.col("d0") + F.col("d1") + F.col("d2") + F.col("d3")
     n = c.count()
     shortlist = max(_PQ_SHORTLIST_MIN, -(-n // _PQ_SHORTLIST_FRAC))
     short = (
-        out.select("vec_id", adc.alias("adc"))
+        wide.select("vec_id", adc.alias("adc"))
         .orderBy("adc", "vec_id")
         .limit(shortlist)
         .select("vec_id")

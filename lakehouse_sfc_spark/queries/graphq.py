@@ -58,7 +58,10 @@ def _edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     IVF cell cache (queries/datapipe.py::ann_ivf_partitioned_topk)."""
     import os as _os
 
-    from lakehouse_sfc_spark.queries.layouts import _fingerprinted_dir
+    from lakehouse_sfc_spark.queries.layouts import (
+        _atomic_cache_write,
+        _fingerprinted_dir,
+    )
 
     repo = _os.path.dirname(_os.path.dirname(_os.path.dirname(__file__)))
     path = _fingerprinted_dir(
@@ -67,7 +70,9 @@ def _edges(spark: SparkSession, sf_dir: str) -> DataFrame:
         ("lineitem",),
     )
     if not _os.path.exists(_os.path.join(path, "_SUCCESS")):
-        _edges_build(spark, sf_dir).write.mode("overwrite").parquet(path)
+        _atomic_cache_write(
+            _edges_build(spark, sf_dir).write.mode("overwrite").parquet, path
+        )
     return spark.read.parquet(path)
 
 
@@ -435,7 +440,10 @@ def _edges_recent(spark: SparkSession, sf_dir: str) -> DataFrame:
     exactly what a production pipeline does with its edge extraction."""
     import os as _os
 
-    from lakehouse_sfc_spark.queries.layouts import _fingerprinted_dir
+    from lakehouse_sfc_spark.queries.layouts import (
+        _atomic_cache_write,
+        _fingerprinted_dir,
+    )
 
     repo = _os.path.dirname(_os.path.dirname(_os.path.dirname(__file__)))
     path = _fingerprinted_dir(
@@ -449,8 +457,9 @@ def _edges_recent(spark: SparkSession, sf_dir: str) -> DataFrame:
             # construction, so skip cache materialization and hand back
             # the underlying lazy derivation
             return _edges_recent_build(spark, sf_dir)
-        _edges_recent_build(spark, sf_dir).write.mode("overwrite").parquet(
-            path
+        _atomic_cache_write(
+            _edges_recent_build(spark, sf_dir).write.mode("overwrite").parquet,
+            path,
         )
     return spark.read.parquet(path)
 

@@ -18,7 +18,7 @@ from pyspark.sql import functions as F
 
 from lakehouse_sfc_spark.queries.registry import dsum, register, sql_dsum
 from lakehouse_sfc_spark.sources.loader import load_table
-from lakehouse_sfc_spark.table import Pred, SfcTable
+from lakehouse_sfc_spark.table import Pred, SfcTable, prune_files
 
 _VERSION = "v1"  # bump when key/layout semantics change
 _LAYOUT_COLS = ["l_shipdate", "l_quantity"]
@@ -58,9 +58,32 @@ def _fingerprinted_dir(root: str, sf_dir: str, tables: tuple[str, ...]) -> str:
     path = os.path.join(parent, fp)
     if not os.path.exists(path) and os.path.isdir(parent):
         for stale in os.listdir(parent):
-            if stale != fp:
+            # Keep in-flight tmp siblings of the CURRENT fingerprint
+            # (``<fp>.tmp.<pid>``, see _atomic_cache_write) — pruning them
+            # mid-write would race a concurrent builder of the same cache.
+            # Tmps of a stale fingerprint are crash leftovers: prune.
+            if stale != fp and not stale.startswith(fp + ".tmp."):
                 shutil.rmtree(os.path.join(parent, stale), ignore_errors=True)
     return path
+
+
+def _atomic_cache_write(write_to, path: str) -> None:
+    """Publish a fingerprint-keyed cache dir atomically: materialize into a
+    tmp sibling, then os.rename into place (atomic on one filesystem), so a
+    concurrent reader either misses (_SUCCESS absent) or sees the complete
+    directory — never a partial write.  ``write_to`` is a callable taking
+    the destination path (e.g. ``lambda p: df.write.parquet(p)``).  Losing
+    the rename race to another builder of the same fingerprint is fine:
+    their result is equivalent; ours is discarded."""
+    import shutil
+
+    tmp = f"{path}.tmp.{os.getpid()}"
+    shutil.rmtree(tmp, ignore_errors=True)
+    write_to(tmp)
+    try:
+        os.rename(tmp, path)
+    except OSError:
+        shutil.rmtree(tmp, ignore_errors=True)
 
 
 def _layout_table(spark: SparkSession, sf_dir: str, layout: str) -> SfcTable:
@@ -117,6 +140,94 @@ def layout_linear_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Linear (lexicographic) clustered write + pruned scan
     (delta_write_layout.py:165-181)."""
     return _pruned_box_agg(spark, sf_dir, "linear")
+
+
+@register(
+    "layout_skipping_stats",
+    oracle="""
+    WITH sel AS (
+        SELECT COUNT(*) AS box_rows
+        FROM lineitem
+        WHERE l_shipdate BETWEEN TIMESTAMP '1996-01-01'
+                             AND TIMESTAMP '1997-06-30'
+          AND l_quantity BETWEEN 10 AND 30
+    )
+    SELECT l.layout,
+           16 AS files_total,
+           sel.box_rows,
+           CASE WHEN l.layout = 'baseline' THEN NULL ELSE TRUE END
+               AS skips_files,
+           TRUE AS le_baseline
+    FROM (VALUES ('baseline'), ('hilbert'), ('linear'), ('zorder'))
+         AS l(layout), sel
+    ORDER BY l.layout
+    """,
+)
+def layout_skipping_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Layout-effectiveness observability (r10 verdict task 6): the
+    file-skipping win of the SFC layouts as a DRIVER-CHECKED relation, the
+    same census discipline as ``dedup_saturation_stats`` /
+    ``graph_saturation_stats``.
+
+    One row per layout for the standard S1-selectivity box probe
+    (``_PREDS``), carrying the sidecar pruner's native counters
+    (table/pruning.py::prune_files):
+
+    - ``files_total``   — 16 by write contract (num_files, _layout_table).
+    - ``box_rows``      — rows surviving the pruned scan + full predicate;
+                          equal across layouts AND to the oracle's plain
+                          COUNT — the superset-pruning invariance of
+                          tests/test_layout_pruning.py, now checked by the
+                          driver every round.
+    - ``skips_files``   — files_scanned < files_total for every SFC layout
+                          (the layouts exist to make this true; a pruning
+                          regression flips it to FALSE and the oracle's
+                          constant TRUE turns that into a hash mismatch).
+                          NULL for baseline: an unclustered write has no
+                          skipping contract (TPC-H lineitem arrives roughly
+                          orderkey-ordered, so baseline min/max stats may
+                          or may not prune — not a claim, so not a column).
+    - ``le_baseline``   — files_scanned(layout) <= files_scanned(baseline):
+                          clustering never scans MORE files than the
+                          unclustered write for the contract box.
+
+    The file counters come from the driver-side sidecar (a small JSON per
+    table — no Spark job); only the four box_rows aggregates are cluster
+    work, unioned into one lazy plan.  At 100 TB the sidecar is the
+    manifest and the same counters fall out of manifest pruning, so this
+    census costs O(files) driver time, not a data scan."""
+    layouts = ("baseline", "hilbert", "linear", "zorder")
+    metrics = {}
+    tables = {}
+    for layout in layouts:
+        tbl = _layout_table(spark, sf_dir, layout)
+        tables[layout] = tbl
+        _, metrics[layout] = prune_files(tbl.sidecar, _PREDS)
+    base_scanned = metrics["baseline"]["files_scanned"]
+    parts = []
+    for layout in layouts:
+        m = metrics[layout]
+        skips = (
+            F.lit(None).cast("boolean")
+            if layout == "baseline"
+            else F.lit(m["files_scanned"] < m["files_total"])
+        )
+        parts.append(
+            tables[layout]
+            .scan(_PREDS)
+            .agg(F.count(F.lit(1)).alias("box_rows"))
+            .select(
+                F.lit(layout).alias("layout"),
+                F.lit(m["files_total"]).cast("int").alias("files_total"),
+                F.col("box_rows"),
+                skips.alias("skips_files"),
+                F.lit(m["files_scanned"] <= base_scanned).alias("le_baseline"),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.orderBy("layout")
 
 
 @register(

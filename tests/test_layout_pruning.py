@@ -368,3 +368,26 @@ def test_kdtree_date_column_splits_and_string_refuses(spark, tmp_path):
             layout_cols=["l_returnflag"],
             num_files=4,
         )
+
+
+def test_layout_skipping_stats_census(spark):
+    """The driver-visible layout-effectiveness census (r10 verdict task 6):
+    every SFC layout skips files for the contract box, never scans more
+    files than baseline, and the pruned box counts agree across layouts
+    (the invariance the census exists to watch)."""
+    from lakehouse_sfc_spark.queries.layouts import layout_skipping_stats
+
+    rows = {r["layout"]: r for r in layout_skipping_stats(spark, SF).collect()}
+    assert set(rows) == {"baseline", "hilbert", "linear", "zorder"}
+    box_counts = {r["box_rows"] for r in rows.values()}
+    assert len(box_counts) == 1, f"box_rows diverged across layouts: {rows}"
+    for layout, r in rows.items():
+        assert r["files_total"] == 16
+        assert r["le_baseline"] is True, (layout, r)
+        if layout == "baseline":
+            assert r["skips_files"] is None
+        else:
+            assert r["skips_files"] is True, (
+                f"{layout} scanned all files for the selective box — "
+                f"pruning regression"
+            )
