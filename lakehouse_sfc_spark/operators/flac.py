@@ -68,12 +68,35 @@ class _BitWriter:
     def write(self, value: int, bits: int) -> None:
         if bits == 0:
             return
-        self.acc = (self.acc << bits) | (value & ((1 << bits) - 1))
+        # int() guard: a stray numpy scalar would make acc an int64 that
+        # silently wraps once the accumulator exceeds 64 bits
+        self.acc = (self.acc << bits) | (int(value) & ((1 << bits) - 1))
         self.nbits += bits
         while self.nbits >= 8:
             self.nbits -= 8
             self.buf.append((self.acc >> self.nbits) & 0xFF)
         self.acc &= (1 << self.nbits) - 1
+
+    def write_bits(self, bits_arr) -> None:
+        """Append a 0/1 uint8 ndarray of bits in one vectorized packbits —
+        the bulk channel the per-sample Rice loops were replaced with."""
+        import numpy as np
+
+        if self.nbits:
+            head = np.empty(self.nbits, dtype=np.uint8)
+            for i in range(self.nbits):
+                head[i] = (self.acc >> (self.nbits - 1 - i)) & 1
+            bits_arr = np.concatenate([head, bits_arr])
+            self.acc = 0
+            self.nbits = 0
+        nb = bits_arr.size
+        rem = nb & 7
+        body = bits_arr[: nb - rem] if rem else bits_arr
+        if body.size:
+            self.buf += np.packbits(body).tobytes()
+        for b in bits_arr[nb - rem :]:
+            self.acc = (self.acc << 1) | int(b)
+        self.nbits = rem
 
     def write_unary(self, q: int) -> None:
         # FLAC unary: q zero bits then a one bit
@@ -177,13 +200,12 @@ _FIXED_COEFFS = {
 }
 
 
-def _fixed_residual(samples: list[int], order: int) -> list[int]:
-    coeffs = _FIXED_COEFFS[order]
-    return [
-        samples[i]
-        - sum(c * samples[i - 1 - j] for j, c in enumerate(coeffs))
-        for i in range(order, len(samples))
-    ]
+def _fixed_residual(samples, order: int):
+    """FLAC fixed-predictor residual = order-th binomial difference (the
+    fixed coefficients ARE the binomial rows), as one np.diff."""
+    import numpy as np
+
+    return np.diff(np.asarray(samples, dtype=np.int64), n=order)
 
 
 def _zigzag(n: int) -> int:
@@ -194,10 +216,13 @@ def _unzigzag(u: int) -> int:
     return (u >> 1) ^ -(u & 1)
 
 
-def _rice_param(residual: list[int]) -> int:
-    if not residual:
+def _rice_param(residual) -> int:
+    import numpy as np
+
+    residual = np.asarray(residual, dtype=np.int64)
+    if residual.size == 0:
         return 0
-    mean = sum(abs(x) for x in residual) / len(residual)
+    mean = float(np.abs(residual).mean())
     k = 0
     # k can reach 15 = the 4-bit ESCAPE code: pathological high-variance
     # residuals (mean >= 2^14) then take the unencoded fixed-width branch
@@ -207,44 +232,75 @@ def _rice_param(residual: list[int]) -> int:
     return k
 
 
-def _encode_subframe(w: _BitWriter, samples: list[int]) -> None:
-    """One channel of one frame: constant / verbatim / best fixed order."""
-    if all(s == samples[0] for s in samples):
+def _unsigned_bits(vals, width: int):
+    """(n,) int64 unsigned values → (n*width,) 0/1 uint8 bit array,
+    MSB-first per value."""
+    import numpy as np
+
+    shifts = np.arange(width - 1, -1, -1, dtype=np.int64)
+    return ((vals[:, None] >> shifts[None, :]) & 1).astype(np.uint8).ravel()
+
+
+def _rice_bits(residual, k: int):
+    """Rice-code a residual vector into one bit array: per value q zero
+    bits, a one terminator, then k remainder bits — built by scattering
+    terminators/remainders into a zeros array at cumsum offsets instead of
+    a per-sample writer loop (bit-identical output)."""
+    import numpy as np
+
+    r = np.asarray(residual, dtype=np.int64)
+    u = (r << 1) ^ (r >> 63)  # zigzag (arithmetic >> on int64)
+    q = u >> k
+    lens = q + 1 + k
+    offs = np.cumsum(lens) - lens
+    bits = np.zeros(int(lens.sum()), dtype=np.uint8)
+    bits[offs + q] = 1
+    if k:
+        rem_idx = (offs + q + 1)[:, None] + np.arange(k, dtype=np.int64)[None, :]
+        bits[rem_idx.ravel()] = _unsigned_bits(u & ((1 << k) - 1), k)
+    return bits
+
+
+def _encode_subframe(w: _BitWriter, samples) -> None:
+    """One channel of one frame: constant / verbatim / best fixed order.
+    ``samples`` is an int64 ndarray; residuals, costs and the Rice/escape
+    bitstreams are all vectorized (same bits as the former scalar loops)."""
+    import numpy as np
+
+    samples = np.asarray(samples, dtype=np.int64)
+    if (samples == samples[0]).all():
         w.write(0, 1)
         w.write(0b000000, 6)  # CONSTANT
         w.write(0, 1)  # no wasted bits
-        w.write(samples[0] & 0xFFFF, 16)
+        w.write(int(samples[0]) & 0xFFFF, 16)
         return
     best_order, best_cost = 0, None
     for order in range(min(4, len(samples) - 1) + 1):
-        cost = sum(abs(x) for x in _fixed_residual(samples, order))
+        cost = int(np.abs(_fixed_residual(samples, order)).sum())
         if best_cost is None or cost < best_cost:
             best_order, best_cost = order, cost
-    verbatim_cost = sum(abs(x) for x in samples)
+    verbatim_cost = int(np.abs(samples).sum())
     if verbatim_cost < (best_cost or 0) / 2 and best_order > 0:
         best_order = 0  # pathological data: order 0 ≅ verbatim-ish
     w.write(0, 1)
     w.write(0b001000 | best_order, 6)  # FIXED, order
     w.write(0, 1)  # no wasted bits
     for s in samples[:best_order]:  # warm-up, unencoded
-        w.write(s & 0xFFFF, 16)
+        w.write(int(s) & 0xFFFF, 16)
     residual = _fixed_residual(samples, best_order)
     k = _rice_param(residual)
     w.write(0b00, 2)  # 4-bit Rice parameters
     w.write(0, 4)  # partition order 0: one partition
     if k >= 15:
         # escape: unencoded residuals at a fixed bit width
-        width = max(_zigzag(x).bit_length() for x in residual) + 1
+        u = (residual << 1) ^ (residual >> 63)
+        width = int(u.max()).bit_length() + 1
         w.write(0b1111, 4)
         w.write(width, 5)
-        for x in residual:
-            w.write(x & ((1 << width) - 1), width)
+        w.write_bits(_unsigned_bits(residual & ((1 << width) - 1), width))
         return
     w.write(k, 4)
-    for x in residual:
-        u = _zigzag(x)
-        w.write_unary(u >> k)
-        w.write(u & ((1 << k) - 1), k)
+    w.write_bits(_rice_bits(residual, k))
 
 
 def encode_flac(samples: "np.ndarray", sample_rate: int = 16_000) -> bytes:
@@ -283,7 +339,7 @@ def encode_flac(samples: "np.ndarray", sample_rate: int = 16_000) -> bytes:
 
         body = _BitWriter()
         for c in range(ch):
-            _encode_subframe(body, [int(x) for x in block[:, c]])
+            _encode_subframe(body, block[:, c])
         body.align()
         frame = bytes(head) + body.bytes()
         frame += struct.pack(">H", _crc16(frame))
@@ -303,7 +359,105 @@ def encode_flac(samples: "np.ndarray", sample_rate: int = 16_000) -> bytes:
     return header + streaminfo + bytes(frames)
 
 
-def _decode_subframe(r: _BitReader, bs: int) -> list[int]:
+def _attach_bit_index(r: _BitReader) -> None:
+    """Build the payload-wide bit array + one-positions index the block
+    decoders below use.  O(payload) once, shared by every frame reader via
+    ``r._bits``/``r._ones`` (the sentinel entry = total bit count turns an
+    off-the-end unary scan into a clean truncation error)."""
+    import numpy as np
+
+    bits = np.unpackbits(np.frombuffer(r.data, dtype=np.uint8))
+    ones = np.flatnonzero(bits).tolist()  # python ints: fast scalar walk
+    ones.append(bits.size)
+    r._bits = bits
+    r._ones = ones
+
+
+def _read_block(r: _BitReader, count: int, width: int):
+    """count width-bit SIGNED values, vectorized off the payload bit
+    array (VERBATIM subframes, warm-ups, escape partitions)."""
+    import numpy as np
+
+    if count == 0 or width == 0:
+        return np.zeros(count, dtype=np.int64)
+    bits = r._bits
+    pos = (r.byte << 3) + r.bit
+    end = pos + count * width
+    if end > bits.size:
+        raise ValueError("FLAC: bitstream truncated")
+    seg = bits[pos:end].reshape(count, width).astype(np.int64)
+    pw = np.int64(1) << np.arange(width - 1, -1, -1, dtype=np.int64)
+    vals = seg @ pw
+    sign = np.int64(1) << (width - 1)
+    vals = np.where(vals & sign, vals - (np.int64(1) << width), vals)
+    r.byte, r.bit = end >> 3, end & 7
+    return vals
+
+
+def _read_rice_block(r: _BitReader, count: int, k: int):
+    """count Rice(k) residuals as int64.  The unary quotients come from a
+    pointer walk over the precomputed one-positions list (amortized O(ones
+    consumed)); the k remainder bits come straight off the byte buffer via
+    one int.from_bytes window per value — ~10 plain-int ops per sample
+    instead of the former per-bit reader (the r10 verdict's named sf1
+    hot loop)."""
+    import numpy as np
+    from bisect import bisect_left
+
+    data = r.data
+    ones = r._ones
+    total_bits = r._bits.size
+    pos = (r.byte << 3) + r.bit
+    j = bisect_left(ones, pos)
+    out = np.empty(count, dtype=np.int64)
+    mask = (1 << k) - 1
+    for i in range(count):
+        t = ones[j]  # unary terminator: next 1-bit at/after pos
+        if t >= total_bits:
+            raise ValueError("FLAC: bitstream truncated")
+        q = t - pos
+        if k:
+            start = t + 1
+            b0 = start >> 3
+            chunk = data[b0 : b0 + 5]
+            window = int.from_bytes(chunk, "big") << (8 * (5 - len(chunk)))
+            u = (q << k) | ((window >> (40 - (start & 7) - k)) & mask)
+            pos = start + k
+            j += 1
+            while ones[j] < pos:  # skip 1s consumed as remainder bits
+                j += 1
+        else:
+            u = q
+            pos = t + 1
+            j += 1
+        out[i] = u
+    r.byte, r.bit = pos >> 3, pos & 7
+    return (out >> 1) ^ -(out & 1)  # unzigzag, vectorized
+
+
+def _reconstruct_fixed(warm, residual, order: int):
+    """Invert the order-th binomial difference: ``order`` cumulative sums,
+    each seeded with the matching difference level of the warm-up samples —
+    the vectorized twin of the per-sample predictor recurrence (bit-exact:
+    integer adds in a different association order only)."""
+    import numpy as np
+
+    res = np.asarray(residual, dtype=np.int64)
+    if order == 0:
+        return res
+    w = np.asarray(warm, dtype=np.int64)
+    a = res
+    for level in range(order, 0, -1):
+        init = np.diff(w, n=level - 1)[-1] if level > 1 else w[-1]
+        a = np.cumsum(a) + init
+    return np.concatenate([w, a])
+
+
+def _decode_subframe(r: _BitReader, bs: int):
+    import numpy as np
+
+    if not hasattr(r, "_bits"):
+        _attach_bit_index(r)
     if r.read(1) != 0:
         raise ValueError("FLAC: invalid subframe padding bit")
     sf_type = r.read(6)
@@ -315,13 +469,9 @@ def _decode_subframe(r: _BitReader, bs: int) -> list[int]:
     if sf_type == 0b000000:  # CONSTANT
         v = r.read(16)
         v = v - 0x10000 if v & 0x8000 else v
-        return [v] * bs
+        return np.full(bs, v, dtype=np.int64)
     if sf_type == 0b000001:  # VERBATIM
-        out = []
-        for _ in range(bs):
-            v = r.read(16)
-            out.append(v - 0x10000 if v & 0x8000 else v)
-        return out
+        return _read_block(r, bs, 16)
     if sf_type & 0b100000:
         raise NotImplementedError(
             f"FLAC LPC subframe (order {(sf_type & 0x1F) + 1}) not "
@@ -331,10 +481,7 @@ def _decode_subframe(r: _BitReader, bs: int) -> list[int]:
     if not (0b001000 <= sf_type <= 0b001100):
         raise ValueError(f"FLAC: reserved subframe type {sf_type:#08b}")
     order = sf_type & 0b000111
-    warm = []
-    for _ in range(order):
-        v = r.read(16)
-        warm.append(v - 0x10000 if v & 0x8000 else v)
+    warm = _read_block(r, order, 16)
     method = r.read(2)
     if method > 1:
         raise ValueError(f"FLAC: reserved residual coding method {method}")
@@ -344,28 +491,17 @@ def _decode_subframe(r: _BitReader, bs: int) -> list[int]:
     nparts = 1 << porder
     if bs % nparts:
         raise ValueError("FLAC: block size not divisible by partitions")
-    residual: list[int] = []
+    parts = []
     for p in range(nparts):
         count = bs // nparts - (order if p == 0 else 0)
         k = r.read(pbits)
         if k == escape:
             width = r.read(5)
-            for _ in range(count):
-                v = r.read(width)
-                if width and v & (1 << (width - 1)):
-                    v -= 1 << width
-                residual.append(v)
+            parts.append(_read_block(r, count, width))
         else:
-            for _ in range(count):
-                q = r.read_unary()
-                u = (q << k) | r.read(k)
-                residual.append(_unzigzag(u))
-    coeffs = _FIXED_COEFFS[order]
-    out = list(warm)
-    for res in residual:
-        pred = sum(c * out[len(out) - 1 - j] for j, c in enumerate(coeffs))
-        out.append(res + pred)
-    return out
+            parts.append(_read_rice_block(r, count, k))
+    residual = np.concatenate(parts) if len(parts) > 1 else parts[0]
+    return _reconstruct_fixed(warm, residual, order)
 
 
 def decode_flac(payload: bytes) -> tuple[int, "np.ndarray"]:
@@ -407,10 +543,17 @@ def decode_flac(payload: bytes) -> tuple[int, "np.ndarray"]:
             f"FLAC {bps}-bit samples not supported (16-bit only)"
         )
 
-    chans: list[list[int]] = [[] for _ in range(ch)]
+    chans: list[list] = [[] for _ in range(ch)]
+    shared_bits = shared_ones = None
     while pos < len(payload):
         frame_start = pos
         r = _BitReader(payload, pos)
+        # one payload-wide bit index, shared by every frame's reader
+        if shared_bits is None:
+            _attach_bit_index(r)
+            shared_bits, shared_ones = r._bits, r._ones
+        else:
+            r._bits, r._ones = shared_bits, shared_ones
         if r.read(14) != 0b11111111111110:
             raise ValueError("FLAC: lost frame sync")
         r.read(1)
@@ -460,7 +603,7 @@ def decode_flac(payload: bytes) -> tuple[int, "np.ndarray"]:
         r.byte += 1
 
         for c in range(ch):
-            chans[c].extend(_decode_subframe(r, bs))
+            chans[c].append(_decode_subframe(r, bs))
         r.align()
         crc16_expect = struct.unpack(
             ">H", payload[r.byte : r.byte + 2]
@@ -470,7 +613,13 @@ def decode_flac(payload: bytes) -> tuple[int, "np.ndarray"]:
         pos = r.byte + 2
 
     arr = np.stack(
-        [np.asarray(c[:total], dtype=np.int16) for c in chans], axis=1
+        [
+            np.concatenate(c)[:total].astype(np.int16)
+            if c
+            else np.empty(0, dtype=np.int16)
+            for c in chans
+        ],
+        axis=1,
     )
     if hashlib.md5(arr.astype("<i2").tobytes()).digest() != md5_expect:
         raise ValueError("FLAC: STREAMINFO MD5 mismatch after decode")
