@@ -47,7 +47,7 @@ _EVENTS_SCHEMA = T.StructType(
 
 
 @contextmanager
-def _capped_state_partitions(spark: SparkSession, cap: int = 16):
+def _capped_state_partitions(spark: SparkSession, cap: int | None = None):
     """Bound the stateful-operator partition count for a backlog replay.
 
     Every run here starts from a fresh checkpoint, so the state-store
@@ -56,8 +56,14 @@ def _capped_state_partitions(spark: SparkSession, cap: int = 16):
     200 means 200 state stores (open/commit/close each micro-batch) for a
     backlog that fits in a handful.  AQE coalesces batch shuffles but NOT
     stateful streaming exchanges, so this is real per-batch overhead.  On a
-    production backfill, size the cap to the cluster's cores; the cap only
-    lowers, never raises, a user-tuned setting."""
+    production backfill, size the cap to the cluster's cores — which is
+    what the default does: local core count bounded to [4, 16] (measured
+    on the late-drop replay at sf0.01, local[8]: cap 16 → 4.6 s, cap 8 →
+    3.2 s, cap 4 → 2.5 s per streaming query — each state partition is an
+    open/commit/close per micro-batch).  The cap only lowers, never
+    raises, a user-tuned setting."""
+    if cap is None:
+        cap = max(4, min(16, spark.sparkContext.defaultParallelism))
     key = "spark.sql.shuffle.partitions"
     prev = spark.conf.get(key)
     try:
@@ -1347,21 +1353,27 @@ def run_late_drop(
                 F.col("chunk") + 2,
             ).otherwise(F.col("chunk")),
         )
-        f = f.localCheckpoint()  # one deterministic assignment, reused 4x
+        f = f.localCheckpoint()  # one deterministic assignment, reused
         n_input = f.count()
+        # ONE partitioned write instead of _LATE_FILES sequential
+        # filter+coalesce jobs (each re-scanned the checkpoint; measured
+        # 2.8 s → <1 s at sf0.01).  repartition("file") leaves exactly one
+        # task per file value, so each file=k dir holds one part file.
+        part_root = os.path.join(work, "parts")
+        (
+            f.select("event_id", "ts", "value", "file")
+            .repartition(_LATE_FILES, "file")
+            .write.partitionBy("file")
+            .parquet(part_root)
+        )
         for k in range(_LATE_FILES):
-            part_dir = os.path.join(work, f"part-{k}")
-            (
-                f.filter(F.col("file") == k)
-                .select("event_id", "ts", "value")
-                .coalesce(1)
-                .write.parquet(part_dir)
-            )
-            src = [
+            part_dir = os.path.join(part_root, f"file={k}")
+            srcs = [
                 p for p in os.listdir(part_dir) if p.endswith(".parquet")
-            ][0]
+            ]
+            assert len(srcs) == 1, f"expected 1 part file, got {srcs}"
             dst = os.path.join(src_dir, f"batch-{k:02d}.parquet")
-            os.rename(os.path.join(part_dir, src), dst)
+            os.rename(os.path.join(part_dir, srcs[0]), dst)
             os.utime(dst, (1_000_000 + k * 100,) * 2)
 
         stream = (
