@@ -132,11 +132,33 @@ AUDITED_EXTRA = [
     "text_oov_rate",
     "snap_constraints",
     "advisor_workload_coverage",
+    # round 11 additions
+    "ann_pq_topk",
+    "layout_skipping_stats",
 ]
 
 #: intended-plan annotations for rows that would otherwise read as
 #: violations of the repo's own discipline
 ANNOTATIONS = {
+    "graph_common_neighbors": (
+        "plan shown is the steady-state (edge-cache-present) variant: the "
+        "graph family extracts co-occurrence edges ONCE per dataset "
+        "fingerprint, so after the first run every consumer reads the "
+        "|E|-sized parquet cache instead of re-deriving from "
+        "lineitem⋈orders; the adjacency anti-join's broadcast is "
+        "SIZE-GATED (r10): the |E|-sized build side broadcasts only while "
+        "the probe-measured edge count stays under _CN_BCAST_MAX_EDGES "
+        "(8M ≈ 256 MiB hashed), beyond which it falls back to a shuffled "
+        "anti-join — guarded by test_common_neighbors_broadcast_is_size_gated"
+    ),
+    "ann_pq_topk": (
+        "the BroadcastNestedLoopJoins are the intended bounded codebook "
+        "broadcasts of the fused PQ chain (seed/centroid relations ≤ "
+        "M×16 = 64 rows joined on the subspace key, plus the 1-row "
+        "query-subvector broadcast) — never relation×relation; round 11 "
+        "fused the 4 per-subspace pipelines into one exploded "
+        "(vec_id, s) relation, ~5 shuffles total"
+    ),
     "dq_chi_square_drift": (
         "the BroadcastNestedLoopJoins are the intended bounded crossJoins "
         "of the chi-square grid (|years|×2 category grid, grand-total N "
