@@ -137,3 +137,30 @@ def test_rice_escape_fires_on_encode():
     ]
     assert min(ks) == 15  # every candidate order escapes
     assert (decode_flac(encode_flac(a))[1] == a).all()
+
+
+def test_vectorized_paths_adversarial_roundtrip():
+    """Edge cases aimed at the round-11 vectorized kernels: k=0 Rice
+    partitions (near-constant), escape-width residuals (alternating
+    extremes), all-zero residuals (perfect ramps), one huge unary
+    quotient (outlier in a smooth signal), and block-boundary sizes."""
+    import numpy as np
+
+    from lakehouse_sfc_spark.operators.flac import decode_flac, encode_flac
+
+    rng = np.random.default_rng(123)
+    cases = [(rng.integers(0, 2, 10000) + 100).astype(np.int16)]
+    alt = np.empty(8192, np.int16)
+    alt[::2], alt[1::2] = 32767, -32768
+    cases.append(alt)
+    cases.append(np.arange(-5000, 5000, dtype=np.int16))
+    smooth = (1000 * np.sin(np.arange(9000) / 30)).astype(np.int16)
+    smooth[4567] = 32767
+    cases.append(smooth)
+    for n in (4095, 4096, 4097, 1, 2, 5):
+        cases.append(rng.integers(-300, 300, n).astype(np.int16))
+    for i, a in enumerate(cases):
+        assert (decode_flac(encode_flac(a))[1] == a).all(), f"case {i} mono"
+        b = np.stack([a, a[::-1].copy()], axis=1)
+        out = decode_flac(encode_flac(b, 8000))[1]
+        assert (out == b).all(), f"case {i} stereo"
