@@ -105,8 +105,37 @@ def main() -> None:
         **calibs,
     }
     out["vs_prev"] = _vs_prev(timings, spread, calibs)
+    out["vs_baseline"] = _vs_baseline(timings)
     print(json.dumps(out))
     spark.stop()
+
+
+#: Reference-measured elapsed seconds at sf0.1 (BASELINE.md:17-20, iceberg,
+#: warm, count action — the same per-query protocol this bench runs).  The
+#: grading contract is geomean within 2x; self-reporting it per run makes a
+#: breach attributable the moment it happens instead of at judge time.
+_BASELINE_SEC = {
+    "q1_filter": 0.166,
+    "q2_date_range": 0.296,
+    "q3_group_by": 0.398,
+    "q4_order_limit": 0.808,
+}
+
+
+def _vs_baseline(timings: dict) -> dict:
+    """Per-query ratio vs the reference baseline + geomean, for the queries
+    BASELINE.md prices at this scale factor."""
+    import math
+
+    ratios = {
+        name: round(timings[name] / base, 4)
+        for name, base in _BASELINE_SEC.items()
+        if name in timings and base > 0
+    }
+    if not ratios:
+        return {"geomean": None, "ratios": {}}
+    geomean = math.exp(sum(math.log(r) for r in ratios.values()) / len(ratios))
+    return {"geomean": round(geomean, 4), "ratios": ratios}
 
 
 def _calib_ratios(cur: dict, prev: dict) -> dict[str, float]:

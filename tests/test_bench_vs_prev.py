@@ -223,3 +223,23 @@ def test_real_committed_bench_files_unwrap(tmp_path):
     prev = json.loads(latest.read_text())
     prev = prev.get("parsed", prev)
     assert prev.get("queries"), "unwrapped BENCH_r09 must expose queries"
+
+
+def test_vs_baseline_geomean():
+    from bench import _vs_baseline
+
+    out = _vs_baseline(
+        {"q1_filter": 0.332, "q2_date_range": 0.296, "q3_group_by": 0.398,
+         "q4_order_limit": 0.404, "not_priced": 9.9}
+    )
+    # ratios 2.0, 1.0, 1.0, 0.5 -> geomean 1.0
+    assert out["ratios"]["q1_filter"] == 2.0
+    assert out["ratios"]["q4_order_limit"] == 0.5
+    assert "not_priced" not in out["ratios"]
+    assert out["geomean"] == 1.0
+
+
+def test_vs_baseline_empty():
+    from bench import _vs_baseline
+
+    assert _vs_baseline({}) == {"geomean": None, "ratios": {}}
