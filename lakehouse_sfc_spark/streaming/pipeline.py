@@ -46,6 +46,28 @@ _EVENTS_SCHEMA = T.StructType(
 )
 
 
+def _mkworkdir(prefix: str) -> str:
+    """Scratch dir for replay sources/checkpoints, preferring tmpfs.
+
+    These replays write small source backlogs and checkpoint WALs; this
+    box's /tmp block device stalls erratically under concurrent small
+    writes (the same pathology that moved spark.local.dir to /dev/shm,
+    session.py — an r11 scale-sweep pass measured stream_late_drop at
+    18.5 s at sf0.1 vs 5.3 s at sf1 purely from a /tmp stall during the
+    source write).  Same capacity gate as session.py: only prefer
+    /dev/shm with >=32 GiB free; TMPDIR/tempfile default otherwise."""
+    base = None
+    if os.path.isdir("/dev/shm"):
+        try:
+            st = os.statvfs("/dev/shm")
+            if st.f_bavail * st.f_frsize >= 32 << 30:
+                base = "/dev/shm/spark-graft-stream"
+                os.makedirs(base, exist_ok=True)
+        except OSError:
+            base = None
+    return tempfile.mkdtemp(prefix=prefix, dir=base)
+
+
 @contextmanager
 def _capped_state_partitions(spark: SparkSession, cap: int | None = None):
     """Bound the stateful-operator partition count for a backlog replay.
@@ -86,7 +108,7 @@ def _replay_to_memory(
     (Trigger.AvailableNow) into a memory sink and return the result table.
     State partitions are capped for the replay (see
     ``_capped_state_partitions``)."""
-    checkpoint = tempfile.mkdtemp(prefix=checkpoint_prefix)
+    checkpoint = _mkworkdir(checkpoint_prefix)
     with _capped_state_partitions(spark):
         q = (
             sdf.writeStream.format("memory")
@@ -568,7 +590,7 @@ def stream_upsert_ingest(
 
     _prev_tz = spark.conf.get("spark.sql.session.timeZone")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
-    work = tempfile.mkdtemp(prefix="lakehouse-sfc-ingest-")
+    work = _mkworkdir("lakehouse-sfc-ingest-")
     src_dir = os.path.join(work, "src")
     tbl = os.path.join(work, "table")
     try:
@@ -594,7 +616,7 @@ def stream_upsert_ingest(
                     stats_cols=["event_id"],
                 )
 
-        checkpoint = tempfile.mkdtemp(prefix="lakehouse-sfc-ingest-ckpt-")
+        checkpoint = _mkworkdir("lakehouse-sfc-ingest-ckpt-")
         with _capped_state_partitions(spark):
             q = (
                 stream.writeStream.foreachBatch(_merge)
@@ -811,7 +833,7 @@ def sessionize_stateful_complete(
     from lakehouse_sfc_spark.sources.loader import load_table
 
     ev = load_table(spark, sf_dir, "events")
-    sentinel_dir = tempfile.mkdtemp(prefix="lakehouse-sfc-punct-")
+    sentinel_dir = _mkworkdir("lakehouse-sfc-punct-")
     try:
         max_ts = ev.agg(F.max("ts").alias("m")).collect()[0]["m"]
         (
@@ -1215,7 +1237,7 @@ def stream_cdc_tombstones(
 
     _prev_tz = spark.conf.get("spark.sql.session.timeZone")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
-    work = tempfile.mkdtemp(prefix="lakehouse-sfc-cdc-")
+    work = _mkworkdir("lakehouse-sfc-cdc-")
     src_dir = os.path.join(work, "src")
     tbl = os.path.join(work, "table")
     try:
@@ -1261,7 +1283,7 @@ def stream_cdc_tombstones(
                     tbl, batch, ["user_id"], "ts", stats_cols=["user_id"]
                 )
 
-        checkpoint = tempfile.mkdtemp(prefix="lakehouse-sfc-cdc-ckpt-")
+        checkpoint = _mkworkdir("lakehouse-sfc-cdc-ckpt-")
         with _capped_state_partitions(spark):
             q = (
                 stream.writeStream.foreachBatch(_apply)
@@ -1333,7 +1355,7 @@ def run_late_drop(
 
     _prev_tz = spark.conf.get("spark.sql.session.timeZone")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
-    work = tempfile.mkdtemp(prefix="lakehouse-sfc-late-")
+    work = _mkworkdir("lakehouse-sfc-late-")
     src_dir = os.path.join(work, "src")
     os.makedirs(src_dir)
     try:
