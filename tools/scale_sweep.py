@@ -368,9 +368,11 @@ def main() -> None:
         "  `multimodal_webp_real` / `multimodal_ico_real` /",
         "  `multimodal_flac_real`: pure-Python codec CPU (encode + decode",
         "  volume tracks document count; FLAC additionally tracks sample",
-        "  count — its per-sample Rice bit loop dominates at sf0.1) spread",
-        "  over mapInPandas partitions — legitimately scan-bound; the",
-        "  stats kernel decodes each payload exactly once as of round 7.",
+        "  count) spread over mapInPandas partitions — legitimately",
+        "  scan-bound; the stats kernel decodes each payload exactly once",
+        "  as of round 7, and round 11 vectorized the FLAC Rice encode",
+        "  (cumsum-offset scatter, 24x) and decode (ones-index pointer",
+        "  walk + cumsum predictor integration) — sf1 row 42.3 s → ~12 s.",
         "- `sketch_cms_heavy_hitters`: counter updates are row-volume map",
         "  work (d hash rows per input row) — the sketch's point is that",
         "  the SHUFFLE stays O(d·w) regardless of data; the map-side cost",
