@@ -108,6 +108,8 @@ def _replay_to_memory(
     (Trigger.AvailableNow) into a memory sink and return the result table.
     State partitions are capped for the replay (see
     ``_capped_state_partitions``)."""
+    import shutil
+
     checkpoint = _mkworkdir(checkpoint_prefix)
     with _capped_state_partitions(spark):
         q = (
@@ -123,6 +125,9 @@ def _replay_to_memory(
         finally:
             if q.isActive:
                 q.stop()
+            # the memory sink outlives the checkpoint; removing the WAL
+            # matters now that workdirs prefer tmpfs (RAM-backed space)
+            shutil.rmtree(checkpoint, ignore_errors=True)
     return spark.table(name)
 
 
@@ -629,6 +634,7 @@ def stream_upsert_ingest(
             finally:
                 if q.isActive:
                     q.stop()
+                shutil.rmtree(checkpoint, ignore_errors=True)
 
         final = spark.read.parquet(tbl)
         return (
@@ -1296,6 +1302,7 @@ def stream_cdc_tombstones(
             finally:
                 if q.isActive:
                     q.stop()
+                shutil.rmtree(checkpoint, ignore_errors=True)
 
         final = spark.read.parquet(tbl)
         return (
