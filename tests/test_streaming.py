@@ -192,3 +192,59 @@ def test_asof_enrich_state_carries_across_microbatches(spark, tmp_path):
         assert (g[4] is None) == (w[4] is None) and (
             g[4] == w[4] or g[4] is None
         ), (g, w)
+
+
+def test_mkworkdir_capacity_gate(monkeypatch, tmp_path):
+    """_mkworkdir prefers tmpfs only above the 32 GiB free gate and falls
+    back to the tempfile default otherwise (r11: replay workdirs moved off
+    the stall-prone /tmp; the gate keeps small-RAM hosts safe)."""
+    import os
+
+    from lakehouse_sfc_spark.streaming import pipeline as P
+
+    class _St:
+        def __init__(self, avail):
+            self.f_bavail = avail
+            self.f_frsize = 1
+
+    monkeypatch.setattr(os, "statvfs", lambda p: _St(64 << 30))
+    d = P._mkworkdir("gate-test-")
+    try:
+        assert d.startswith("/dev/shm/spark-graft-stream/"), d
+    finally:
+        os.rmdir(d)
+
+    monkeypatch.setattr(os, "statvfs", lambda p: _St(1 << 30))
+    d = P._mkworkdir("gate-test-")
+    try:
+        assert not d.startswith("/dev/shm/"), d
+    finally:
+        os.rmdir(d)
+
+
+def test_replay_checkpoint_removed(spark):
+    """_replay_to_memory must not leave its checkpoint WAL behind (it now
+    lands on RAM-backed tmpfs)."""
+    import glob
+    import os
+
+    from lakehouse_sfc_spark.streaming import pipeline as P
+
+    before = set(
+        glob.glob("/dev/shm/spark-graft-stream/lakehouse-sfc-ckpt-test-*")
+    ) | set(glob.glob(os.path.join(os.environ.get("TMPDIR", "/tmp"),
+                                   "lakehouse-sfc-ckpt-test-*")))
+    sdf = (
+        P.read_events_stream(spark, "/root/testdata/sf0.001")
+        .groupBy("event_type")
+        .count()
+    )
+    P._replay_to_memory(
+        spark, sdf, "ckpt_cleanup_probe", "lakehouse-sfc-ckpt-test-",
+        "complete", 120,
+    )
+    after = set(
+        glob.glob("/dev/shm/spark-graft-stream/lakehouse-sfc-ckpt-test-*")
+    ) | set(glob.glob(os.path.join(os.environ.get("TMPDIR", "/tmp"),
+                                   "lakehouse-sfc-ckpt-test-*")))
+    assert after - before == set(), f"checkpoint dirs leaked: {after - before}"
