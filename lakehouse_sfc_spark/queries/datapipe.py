@@ -2471,6 +2471,103 @@ def sample_mixture_draw(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: temperature exponent for sample_mixture_temperature: weight ∝ mass^0.5
+#: (sqrt is the canonical "flatten the mixture" setting; α=1 degenerates to
+#: sample_mixture's proportional apportionment, α=0 to uniform-per-source)
+_MIXT_ALPHA_SQRT = True
+#: the mixture's char budget = total_chars // _MIXT_BUDGET_DIV
+_MIXT_BUDGET_DIV = 2
+
+
+@register(
+    "sample_mixture_temperature",
+    oracle=f"""
+    WITH per_src AS (
+      SELECT source, COUNT(*) AS n_docs,
+             CAST(SUM(n_chars) AS BIGINT) AS chars
+      FROM documents GROUP BY source
+    ),
+    tot AS (
+      SELECT
+        -- ordered fold: SUM over doubles is order-dependent; both engines
+        -- fold sqrt weights in source order (Spark: sorted-array aggregate)
+        list_reduce(list(sqrt(chars) ORDER BY source), (p, q) -> p + q)
+          AS w_total,
+        CAST(SUM(chars) AS BIGINT) AS total_chars
+      FROM per_src
+    )
+    SELECT p.source, p.n_docs, p.chars,
+           sqrt(p.chars) / t.w_total AS share,
+           CAST(FLOOR((t.total_chars // {_MIXT_BUDGET_DIV})
+                      * (sqrt(p.chars) / t.w_total)) AS BIGINT)
+             AS target_chars,
+           FLOOR((t.total_chars // {_MIXT_BUDGET_DIV})
+                 * (sqrt(p.chars) / t.w_total)) / p.chars AS epochs,
+           sqrt(p.chars) / t.w_total
+             > CAST(p.chars AS DOUBLE) / CAST(t.total_chars AS DOUBLE)
+             AS upsampled
+    FROM per_src p CROSS JOIN tot t
+    ORDER BY p.source
+    """,
+)
+def sample_mixture_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TEMPERATURE-weighted training mixture (the LLaMA/Pile-style
+    upsampling knob): source weight ∝ chars^0.5 instead of
+    `sample_mixture`'s proportional chars^1 — small sources get a larger
+    share than their raw volume, the standard trick for keeping rare
+    domains represented.  Per source: its normalized share, the char
+    target under a budget of half the corpus, the implied EPOCH count
+    (target/chars — >1 means the source repeats during training, the
+    number a mixture designer actually reads), and whether temperature
+    up-weighted it vs proportional.
+
+    Cross-engine determinism: sqrt is correctly-rounded IEEE in both
+    engines; the normalization denominator is a FIXED source-ordered
+    fold of the sqrt weights (a plain SUM over doubles would be
+    row-order-dependent — the `_l2` discipline applied to a scalar), and
+    every downstream number is one multiply/divide/floor of already-equal
+    doubles.
+
+    Scale shape: one per-source aggregate is the only data-sized stage;
+    the temperature math runs on the |sources|-row relation with a 1-row
+    broadcast of the totals."""
+    d = load_table(spark, sf_dir, "documents")
+    per_src = d.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").cast("bigint").alias("chars"),
+    )
+    tot = per_src.agg(
+        F.aggregate(
+            F.array_sort(
+                F.collect_list(F.struct("source", F.sqrt("chars").alias("w")))
+            ),
+            F.lit(0.0),
+            lambda acc, s: acc + s["w"],
+        ).alias("w_total"),
+        F.sum("chars").cast("bigint").alias("total_chars"),
+    )
+    budget = F.expr(f"total_chars DIV {_MIXT_BUDGET_DIV}")
+    share = F.sqrt(F.col("chars")) / F.col("w_total")
+    target = F.floor(budget * share)
+    return (
+        per_src.crossJoin(F.broadcast(tot))
+        .select(
+            "source",
+            "n_docs",
+            "chars",
+            share.alias("share"),
+            target.cast("bigint").alias("target_chars"),
+            (target / F.col("chars")).alias("epochs"),
+            (
+                share
+                > F.col("chars").cast("double")
+                / F.col("total_chars").cast("double")
+            ).alias("upsampled"),
+        )
+        .orderBy("source")
+    )
+
+
 # --- train-test decontamination ---------------------------------------------
 
 _DECON_K = 5  # shingle width: long enough that chance overlap is signal
