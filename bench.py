@@ -105,7 +105,10 @@ def main() -> None:
         **calibs,
     }
     out["vs_prev"] = _vs_prev(timings, spread, calibs)
-    out["vs_baseline"] = _vs_baseline(timings)
+    out["vs_baseline"] = _vs_baseline(timings, sf)
+    rq7 = _rq7_vs_baseline(sf_dir)
+    if rq7 is not None:
+        out["vs_baseline"]["rq7"] = rq7
     print(json.dumps(out))
     spark.stop()
 
@@ -122,11 +125,22 @@ _BASELINE_SEC = {
 }
 
 
-def _vs_baseline(timings: dict) -> dict:
+def _vs_baseline(timings: dict, sf: float = 0.1) -> dict:
     """Per-query ratio vs the reference baseline + geomean, for the queries
-    BASELINE.md prices at this scale factor."""
+    BASELINE.md prices.  The _BASELINE_SEC numbers are sf0.1-priced: a run
+    at any other SPARK_GRAFT_SF_DIR would self-report a meaningless geomean
+    against the 2x grading contract (ADVICE r11), so off-sf runs carry the
+    run sf and an explicit not-comparable marker instead of ratios."""
     import math
 
+    if abs(sf - 0.1) > 1e-9:
+        return {
+            "geomean": None,
+            "ratios": {},
+            "sf": sf,
+            "comparable": False,
+            "note": "baseline priced at sf0.1; run sf differs",
+        }
     ratios = {
         name: round(timings[name] / base, 4)
         for name, base in _BASELINE_SEC.items()
@@ -136,6 +150,32 @@ def _vs_baseline(timings: dict) -> dict:
         return {"geomean": None, "ratios": {}}
     geomean = math.exp(sum(math.log(r) for r in ratios.values()) / len(ratios))
     return {"geomean": round(geomean, 4), "ratios": ratios}
+
+
+def _rq7_vs_baseline(sf_dir: str) -> dict | None:
+    """Map the ``layout_drift_stats`` ingest loop to BASELINE.md's only
+    other published series — the RQ7 incremental-ingest drift numbers
+    (hudi no_layout, TPC-H sf16: batch-0 query 0.477 s mean settling to
+    0.17–0.35 s post-upsert; bytes_scanned 1 061 MB -> 1 644–1 689 MB,
+    notebooks/figures/rq7_tpch_summary_*.csv).  Scale factor and engine
+    differ, so the block carries OUR per-batch ingest observables + the
+    reference citation, explicitly not ratio-comparable."""
+    try:
+        from lakehouse_sfc_spark.queries.layouts import drift_metrics_path
+
+        with open(drift_metrics_path(sf_dir)) as fh:
+            m = json.load(fh)
+    except (OSError, ValueError, ImportError):
+        return None
+    return {
+        "batches": m.get("batches", []),
+        "comparable": False,
+        "reference": {
+            "series": "rq7_tpch_summary_elapsedTime_s.csv (hudi sf16)",
+            "batch0_mean_s": 0.477,
+            "settled_mean_s": [0.17, 0.35],
+        },
+    }
 
 
 def _calib_ratios(cur: dict, prev: dict) -> dict[str, float]:
@@ -210,11 +250,20 @@ def _vs_prev(
     prev_q = prev.get("queries", {})
     prev_spread = prev.get("spread", {})
     ratios = _calib_ratios(calibs, prev)
-    if ratios:
-        ratio_dim = max(ratios, key=lambda d: ratios[d])
-        ratio = ratios[ratio_dim]
+    # Rescale by the worst CPU-dimension ratio only.  scan_mbps is a
+    # one-shot cold-read probe (by design: best-of-N would just measure the
+    # warm page cache) — noisy enough that letting it into the rescale
+    # factor can excuse a real regression on CPU-bound entries (ADVICE
+    # r11).  Its ratio instead ANNOTATES each flag: a flag that clears the
+    # threshold under IO rescaling is marked io_attributed so an IO-stalled
+    # host still self-adjudicates without weakening the CPU gate.
+    cpu_dims = {d: r for d, r in ratios.items() if d != "scan_mbps"}
+    if cpu_dims:
+        ratio_dim = max(cpu_dims, key=lambda d: cpu_dims[d])
+        ratio = cpu_dims[ratio_dim]
     else:
         ratio_dim, ratio = None, 1.0
+    io_ratio = ratios.get("scan_mbps", 1.0)
     flags: dict[str, dict] = {}
     for name, med in timings.items():
         if name not in prev_q:
@@ -222,11 +271,15 @@ def _vs_prev(
         prev_max = prev_spread.get(name, {}).get("max", prev_q[name])
         cur_min_scaled = spread[name]["min"] / ratio if ratio else med
         if cur_min_scaled > prev_max * 1.10:
+            worst = max(ratio, io_ratio)
+            min_scaled_io = spread[name]["min"] / worst if worst else med
             flags[name] = {
                 "prev_median": prev_q[name],
                 "prev_max": prev_max,
                 "cur_median": med,
                 "cur_min_scaled": round(cur_min_scaled, 4),
+                "io_ratio": round(io_ratio, 4),
+                "io_attributed": min_scaled_io <= prev_max * 1.10,
             }
     return {
         "source": Path(src).name,

@@ -423,9 +423,14 @@ def _read_rice_block(r: _BitReader, count: int, k: int):
             window = int.from_bytes(chunk, "big") << (8 * (5 - len(chunk)))
             u = (q << k) | ((window >> (40 - (start & 7) - k)) & mask)
             pos = start + k
+            if pos > total_bits:
+                # payload ends mid-remainder: contracted truncation error,
+                # not an off-the-end walk past the ones sentinel
+                raise ValueError("FLAC: bitstream truncated")
             j += 1
-            while ones[j] < pos:  # skip 1s consumed as remainder bits
-                j += 1
+            n_ones = len(ones)
+            while j < n_ones and ones[j] < pos:
+                j += 1  # skip 1s consumed as remainder bits
         else:
             u = q
             pos = t + 1

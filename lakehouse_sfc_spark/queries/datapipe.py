@@ -488,6 +488,7 @@ _SQL_MH_SIG = (
     {_sql_lsh_pair_cte(_MH_TAU, "x.doc_id < y.doc_id")}
     SELECT a_id, b_id, round(jac_val, 4) AS jac FROM p
     """,
+    headline=True,  # r11 verdict task 3: dedup family under the bench gate
 )
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash(64) → 16 bands × 4 rows → bucket self-join → exact-Jaccard
@@ -1740,6 +1741,54 @@ def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM reach GROUP BY u
     """,
 )
+def _component_labels_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The (doc_id, component) label relation: LSH candidate pairs →
+    pointer-doubling connected components (see dedup_components)."""
+    from lakehouse_sfc_spark.operators.components import connected_components
+
+    pairs = dedup_minhash_lsh(spark, sf_dir).select("a_id", "b_id")
+    labels = connected_components(pairs.toDF("u", "v"))
+    return labels.select(
+        F.col("node").alias("doc_id"), F.col("label").alias("component")
+    )
+
+
+def _component_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster labels MATERIALIZED once per dataset fingerprint (r11
+    verdict task 2): `dedup_keep_canonical` used to call the full LSH +
+    pointer-doubling chain inline, so the sweep's #1 slowest entry re-ran
+    everything `dedup_components` had just computed.  Same discipline as
+    the edge caches (queries/graphq.py::_edges_recent): fingerprint-keyed
+    dir, `_atomic_cache_write` + `_SUCCESS` gate, `SPARK_GRAFT_LAZY_BUILD`
+    escape (the component loop runs jobs during plan construction, which
+    the lazy-build contract forbids).  At 100 TB this is exactly what a
+    production dedup pipeline does: label the corpus once, persist the
+    |clustered|-sized relation, and let every consumer (canonical filter,
+    shrinkage accounting, incremental merges) read the labels, not re-run
+    the graph."""
+    import os as _os
+
+    from lakehouse_sfc_spark.queries.layouts import (
+        _atomic_cache_write,
+        _fingerprinted_dir,
+    )
+
+    repo = _os.path.dirname(_os.path.dirname(_os.path.dirname(__file__)))
+    path = _fingerprinted_dir(
+        _os.path.join(repo, ".scratch", "dedup_labels", "v1"),
+        sf_dir,
+        ("documents",),
+    )
+    if not _os.path.exists(_os.path.join(path, "_SUCCESS")):
+        if _os.environ.get("SPARK_GRAFT_LAZY_BUILD"):
+            return _component_labels_build(spark, sf_dir)
+        _atomic_cache_write(
+            _component_labels_build(spark, sf_dir).write.mode("overwrite").parquet,
+            path,
+        )
+    return spark.read.parquet(path)
+
+
 def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Duplicate clusters: connected components over the near-duplicate pair
     graph (MinHash-LSH pairs at τ=0.7), labeling every clustered document
@@ -1757,14 +1806,10 @@ def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     `localCheckpoint` truncates the growing lineage each round; at 100 TB
     this is the GraphX/GraphFrames dance with the standard log-round
     compression.  The oracle is a DuckDB recursive CTE computing min
-    reachable label over the same exact pair graph."""
-    from lakehouse_sfc_spark.operators.components import connected_components
-
-    pairs = dedup_minhash_lsh(spark, sf_dir).select("a_id", "b_id")
-    labels = connected_components(pairs.toDF("u", "v"))
-    return labels.select(
-        F.col("node").alias("doc_id"), F.col("label").alias("component")
-    )
+    reachable label over the same exact pair graph.  The label relation is
+    materialized once per dataset fingerprint and shared with
+    `dedup_keep_canonical` (see `_component_labels`)."""
+    return _component_labels(spark, sf_dir)
 
 
 # --- A3: batch k-NN similarity join ----------------------------------------
@@ -1915,6 +1960,7 @@ def _cell_bits(emb: Column, bits: int) -> Column:
          )
     SELECT a_id, b_id, score, rank FROM scored WHERE rank <= {_DETK_K}
     """,
+    headline=True,  # r11 verdict task 3: ANN family under the bench gate
 )
 def dedup_embedding_topk(
     spark: SparkSession, sf_dir: str, probe_radius: int = _DETK_RADIUS
@@ -2114,11 +2160,13 @@ def dedup_keep_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: candidate pairs come from the banded MinHash-LSH join
     (key-equality shuffles only), cluster labels from the pointer-doubling
-    component loop (O(log diameter) rounds), and survival is one LEFT ANTI
+    component loop (O(log diameter) rounds) — read from the once-per-
+    fingerprint label materialization shared with `dedup_components`
+    (`_component_labels`), not recomputed — and survival is one LEFT ANTI
     join of the corpus against the dropped-id set — which is at most the
     number of clustered documents, usually tiny next to the corpus, so it
     broadcasts.  No stage touches all-pairs."""
-    labels = dedup_components(spark, sf_dir)
+    labels = _component_labels(spark, sf_dir)
     dropped = labels.filter(F.col("doc_id") != F.col("component")).select(
         "doc_id"
     )

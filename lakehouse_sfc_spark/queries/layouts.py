@@ -60,11 +60,32 @@ def _fingerprinted_dir(root: str, sf_dir: str, tables: tuple[str, ...]) -> str:
         for stale in os.listdir(parent):
             # Keep in-flight tmp siblings of the CURRENT fingerprint
             # (``<fp>.tmp.<pid>``, see _atomic_cache_write) — pruning them
-            # mid-write would race a concurrent builder of the same cache.
-            # Tmps of a stale fingerprint are crash leftovers: prune.
-            if stale != fp and not stale.startswith(fp + ".tmp."):
+            # mid-write would race a concurrent builder of the same cache —
+            # UNLESS the builder pid is dead (crash leftover: prune, else
+            # the scratch dir leaks across rounds until the fp changes).
+            if stale.startswith(fp + ".tmp."):
+                if _tmp_builder_dead(stale, fp):
+                    shutil.rmtree(os.path.join(parent, stale), ignore_errors=True)
+            elif stale != fp:
                 shutil.rmtree(os.path.join(parent, stale), ignore_errors=True)
     return path
+
+
+def _tmp_builder_dead(name: str, fp: str) -> bool:
+    """True when a ``<fp>.tmp.<pid>`` scratch dir's builder process is no
+    longer alive (or the suffix is malformed) — safe to prune."""
+    suffix = name[len(fp + ".tmp.") :]
+    try:
+        pid = int(suffix)
+    except ValueError:
+        return True
+    try:
+        os.kill(pid, 0)
+    except ProcessLookupError:
+        return True
+    except PermissionError:
+        return False  # alive, owned by someone else
+    return False
 
 
 def _atomic_cache_write(write_to, path: str) -> None:
@@ -74,7 +95,15 @@ def _atomic_cache_write(write_to, path: str) -> None:
     directory — never a partial write.  ``write_to`` is a callable taking
     the destination path (e.g. ``lambda p: df.write.parquet(p)``).  Losing
     the rename race to another builder of the same fingerprint is fine:
-    their result is equivalent; ours is discarded."""
+    their result is equivalent; ours is discarded.
+
+    Rename failure is adjudicated by errno, not swallowed: losing the race
+    to a COMPLETE sibling (``_SUCCESS`` present) discards our copy, but a
+    partial dir already at ``path`` without ``_SUCCESS`` (e.g. a crash from
+    a pre-atomic writer) is evicted and the rename retried once — otherwise
+    every run would rebuild, fail ENOTEMPTY, discard, and read the stale
+    partial forever.  Unexpected errnos re-raise."""
+    import errno
     import shutil
 
     tmp = f"{path}.tmp.{os.getpid()}"
@@ -82,8 +111,25 @@ def _atomic_cache_write(write_to, path: str) -> None:
     write_to(tmp)
     try:
         os.rename(tmp, path)
+        return
+    except OSError as exc:
+        if exc.errno not in (errno.ENOTEMPTY, errno.EEXIST, errno.EISDIR):
+            shutil.rmtree(tmp, ignore_errors=True)
+            raise
+        if os.path.exists(os.path.join(path, "_SUCCESS")):
+            # Lost the race to a complete equivalent build: ours is surplus.
+            shutil.rmtree(tmp, ignore_errors=True)
+            return
+    # Incomplete dir squatting on the cache path: evict and retry once.
+    shutil.rmtree(path, ignore_errors=True)
+    try:
+        os.rename(tmp, path)
     except OSError:
+        # Second loss: only plausible cause is a concurrent builder that
+        # just published; verify completeness rather than guess.
         shutil.rmtree(tmp, ignore_errors=True)
+        if not os.path.exists(os.path.join(path, "_SUCCESS")):
+            raise
 
 
 def _layout_table(spark: SparkSession, sf_dir: str, layout: str) -> SfcTable:
@@ -228,6 +274,290 @@ def layout_skipping_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     for p in parts[1:]:
         out = out.unionByName(p)
     return out.orderBy("layout")
+
+
+# --- RQ7-style incremental-ingest drift census ------------------------------
+#
+# The reference's RQ7 matrix (run_RQ_7_matrix.sh:41-63, fig_rq7_tpch.py:33-77,
+# BASELINE.md "RQ7 summaries") measures how a clustered table's query cost
+# drifts as incremental upsert batches land.  This entry is that loop as a
+# driver-checked census: a zorder-clustered base table ingests 3 batches
+# (each ~10% new rows + a 1%-of-orders update slice, all MODULUS-derived so
+# any engine reproduces the states bit-for-bit — no rand), and after every
+# batch the standard S1 box probe reruns against the rewritten layout.
+
+_DRIFT_BATCHES = 3
+_DRIFT_QTY_BUMP = 25  # update slice: l_quantity += 25 (moves rows out of box)
+
+
+def _drift_upd_mod(k: int) -> int:
+    """Update-slice selector for batch k: l_orderkey % 100 == 10k+4 — always
+    inside the base residue classes (% 10 == 4), disjoint across batches."""
+    return 10 * k + 4
+
+
+_DRIFT_BOX = (
+    "l_shipdate BETWEEN TIMESTAMP '1996-01-01' AND TIMESTAMP '1997-06-30' "
+    "AND {q} BETWEEN 10 AND 30"
+)
+
+
+def _drift_oracle() -> str:
+    rows = []
+    for k in range(_DRIFT_BATCHES + 1):
+        # -1 = impossible-residue sentinel for k=0: IN (-1) is an honest
+        # empty set and NOT IN (-1) an honest everything (IN (NULL) would
+        # be NULL-valued and NOT IN (NULL) would silently drop every row).
+        new_res = ", ".join(str(j) for j in range(1, k + 1)) or "-1"
+        upd_res = ", ".join(str(_drift_upd_mod(j)) for j in range(1, k + 1)) or "-1"
+        rows.append(f"""
+  SELECT {k} AS batch,
+         (SELECT COUNT(*) FROM base)
+           + (SELECT COUNT(*) FROM li WHERE l_orderkey % 10 IN ({new_res}))
+           AS rows_total,
+         (SELECT COUNT(*) FROM base
+           WHERE l_orderkey % 100 NOT IN ({upd_res})
+             AND {_DRIFT_BOX.format(q="l_quantity")})
+           + (SELECT COUNT(*) FROM base
+               WHERE l_orderkey % 100 IN ({upd_res})
+                 AND {_DRIFT_BOX.format(q=f"l_quantity + {_DRIFT_QTY_BUMP}")})
+           + (SELECT COUNT(*) FROM li
+               WHERE l_orderkey % 10 IN ({new_res})
+                 AND {_DRIFT_BOX.format(q="l_quantity")})
+           AS box_rows,
+         TRUE AS skips_files""")
+    union = "\n  UNION ALL\n".join(rows)
+    return f"""
+    WITH li AS (SELECT l_orderkey, l_quantity, l_shipdate FROM lineitem),
+    base AS (SELECT * FROM li WHERE l_orderkey % 10 NOT IN (1, 2, 3))
+    SELECT * FROM (
+    {union}
+    ) ORDER BY batch
+    """
+
+
+def _drift_base_and_batches(spark: SparkSession, sf_dir: str):
+    """(base_df, [batch_df ...]) — modulus-derived states with a __v
+    precombine version column (0 = base, k = batch k).
+
+    The record key is ``__rid`` — md5 over every raw column: the synthetic
+    lineitem does NOT keep TPC-H's (l_orderkey, l_linenumber) unique
+    (45 832 distinct of 60 000 at sf0.01), so keying on it would collapse
+    distinct raw rows in the very first dedup and diverge from the
+    oracle's closed-form set arithmetic.  Full rows ARE unique at every
+    fixture, the rid is computed BEFORE the update slice mutates
+    l_quantity (an update must keep its row's key), and it never leaves
+    the Spark side — the oracle reasons about the same sets by residue."""
+    li = load_table(spark, sf_dir, "lineitem")
+    li = li.withColumn(
+        "__rid",
+        F.md5(
+            F.concat_ws(
+                "\x1f",
+                *[
+                    F.coalesce(F.col(c).cast("string"), F.lit("\x00"))
+                    for c in li.columns
+                ],
+            )
+        ),
+    )
+    in_base = ~(F.col("l_orderkey") % 10).isin(1, 2, 3)
+    base = li.filter(in_base).withColumn("__v", F.lit(0))
+    batches = []
+    for k in range(1, _DRIFT_BATCHES + 1):
+        news = li.filter((F.col("l_orderkey") % 10) == k).withColumn(
+            "__v", F.lit(k)
+        )
+        upd = (
+            li.filter(in_base & ((F.col("l_orderkey") % 100) == _drift_upd_mod(k)))
+            .withColumn("l_quantity", F.col("l_quantity") + _DRIFT_QTY_BUMP)
+            .withColumn("__v", F.lit(k))
+        )
+        batches.append(news.unionByName(upd))
+    return base, batches
+
+
+def _drift_states_dir(spark: SparkSession, sf_dir: str) -> str:
+    """Materialize the 4 post-ingest table states (state_0 = base, state_k =
+    state_{k-1} + batch k via ``keyed_upsert``) once per dataset
+    fingerprint; record per-batch ingest elapsed + table bytes in
+    drift_metrics.json inside the cache dir (the RQ7 observables that are
+    host-dependent and therefore artifact, not oracle, material)."""
+    import json
+    import shutil
+    import time as _time
+
+    from lakehouse_sfc_spark.layout.upsert import keyed_upsert
+
+    path = os.path.dirname(drift_metrics_path(sf_dir))
+    if os.path.exists(os.path.join(path, "_SUCCESS")):
+        return path
+
+    base, batches = _drift_base_and_batches(spark, sf_dir)
+    wkw = dict(
+        layout="zorder",
+        layout_cols=list(_LAYOUT_COLS),
+        stats_cols=list(_LAYOUT_COLS),
+        num_files=16,
+    )
+
+    def _bytes(d: str) -> int:
+        return sum(
+            os.path.getsize(os.path.join(r, f))
+            for r, _dirs, fs in os.walk(d)
+            for f in fs
+        )
+
+    def build(p: str) -> None:
+        os.makedirs(p)
+        metrics = []
+        t0 = _time.perf_counter()
+        st = os.path.join(p, "state_0")
+        SfcTable.write(base, st, **wkw)
+        metrics.append(
+            {"batch": 0, "ingest_s": round(_time.perf_counter() - t0, 3),
+             "bytes_table": _bytes(st)}
+        )
+        for k, batch in enumerate(batches, start=1):
+            prev, st = st, os.path.join(p, f"state_{k}")
+            shutil.copytree(prev, st)
+            t0 = _time.perf_counter()
+            keyed_upsert(st, batch, ["__rid"], "__v", **wkw)
+            metrics.append(
+                {"batch": k, "ingest_s": round(_time.perf_counter() - t0, 3),
+                 "bytes_table": _bytes(st)}
+            )
+        # The sidecars recorded absolute file paths under the tmp build
+        # dir; after the atomic rename those would dangle (PATH_NOT_FOUND
+        # on the first pruned scan).  Rehome every state to the final
+        # cache path BEFORE publishing — a lost rename race is then still
+        # safe because the winner rehomed its own tree the same way.
+        from lakehouse_sfc_spark.layout.writer import _rehome_sidecar
+
+        for k in range(_DRIFT_BATCHES + 1):
+            _rehome_sidecar(
+                os.path.join(p, f"state_{k}"), old_dir=p, new_dir=path
+            )
+        with open(os.path.join(p, "drift_metrics.json"), "w") as fh:
+            json.dump({"sf_dir": sf_dir, "batches": metrics}, fh, indent=1)
+        open(os.path.join(p, "_SUCCESS"), "w").close()
+
+    _atomic_cache_write(build, path)
+    return path
+
+
+def drift_metrics_path(sf_dir: str) -> str:
+    """Path of the ingest-loop observables artifact for ``sf_dir``'s drift
+    state cache (exists only after a build; bench.py maps it to the
+    published RQ7 series)."""
+    return os.path.join(
+        _fingerprinted_dir(
+            os.path.join(os.path.dirname(_scratch_root()), "drift_states", _VERSION),
+            sf_dir,
+            ("lineitem",),
+        ),
+        "drift_metrics.json",
+    )
+
+
+@register("layout_drift_stats", oracle=_drift_oracle(), headline=True)
+def layout_drift_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental-ingest drift census (r11 verdict task 4; reference RQ7,
+    run_RQ_7_matrix.sh:41-63): a zorder table ingests 3 deterministic
+    upsert batches (10% new rows + a disjoint 1%-of-orders update slice
+    that bumps l_quantity out of the probe box, latest-wins on the __v
+    version via ``keyed_upsert``'s COW rewrite), and after every batch the
+    S1 box probe reruns against the rewritten layout.  One census row per
+    post-ingest state:
+
+    - ``rows_total`` — table cardinality (base + cumulative new rows;
+      updates replace, never add — the upsert key contract).
+    - ``box_rows``   — pruned-scan + full-predicate survivors; must track
+      the update slice leaving the box (quantity bump) and the new rows
+      entering it — any upsert/layout/pruning bug lands here as a hash
+      mismatch against the oracle's closed-form state reconstruction.
+    - ``skips_files`` — the rewritten zorder layout still prunes files for
+      the box probe after EVERY ingest (the drift the reference's RQ7
+      measures as bytes_scanned growth; a TRUE that flips red means the
+      rewrite stopped clustering).
+
+    Host-dependent observables (per-batch ingest seconds, table bytes) go
+    to drift_metrics.json in the state cache — bench.py maps them to the
+    published RQ7 series (BASELINE.md) under ``vs_baseline.rq7``.
+
+    Scale shape: each ingest is the keyed-upsert plan (one shuffle on the
+    record key + layout write); the census itself is O(files) driver-side
+    sidecar reads plus 4 lazy box aggregates, same as
+    ``layout_skipping_stats``.  At 100 TB the rewrite is the scoped
+    variant (layout/upsert.py::scoped_upsert) and the census reads the
+    manifest — the per-batch loop shape is unchanged."""
+    if os.environ.get("SPARK_GRAFT_LAZY_BUILD"):
+        return _drift_census_lazy(spark, sf_dir)
+    root = _drift_states_dir(spark, sf_dir)
+    parts = []
+    for k in range(_DRIFT_BATCHES + 1):
+        tbl = SfcTable(spark, os.path.join(root, f"state_{k}"))
+        _, m = prune_files(tbl.sidecar, _PREDS)
+        rows_total = tbl.read().agg(F.count(F.lit(1)).alias("rows_total"))
+        box = tbl.scan(_PREDS).agg(F.count(F.lit(1)).alias("box_rows"))
+        parts.append(
+            rows_total.crossJoin(box).select(
+                F.lit(k).alias("batch"),
+                F.col("rows_total"),
+                F.col("box_rows"),
+                F.lit(m["files_scanned"] < m["files_total"]).alias(
+                    "skips_files"
+                ),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.orderBy("batch")
+
+
+def _drift_census_lazy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Plan-construction-safe twin of the census (SPARK_GRAFT_LAZY_BUILD):
+    the same per-state counts derived straight from lineitem — no state
+    materialization, no jobs before the plan exists.  skips_files is the
+    layout contract constant (what the materialized path asserts)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    in_base = ~(F.col("l_orderkey") % 10).isin(1, 2, 3)
+    box = (
+        F.col("l_shipdate").between(
+            datetime.datetime(1996, 1, 1), datetime.datetime(1997, 6, 30)
+        )
+        & F.col("__q").between(10, 30)
+    )
+    parts = []
+    for k in range(_DRIFT_BATCHES + 1):
+        new_res = list(range(1, k + 1))
+        upd_res = [_drift_upd_mod(j) for j in range(1, k + 1)]
+        is_new = (F.col("l_orderkey") % 10).isin(new_res) if new_res else F.lit(False)
+        is_upd = (
+            in_base & (F.col("l_orderkey") % 100).isin(upd_res)
+            if upd_res
+            else F.lit(False)
+        )
+        q = F.when(is_upd, F.col("l_quantity") + _DRIFT_QTY_BUMP).otherwise(
+            F.col("l_quantity")
+        )
+        state = li.filter(in_base | is_new).withColumn("__q", q)
+        parts.append(
+            state.agg(
+                F.count(F.lit(1)).alias("rows_total"),
+                F.count(F.when(box, 1)).alias("box_rows"),
+            ).select(
+                F.lit(k).alias("batch"),
+                "rows_total",
+                "box_rows",
+                F.lit(True).alias("skips_files"),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.orderBy("batch")
 
 
 @register(

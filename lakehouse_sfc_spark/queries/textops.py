@@ -897,6 +897,7 @@ _BM25_TERMS = ("spark", "join", "scan")
     FROM ranked WHERE rk <= 10
     ORDER BY term, rk
     """,
+    headline=True,  # r11 verdict task 3: text family under the bench gate
 )
 def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BM25 keyword search: top-10 documents per query term, scored with

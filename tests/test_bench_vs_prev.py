@@ -163,9 +163,12 @@ def test_multi_dim_rescales_by_worst_ratio(tmp_path):
     assert out["out_of_spread"] == {}
 
 
-def test_scan_mbps_ratio_inverts(tmp_path):
-    """scan_mbps is a throughput (higher = faster): a 2x-slower disk means
-    prev/cur = 2.0, and it must win over flat CPU dims."""
+def test_scan_mbps_annotates_but_does_not_rescale(tmp_path):
+    """ADVICE r11: scan_mbps is a one-shot cold probe — it must NOT set the
+    rescale factor (one noisy read would excuse CPU-bound regressions).  A
+    2x IO ratio with flat CPU dims still reports in calib_ratios, the flag
+    fires under the CPU-only rescale, and the flag self-adjudicates via
+    io_attributed=True (the move clears the gate under IO rescaling)."""
     (tmp_path / "BENCH_r09.json").write_text(
         json.dumps({"n": 9, "parsed": _PARSED_MULTI})
     )
@@ -176,9 +179,30 @@ def test_scan_mbps_ratio_inverts(tmp_path):
         calibs,
         bench_dir=tmp_path,
     )
-    assert out["calib_ratio_dim"] == "scan_mbps"
-    assert out["calib_ratio"] == 2.0
-    assert out["out_of_spread"] == {}
+    assert out["calib_ratio_dim"] == "cpu_calib_sec"
+    assert out["calib_ratio"] == 1.0
+    assert out["calib_ratios"]["scan_mbps"] == 2.0
+    flag = out["out_of_spread"]["q1_filter"]
+    assert flag["io_ratio"] == 2.0
+    assert flag["io_attributed"] is True
+
+
+def test_io_noise_cannot_mask_cpu_regression(tmp_path):
+    """A genuinely 3x-slower query on flat CPU dims is flagged with
+    io_attributed=False even when the IO probe claims a 2x-slow disk —
+    the IO excuse does not cover the size of the move."""
+    (tmp_path / "BENCH_r09.json").write_text(
+        json.dumps({"n": 9, "parsed": _PARSED_MULTI})
+    )
+    calibs = {"cpu_calib_sec": 0.10, "mcore_calib_sec": 0.20, "scan_mbps": 50.0}
+    out = _vs_prev(
+        {"q1_filter": 0.300},
+        {"q1_filter": {"min": 0.300, "max": 0.320}},
+        calibs,
+        bench_dir=tmp_path,
+    )
+    flag = out["out_of_spread"]["q1_filter"]
+    assert flag["io_attributed"] is False
 
 
 def test_multi_dim_still_flags_real_regression(tmp_path):
@@ -243,3 +267,33 @@ def test_vs_baseline_empty():
     from bench import _vs_baseline
 
     assert _vs_baseline({}) == {"geomean": None, "ratios": {}}
+
+
+def test_vs_baseline_off_sf_not_comparable():
+    """ADVICE r11: _BASELINE_SEC is sf0.1-priced; any other run sf must
+    yield an explicit not-comparable block, never ratios."""
+    from bench import _vs_baseline
+
+    out = _vs_baseline({"q1_filter": 0.2}, sf=0.01)
+    assert out["geomean"] is None
+    assert out["ratios"] == {}
+    assert out["comparable"] is False
+    assert out["sf"] == 0.01
+
+
+def test_llm_pipeline_families_are_headline():
+    """r11 verdict task 3: the dedup/text/ANN families — the repo's
+    heaviest movers — must sit under the bench regression gate, not only
+    in the (regenerated, never compared) SCALING ladder."""
+    import lakehouse_sfc_spark.queries  # noqa: F401  (register all)
+    from lakehouse_sfc_spark.queries.registry import QUERIES
+
+    headline = {n for n, s in QUERIES.items() if s.headline}
+    assert {
+        "dedup_minhash_lsh",
+        "text_bm25_topk",
+        "dedup_embedding_topk",
+    } <= headline
+    # and the TPC-H/layout originals stay
+    assert {"q1_filter", "q2_date_range", "q3_group_by", "q4_order_limit",
+            "layout_zorder_scan"} <= headline

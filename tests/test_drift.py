@@ -1,0 +1,83 @@
+"""layout_drift_stats (r11 verdict task 4): the RQ7-style incremental-
+ingest census.  The oracle sweep checks the materialized path against
+DuckDB; these tests pin what the sweep can't see — the lazy twin staying
+equivalent to the real ingest loop, the census invariants, and the
+ingest-observables artifact bench.py maps to the RQ7 baseline series.
+"""
+
+from __future__ import annotations
+
+import json
+
+import lakehouse_sfc_spark.queries  # noqa: F401  (register all)
+from lakehouse_sfc_spark.queries.layouts import (
+    _DRIFT_BATCHES,
+    _drift_census_lazy,
+    drift_metrics_path,
+)
+from lakehouse_sfc_spark.queries.registry import QUERIES
+
+SF = "/root/testdata/sf0.001"
+
+
+def _census(spark):
+    return QUERIES["layout_drift_stats"].fn(spark, SF).collect()
+
+
+def test_census_matches_lazy_twin(spark):
+    """The materialized ingest loop (states + keyed_upsert + pruned scans)
+    and the plan-construction-safe closed-form twin must agree row for row
+    — a drift between them means the upsert or the pruning is wrong in a
+    way the oracle-vs-oracle symmetry could mask."""
+    real = sorted(tuple(r) for r in _census(spark))
+    lazy = sorted(tuple(r) for r in _drift_census_lazy(spark, SF).collect())
+    assert real == lazy
+    assert len(real) == _DRIFT_BATCHES + 1
+
+
+def test_census_invariants(spark):
+    rows = sorted(_census(spark), key=lambda r: r["batch"])
+    # each batch ADDS rows (updates replace, news insert)
+    totals = [r["rows_total"] for r in rows]
+    assert totals == sorted(totals) and len(set(totals)) == len(totals)
+    # the rewritten layout keeps pruning after every ingest
+    assert all(r["skips_files"] for r in rows)
+    # the box keeps gaining the new rows' survivors (update slice leaves,
+    # but it is ~1% of orders vs 10% new rows — strictly growing net)
+    box = [r["box_rows"] for r in rows]
+    assert box == sorted(box)
+
+
+def test_ingest_observables_artifact(spark):
+    """The per-batch ingest elapsed + table bytes land in the state cache
+    (host-dependent, so artifact not oracle material) — the RQ7
+    observables bench.py reports under vs_baseline.rq7."""
+    _census(spark)
+    with open(drift_metrics_path(SF)) as fh:
+        m = json.load(fh)
+    batches = m["batches"]
+    assert [b["batch"] for b in batches] == list(range(_DRIFT_BATCHES + 1))
+    assert all(b["ingest_s"] > 0 for b in batches)
+    # table bytes grow with ingested data (the RQ7 bytes_scanned drift)
+    sizes = [b["bytes_table"] for b in batches]
+    assert all(s > 0 for s in sizes)
+    assert sizes[-1] > sizes[0]
+
+
+def test_rq7_bench_block(spark):
+    """bench.py's vs_baseline.rq7 mapping: present once the drift cache
+    exists, carries our batches + the reference citation, and is marked
+    not-comparable (hudi sf16 vs local zorder)."""
+    _census(spark)
+    import sys
+    from pathlib import Path
+
+    sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+    from bench import _rq7_vs_baseline
+
+    block = _rq7_vs_baseline(SF)
+    assert block is not None
+    assert block["comparable"] is False
+    assert len(block["batches"]) == _DRIFT_BATCHES + 1
+    assert block["reference"]["batch0_mean_s"] == 0.477
+    assert _rq7_vs_baseline("/nonexistent/sfX") is None

@@ -164,3 +164,17 @@ def test_vectorized_paths_adversarial_roundtrip():
         b = np.stack([a, a[::-1].copy()], axis=1)
         out = decode_flac(encode_flac(b, 8000))[1]
         assert (out == b).all(), f"case {i} stereo"
+
+
+def test_truncated_payload_raises_contracted_error_never_indexerror():
+    """ADVICE r11: a payload cut mid-Rice-remainder used to let the unary
+    pointer walk run past the ones sentinel (IndexError). Every truncation
+    point must surface the codec's contracted ValueError (or a struct
+    error from the fixed headers), never an IndexError."""
+    rng = np.random.RandomState(7)
+    a = rng.randint(-3000, 3000, size=600).astype(np.int16)
+    blob = encode_flac(a, 8000)
+    # dense sample of cut points through the frame payload region
+    for cut in range(len(blob) - 1, 42, -7):
+        with pytest.raises((ValueError, struct.error, NotImplementedError)):
+            decode_flac(blob[:cut])

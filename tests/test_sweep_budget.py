@@ -38,6 +38,7 @@ sys.path.insert(0, str(REPO))
 from tools.host_calib import (  # noqa: E402
     PER_QUERY_BUDGET_S,
     STREAMING_QUERY_BUDGET_S,
+    adjudicate_breaches,
     budget_scale,
     per_query_budget,
 )
@@ -103,19 +104,109 @@ def test_full_driver_sweep_within_budget(tmp_path):
     missing = set(QUERIES) - names
     assert not missing, f"registry entries never swept: {sorted(missing)}"
 
+    # r11 verdict task 1a: the sweep must leave a per-entry timing artifact
+    # (spark_s vs oracle_s vs wall) so a breach is adjudicable post-hoc.
+    import json
+
+    art = REPO / ".scratch" / "sweep_times.json"
+    assert art.exists(), "driver_sim did not write .scratch/sweep_times.json"
+    data = json.loads(art.read_text())
+    assert set(data["entries"]) == names
+    assert all(
+        {"spark_s", "oracle_s", "wall_s"} <= set(v)
+        for v in data["entries"].values()
+    )
+
     timings = {n: float(t) for n, _, t in results}
     total = sum(timings.values())
     slow = {
-        n: (t, per_query_budget(n, scale))
-        for n, t in timings.items()
-        if t > per_query_budget(n, scale)
+        n: t for n, t in timings.items() if t > per_query_budget(n, scale)
     }
-    assert not slow, (
-        f"entries over the calibration-scaled per-query budget "
-        f"(host scale {scale}): {slow}"
+
+    def _rerun(names):
+        """Fresh subset sweep for the breaching entries only."""
+        p = subprocess.run(
+            [sys.executable, str(REPO / "tools" / "driver_sim.py"), *names],
+            cwd=tmp_path,
+            capture_output=True,
+            text=True,
+            timeout=SWEEP_TIMEOUT_S * budget_scale(),
+        )
+        return {
+            n: float(t)
+            for n, _s, t in re.findall(
+                r"^RESULT (\S+) (\S+) ([0-9.]+)s", p.stdout, re.M
+            )
+        }
+
+    # r11 verdict task 1: a per-entry breach re-probes calibration (the
+    # host may have stalled AFTER the pre-sweep probe) and re-runs the
+    # entry once; only a rerun that also breaches fails the suite.
+    confirmed = adjudicate_breaches(slow, scale, budget_scale, _rerun)
+    assert not confirmed, (
+        f"entries over the calibration-scaled per-query budget after "
+        f"re-probe + one rerun (pre-sweep host scale {scale}): {confirmed}"
     )
     assert total <= TOTAL_BUDGET_S * scale, (
         f"full sweep took {total:.0f}s > {TOTAL_BUDGET_S * scale:.0f}s "
         f"budget (host scale {scale}); "
         f"slowest: {sorted(timings.items(), key=lambda kv: -kv[1])[:8]}"
     )
+
+
+def test_breach_adjudication_fixture():
+    """Fixture tests for the breach path (r11 verdict task 1): a breach
+    caused by a post-probe host stall clears on re-probe; a transient
+    entry stall clears on the single rerun; a genuine regression is
+    confirmed and fails — and a clean sweep never probes or reruns."""
+    calls = {"reprobe": 0, "rerun": []}
+
+    def reprobe_2x():
+        calls["reprobe"] += 1
+        return 2.0
+
+    def reprobe_flat():
+        calls["reprobe"] += 1
+        return 1.0
+
+    def rerun_fast(names):
+        calls["rerun"].append(list(names))
+        return {n: 1.0 for n in names}
+
+    def rerun_slow(names):
+        calls["rerun"].append(list(names))
+        return {n: 99.0 for n in names}
+
+    # 1. No breaches: nothing probed, nothing rerun.
+    assert adjudicate_breaches({}, 1.0, reprobe_flat, rerun_fast) == {}
+    assert calls == {"reprobe": 0, "rerun": []}
+
+    # 2. Host stalled after the pre-sweep probe: 15 s at scale 1.0 breaches
+    # the 10 s budget, but the fresh probe says the host is 2x slow -> the
+    # 20 s budget clears it without any rerun.
+    assert adjudicate_breaches(
+        {"q1_filter": 15.0}, 1.0, reprobe_2x, rerun_fast
+    ) == {}
+    assert calls["rerun"] == []
+
+    # 3. Transient per-entry stall: still over budget at the fresh scale,
+    # but the one rerun comes back fast -> green.
+    assert adjudicate_breaches(
+        {"q1_filter": 76.8}, 1.0, reprobe_flat, rerun_fast
+    ) == {}
+    assert calls["rerun"] == [["q1_filter"]]
+
+    # 4. Genuine regression: breaches again on rerun -> confirmed, with
+    # the full adjudication trail in the failure payload.
+    out = adjudicate_breaches(
+        {"q1_filter": 76.8}, 1.0, reprobe_flat, rerun_slow
+    )
+    assert out["q1_filter"]["first_s"] == 76.8
+    assert out["q1_filter"]["rerun_s"] == 99.0
+    assert out["q1_filter"]["budget_s"] == 10.0
+
+    # 5. An entry the rerun failed to time at all (crash) stays confirmed.
+    out = adjudicate_breaches(
+        {"q1_filter": 76.8}, 1.0, reprobe_flat, lambda names: {}
+    )
+    assert out["q1_filter"]["rerun_s"] is None

@@ -187,14 +187,22 @@ def main() -> int:
     fails = []
     total0 = time.time()
     timings = {}
+    # Per-entry timing artifact (r11 verdict task 1): the sweep's heavy
+    # tail swings 4-19 s on stall-prone hosts with no record of WHERE the
+    # time went (Spark side vs oracle side vs total), so adjudicating a
+    # budget breach needed a human re-run.  Every sweep now writes
+    # .scratch/sweep_times.json with spark_s/oracle_s/wall_s per entry.
+    detail: dict[str, dict] = {}
     for name, fn in qs.items():
         if only and name not in only:
             continue
         t0 = time.time()
+        spark_s = oracle_s = 0.0
         try:
             df = fn(spark, SF_DIR)
             cols = df.columns
             rows = [tuple(r) for r in df.collect()]
+            spark_s = time.time() - t0
             ckey = None
             if use_cache and name in oracles:
                 sqlh = hashlib.md5(oracles[name].encode()).hexdigest()[:12]
@@ -230,6 +238,7 @@ def main() -> int:
                         )
                     continue
             if name in oracles:
+                to0 = time.time()
                 orc = con.execute(oracles[name])
                 ocols = [d[0] for d in orc.description]
                 orows = [tuple(r) for r in orc.fetchall()]
@@ -244,6 +253,7 @@ def main() -> int:
                     tuple(d[c] for c in ocols) for d in atbl.to_pylist()
                 ]
                 prows = pandas_rows(con, oracles[name], ocols, orows)
+                oracle_s = time.time() - to0
                 dt = time.time() - t0
                 timings[name] = dt
                 if value_hash(ocols, orows) != value_hash(ocols, arows):
@@ -321,12 +331,43 @@ def main() -> int:
             timings[name] = dt
             print(f"RESULT {name} ERROR {dt:.1f}s {type(ex).__name__}: {ex}", flush=True)
             fails.append(name)
+        finally:
+            detail[name] = {
+                "spark_s": round(spark_s, 2),
+                "oracle_s": round(oracle_s, 2),
+                "wall_s": round(timings.get(name, time.time() - t0), 2),
+            }
 
     total = time.time() - total0
+    _write_sweep_times(detail, total, fails, bool(only))
     slow = sorted(timings.items(), key=lambda kv: -kv[1])[:8]
     print(f"TOTAL {len(timings)} queries {total:.1f}s fails={len(fails)} {fails}")
     print("SLOWEST " + " ".join(f"{n}={t:.1f}s" for n, t in slow))
     return 1 if fails else 0
+
+
+def _write_sweep_times(detail, total, fails, subset: bool) -> None:
+    """Atomic dump of the per-entry timing artifact.  Subset runs write to
+    a sibling file so a breach-adjudication rerun never clobbers the full
+    sweep's record."""
+    import json
+
+    name = "sweep_times_subset.json" if subset else "sweep_times.json"
+    path = os.path.join(os.path.dirname(_DUCK_TMP), name)
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    payload = {
+        "sf_dir": SF_DIR,
+        "total_s": round(total, 1),
+        "fails": fails,
+        "entries": detail,
+    }
+    tmp = f"{path}.tmp.{os.getpid()}"
+    try:
+        with open(tmp, "w") as fh:
+            json.dump(payload, fh, indent=1, sort_keys=True)
+        os.replace(tmp, path)
+    except OSError:
+        pass  # observability artifact only — never fail the sweep over it
 
 
 if __name__ == "__main__":

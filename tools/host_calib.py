@@ -139,6 +139,42 @@ PER_QUERY_BUDGET_S = 10.0
 STREAMING_QUERY_BUDGET_S = 15.0
 
 
+def adjudicate_breaches(breaches, scale, reprobe, rerun) -> dict:
+    """Second-chance adjudication for per-entry sweep budget breaches
+    (r11 verdict task 1: a red that can't distinguish a transient host
+    stall from a regression still needs a human — the judge measured
+    dedup_keep_canonical at 76.8 s in one sweep and green an hour later
+    on the same box).
+
+    ``breaches``: {name: measured_sec} entries over their budget at the
+    PRE-sweep ``scale``.  ``reprobe``: () -> fresh budget_scale() — the
+    host may have degraded after the pre-sweep probe, so breaches are
+    first re-judged at max(scale, reprobe()).  Entries still over budget
+    are ``rerun`` once (names -> {name: sec}, a fresh subset sweep) and
+    only a rerun that ALSO breaches is confirmed.  Returns {name: info}
+    of confirmed breaches; empty dict = host weather, suite stays green.
+    """
+    if not breaches:
+        return {}
+    fresh = max(scale, reprobe())
+    still = {n: t for n, t in breaches.items() if t > per_query_budget(n, fresh)}
+    if not still:
+        return {}
+    retimed = rerun(sorted(still))
+    confirmed = {}
+    for n, t in still.items():
+        budget = per_query_budget(n, fresh)
+        t2 = retimed.get(n)
+        if t2 is None or t2 > budget:
+            confirmed[n] = {
+                "first_s": round(t, 1),
+                "rerun_s": None if t2 is None else round(t2, 1),
+                "budget_s": round(budget, 1),
+                "scale": round(fresh, 3),
+            }
+    return confirmed
+
+
 def per_query_budget(name: str, scale: float = 1.0) -> float:
     """Time budget for one driver-sim entry on a host `scale`x slower than
     the anchor.  A genuinely 2x-slow query still fails on the anchor host:

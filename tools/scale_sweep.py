@@ -151,6 +151,12 @@ PIPELINE_OPS = [
     "text_oov_rate",
     "snap_constraints",
     "advisor_workload_coverage",
+    # round 12 additions (r11 verdict tasks 1b/5: the sweep's #1/#3
+    # slowest entries and every new registry entry get ladder rows)
+    "dedup_keep_canonical",
+    "dedup_components",
+    "layout_skipping_stats",
+    "sample_mixture_temperature",
 ]
 
 
@@ -179,6 +185,17 @@ SF1_OPS = [
     "graph_kcore",
     "w_gap_histogram",
     "text_repetition_ratio",
+    # round 12: heavy-tail coverage for the components chain (judge
+    # measured dedup_keep_canonical at 76.8 s in one r11 sweep with no
+    # ladder row to adjudicate against) + sf1 probes for the r11/r12
+    # registry additions (layout_drift_stats is headline, so its
+    # sf0.001-0.1 ladder comes from the headline table; the sf1 probe
+    # lands here with the rest of the tail)
+    "dedup_keep_canonical",
+    "dedup_components",
+    "layout_skipping_stats",
+    "sample_mixture_temperature",
+    "layout_drift_stats",
 ]
 
 
