@@ -171,9 +171,12 @@ def _rq7_vs_baseline(sf_dir: str) -> dict | None:
         "batches": m.get("batches", []),
         "comparable": False,
         "reference": {
-            "series": "rq7_tpch_summary_elapsedTime_s.csv (hudi sf16)",
+            "series": "rq7_tpch_summary_{elapsedTime_s,bytes_scanned_ev}.csv "
+            "(hudi sf16)",
             "batch0_mean_s": 0.477,
             "settled_mean_s": [0.17, 0.35],
+            "batch0_bytes_scanned_mb": 1061,
+            "settled_bytes_scanned_mb": [1644, 1689],
         },
     }
 

@@ -288,6 +288,7 @@ def layout_skipping_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _DRIFT_BATCHES = 3
 _DRIFT_QTY_BUMP = 25  # update slice: l_quantity += 25 (moves rows out of box)
+_DRIFT_VERSION = "v2"  # bump when the state build or artifact shape changes
 
 
 def _drift_upd_mod(k: int) -> int:
@@ -432,11 +433,26 @@ def _drift_states_dir(spark: SparkSession, sf_dir: str) -> str:
         # on the first pruned scan).  Rehome every state to the final
         # cache path BEFORE publishing — a lost rename race is then still
         # safe because the winner rehomed its own tree the same way.
+        from lakehouse_sfc_spark.layout.stats import read_sidecar
         from lakehouse_sfc_spark.layout.writer import _rehome_sidecar
 
         for k in range(_DRIFT_BATCHES + 1):
-            _rehome_sidecar(
-                os.path.join(p, f"state_{k}"), old_dir=p, new_dir=path
+            st_k = os.path.join(p, f"state_{k}")
+            # RQ7's second observable: bytes the S1 box probe scans after
+            # each ingest (the reference series grows 1 061 -> ~1 689 MB
+            # across batches).  Probe BEFORE the rehome — the sidecar's
+            # file paths must point at files that exist (still the tmp
+            # tree here) for the byte counters to be real sizes.
+            sc = read_sidecar(st_k)
+            _, pm = prune_files(sc, _PREDS)
+            _rehome_sidecar(st_k, old_dir=p, new_dir=path)
+            metrics[k].update(
+                {
+                    "files_total": pm["files_total"],
+                    "files_scanned": pm["files_scanned"],
+                    "bytes_total": pm["bytes_total"],
+                    "bytes_scanned": pm["bytes_scanned"],
+                }
             )
         with open(os.path.join(p, "drift_metrics.json"), "w") as fh:
             json.dump({"sf_dir": sf_dir, "batches": metrics}, fh, indent=1)
@@ -452,7 +468,9 @@ def drift_metrics_path(sf_dir: str) -> str:
     published RQ7 series)."""
     return os.path.join(
         _fingerprinted_dir(
-            os.path.join(os.path.dirname(_scratch_root()), "drift_states", _VERSION),
+            os.path.join(
+                os.path.dirname(_scratch_root()), "drift_states", _DRIFT_VERSION
+            ),
             sf_dir,
             ("lineitem",),
         ),

@@ -62,6 +62,11 @@ def test_ingest_observables_artifact(spark):
     sizes = [b["bytes_table"] for b in batches]
     assert all(s > 0 for s in sizes)
     assert sizes[-1] > sizes[0]
+    # box-probe scan counters (RQ7's bytes_scanned observable): pruning
+    # holds each batch, and scanned bytes never exceed the table
+    for b in batches:
+        assert 0 < b["files_scanned"] < b["files_total"]
+        assert 0 < b["bytes_scanned"] <= b["bytes_total"]
 
 
 def test_rq7_bench_block(spark):

@@ -135,6 +135,11 @@ AUDITED_EXTRA = [
     # round 11 additions
     "ann_pq_topk",
     "layout_skipping_stats",
+    # round 12 additions (labels now read from the fingerprint cache;
+    # layout_drift_stats is headline so it is audited automatically)
+    "dedup_components",
+    "dedup_keep_canonical",
+    "sample_mixture_temperature",
 ]
 
 #: intended-plan annotations for rows that would otherwise read as
@@ -158,6 +163,27 @@ ANNOTATIONS = {
         "query-subvector broadcast) — never relation×relation; round 11 "
         "fused the 4 per-subspace pipelines into one exploded "
         "(vec_id, s) relation, ~5 shuffles total"
+    ),
+    "dedup_keep_canonical": (
+        "plan shown is the steady-state (label-cache-present) variant "
+        "(r11 verdict task 2): the cluster-label relation is materialized "
+        "once per dataset fingerprint by _component_labels, so this plan "
+        "is one corpus scan + a broadcast left join against the "
+        "|clustered|-sized dropped set read from the cache — the LSH + "
+        "pointer-doubling chain no longer re-runs here"
+    ),
+    "dedup_components": (
+        "plan shown is the steady-state (label-cache-present) variant: a "
+        "single scan of the fingerprint-cached (doc_id, component) "
+        "parquet; the pointer-doubling build plan executes once per "
+        "fingerprint inside _component_labels_build"
+    ),
+    "layout_drift_stats": (
+        "plan shown is the steady-state (state-cache-present) census: 4 "
+        "per-state pairs of (full count × pruned box count) over the "
+        "materialized post-ingest tables, unioned; the ingest loop "
+        "(keyed_upsert × 3 + zorder rewrites) executes once per dataset "
+        "fingerprint and its observables land in drift_metrics.json"
     ),
     "dq_chi_square_drift": (
         "the BroadcastNestedLoopJoins are the intended bounded crossJoins "
