@@ -337,31 +337,33 @@ def _drift_oracle() -> str:
     """
 
 
-def _drift_base_and_batches(spark: SparkSession, sf_dir: str):
-    """(base_df, [batch_df ...]) — modulus-derived states with a __v
-    precombine version column (0 = base, k = batch k).
-
-    The record key is ``__rid`` — md5 over every raw column: the synthetic
-    lineitem does NOT keep TPC-H's (l_orderkey, l_linenumber) unique
-    (45 832 distinct of 60 000 at sf0.01), so keying on it would collapse
-    distinct raw rows in the very first dedup and diverge from the
-    oracle's closed-form set arithmetic.  Full rows ARE unique at every
-    fixture, the rid is computed BEFORE the update slice mutates
-    l_quantity (an update must keep its row's key), and it never leaves
-    the Spark side — the oracle reasons about the same sets by residue."""
-    li = load_table(spark, sf_dir, "lineitem")
-    li = li.withColumn(
+def _with_rid(df):
+    """Append ``__rid`` — md5 over every raw column — as a deterministic
+    unique record key: full rows are unique at every fixture while the
+    synthetic lineitem does NOT keep TPC-H's (l_orderkey, l_linenumber)
+    unique, so any upsert keyed on natural columns would collapse distinct
+    raw rows.  Computed BEFORE any update mutates a column (an update must
+    keep its row's key); never leaves the Spark side."""
+    return df.withColumn(
         "__rid",
         F.md5(
             F.concat_ws(
                 "\x1f",
                 *[
                     F.coalesce(F.col(c).cast("string"), F.lit("\x00"))
-                    for c in li.columns
+                    for c in df.columns
                 ],
             )
         ),
     )
+
+
+def _drift_base_and_batches(spark: SparkSession, sf_dir: str):
+    """(base_df, [batch_df ...]) — modulus-derived states with a __v
+    precombine version column (0 = base, k = batch k).  Record key is the
+    ``__rid`` row hash (see ``_with_rid``); the oracle reasons about the
+    same sets by residue and never needs it."""
+    li = _with_rid(load_table(spark, sf_dir, "lineitem"))
     in_base = ~(F.col("l_orderkey") % 10).isin(1, 2, 3)
     base = li.filter(in_base).withColumn("__v", F.lit(0))
     batches = []
@@ -576,6 +578,220 @@ def _drift_census_lazy(spark: SparkSession, sf_dir: str) -> DataFrame:
     for p in parts[1:]:
         out = out.unionByName(p)
     return out.orderBy("batch")
+
+
+# --- file-scoped (WHERE-scoped) upsert census -------------------------------
+#
+# scoped_upsert (layout/upsert.py) is the 100 TB upsert path — only files
+# whose key ranges overlap the batch are read/merged/rewritten, the Delta
+# WHERE-scoped OPTIMIZE / Hudi partition-scoped upsert analog
+# (delta_write_layout.py:137,201-203).  Until round 12 it was pytest-only;
+# this census puts the scale claim itself under the driver's oracle gate.
+
+_SCOPED_VERSION = "v1"
+_SCOPED_QTY_BUMP = 25
+#: update band: l_orderkey in [40%, 45%] of MAX(l_orderkey) — integer
+#: arithmetic on both engines, contiguous in key space so a linear layout
+#: on l_orderkey localizes it to a strict subset of files
+_SCOPED_LO_NUM, _SCOPED_HI_NUM, _SCOPED_DEN = 40, 45, 100
+
+_SCOPED_ORACLE = f"""
+    WITH mx AS (SELECT MAX(l_orderkey) AS m FROM lineitem),
+    band AS (SELECT ({_SCOPED_LO_NUM} * m) // {_SCOPED_DEN} AS lo,
+                    ({_SCOPED_HI_NUM} * m) // {_SCOPED_DEN} AS hi FROM mx)
+    SELECT (SELECT COUNT(*) FROM lineitem) AS rows_total,
+           (SELECT COUNT(*) FROM lineitem, band
+             WHERE l_orderkey NOT BETWEEN band.lo AND band.hi
+               AND {_DRIFT_BOX.format(q="l_quantity")})
+           + (SELECT COUNT(*) FROM lineitem, band
+               WHERE l_orderkey BETWEEN band.lo AND band.hi
+                 AND {_DRIFT_BOX.format(q=f"l_quantity + {_SCOPED_QTY_BUMP}")})
+             AS box_rows,
+           (SELECT COUNT(*) FROM lineitem, band
+             WHERE l_orderkey BETWEEN band.lo AND band.hi) AS band_rows,
+           TRUE AS scoped_rewrite,
+           TRUE AS untouched_preserved
+    """
+
+
+def _scoped_table_dir(spark: SparkSession, sf_dir: str) -> str:
+    """Materialize, once per dataset fingerprint: a linear-on-l_orderkey
+    table of the full lineitem, then ONE scoped_upsert of the band update
+    — recording the scoped counters (files_rewritten/untouched/new) and a
+    byte-compare proof that untouched files survived, in
+    scoped_metrics.json."""
+    import json
+    import time as _time
+
+    from lakehouse_sfc_spark.layout.upsert import scoped_upsert
+
+    root = _fingerprinted_dir(
+        os.path.join(
+            os.path.dirname(_scratch_root()), "scoped_upsert", _SCOPED_VERSION
+        ),
+        sf_dir,
+        ("lineitem",),
+    )
+    if os.path.exists(os.path.join(root, "_SUCCESS")):
+        return root
+
+    li = _with_rid(load_table(spark, sf_dir, "lineitem")).withColumn(
+        "__v", F.lit(0)
+    )
+    stats_cols = ["l_orderkey", "__rid", "l_shipdate", "l_quantity"]
+
+    def build(p: str) -> None:
+        os.makedirs(p)
+        tbl = os.path.join(p, "table")
+        SfcTable.write(
+            li,
+            tbl,
+            layout="linear",
+            layout_cols=["l_orderkey"],
+            stats_cols=stats_cols,
+            num_files=16,
+        )
+        max_ok = li.agg(F.max("l_orderkey")).collect()[0][0]
+        lo = (_SCOPED_LO_NUM * max_ok) // _SCOPED_DEN
+        hi = (_SCOPED_HI_NUM * max_ok) // _SCOPED_DEN
+        batch = (
+            li.filter(F.col("l_orderkey").between(lo, hi))
+            .withColumn("l_quantity", F.col("l_quantity") + _SCOPED_QTY_BUMP)
+            .withColumn("__v", F.lit(1))
+        )
+        before = {
+            f: os.path.getsize(os.path.join(tbl, f))
+            for f in os.listdir(tbl)
+            if f.endswith(".parquet")
+        }
+        t0 = _time.perf_counter()
+        res = scoped_upsert(
+            tbl,
+            batch,
+            record_keys=["l_orderkey", "__rid"],
+            precombine="__v",
+            layout="linear",
+            layout_cols=["l_orderkey"],
+            stats_cols=stats_cols,
+            num_files=4,
+        )
+        res["upsert_s"] = round(_time.perf_counter() - t0, 3)
+        after = {
+            f: os.path.getsize(os.path.join(tbl, f))
+            for f in os.listdir(tbl)
+            if f.endswith(".parquet")
+        }
+        # byte-level proof of the scoped contract: every pre-upsert file
+        # either survived bit-identical in size or was one of the
+        # rewritten (deleted) affected files
+        survivors = {f for f in before if f in after and after[f] == before[f]}
+        res["files_before"] = len(before)
+        # .get defaults: a fall-back to the full keyed_upsert (sidecar
+        # missing a record-key column) reports scoped=False with no file
+        # counters — that must surface as a clean FALSE (oracle mismatch),
+        # not a build crash.
+        res["untouched_preserved"] = len(survivors) == res.get(
+            "files_untouched", -1
+        )
+        res["scoped_rewrite"] = bool(res.get("scoped")) and res.get(
+            "files_rewritten", len(before)
+        ) < len(before)
+        res["band"] = [int(lo), int(hi)]
+        from lakehouse_sfc_spark.layout.writer import _rehome_sidecar
+
+        _rehome_sidecar(tbl, old_dir=p, new_dir=root)
+        with open(os.path.join(p, "scoped_metrics.json"), "w") as fh:
+            json.dump(res, fh, indent=1, default=str)
+        open(os.path.join(p, "_SUCCESS"), "w").close()
+
+    _atomic_cache_write(build, root)
+    return root
+
+
+@register("layout_scoped_upsert_stats", oracle=_SCOPED_ORACLE)
+def layout_scoped_upsert_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-scoped upsert census: lineitem written linear-on-l_orderkey,
+    then one UPDATE batch confined to the [40%, 45%]-of-max key band is
+    applied via ``scoped_upsert`` — only band-overlapping files are
+    read/merged/rewritten (key-range pruning off the sidecar; the
+    record-key set includes ``l_orderkey`` precisely so the bounds prune).
+    One census row:
+
+    - ``rows_total``  — updates replace, never add: the table cardinality
+                        must be exactly |lineitem| after the rewrite.
+    - ``box_rows``    — S1 box survivors post-update; the oracle rebuilds
+                        the updated state closed-form (band rows carry
+                        l_quantity+25), so a scoped merge that loses or
+                        duplicates ANY row — in or out of the band — lands
+                        here as a hash mismatch.
+    - ``band_rows``   — update-slice size (the data the rewrite had to
+                        touch; at 100 TB the cost driver).
+    - ``scoped_rewrite`` — files_rewritten was a STRICT subset of the
+                        table's files (the scale claim itself).
+    - ``untouched_preserved`` — every non-affected file survived the swap
+                        bit-identical in size (byte-compare proof recorded
+                        at build time in scoped_metrics.json).
+
+    Scale shape: upsert cost is O(band files + batch), not O(table) —
+    Hudi's partition-path scoping / Delta's WHERE-scoped OPTIMIZE
+    (delta_write_layout.py:137,201-203) expressed natively; at sf1 the
+    batch's distinct-key count exceeds the IN-set cap and pruning falls
+    back to pure key-range bounds, which still localize to the band."""
+    if os.environ.get("SPARK_GRAFT_LAZY_BUILD"):
+        return _scoped_census_lazy(spark, sf_dir)
+    root = _scoped_table_dir(spark, sf_dir)
+    import json
+
+    with open(os.path.join(root, "scoped_metrics.json")) as fh:
+        m = json.load(fh)
+    lo, hi = m["band"]
+    tbl = SfcTable(spark, os.path.join(root, "table"))
+    t = tbl.read()
+    in_band = F.col("l_orderkey").between(lo, hi)
+    box = tbl.scan(_PREDS).agg(F.count(F.lit(1)).alias("box_rows"))
+    head = t.agg(
+        F.count(F.lit(1)).alias("rows_total"),
+        F.count(F.when(in_band, 1)).alias("band_rows"),
+    )
+    return head.crossJoin(box).select(
+        "rows_total",
+        "box_rows",
+        "band_rows",
+        F.lit(bool(m["scoped_rewrite"])).alias("scoped_rewrite"),
+        F.lit(bool(m["untouched_preserved"])).alias("untouched_preserved"),
+    )
+
+
+def _scoped_census_lazy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Plan-construction-safe twin (SPARK_GRAFT_LAZY_BUILD): the updated
+    state reconstructed closed-form from lineitem; booleans are the
+    contract constants the materialized path proves."""
+    li = load_table(spark, sf_dir, "lineitem")
+    mx = li.agg(F.max("l_orderkey").alias("m"))
+    j = li.crossJoin(F.broadcast(mx))
+    # integer DIV keeps the band bounds exact on both engines (the oracle
+    # uses DuckDB's // on BIGINT)
+    in_band = F.col("l_orderkey").between(
+        F.expr(f"({_SCOPED_LO_NUM} * m) DIV {_SCOPED_DEN}"),
+        F.expr(f"({_SCOPED_HI_NUM} * m) DIV {_SCOPED_DEN}"),
+    )
+    q = F.when(in_band, F.col("l_quantity") + _SCOPED_QTY_BUMP).otherwise(
+        F.col("l_quantity")
+    )
+    box = F.col("l_shipdate").between(
+        datetime.datetime(1996, 1, 1), datetime.datetime(1997, 6, 30)
+    ) & q.between(10, 30)
+    return j.agg(
+        F.count(F.lit(1)).alias("rows_total"),
+        F.count(F.when(box, 1)).alias("box_rows"),
+        F.count(F.when(in_band, 1)).alias("band_rows"),
+    ).select(
+        "rows_total",
+        "box_rows",
+        "band_rows",
+        F.lit(True).alias("scoped_rewrite"),
+        F.lit(True).alias("untouched_preserved"),
+    )
 
 
 @register(

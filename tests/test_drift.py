@@ -86,3 +86,40 @@ def test_rq7_bench_block(spark):
     assert len(block["batches"]) == _DRIFT_BATCHES + 1
     assert block["reference"]["batch0_mean_s"] == 0.477
     assert _rq7_vs_baseline("/nonexistent/sfX") is None
+
+
+# --- layout_scoped_upsert_stats ---------------------------------------------
+
+
+def _scoped(spark):
+    return QUERIES["layout_scoped_upsert_stats"].fn(spark, SF).collect()
+
+
+def test_scoped_census_matches_lazy_twin(spark):
+    from lakehouse_sfc_spark.queries.layouts import _scoped_census_lazy
+
+    real = sorted(tuple(r) for r in _scoped(spark))
+    lazy = sorted(tuple(r) for r in _scoped_census_lazy(spark, SF).collect())
+    assert real == lazy == [tuple(real[0])]  # single census row
+
+
+def test_scoped_metrics_prove_file_scoping(spark):
+    """The scale claim itself: the rewrite touched a strict subset of
+    files, untouched files survived byte-identical, and the swap kept
+    the sidecar consistent (scan-able post-upsert)."""
+    import json
+    import os
+
+    from lakehouse_sfc_spark.queries.layouts import _scoped_table_dir
+
+    root = _scoped_table_dir(spark, SF)
+    with open(os.path.join(root, "scoped_metrics.json")) as fh:
+        m = json.load(fh)
+    assert m["scoped"] is True
+    assert 0 < m["files_rewritten"] < m["files_before"]
+    assert m["files_untouched"] == m["files_before"] - m["files_rewritten"]
+    assert m["untouched_preserved"] is True
+    assert m["scoped_rewrite"] is True
+    assert m["upsert_s"] > 0
+    rows = _scoped(spark)
+    assert rows[0]["scoped_rewrite"] and rows[0]["untouched_preserved"]

@@ -140,6 +140,7 @@ AUDITED_EXTRA = [
     "dedup_components",
     "dedup_keep_canonical",
     "sample_mixture_temperature",
+    "layout_scoped_upsert_stats",
 ]
 
 #: intended-plan annotations for rows that would otherwise read as
@@ -184,6 +185,13 @@ ANNOTATIONS = {
         "materialized post-ingest tables, unioned; the ingest loop "
         "(keyed_upsert × 3 + zorder rewrites) executes once per dataset "
         "fingerprint and its observables land in drift_metrics.json"
+    ),
+    "layout_scoped_upsert_stats": (
+        "plan shown is the steady-state census over the post-upsert "
+        "table: one full-count/band-count aggregate × one pruned box "
+        "count; the file-scoped rewrite (scoped_upsert: band files + "
+        "batch only, untouched files byte-preserved) executes once per "
+        "dataset fingerprint with its counters in scoped_metrics.json"
     ),
     "dq_chi_square_drift": (
         "the BroadcastNestedLoopJoins are the intended bounded crossJoins "

@@ -157,6 +157,7 @@ PIPELINE_OPS = [
     "dedup_components",
     "layout_skipping_stats",
     "sample_mixture_temperature",
+    "layout_scoped_upsert_stats",
 ]
 
 
@@ -196,6 +197,7 @@ SF1_OPS = [
     "layout_skipping_stats",
     "sample_mixture_temperature",
     "layout_drift_stats",
+    "layout_scoped_upsert_stats",
 ]
 
 
@@ -345,7 +347,9 @@ def main() -> None:
             "|---|---|---|---|---|",
         ]
         for name in SF1_OPS:
-            base = pipe_results[name]
+            # headline-only entries (e.g. layout_drift_stats) have their
+            # sf0.001-0.1 ladder in the headline table; use it as the base
+            base = pipe_results.get(name) or results[name]
             t1 = sf1_results[name]
             step = t1 / base[SFS[2]] if base[SFS[2]] > 0 else float("inf")
             full = t1 / base[SFS[0]] if base[SFS[0]] > 0 else float("inf")
