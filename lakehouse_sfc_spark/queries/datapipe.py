@@ -385,11 +385,13 @@ def _hashed_jaccard_survivors(
     )
 
 
-def _mh_signatures(ngr):
+def _mh_signatures(ngr, barrier: bool = True):
     """MinHash(64) signature relation (doc_id, mh: array<long>) folded in
     one aggregate pass — each n-gram is md5-hashed exactly once, the 64
     affine permutations are integer maps inside a single traversal.  The
-    repartition is a deliberate projection barrier (see dedup_minhash_lsh)."""
+    repartition is a deliberate projection barrier (see dedup_minhash_lsh);
+    callers that place their own barrier (a localCheckpoint) pass
+    ``barrier=False`` and save the shuffle."""
     coef = F.array(
         *[
             F.struct(
@@ -405,15 +407,15 @@ def _mh_signatures(ngr):
             acc, coef, lambda m, c: F.least(m, (h * c["a"] + c["b"]) % F.lit(_MH_P))
         ),
     )
-    return ngr.select("doc_id", mh_expr.alias("mh")).repartition("doc_id")
+    out = ngr.select("doc_id", mh_expr.alias("mh"))
+    return out.repartition("doc_id") if barrier else out
 
 
-def _mh_bands(ngr):
-    """MinHash signatures exploded into 16 banded (doc_id, band, sig) rows —
-    the shared candidate-generation front end of the LSH family (see
-    dedup_minhash_lsh for the full cost discipline notes)."""
-    mh = _mh_signatures(ngr)
-    bands = mh.select(
+def _band_explode(mh):
+    """(doc_id, mh) -> 16 banded (doc_id, band, sig) rows.  ``mh`` must sit
+    behind a projection barrier (repartition or localCheckpoint) or
+    CollapseProject inlines the signature fold into each of the 16 slices."""
+    return mh.select(
         "doc_id",
         F.explode(
             F.array(
@@ -429,7 +431,13 @@ def _mh_bands(ngr):
             )
         ).alias("bs"),
     ).select("doc_id", "bs.band", "bs.sig")
-    return bands
+
+
+def _mh_bands(ngr):
+    """MinHash signatures exploded into 16 banded (doc_id, band, sig) rows —
+    the shared candidate-generation front end of the LSH family (see
+    dedup_minhash_lsh for the full cost discipline notes)."""
+    return _band_explode(_mh_signatures(ngr))
 
 
 # --- D1: exact dedup --------------------------------------------------------
@@ -500,15 +508,21 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     Cost discipline (the part that matters at 100 TB): each n-gram is
     md5-hashed exactly ONCE; the 64 permutations are affine maps
     ``(a_i*h + b_i) mod p`` folded in a single ``F.aggregate`` pass, so the
-    signature is O(|ngrams| * K) integer ops, not K md5 passes.  The
-    ``repartition`` between signature and band-explode is a deliberate
-    projection barrier: without it Catalyst's CollapseProject inlines the
-    whole signature expression into each of the 16 band slices (16x the
-    work), and the self-join would recompute it per side (identical exchange
-    subtrees are instead deduped by ReuseExchange)."""
-    ngr = _docs_ngrams(spark, sf_dir)
-
-    bands = _mh_bands(ngr)
+    signature is O(|ngrams| * K) integer ops, not K md5 passes.  The n-gram
+    relation and the signature relation are each materialized ONCE per run
+    via ``localCheckpoint(eager=False)``: the band self-join and the two
+    verify joins otherwise re-derive the tokenize + n-gram + 64-permutation
+    subtree per side (4 scans / 4 tokenizations / 2 signature folds in the
+    static plan — exchange reuse cannot dedup a broadcast side against a
+    shuffle side).  The checkpoint doubles as the projection barrier that
+    keeps CollapseProject from inlining the signature fold into each of the
+    16 band slices (16x the work), so the intra-signature ``repartition``
+    barrier is skipped (``barrier=False``) — one less shuffle.  Measured at
+    sf0.1/local[32], noop sink: 2.63 s -> 1.76 s median, byte-identical
+    output (guide §2.4 remove shuffles, §1.4 noop measurement)."""
+    ngr = _docs_ngrams(spark, sf_dir).localCheckpoint(eager=False)
+    mh = _mh_signatures(ngr, barrier=False).localCheckpoint(eager=False)
+    bands = _band_explode(mh)
 
 
     cand = (
@@ -1985,39 +1999,59 @@ def dedup_embedding_topk(
     per-cell occupancy ≈_DETK_OCC: probe-candidate volume is
     n · (1+B+B(B−1)/2) · occupancy — linear·polylog in n, where a fixed
     2^8 cell space was quadratic.  The COUNT(*) collect is one scalar, the
-    same pattern as ann_ivf_kmeans_topk's data-dependent K."""
+    same pattern as ann_ivf_kmeans_topk's data-dependent K.
+
+    Round-12 shape (guide §2.3 "shuffle keys and metadata instead of
+    payloads", §2 parallelism): the valid-vector relation is repartitioned
+    to full width and localCheckpointed — the single-row-group scan
+    otherwise ran the whole interpreted cosine fold on ONE task, and the
+    count()/probe/candidate sides re-parsed the scan each — and the probe
+    explosion carries only (a_id, pcell) 16-byte rows instead of hauling
+    the query embedding through the 67x explode; the query payload is
+    re-attached by one vec_id-keyed join after candidate generation.
+    Measured at sf0.1/local[32], noop sink: 2.34 s -> 1.57 s median,
+    byte-identical output."""
     import itertools
 
-    emb = _emb(spark, sf_dir)
-    bits = _detk_bits(emb.count())
-    c = emb.withColumn("cell", _cell_bits(F.col("emb"), bits))
+    from lakehouse_sfc_spark.sources.loader import compute_width
+
+    base = (
+        _emb(spark, sf_dir)
+        .repartition(compute_width(spark))
+        .localCheckpoint(eager=False)
+    )
+    bits = _detk_bits(base.count())
+    c = base.withColumn("cell", _cell_bits(F.col("emb"), bits))
     masks = [
         sum(1 << b for b in combo)
         for r in range(probe_radius + 1)
         for combo in itertools.combinations(range(bits), r)
     ]
-    q = c.select(
+    probes = c.select(
         F.col("vec_id").alias("a_id"),
-        F.col("emb").alias("qemb"),
-        F.col("nrm").alias("qnrm"),
-        F.col("cell").alias("qcell"),
-    )
-    probes = q.withColumn(
-        "pcell",
         F.explode(
             F.array(
                 *[
-                    F.col("qcell").bitwiseXOR(F.lit(m).cast("long"))
+                    F.col("cell").bitwiseXOR(F.lit(m).cast("long"))
                     for m in masks
                 ]
             )
-        ),
+        ).alias("pcell"),
+    )
+    cand = (
+        c.join(probes, c["cell"] == probes["pcell"])
+        .filter(F.col("vec_id") != F.col("a_id"))
+        .select(F.col("a_id"), F.col("vec_id").alias("b_id"), "emb", "nrm")
+    )
+    qpay = base.select(
+        F.col("vec_id").alias("a_id"),
+        F.col("emb").alias("qemb"),
+        F.col("nrm").alias("qnrm"),
     )
     cos = _dot(F.col("emb"), F.col("qemb")) / (F.col("nrm") * F.col("qnrm"))
     scored = (
-        c.join(probes, c["cell"] == probes["pcell"])
-        .filter(F.col("vec_id") != F.col("a_id"))
-        .select("a_id", F.col("vec_id").alias("b_id"), cos.alias("cosv"))
+        cand.join(qpay, "a_id")
+        .select("a_id", "b_id", cos.alias("cosv"))
         .filter(F.col("cosv") >= _COS_TAU)
     )
     w = Window.partitionBy("a_id").orderBy(F.col("cosv").desc(), F.col("b_id"))
@@ -2311,9 +2345,15 @@ def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     against the exact join in the repo's recall tests, which is why the
     banded path is what the oracle mirrors (band-bucket candidates +
     exact verify — honest at any scale, and tractable at sf1 where the
-    exhaustive cross-side comparison was not)."""
-    ngr = _docs_ngrams(spark, sf_dir)
-    bands = _mh_bands(ngr)
+    exhaustive cross-side comparison was not).
+
+    Like ``dedup_minhash_lsh``, the n-gram and signature relations are
+    localCheckpointed so the batch/corpus band split and both verify joins
+    read one materialization instead of re-deriving the tokenize + n-gram +
+    signature subtree per side (guide §2.4)."""
+    ngr = _docs_ngrams(spark, sf_dir).localCheckpoint(eager=False)
+    mh = _mh_signatures(ngr, barrier=False).localCheckpoint(eager=False)
+    bands = _band_explode(mh)
     is_batch = F.col("doc_id") % 10 == 0
     batch_bands = bands.filter(is_batch)
     corpus_bands = bands.filter(~is_batch)

@@ -910,23 +910,41 @@ def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     identical doubles; only transcendental idf (ln) would break that, and
     it is deliberately replaced by the monotone linear idf.
 
-    Scale shape: tokenization + dl is one shuffle on doc_id; tf keeps only
-    the query terms BEFORE shuffling (the filter cuts the fact side to
-    |terms|·|matching docs|); df re-aggregates tf; corpus stats broadcast
-    as a 1-row frame; the final ranking windows over |query terms|
-    partitions.  At true 100 TB the BIGINT products approach 2^63 — route
-    them through DECIMAL(38,0) at that point (documented, not needed at
-    bench scale)."""
+    Scale shape (round 12, guide §2.3/§2.4): the tokenized corpus is
+    materialized ONCE (repartition to width + localCheckpoint — the
+    single-row-group scan otherwise tokenizes on one task, three times:
+    dl, corpus and tf each re-derived the explode).  Per-doc length is
+    ``size()`` on the token array — no explode and no full-corpus shuffle
+    for dl at all (the old shape shuffled every token to count them;
+    docs with zero non-empty tokens never entered dl there, hence the
+    ``dl > 0`` filter here).  tf explodes only the array_filter'd query
+    terms, so the one remaining wide shuffle carries |terms|·|matching
+    docs| rows.  df re-aggregates tf; corpus stats broadcast as a 1-row
+    frame; the final ranking windows over |query terms| partitions.  At
+    true 100 TB the BIGINT products approach 2^63 — route them through
+    DECIMAL(38,0) at that point (documented, not needed at bench scale)."""
+    from lakehouse_sfc_spark.sources.loader import compute_width
+
     docs = load_table(spark, sf_dir, "documents")
-    toks = docs.select(
-        "doc_id", F.explode(_tokens(F.col("text"))).alias("term")
-    ).filter(F.col("term") != "")
-    dl = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    tok = (
+        docs.repartition(compute_width(spark))
+        .select(
+            "doc_id",
+            F.filter(_tokens(F.col("text")), lambda t: t != "").alias("w"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    dl = tok.select("doc_id", F.size("w").alias("dl")).filter(F.col("dl") > 0)
     corpus = dl.agg(
         F.count(F.lit(1)).alias("n"), F.sum("dl").alias("l")
     )
     tf = (
-        toks.filter(F.col("term").isin(*_BM25_TERMS))
+        tok.select(
+            "doc_id",
+            F.explode(
+                F.filter("w", lambda t: t.isin(*_BM25_TERMS))
+            ).alias("term"),
+        )
         .groupBy("doc_id", "term")
         .agg(F.count(F.lit(1)).alias("tf"))
     )

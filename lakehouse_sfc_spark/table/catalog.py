@@ -36,6 +36,17 @@ class SfcTable:
     # -- read ----------------------------------------------------------------
 
     def read(self) -> DataFrame:
+        # Route through the pruned-scan analyzed-relation cache when the
+        # sidecar manifest exists: a bare spark.read.parquet(path) costs
+        # ~100 ms of driver-side footer/schema resolution PER CALL, and the
+        # census entries read 4+ table states per run.  The cache key
+        # includes every file's (size, mtime_ns), so a rewritten layout can
+        # never serve a stale relation (see pruning._survivors_relation).
+        sc = self.sidecar
+        if sc and sc.get("files"):
+            from lakehouse_sfc_spark.table.pruning import _survivors_relation
+
+            return _survivors_relation(self.spark, sorted(sc["files"]))
         return self.spark.read.parquet(self.path)
 
     def scan(self, predicates: list[Pred]) -> DataFrame:
