@@ -56,14 +56,30 @@ def _tokens(c: Column) -> Column:
 
 
 def _ngrams(w: Column, k: int) -> Column:
-    """Distinct word k-grams.  Guarded: Spark's sequence(1, n) descends when
-    n < 1, unlike DuckDB's range, so short docs get an explicit empty array."""
-    grams = F.transform(
-        F.sequence(F.lit(1), F.size(w) - (k - 1)),
-        lambda i: F.concat_ws(
-            " ", *[F.element_at(w, i + j) for j in range(k)]
-        ),
-    )
+    """Distinct word k-grams via slice + zip_with (round 12).
+
+    The old form indexed ``w`` per gram position (transform over sequence +
+    element_at): LINEAR while ``w`` stays a materialized alias, but
+    QUADRATIC the moment the optimizer inlines ``w``'s defining expression
+    — each element_at then re-splits the raw text.  That inlining is not
+    hypothetical: InferFiltersFromGenerate derives a ``size(ng) > 0``
+    filter from any explode over the grams and pushes it below the
+    projection barriers, which put the inlined quadratic form on the
+    narrow pre-repartition side of the plan (measured: a bare
+    explode-after-_docs_ngrams noop ran 19 s at sf0.1 vs 0.46 s once
+    linear).  Here each of the k slices evaluates ``w`` once, so the worst
+    inlined cost is k+1 splits per ROW, never per element.  Same values,
+    same order, same distinct semantics; the when() guard keeps the
+    slice length non-negative for short docs (branches evaluate lazily,
+    as before)."""
+    m = F.greatest(F.size(w) - (k - 1), F.lit(0))
+    grams = F.slice(w, 1, m)
+    for j in range(1, k):
+        grams = F.zip_with(
+            grams,
+            F.slice(w, j + 1, m),
+            lambda x, y: F.concat_ws(" ", x, y),
+        )
     return F.array_distinct(
         F.when(F.size(w) >= k, grams).otherwise(F.array().cast("array<string>"))
     )
@@ -411,6 +427,61 @@ def _mh_signatures(ngr, barrier: bool = True):
     return out.repartition("doc_id") if barrier else out
 
 
+def _mh_arrow_kernel(batches):
+    """Arrow/NumPy twin of the JVM signature fold (guide §4.2): Spark's
+    higher-order-function lambdas run INTERPRETED (no codegen), so the
+    |ngrams| x 64 integer fold costs ~100 ns/op in the JVM expression
+    interpreter; here it is 64 vectorized NumPy passes over the batch's
+    flat gram-hash buffer + one segment-min (``np.minimum.reduceat``).
+    Pure int64 arithmetic — (h*a+b) % p on non-negative operands < 2^62 —
+    so the output is BIT-IDENTICAL to the JVM fold (asserted in
+    tests/test_dedup_minhash_kernel.py).  Precondition: every ``hg`` list
+    is non-empty (``_docs_ngrams`` filters to >= 3 tokens) and non-null;
+    reduceat's empty-segment quirk never applies."""
+    import numpy as np
+    import pyarrow as pa
+
+    A = np.array([a for a, _ in _MH_COEF], dtype=np.int64)
+    B = np.array([b for _, b in _MH_COEF], dtype=np.int64)
+    K = len(_MH_COEF)
+    for rb in batches:
+        doc_id = rb.column("doc_id")
+        hg = rb.column("hg")
+        offs = hg.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+        # .values ignores any slice offset: offsets index the FULL buffer,
+        # so reduceat stays correct — but truncate past the last list's end
+        # or the final segment would swallow trailing sibling data.
+        flat = hg.values.to_numpy(zero_copy_only=False).astype(np.int64)
+        flat = flat[: offs[-1]]
+        n = len(rb)
+        if n == 0 or len(flat) == 0:
+            out = np.empty((0, K), dtype=np.int64)
+            n = 0
+        else:
+            starts = offs[:-1]
+            out = np.empty((n, K), dtype=np.int64)
+            for i in range(K):
+                out[:, i] = np.minimum.reduceat((flat * A[i] + B[i]) % _MH_P, starts)
+        mh = pa.ListArray.from_arrays(
+            pa.array(np.arange(n + 1, dtype=np.int32) * K),
+            pa.array(out.ravel(), type=pa.int64()),
+        )
+        yield pa.RecordBatch.from_arrays([doc_id[:n], mh], names=["doc_id", "mh"])
+
+
+def _mh_signatures_arrow(ngr):
+    """MinHash(64) signatures via the vectorized kernel: the base gram hash
+    (one md5 per n-gram) stays in the JVM, only (doc_id, hg) crosses the
+    Arrow boundary (columns the kernel needs and nothing else — guide
+    §4.1), and the 64 affine permutations + min run in NumPy.  Same
+    (doc_id, mh) relation as ``_mh_signatures``, bit-identical."""
+    hg = ngr.select(
+        "doc_id",
+        F.transform(F.col("ng"), lambda g: _h32(g) % F.lit(_MH_P)).alias("hg"),
+    )
+    return hg.mapInArrow(_mh_arrow_kernel, "doc_id long, mh array<long>")
+
+
 def _band_explode(mh):
     """(doc_id, mh) -> 16 banded (doc_id, band, sig) rows.  ``mh`` must sit
     behind a projection barrier (repartition or localCheckpoint) or
@@ -521,7 +592,7 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     sf0.1/local[32], noop sink: 2.63 s -> 1.76 s median, byte-identical
     output (guide §2.4 remove shuffles, §1.4 noop measurement)."""
     ngr = _docs_ngrams(spark, sf_dir).localCheckpoint(eager=False)
-    mh = _mh_signatures(ngr, barrier=False).localCheckpoint(eager=False)
+    mh = _mh_signatures_arrow(ngr).localCheckpoint(eager=False)
     bands = _band_explode(mh)
 
 
@@ -606,7 +677,7 @@ def dedup_minhash_estimate_error(
         .filter(jac >= _MH_TAU)
         .select("a_id", "b_id", jac.alias("jac"))
     )
-    sig = _mh_signatures(ngr)
+    sig = _mh_signatures_arrow(ngr)
     matches = F.size(
         F.filter(
             F.zip_with(F.col("sa.mh"), F.col("sb.mh"), lambda x, y: x == y),
@@ -730,7 +801,11 @@ def dedup_saturation_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: two hash aggregations over the exploded gram relation
     (gram census + per-doc rare count), one over the banded simhash
     relation — all key-equality, output is a single row."""
-    ngr = _docs_ngrams(spark, sf_dir)
+    # ngr is checkpointed BEFORE the explode: InferFiltersFromGenerate
+    # otherwise derives a size(ng) > 0 filter from the explode and pushes
+    # the inlined n-gram expression to the narrow pre-repartition side of
+    # the plan (single task, per-row re-derivation — guide §2.4/§7.2).
+    ngr = _docs_ngrams(spark, sf_dir).localCheckpoint(eager=False)
     e = ngr.select("doc_id", F.explode("ng").alias("gr")).repartition("gr")
     e = e.localCheckpoint(eager=False)  # census + per-doc both consume it
     dfq = e.groupBy("gr").agg(F.count(F.lit(1)).alias("df"))
@@ -2352,7 +2427,7 @@ def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     read one materialization instead of re-deriving the tokenize + n-gram +
     signature subtree per side (guide §2.4)."""
     ngr = _docs_ngrams(spark, sf_dir).localCheckpoint(eager=False)
-    mh = _mh_signatures(ngr, barrier=False).localCheckpoint(eager=False)
+    mh = _mh_signatures_arrow(ngr).localCheckpoint(eager=False)
     bands = _band_explode(mh)
     is_batch = F.col("doc_id") % 10 == 0
     batch_bands = bands.filter(is_batch)

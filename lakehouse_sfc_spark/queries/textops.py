@@ -1375,15 +1375,21 @@ def text_repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     # tokens materialized in their own projection before the gram lambda:
     # referencing the inline split per element makes codegen re-split the
     # text per position (O(tokens²) per doc)
+    # slice + zip_with, not per-position element_at: if the optimizer ever
+    # inlines w's defining split (InferFiltersFromGenerate does exactly that
+    # for the explode below), indexing re-splits the text PER ELEMENT
+    # (O(tokens²)/doc) while each slice evaluates w once (see
+    # datapipe._ngrams, the same round-12 fix).
     wa = F.col("w")
-    grams = F.transform(
-        F.sequence(F.lit(1), F.size(wa) - 2),
-        lambda i: F.concat_ws(
-            " ",
-            F.element_at(wa, i),
-            F.element_at(wa, i + 1),
-            F.element_at(wa, i + 2),
+    _m = F.greatest(F.size(wa) - 2, F.lit(0))
+    grams = F.zip_with(
+        F.zip_with(
+            F.slice(wa, 1, _m),
+            F.slice(wa, 2, _m),
+            lambda x, y: F.concat_ws(" ", x, y),
         ),
+        F.slice(wa, 3, _m),
+        lambda xy, z: F.concat_ws(" ", xy, z),
     )
     # The 3-gram projection is the heavy work; a small-file scan (one row
     # group) would run ALL of it on one core before the first shuffle, so
