@@ -712,6 +712,55 @@ _SH_HD = 3  # max hamming distance; 4 bands make this exact by pigeonhole
 _SH_BANDS = 4
 
 
+def _simhash_arrow_kernel(batches):
+    """Arrow/NumPy twin of ``_simhash`` (guide §4.2, same discipline as
+    ``_mh_arrow_kernel``): the 32 per-bit majority votes are vectorized
+    passes over the batch's flat word-hash buffer + ``np.add.reduceat``
+    segment sums — the JVM form paid interpreted HOF dispatch per element
+    per bit.  Pure integer arithmetic ⇒ bit-identical (pinned in
+    tests/test_dedup_minhash_kernel.py).  Precondition: every ``hs`` list
+    non-empty and non-null (callers filter size > 0)."""
+    import numpy as np
+    import pyarrow as pa
+
+    for rb in batches:
+        hs = rb.column("hs")
+        offs = hs.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+        flat = hs.values.to_numpy(zero_copy_only=False).astype(np.int64)
+        flat = flat[: offs[-1]]
+        n = len(rb)
+        if n == 0 or len(flat) == 0:
+            sim = np.empty(0, dtype=np.int64)
+            n = 0
+        else:
+            starts = offs[:-1]
+            lens = np.diff(offs)
+            sim = np.zeros(n, dtype=np.int64)
+            for b in range(_SH_BITS):
+                ones = np.add.reduceat((flat >> b) & 1, starts)
+                sim |= (2 * ones > lens).astype(np.int64) << b
+        yield pa.RecordBatch.from_arrays(
+            [rb.column("doc_id")[:n], rb.column("source")[:n], pa.array(sim)],
+            names=["doc_id", "source", "sim"],
+        )
+
+
+def _simhash_relation(d: DataFrame) -> DataFrame:
+    """(documents df) -> (doc_id, source, sim): distinct-token 32-bit hashes
+    in the JVM (md5 stays native), majority-vote simhash in the vectorized
+    kernel.  Shared by dedup_simhash and dedup_saturation_stats."""
+    words = d.select(
+        "doc_id",
+        "source",
+        F.transform(
+            F.array_distinct(_tokens(F.col("text"))), lambda x: _h32(x)
+        ).alias("hs"),
+    ).filter(F.size("hs") > 0)
+    return words.mapInArrow(
+        _simhash_arrow_kernel, "doc_id long, source string, sim long"
+    )
+
+
 def _simhash(hs: Column) -> Column:
     """32-bit simhash: bit b set iff a strict majority of word hashes have
     bit b set.  Built from 32 unrolled literal-shift terms so everything stays
@@ -828,15 +877,7 @@ def dedup_saturation_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("n_rare") == 0)
         .agg(F.count(F.lit(1)).alias("docs_without_rare_gram"))
     )
-    d = load_table(spark, sf_dir, "documents")
-    words = d.select(
-        "doc_id",
-        "source",
-        F.transform(
-            F.array_distinct(_tokens(F.col("text"))), lambda x: _h32(x)
-        ).alias("hs"),
-    ).filter(F.size("hs") > 0)
-    sh = words.select("doc_id", "source", _simhash(F.col("hs")).alias("sim"))
+    sh = _simhash_relation(load_table(spark, sf_dir, "documents"))
     bands = sh.select(
         "source",
         F.explode(
@@ -906,15 +947,11 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     see the constant's note.  The occupancy count rides the SAME hash
     partitioning the self-join needs (window count over the join key), so
     the cap adds no exchange."""
-    d = load_table(spark, sf_dir, "documents")
-    words = d.select(
-        "doc_id",
-        "source",
-        F.transform(
-            F.array_distinct(_tokens(F.col("text"))), lambda x: _h32(x)
-        ).alias("hs"),
-    ).filter(F.size("hs") > 0)
-    sh = words.select("doc_id", "source", _simhash(F.col("hs")).alias("sim"))
+    # localCheckpoint: the band self-join below otherwise re-runs the
+    # tokenize + kernel stage once per side (guide §2.4)
+    sh = _simhash_relation(
+        load_table(spark, sf_dir, "documents")
+    ).localCheckpoint(eager=False)
 
     bands = sh.select(
         "doc_id",
@@ -4566,11 +4603,17 @@ def text_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     from lakehouse_sfc_spark.sources.loader import compute_width
 
     d = load_table(spark, sf_dir, "documents")
+    # the gram build is the heavy projection; a small-file scan (one row
+    # group) would run ALL of it — plus the size(ng) > 0 filter
+    # InferFiltersFromGenerate pushes below the explode — on one core, so
+    # exchange the raw rows to full width first (no-op at 100 TB where the
+    # scan is already wide; same rule as _docs_ngrams)
+    width = compute_width(spark)
+    if d.rdd.getNumPartitions() < width:
+        d = d.repartition(width)
     # materialize the token array in its own projection BEFORE the gram
-    # lambda: inlining _tokens into _ngrams3 makes codegen re-split the
-    # text per array element (O(tokens²) per doc — measured 10x slower at
-    # sf0.1); CollapseProject keeps the split separate because the alias
-    # is referenced more than once by a non-cheap expression
+    # lambda (round 12: _ngrams3 is slice+zip_with, linear even when the
+    # optimizer inlines w — the projection barrier is now belt-and-braces)
     toks = d.select("doc_id", "source", _tokens(F.col("text")).alias("w"))
     # hash-cluster the exploded gram relation ONCE at core-count width (not
     # the session's 200): the per-(gram, doc) collapse AND the first-doc
@@ -5361,72 +5404,82 @@ def ann_pq_distortion_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     scanned once per subspace over a 16-dim slice — at 100 TB all four
     subspaces run in ONE pass over the full array (a column per
     subspace), which this declarative form already expresses."""
+    # Round 12: the 4 per-subspace pipelines are fused into ONE exploded
+    # (vec_id, s, e) relation — the same rewrite ann_pq_topk got in r11
+    # (~20 tiny stages -> ~6; the oracle is unchanged and the per-subspace
+    # arithmetic is identical because every aggregate now just carries the
+    # s key).  The relation is localCheckpointed: both assignment passes
+    # consume it (guide §2.4).
     c = _emb(spark, sf_dir)
-    rows = []
-    for s in range(_PQ_M):
-        sub = c.select(
-            "vec_id",
-            F.slice(F.col("emb"), _PQ_SUB * s + 1, _PQ_SUB).alias("e"),
-        )
-        seeds = sub.filter(F.col("vec_id") < _PQ_K).select(
-            F.col("vec_id").alias("cid"), F.col("e").alias("ce")
+    sub = c.select(
+        "vec_id",
+        F.posexplode(
+            F.array(
+                *[
+                    F.slice(F.col("emb"), _PQ_SUB * s + 1, _PQ_SUB)
+                    for s in range(_PQ_M)
+                ]
+            )
+        ).alias("s", "e"),
+    ).localCheckpoint(eager=False)
+    seeds = sub.filter(F.col("vec_id") < _PQ_K).select(
+        "s", F.col("vec_id").alias("cid"), F.col("e").alias("ce")
+    )
+
+    def assign_err(vecs, cents):
+        d = _l2(F.col("e"), F.col("ce"))
+        return (
+            vecs.join(F.broadcast(cents), "s")
+            .select("vec_id", "s", "e", "cid", d.alias("d"))
+            .groupBy("vec_id", "s")
+            .agg(
+                F.min_by(
+                    F.struct("cid", "d"), F.struct("d", "cid")
+                ).alias("w"),
+                F.first("e").alias("e"),
+            )
+            .select(
+                "vec_id", "s", F.col("w.cid").alias("cid"),
+                F.col("w.d").alias("err"), "e",
+            )
         )
 
-        def assign_err(vecs, cents):
-            d = _l2(F.col("e"), F.col("ce"))
-            return (
-                vecs.join(F.broadcast(cents))
-                .select("vec_id", "e", "cid", d.alias("d"))
-                .groupBy("vec_id")
-                .agg(
-                    F.min_by(
-                        F.struct("cid", "d"), F.struct("d", "cid")
-                    ).alias("w"),
-                    F.first("e").alias("e"),
-                )
-                .select(
-                    "vec_id", F.col("w.cid").alias("cid"),
-                    F.col("w.d").alias("err"), "e",
-                )
-            )
-
-        a1 = assign_err(sub, seeds)
-        cent = (
-            a1.select("cid", F.posexplode("e").alias("pos", "x"))
-            .groupBy("cid", "pos")
-            .agg(
-                (
-                    F.sum(F.col("x").cast("decimal(18,9)")).cast("double")
-                    / F.count(F.lit(1))
-                ).alias("m")
-            )
-            .groupBy("cid")
-            .agg(
-                F.transform(
-                    F.array_sort(
-                        F.collect_list(F.struct(F.col("pos"), F.col("m")))
-                    ),
-                    lambda st: st["m"],
-                ).alias("ce")
-            )
+    a1 = assign_err(sub, seeds)
+    cent = (
+        a1.select("s", "cid", F.posexplode("e").alias("pos", "x"))
+        .groupBy("s", "cid", "pos")
+        .agg(
+            (
+                F.sum(F.col("x").cast("decimal(18,9)")).cast("double")
+                / F.count(F.lit(1))
+            ).alias("m")
         )
-        err = assign_err(sub, cent)
-        rows.append(
-            err.agg(
-                F.lit(s).alias("subspace"),
-                F.count(F.lit(1)).alias("n_vectors"),
-                F.count_distinct(F.col("cid")).alias("codes_used"),
-                F.sum(
-                    F.floor(F.col("err") * _PQD_TICK).cast("bigint")
-                )
-                .cast("bigint")
-                .alias("err_ticks"),
-            )
+        .groupBy("s", "cid")
+        .agg(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct(F.col("pos"), F.col("m")))
+                ),
+                lambda st: st["m"],
+            ).alias("ce")
         )
-    out = rows[0]
-    for r in rows[1:]:
-        out = out.unionAll(r)
-    return out.orderBy("subspace")
+    )
+    err = assign_err(sub, cent)
+    return (
+        err.groupBy("s")
+        .agg(
+            F.count(F.lit(1)).alias("n_vectors"),
+            F.count_distinct(F.col("cid")).alias("codes_used"),
+            F.sum(
+                F.floor(F.col("err") * _PQD_TICK).cast("bigint")
+            )
+            .cast("bigint")
+            .alias("err_ticks"),
+        )
+        .select("s", "n_vectors", "codes_used", "err_ticks")
+        .withColumnRenamed("s", "subspace")
+        .orderBy("subspace")
+    )
 
 
 # --- per-dimension z-score outlier screen --------------------------------------

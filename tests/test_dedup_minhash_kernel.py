@@ -85,3 +85,71 @@ def test_kernel_numpy_matches_reference_large():
     )
     (out,) = list(_mh_arrow_kernel(iter([rb])))
     assert out.column("mh").to_pylist() == [_ref_sig(r) for r in rows]
+
+
+def test_simhash_kernel_bit_identical_to_jvm(spark):
+    from pyspark.sql import functions as F
+
+    from lakehouse_sfc_spark.queries.datapipe import (
+        _simhash,
+        _simhash_arrow_kernel,
+        _simhash_relation,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "web", [1, 2, 3]),
+            (2, "web", [0xFFFFFFFF, 0x7FFFFFFF]),
+            (3, "pdf", [42]),
+            (4, "pdf", [7, 7, 8, 9, 1 << 31]),
+        ],
+        "doc_id long, source string, hs array<long>",
+    )
+    jvm = {
+        r["doc_id"]: r["sim"]
+        for r in docs.select(
+            "doc_id", _simhash(F.col("hs")).alias("sim")
+        ).collect()
+    }
+    arrow = {
+        r["doc_id"]: r["sim"]
+        for r in docs.mapInArrow(
+            _simhash_arrow_kernel, "doc_id long, source string, sim long"
+        ).collect()
+    }
+    assert jvm == arrow
+
+    # end-to-end relation on a real text frame (note: a whitespace-only doc
+    # tokenizes to [""], so it KEEPS one hash — the pre-kernel behavior,
+    # which the oracles mirror; only a NULL-ish empty array would drop)
+    d = spark.createDataFrame(
+        [(1, "a", "x y z"), (2, "a", "   "), (3, "b", "x x x")],
+        "doc_id long, source string, text string",
+    )
+    rows = {r["doc_id"]: r["sim"] for r in _simhash_relation(d).collect()}
+    assert sorted(rows) == [1, 2, 3]
+    jvm_rel = {
+        r["doc_id"]: r["sim"]
+        for r in d.select(
+            "doc_id",
+            _simhash(
+                F.filter(
+                    F.transform(
+                        F.array_distinct(
+                            F.split(
+                                F.trim(
+                                    F.regexp_replace(F.lower("text"), r"\s+", " ")
+                                ),
+                                " ",
+                            )
+                        ),
+                        lambda x: F.conv(
+                            F.substring(F.md5(x), 1, 8), 16, 10
+                        ).cast("long"),
+                    ),
+                    lambda h: h.isNotNull(),
+                )
+            ).alias("sim"),
+        ).collect()
+    }
+    assert rows == jvm_rel
