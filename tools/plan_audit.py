@@ -246,10 +246,6 @@ ANNOTATIONS = {
         "the BroadcastNestedLoopJoin×1 is the intended 1-row broadcast of "
         "the stride scalar (condition-less crossJoin, bounded)"
     ),
-    "text_bm25_topk": (
-        "the BroadcastNestedLoopJoin×1 is the intended 1-row broadcast of "
-        "the corpus (N, L) statistics frame"
-    ),
     "j_skew_salted": (
         "shuffle_hash is PINNED on the orders side: at bench SF Catalyst "
         "would broadcast it, and a broadcastable side never needs salting "
@@ -296,10 +292,54 @@ ANNOTATIONS = {
         "dq_chi_square_drift, never relation×relation"
     ),
     "ann_pq_distortion_eval": (
-        "the BroadcastNestedLoopJoins are the intended bounded codebook "
-        "crossJoins (corpus × 16-row sub-codebook per subspace, the PQ "
-        "assignment shape shared with ann_pq_topk) — never "
-        "relation×relation"
+        "round 12 fused the 4 per-subspace Lloyd pipelines into one "
+        "exploded (vec_id, s, e) relation (the r11 ann_pq_topk rewrite): "
+        "the BroadcastHashJoins are the bounded codebook joins on the "
+        "subspace key (≤ M×16 = 64 rows); 0 parquet scans because the "
+        "exploded relation is localCheckpointed and both assignment "
+        "passes read the one materialization"
+    ),
+    "dedup_minhash_lsh": (
+        "0 parquet scans by design (round 12): the n-gram and minhash-"
+        "signature relations are localCheckpointed, so the band self-join "
+        "and both exact-Jaccard verify joins read one materialization "
+        "each instead of re-deriving the tokenize + signature subtree "
+        "per side; the signature fold runs in the vectorized Arrow "
+        "kernel (_mh_arrow_kernel, bit-identical to the JVM fold)"
+    ),
+    "dedup_incremental": (
+        "same round-12 checkpointed front end as dedup_minhash_lsh: one "
+        "n-gram materialization + one Arrow-kernel signature pass feed "
+        "the batch/corpus band split and both verify joins"
+    ),
+    "dedup_embedding_topk": (
+        "round 12: the valid-vector relation is width-repartitioned and "
+        "localCheckpointed (hence 0 scans in this plan); the 67x probe "
+        "explosion carries only (a_id, pcell) 16-byte rows and the query "
+        "payload is re-attached by one vec_id-keyed join — shuffle keys, "
+        "not payloads"
+    ),
+    "text_bm25_topk": (
+        "the BroadcastNestedLoopJoin×1 is the intended 1-row broadcast of "
+        "the corpus (N, L) statistics frame; 0 parquet scans because the "
+        "tokenized corpus is localCheckpointed once (round 12) — dl is "
+        "size() on the token array (no full-corpus explode shuffle), tf "
+        "explodes only the array_filter'd query terms"
+    ),
+    "dedup_minhash_estimate_error": (
+        "0 parquet scans: the hg-augmented n-gram relation was already "
+        "localCheckpointed pre-r12; round 12 moved its signature side to "
+        "the Arrow kernel"
+    ),
+    "dedup_simhash": (
+        "0 parquet scans: the (doc_id, source, sim) relation from the "
+        "vectorized simhash kernel is localCheckpointed (round 12), so "
+        "the band self-join reads one materialization"
+    ),
+    "dedup_saturation_stats": (
+        "the gram census and per-doc-rare branches read the checkpointed "
+        "exploded-gram relation; the simhash branch is the round-12 "
+        "Arrow kernel over one documents scan"
     ),
     "a_share_of_total": (
         "the BroadcastNestedLoopJoin×1 is the intended 1-row broadcast of "
