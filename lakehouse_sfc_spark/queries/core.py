@@ -1364,3 +1364,86 @@ def a_share_of_total(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.col("segment").asc_nulls_last())
     )
+
+
+# --- scaling probe (r12 verdict task 1) --------------------------------------
+
+_PROBE_REP = 48  # row replication factor
+_PROBE_ITER = 3  # extra md5 chain rounds per replicated row
+
+
+@register(
+    "scale_probe_cpu",
+    oracle=f"""
+    SELECT COUNT(*) AS n_rows, MIN(h) AS min_h, MAX(h) AS max_h
+    FROM (
+      SELECT md5(md5(md5(md5(
+               CAST(l_orderkey AS VARCHAR) || '|' ||
+               CAST(l_linenumber AS VARCHAR) || '|' ||
+               CAST(t.r AS VARCHAR))))) AS h
+      FROM lineitem, range(0, {_PROBE_REP}) t(r)
+    )
+    HAVING MIN(h) IS NOT NULL
+    """,
+    headline=True,
+)
+def scale_probe_cpu(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-bound CPU scaling probe (r12 verdict task 1: give the driver's
+    8-vs-32-core comparison something that CAN scale).  Every other headline
+    query is fixed-overhead-bound at sf0.1 (12 of 14 run under 0.8 s), so
+    per-query core-count ratios carry no signal and the driver's
+    ``suspect_cpus_ignored`` heuristic fires even though the harness honors
+    ``$SPARK_GRAFT_CPUS``.  This probe replicates every lineitem row
+    {_PROBE_REP}x and drives an md5 chain per replica — ~90 core-seconds of
+    embarrassingly parallel JVM hashing at sf0.1 whose wall-clock tracks
+    1/cores — then reduces to ONE row (count + min/max hash), so a
+    count-style action cannot prune the hash work and the DuckDB oracle
+    checks every replica's digest.  Work is recomputed from the parquet
+    input on every invocation (nothing cached, nothing persisted); rows
+    scale linearly with the scale factor.
+
+    This is a measurement instrument, not a reference operator: it exists
+    so the committed c8/c32 bench artifacts show >=2x separation on at
+    least one query, making the scaling contract auditable from the bench
+    JSON alone."""
+    from lakehouse_sfc_spark.sources.loader import compute_width
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber"
+    )
+    rep = (
+        # spread the narrow scan over every core BEFORE the explode so the
+        # hash chain parallelizes (same discipline as compute_width users)
+        li.repartition(compute_width(spark))
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            F.explode(
+                F.sequence(F.lit(0), F.lit(_PROBE_REP - 1))
+            ).alias("r"),
+        )
+    )
+    h = F.md5(
+        F.concat_ws(
+            "|",
+            F.col("l_orderkey").cast("string"),
+            F.col("l_linenumber").cast("string"),
+            F.col("r").cast("string"),
+        )
+    )
+    for _ in range(_PROBE_ITER):
+        h = F.md5(h)
+    return (
+        rep.select(h.alias("h"))
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.min("h").alias("min_h"),
+            F.max("h").alias("max_h"),
+        )
+        # HAVING guard: a count-style action would otherwise column-prune
+        # min_h/max_h out of the aggregate and the md5 chain with them —
+        # the probe would measure nothing.  Tying row EXISTENCE to min_h
+        # forces every digest to be computed under any action.  (Same
+        # clause in the oracle; both sides drop the row on empty input.)
+        .filter(F.col("min_h").isNotNull())
+    )
