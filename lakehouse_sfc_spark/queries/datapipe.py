@@ -459,6 +459,11 @@ def _mh_arrow_kernel(batches):
             n = 0
         else:
             starts = offs[:-1]
+            # Fail loudly on an empty middle segment (reduceat would return
+            # the next segment's first element — silent corruption;
+            # ADVICE r12).  _docs_ngrams guarantees non-empty lists.
+            if not (np.diff(offs) > 0).all():
+                raise ValueError("empty hg segment: precondition violated")
             out = np.empty((n, K), dtype=np.int64)
             for i in range(K):
                 out[:, i] = np.minimum.reduceat((flat * A[i] + B[i]) % _MH_P, starts)
@@ -480,6 +485,200 @@ def _mh_signatures_arrow(ngr):
         F.transform(F.col("ng"), lambda g: _h32(g) % F.lit(_MH_P)).alias("hg"),
     )
     return hg.mapInArrow(_mh_arrow_kernel, "doc_id long, mh array<long>")
+
+
+# --- vectorized double-fold kernels (r12 verdict task 2) ---------------------
+#
+# _dot/_l2 are interpreted HOF folds (CodegenFallback) — the same per-element
+# interpreter tax the minhash fold paid, but over doubles.  The NumPy twins
+# below replicate the JVM fold BIT-IDENTICALLY: each product / squared
+# difference is one IEEE-754 binary64 op (identical in NumPy and the JVM),
+# and the per-row accumulation starts from 0.0 and adds terms strictly
+# left-to-right (a vectorized add per array position — never np.sum /
+# np.add.reduce, whose pairwise summation reassociates).  Pinned against the
+# JVM expressions in tests/test_vec_kernels.py.
+
+
+def _list_np(col):
+    """(absolute int64 offsets, full float64 values buffer) of an Arrow list
+    column.  ``.values`` ignores any record-batch slice offset, so the
+    offsets index the FULL buffer — callers must index with the absolute
+    offsets (the ``_mh_arrow_kernel`` discipline)."""
+    import numpy as np
+
+    offs = col.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+    vals = col.values.to_numpy(zero_copy_only=False).astype(np.float64)
+    return offs, vals
+
+
+def _rows_matrix(col, width=None):
+    """Arrow list column -> (n, width) float64 matrix.  Raises if any row's
+    width differs (precondition violation must fail loudly, never corrupt —
+    ADVICE r12); embeddings are fixed-dimension by construction."""
+    import numpy as np
+
+    offs, vals = _list_np(col)
+    w = np.diff(offs)
+    if len(w) == 0:
+        return np.empty((0, width or 0), dtype=np.float64)
+    if w.min() != w.max():
+        raise ValueError(f"ragged vector widths {w.min()}..{w.max()}")
+    d = int(w[0])
+    if width is not None and d != width:
+        raise ValueError(f"vector width {d} != expected {width}")
+    idx = offs[:-1, None] + np.arange(d)
+    return vals[idx]
+
+
+def _seq_pair_rowsum(acol, bcol, kind):
+    """Per-row ``fold(0.0, op(a_j, b_j), +)`` over two Arrow list columns,
+    accumulated left-to-right — bit-identical to the JVM
+    ``F.aggregate(F.zip_with(a, b, op), 0.0, acc + x)`` (_dot / _l2).
+    kind: 'dot' -> a*b, 'l2' -> (a-b)*(a-b).
+
+    Rows may have mixed widths (each width group is one vectorized matrix
+    pass), but the two lists of a PAIR must match: zip_with would null-pad
+    a mismatch into a silent NULL score, so this fails loudly instead
+    (ADVICE r12 discipline)."""
+    import numpy as np
+
+    ao, av = _list_np(acol)
+    bo, bv = _list_np(bcol)
+    wa, wb = np.diff(ao), np.diff(bo)
+    if len(wa) != len(wb):
+        raise ValueError("row count mismatch")
+    if not np.array_equal(wa, wb):
+        raise ValueError("paired vector widths differ")
+    out = np.zeros(len(wa), dtype=np.float64)
+    for w in np.unique(wa):
+        if w == 0:
+            continue  # fold over an empty array is the 0.0 init
+        rows = np.nonzero(wa == w)[0]
+        A = av[ao[:-1][rows, None] + np.arange(w)]
+        B = bv[bo[:-1][rows, None] + np.arange(w)]
+        P = A * B if kind == "dot" else (A - B) * (A - B)
+        acc = np.zeros(len(rows), dtype=np.float64)
+        for j in range(int(w)):
+            acc = acc + P[:, j]
+        out[rows] = acc
+    return out
+
+
+def _cosv_pair_kernel(batches):
+    """(a_id, b_id, emb, nrm, qemb, qnrm) -> (a_id, b_id, cosv): the cosine
+    fold of dedup_embedding_topk as one vectorized pass.  Doubles as the
+    filter-pushdown barrier: Catalyst substituted the interpreted fold into
+    BOTH the tau filter and the scoring projection (guide §4.4's
+    double-evaluation trap); an opaque map node is evaluated exactly once."""
+    import numpy as np
+    import pyarrow as pa
+
+    for rb in batches:
+        if len(rb) == 0:
+            continue
+        dot = _seq_pair_rowsum(rb.column("emb"), rb.column("qemb"), "dot")
+        nrm = rb.column("nrm").to_numpy(zero_copy_only=False)
+        qnrm = rb.column("qnrm").to_numpy(zero_copy_only=False)
+        cosv = dot / (nrm * qnrm)
+        yield pa.RecordBatch.from_arrays(
+            [rb.column("a_id"), rb.column("b_id"), pa.array(cosv, pa.float64())],
+            names=["a_id", "b_id", "cosv"],
+        )
+
+
+def _nearest_centroid_kernel(cent_by_key, emit_dist=False):
+    """Kernel factory for the k-means/PQ ASSIGNMENT pass: every input row's
+    vector is scored against a driver-collected codebook and the nearest
+    centroid id (ties -> lowest cid, exactly ``min_by(cid, struct(d, cid))``)
+    is appended as ``cid`` (+ ``dist`` when emit_dist).  All input columns
+    pass through unchanged.
+
+    ``cent_by_key``: {subspace key -> (cids sorted ascending, (K, d) centroid
+    matrix)}; key None means un-subspaced (the input has no ``s`` column).
+    Distances accumulate (x-y)*(x-y) left-to-right per pair — bit-identical
+    to the JVM ``_l2`` fold — and np.argmin's first-minimum rule on
+    ascending cids reproduces the struct tie-break.  Distances are sums of
+    squares, so -0.0 never occurs and double ordering is total (no NaN:
+    _emb excludes NULL/zero-norm/NaN vectors).
+
+    This is the documented production shape (collect the tiny codebook once,
+    inline the argmin) — it replaces a K-way broadcast-join row explosion
+    plus a groupBy(vec_id) exchange with one map pass (guide §2.4/§4.2)."""
+    import numpy as np
+    import pyarrow as pa
+
+    def kernel(batches):
+        for rb in batches:
+            n = len(rb)
+            if n == 0:
+                continue
+            E = _rows_matrix(rb.column("e" if "e" in rb.schema.names else "emb"))
+            keys = (
+                rb.column("s").to_numpy(zero_copy_only=False)
+                if "s" in rb.schema.names
+                else None
+            )
+            best_cid = np.empty(n, dtype=np.int64)
+            best_d = np.empty(n, dtype=np.float64)
+            groups = (
+                [(None, np.arange(n))]
+                if keys is None
+                else [(k, np.nonzero(keys == k)[0]) for k in np.unique(keys)]
+            )
+            for key, rows in groups:
+                cids, C = cent_by_key[key]
+                sub = E[rows]
+                if sub.shape[1] != C.shape[1]:
+                    raise ValueError(
+                        f"vector width {sub.shape[1]} != codebook {C.shape[1]}"
+                    )
+                D = np.zeros((len(rows), len(cids)), dtype=np.float64)
+                for j in range(C.shape[1]):
+                    diff = sub[:, j, None] - C[None, :, j]
+                    D = D + diff * diff
+                b = D.argmin(axis=1)
+                best_cid[rows] = cids[b]
+                best_d[rows] = D[np.arange(len(rows)), b]
+            arrays = list(rb.columns) + [pa.array(best_cid, pa.int64())]
+            names = list(rb.schema.names) + ["cid"]
+            if emit_dist:
+                arrays.append(pa.array(best_d, pa.float64()))
+                names.append("dist")
+            yield pa.RecordBatch.from_arrays(arrays, names=names)
+
+    return kernel
+
+
+def _collect_codebook(rows, key_attr, cid_attr, vec_attr):
+    """Driver-collected centroid rows -> {key: (cids ascending, matrix)} for
+    ``_nearest_centroid_kernel``.  Doubles survive collect() exactly (binary
+    pickle framing, no text round-trip)."""
+    import numpy as np
+
+    by_key: dict = {}
+    for r in rows:
+        key = getattr(r, key_attr) if key_attr else None
+        by_key.setdefault(key, []).append(
+            (getattr(r, cid_attr), getattr(r, vec_attr))
+        )
+    out = {}
+    for key, pairs in by_key.items():
+        pairs.sort(key=lambda p: p[0])
+        out[key] = (
+            np.array([p[0] for p in pairs], dtype=np.int64),
+            np.array([p[1] for p in pairs], dtype=np.float64),
+        )
+    return out
+
+
+def _py_l2(a, b):
+    """Driver-side twin of the _l2 fold (Python floats ARE IEEE binary64;
+    same ops, same order ⇒ same bits)."""
+    acc = 0.0
+    for x, y in zip(a, b):
+        d = x - y
+        acc = acc + d * d
+    return acc
 
 
 def _band_explode(mh):
@@ -735,6 +934,12 @@ def _simhash_arrow_kernel(batches):
         else:
             starts = offs[:-1]
             lens = np.diff(offs)
+            # reduceat returns the NEXT segment's first element for an
+            # empty middle segment — corrupt, not wrong-by-one.  The
+            # documented precondition (every list non-empty) must fail
+            # loudly if a future caller violates it (ADVICE r12).
+            if not (lens > 0).all():
+                raise ValueError("empty hs segment: precondition violated")
             sim = np.zeros(n, dtype=np.int64)
             for b in range(_SH_BITS):
                 ones = np.add.reduceat((flat >> b) & 1, starts)
@@ -1439,14 +1644,18 @@ def ann_ivf_partitioned_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         return spark.createDataFrame([], "vec_id bigint, score double")
     qcell = qrows[0]["qcell"]
     probe_cells = [qcell] + [qcell ^ (1 << j) for j in range(_IVF_DIMS)]
-    qb = F.broadcast(
-        q.select(F.col("emb").alias("qemb"), F.col("nrm").alias("qnrm"))
+    # Round 13 (r12 verdict task 5): the query row was collected above, yet
+    # the final plan ALSO carried it as a broadcast-join side — re-deriving
+    # the source scan + norm fold a second time per run.  Inline the
+    # already-collected values as literals instead: one less scan, one less
+    # BroadcastExchange, same doubles (collect() round-trips them exactly).
+    qemb_lit = F.array(*[F.lit(v) for v in qrows[0]["emb"]])
+    cos = _dot(F.col("emb"), qemb_lit) / (
+        F.col("nrm") * F.lit(qrows[0]["nrm"])
     )
-    cos = _dot(F.col("emb"), F.col("qemb")) / (F.col("nrm") * F.col("qnrm"))
     return (
         c.filter(F.col("cell").isin(probe_cells))
         .filter(F.col("vec_id") != _ANN_QUERY_ID)
-        .join(qb)
         .select("vec_id", cos.alias("c"))
         .orderBy(F.col("c").desc(), F.col("vec_id"))
         .limit(_ANN_K)
@@ -1543,8 +1752,19 @@ def ann_ivf_kmeans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     Lloyd assignment passes, the query row, the final scan) which each
     re-derived the scan + norm filter, and the interpreted L2 folds ran
     at the narrow scan width (guide §2.4/§2).  Noop median at sf0.01:
-    1.94 → 1.25 s, value-identical."""
-    from pyspark.sql import Window
+    1.94 → 1.25 s, value-identical.
+
+    Round 13 (r12 verdict task 2): both Lloyd assignment passes now run in
+    ``_nearest_centroid_kernel`` — the K-row codebook is collected to the
+    driver (the docstring above always called this the production shape)
+    and each pass is ONE vectorized map over the checkpoint instead of a
+    broadcast-join K-way row explosion + interpreted ``_l2`` fold per pair
+    + a groupBy(vec_id) exchange (guide §2.4/§4.2).  The nprobe cell pick
+    runs on the driver over the collected codebook with the same
+    left-to-right fold (``_py_l2``) and (d, cid) tie-break.  Every double
+    op is order-exact, so the oracle match stays bit-identical
+    (tests/test_vec_kernels.py pins the kernels against the JVM folds)."""
+    import math
 
     from lakehouse_sfc_spark.sources.loader import compute_width
 
@@ -1553,34 +1773,18 @@ def ann_ivf_kmeans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .repartition(compute_width(spark))
         .localCheckpoint(eager=False)
     )
-    kdf = c.agg(
-        F.least(
-            F.lit(256),
-            F.greatest(
-                F.lit(8), F.ceil(F.sqrt(F.count(F.lit(1)))).cast("int")
-            ),
-        ).alias("kk")
+    # Same K as the JVM/oracle expression: ceil over one double sqrt.
+    kk = min(256, max(8, math.ceil(math.sqrt(c.count()))))
+    seed_book = _collect_codebook(
+        c.filter(F.col("vec_id") < kk).select("vec_id", "emb").collect(),
+        None,
+        "vec_id",
+        "emb",
     )
-    seeds = (
-        c.join(F.broadcast(kdf))
-        .filter(F.col("vec_id") < F.col("kk"))
-        .select(F.col("vec_id").alias("cid"), F.col("emb").alias("cemb"))
+    a1 = c.select("vec_id", "emb").mapInArrow(
+        _nearest_centroid_kernel(seed_book),
+        "vec_id long, emb array<double>, cid long",
     )
-
-    def assign(vecs: DataFrame, cents: DataFrame) -> DataFrame:
-        """(vec_id, emb) x centroids -> nearest (vec_id, cid, emb)."""
-        d = _l2(F.col("emb"), F.col("cemb"))
-        return (
-            vecs.join(F.broadcast(cents))
-            .select("vec_id", "emb", "cid", d.alias("d"))
-            .groupBy("vec_id")
-            .agg(
-                F.min_by("cid", F.struct("d", "cid")).alias("cid"),
-                F.first("emb").alias("emb"),  # constant within the group
-            )
-        )
-
-    a1 = assign(c.select("vec_id", "emb"), seeds)
     per_dim = (
         a1.select("cid", F.posexplode("emb").alias("pos", "x"))
         .groupBy("cid", "pos")
@@ -1597,27 +1801,34 @@ def ann_ivf_kmeans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             lambda s: s["m"],
         ).alias("cemb")
     )
-    a2 = assign(c.select("vec_id", "emb"), cent).select(
-        "vec_id", F.col("cid").alias("cell")
+    cent_book = _collect_codebook(cent.collect(), None, "cid", "cemb")
+    qrows = c.filter(F.col("vec_id") == _ANN_QUERY_ID).select(
+        "emb", "nrm"
+    ).collect()
+    if not qrows:
+        # query vector absent/NULL/zero-norm: empty top-k, like the
+        # oracle's empty q CTE
+        return spark.createDataFrame([], "vec_id bigint, score double")
+    qemb, qnrm = qrows[0]["emb"], qrows[0]["nrm"]
+    # nprobe nearest cells: driver-side exact fold + (d, cid) tie-break —
+    # identical to the former row_number(ORDER BY d, cid) <= nprobe window.
+    cids, cmat = cent_book[None]
+    ranked = sorted(
+        (_py_l2(qemb, cmat[i]), int(cids[i])) for i in range(len(cids))
     )
-    q = c.filter(F.col("vec_id") == _ANN_QUERY_ID).select(
-        F.col("emb").alias("qemb"), F.col("nrm").alias("qnrm")
-    )
-    qc = (
-        cent.join(F.broadcast(q.select("qemb")))
-        .select("cid", _l2(F.col("qemb"), F.col("cemb")).alias("d"))
-        .withColumn(
-            "rn", F.row_number().over(Window.orderBy("d", "cid"))
-        )
-        .filter(F.col("rn") <= _KM_NPROBE)
-        .select("cid")
-    )
-    cos = _dot(F.col("emb"), F.col("qemb")) / (F.col("nrm") * F.col("qnrm"))
+    probe_cells = [cid for _, cid in ranked[:_KM_NPROBE]]
+    qemb_lit = F.array(*[F.lit(v) for v in qemb])
+    cos = _dot(F.col("emb"), qemb_lit) / (F.col("nrm") * F.lit(qnrm))
     return (
-        c.filter(F.col("vec_id") != _ANN_QUERY_ID)
-        .join(a2, "vec_id")
-        .join(F.broadcast(qc), F.col("cell") == F.col("cid"), "left_semi")
-        .join(F.broadcast(q))
+        c.select("vec_id", "emb", "nrm")
+        .mapInArrow(
+            _nearest_centroid_kernel(cent_book),
+            "vec_id long, emb array<double>, nrm double, cid long",
+        )
+        .filter(
+            F.col("cid").isin(probe_cells)
+            & (F.col("vec_id") != _ANN_QUERY_ID)
+        )
         .select("vec_id", cos.alias("c"))
         .orderBy(F.col("c").desc(), F.col("vec_id"))
         .limit(_ANN_K)
@@ -2173,10 +2384,15 @@ def dedup_embedding_topk(
         F.col("emb").alias("qemb"),
         F.col("nrm").alias("qnrm"),
     )
-    cos = _dot(F.col("emb"), F.col("qemb")) / (F.col("nrm") * F.col("qnrm"))
+    # Round 13: the cosine fold runs in _cosv_pair_kernel (Arrow/NumPy,
+    # bit-identical left-to-right accumulation) instead of the interpreted
+    # HOF fold, and — because the map node is opaque — Catalyst can no
+    # longer push the tau filter below the scoring projection and evaluate
+    # the fold TWICE per candidate (r12 verdict item 3 / guide §4.4).
     scored = (
         cand.join(qpay, "a_id")
-        .select("a_id", "b_id", cos.alias("cosv"))
+        .select("a_id", "b_id", "emb", "nrm", "qemb", "qnrm")
+        .mapInArrow(_cosv_pair_kernel, "a_id long, b_id long, cosv double")
         .filter(F.col("cosv") >= _COS_TAU)
     )
     w = Window.partitionBy("a_id").orderBy(F.col("cosv").desc(), F.col("b_id"))
@@ -4299,7 +4515,23 @@ def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     expression-for-expression (same decimal centroid means, same min_by
     tie-break, same fixed-order d0+d1+d2+d3 ADC sum), so the oracle match
     is bit-exact as before."""
-    c = _emb(spark, sf_dir)
+    from lakehouse_sfc_spark.sources.loader import compute_width
+
+    # Round 13 (r12 verdict task 2): the valid-vector relation is
+    # checkpointed once (it previously fed sub/seeds/qs/qfull as separate
+    # scans), the two per-subspace assignment passes run in
+    # ``_nearest_centroid_kernel`` over driver-collected codebooks, and the
+    # ADC scoring is ONE vectorized map pass (`_pq_adc` below) that encodes
+    # and table-looks-up all {m} subspaces per vector — replacing the
+    # codes explode + broadcast LUT join over 4n rows + pivot groupBy
+    # exchange (guide §2.4/§4.2).  Every double op keeps the JVM fold's
+    # left-to-right order, so scores are bit-identical.
+    c = (
+        _emb(spark, sf_dir)
+        .repartition(compute_width(spark))
+        .localCheckpoint(eager=False)
+    )
+    n = c.count()
     # (vec_id, s, e): every vector's M subvectors as one relation.
     sub = c.select(
         "vec_id",
@@ -4312,26 +4544,15 @@ def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("s", "e"),
     )
-    seeds = sub.filter(F.col("vec_id") < _PQ_K).select(
-        F.col("s").alias("cs"), F.col("vec_id").alias("cid"), F.col("e").alias("ce")
+    seed_book = _collect_codebook(
+        sub.filter(F.col("vec_id") < _PQ_K).collect(), "s", "vec_id", "e"
     )
-
-    def assign(vecs, cents):
-        # per (vector, subspace): nearest sub-centroid of the SAME
-        # subspace, ties to the lowest cid (identical to the per-subspace
-        # min_by of the unfused formulation — s is just a group key now)
-        d = _l2(F.col("e"), F.col("ce"))
-        return (
-            vecs.join(F.broadcast(cents), F.col("s") == F.col("cs"))
-            .select("vec_id", "s", "e", "cid", d.alias("d"))
-            .groupBy("vec_id", "s")
-            .agg(
-                F.min_by("cid", F.struct("d", "cid")).alias("cid"),
-                F.first("e").alias("e"),
-            )
-        )
-
-    a1 = assign(sub, seeds)
+    # per (vector, subspace): nearest sub-centroid of the SAME subspace,
+    # ties to the lowest cid (== min_by(cid, struct(d, cid)))
+    a1 = sub.mapInArrow(
+        _nearest_centroid_kernel(seed_book),
+        "vec_id long, s int, e array<double>, cid long",
+    )
     cent = (
         a1.select("s", "cid", F.posexplode("e").alias("pos", "x"))
         .groupBy("s", "cid", "pos")
@@ -4350,50 +4571,67 @@ def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                 lambda st: st["m"],
             ).alias("ce")
         )
-        .select(F.col("s").alias("cs"), "cid", "ce")
     )
-    codes_long = assign(sub, cent).select(
-        "vec_id", "s", F.col("cid").alias("code")
-    )
-    qs = sub.filter(F.col("vec_id") == _ANN_QUERY_ID).select(
-        F.col("s").alias("qs"), F.col("e").alias("qe")
-    )
-    lut = cent.join(
-        F.broadcast(qs), F.col("cs") == F.col("qs")
-    ).select(
-        F.col("cs").alias("ls"),
-        F.col("cid").alias("lcid"),
-        _l2(F.col("ce"), F.col("qe")).alias("d"),
-    )
-    # One broadcast LUT probe + one pivot-to-wide groupBy, then the ADC sum
-    # in the SAME fixed left-to-right order as the SQL twin (a grouped
-    # SUM would be row-order-dependent in float).
-    scored = codes_long.filter(F.col("vec_id") != _ANN_QUERY_ID).join(
-        F.broadcast(lut),
-        (F.col("s") == F.col("ls")) & (F.col("code") == F.col("lcid")),
-    )
-    wide = scored.groupBy("vec_id").agg(
-        *[
-            F.max(F.when(F.col("s") == s, F.col("d"))).alias(f"d{s}")
-            for s in range(_PQ_M)
-        ]
-    )
-    adc = F.col("d0") + F.col("d1") + F.col("d2") + F.col("d3")
-    n = c.count()
+    cent_book = _collect_codebook(cent.collect(), "s", "cid", "ce")
+    qrows = c.filter(F.col("vec_id") == _ANN_QUERY_ID).select("emb").collect()
+    if not qrows:
+        return spark.createDataFrame([], "vec_id bigint, l2_exact double")
+    qe = list(qrows[0]["emb"])
+    # Driver-side ADC lookup table: exact sub-centroid -> query-subvector
+    # distances, the same fold the old broadcast-LUT join computed.
+    lut = {
+        s: {
+            int(cids[i]): _py_l2(cmat[i], qe[_PQ_SUB * s: _PQ_SUB * (s + 1)])
+            for i in range(len(cids))
+        }
+        for s, (cids, cmat) in cent_book.items()
+    }
+
+    def _pq_adc(batches):
+        """(vec_id, emb) -> (vec_id, adc): encode all subspaces and sum the
+        LUT distances in the FIXED d0+d1+d2+d3 order (never a
+        row-order-dependent SUM)."""
+        import numpy as np
+        import pyarrow as pa
+
+        for rb in batches:
+            if len(rb) == 0:
+                continue
+            E = _rows_matrix(rb.column("emb"), width=_PQ_SUB * _PQ_M)
+            terms = []
+            for s in range(_PQ_M):
+                cids, C = cent_book[s]
+                sl = E[:, _PQ_SUB * s: _PQ_SUB * (s + 1)]
+                D = np.zeros((len(E), len(cids)), dtype=np.float64)
+                for j in range(C.shape[1]):
+                    diff = sl[:, j, None] - C[None, :, j]
+                    D = D + diff * diff
+                best = D.argmin(axis=1)
+                dv = np.array(
+                    [lut[s][int(cid)] for cid in cids], dtype=np.float64
+                )
+                terms.append(dv[best])
+            adc = terms[0]
+            for t in terms[1:]:
+                adc = adc + t
+            yield pa.RecordBatch.from_arrays(
+                [rb.column("vec_id"), pa.array(adc, pa.float64())],
+                names=["vec_id", "adc"],
+            )
+
     shortlist = max(_PQ_SHORTLIST_MIN, -(-n // _PQ_SHORTLIST_FRAC))
     short = (
-        wide.select("vec_id", adc.alias("adc"))
+        c.select("vec_id", "emb")
+        .mapInArrow(_pq_adc, "vec_id long, adc double")
+        .filter(F.col("vec_id") != _ANN_QUERY_ID)
         .orderBy("adc", "vec_id")
         .limit(shortlist)
         .select("vec_id")
     )
-    qfull = c.filter(F.col("vec_id") == _ANN_QUERY_ID).select(
-        F.col("emb").alias("qe")
-    )
-    l2x = _l2(F.col("emb"), F.col("qe"))
+    qe_lit = F.array(*[F.lit(v) for v in qe])
+    l2x = _l2(F.col("emb"), qe_lit)
     return (
-        short.join(c, "vec_id")
-        .join(F.broadcast(qfull))
+        c.join(F.broadcast(short), "vec_id")
         .select("vec_id", l2x.alias("l2"))
         .orderBy("l2", "vec_id")
         .limit(_ANN_K)
@@ -5423,6 +5661,12 @@ def ann_pq_distortion_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     # arithmetic is identical because every aggregate now just carries the
     # s key).  The relation is localCheckpointed: both assignment passes
     # consume it (guide §2.4).
+    # Round 13 (r12 verdict task 2): both assignment passes run in
+    # ``_nearest_centroid_kernel`` over driver-collected codebooks — one
+    # vectorized map pass each instead of a K-way broadcast-join explosion
+    # + interpreted ``_l2`` fold + groupBy(vec_id, s) exchange; the final
+    # pass emits the min distance (``dist``) directly, the former
+    # ``w.d AS err``.  Order-exact doubles, oracle bit-identical.
     c = _emb(spark, sf_dir)
     sub = c.select(
         "vec_id",
@@ -5435,29 +5679,13 @@ def ann_pq_distortion_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("s", "e"),
     ).localCheckpoint(eager=False)
-    seeds = sub.filter(F.col("vec_id") < _PQ_K).select(
-        "s", F.col("vec_id").alias("cid"), F.col("e").alias("ce")
+    seed_book = _collect_codebook(
+        sub.filter(F.col("vec_id") < _PQ_K).collect(), "s", "vec_id", "e"
     )
-
-    def assign_err(vecs, cents):
-        d = _l2(F.col("e"), F.col("ce"))
-        return (
-            vecs.join(F.broadcast(cents), "s")
-            .select("vec_id", "s", "e", "cid", d.alias("d"))
-            .groupBy("vec_id", "s")
-            .agg(
-                F.min_by(
-                    F.struct("cid", "d"), F.struct("d", "cid")
-                ).alias("w"),
-                F.first("e").alias("e"),
-            )
-            .select(
-                "vec_id", "s", F.col("w.cid").alias("cid"),
-                F.col("w.d").alias("err"), "e",
-            )
-        )
-
-    a1 = assign_err(sub, seeds)
+    a1 = sub.mapInArrow(
+        _nearest_centroid_kernel(seed_book),
+        "vec_id long, s int, e array<double>, cid long",
+    )
     cent = (
         a1.select("s", "cid", F.posexplode("e").alias("pos", "x"))
         .groupBy("s", "cid", "pos")
@@ -5477,7 +5705,11 @@ def ann_pq_distortion_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("ce")
         )
     )
-    err = assign_err(sub, cent)
+    cent_book = _collect_codebook(cent.collect(), "s", "cid", "ce")
+    err = sub.select("vec_id", "s", "e").mapInArrow(
+        _nearest_centroid_kernel(cent_book, emit_dist=True),
+        "vec_id long, s int, e array<double>, cid long, dist double",
+    ).withColumnRenamed("dist", "err")
     return (
         err.groupBy("s")
         .agg(
