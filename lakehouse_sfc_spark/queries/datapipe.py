@@ -42,7 +42,7 @@ from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from lakehouse_sfc_spark.queries.registry import register
-from lakehouse_sfc_spark.sources.loader import load_table
+from lakehouse_sfc_spark.sources.loader import load_table, materialize_once
 
 # --- shared text kernels ----------------------------------------------------
 
@@ -790,8 +790,8 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     barrier is skipped (``barrier=False``) — one less shuffle.  Measured at
     sf0.1/local[32], noop sink: 2.63 s -> 1.76 s median, byte-identical
     output (guide §2.4 remove shuffles, §1.4 noop measurement)."""
-    ngr = _docs_ngrams(spark, sf_dir).localCheckpoint(eager=False)
-    mh = _mh_signatures_arrow(ngr).localCheckpoint(eager=False)
+    ngr = materialize_once(_docs_ngrams(spark, sf_dir))
+    mh = materialize_once(_mh_signatures_arrow(ngr))
     bands = _band_explode(mh)
 
 
@@ -1059,7 +1059,7 @@ def dedup_saturation_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     # otherwise derives a size(ng) > 0 filter from the explode and pushes
     # the inlined n-gram expression to the narrow pre-repartition side of
     # the plan (single task, per-row re-derivation — guide §2.4/§7.2).
-    ngr = _docs_ngrams(spark, sf_dir).localCheckpoint(eager=False)
+    ngr = materialize_once(_docs_ngrams(spark, sf_dir))
     e = ngr.select("doc_id", F.explode("ng").alias("gr")).repartition("gr")
     e = e.localCheckpoint(eager=False)  # census + per-doc both consume it
     dfq = e.groupBy("gr").agg(F.count(F.lit(1)).alias("df"))
@@ -1768,11 +1768,7 @@ def ann_ivf_kmeans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from lakehouse_sfc_spark.sources.loader import compute_width
 
-    c = (
-        _emb(spark, sf_dir)
-        .repartition(compute_width(spark))
-        .localCheckpoint(eager=False)
-    )
+    c = materialize_once(_emb(spark, sf_dir), compute_width(spark))
     # Same K as the JVM/oracle expression: ceil over one double sqrt.
     kk = min(256, max(8, math.ceil(math.sqrt(c.count()))))
     seed_book = _collect_codebook(
@@ -2351,11 +2347,7 @@ def dedup_embedding_topk(
 
     from lakehouse_sfc_spark.sources.loader import compute_width
 
-    base = (
-        _emb(spark, sf_dir)
-        .repartition(compute_width(spark))
-        .localCheckpoint(eager=False)
-    )
+    base = materialize_once(_emb(spark, sf_dir), compute_width(spark))
     bits = _detk_bits(base.count())
     c = base.withColumn("cell", _cell_bits(F.col("emb"), bits))
     masks = [
@@ -2692,8 +2684,8 @@ def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     localCheckpointed so the batch/corpus band split and both verify joins
     read one materialization instead of re-deriving the tokenize + n-gram +
     signature subtree per side (guide §2.4)."""
-    ngr = _docs_ngrams(spark, sf_dir).localCheckpoint(eager=False)
-    mh = _mh_signatures_arrow(ngr).localCheckpoint(eager=False)
+    ngr = materialize_once(_docs_ngrams(spark, sf_dir))
+    mh = materialize_once(_mh_signatures_arrow(ngr))
     bands = _band_explode(mh)
     is_batch = F.col("doc_id") % 10 == 0
     batch_bands = bands.filter(is_batch)
@@ -4526,11 +4518,7 @@ def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # codes explode + broadcast LUT join over 4n rows + pivot groupBy
     # exchange (guide §2.4/§4.2).  Every double op keeps the JVM fold's
     # left-to-right order, so scores are bit-identical.
-    c = (
-        _emb(spark, sf_dir)
-        .repartition(compute_width(spark))
-        .localCheckpoint(eager=False)
-    )
+    c = materialize_once(_emb(spark, sf_dir), compute_width(spark))
     n = c.count()
     # (vec_id, s, e): every vector's M subvectors as one relation.
     sub = c.select(
@@ -5678,7 +5666,8 @@ def ann_pq_distortion_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ]
             )
         ).alias("s", "e"),
-    ).localCheckpoint(eager=False)
+    )
+    sub = materialize_once(sub)
     seed_book = _collect_codebook(
         sub.filter(F.col("vec_id") < _PQ_K).collect(), "s", "vec_id", "e"
     )

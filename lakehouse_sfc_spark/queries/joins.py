@@ -582,19 +582,39 @@ def j_scd2_pit(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = load_table(spark, sf_dir, "customer")
     o = load_table(spark, sf_dir, "orders")
 
-    dims = None
-    for v, m, d, vf in _SCD2_VERSIONS:
-        part = c.filter(F.col("c_custkey") % m == 0).select(
-            F.col("c_custkey").alias("k"),
-            F.lit(f"{vf} 00:00:00").cast("timestamp").alias("ts"),
-            F.lit(1).alias("is_dim"),
-            F.lit(None).cast("double").alias("price"),
+    # Round 13: the three version legs used to be three filtered scans of
+    # customer glued with UNION ALL; one scan + a per-row explode of the
+    # (version, modulus, delta, valid_from) literals produces the same rows
+    # from a single pass (guide §2.4 — remove redundant work; the modulus
+    # filter runs per 3-element literal array, not per scan).  Values are
+    # identical: same % predicate, same c_acctbal + delta double add.
+    vers = F.array(
+        *[
             F.struct(
                 F.lit(v).alias("version"),
-                (F.col("c_acctbal") + F.lit(d)).alias("balance"),
-            ).alias("rec"),
-        )
-        dims = part if dims is None else dims.unionByName(part)
+                F.lit(m).alias("m"),
+                F.lit(d).alias("delta"),
+                F.lit(f"{vf} 00:00:00").cast("timestamp").alias("ts"),
+            )
+            for v, m, d, vf in _SCD2_VERSIONS
+        ]
+    )
+    dims = c.select(
+        "c_custkey",
+        "c_acctbal",
+        F.explode(
+            F.filter(vers, lambda x: F.col("c_custkey") % x["m"] == 0)
+        ).alias("vx"),
+    ).select(
+        F.col("c_custkey").alias("k"),
+        F.col("vx.ts").alias("ts"),
+        F.lit(1).alias("is_dim"),
+        F.lit(None).cast("double").alias("price"),
+        F.struct(
+            F.col("vx.version").alias("version"),
+            (F.col("c_acctbal") + F.col("vx.delta")).alias("balance"),
+        ).alias("rec"),
+    )
 
     facts = o.select(
         F.col("o_custkey").alias("k"),

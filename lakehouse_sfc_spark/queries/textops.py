@@ -47,7 +47,7 @@ from lakehouse_sfc_spark.operators.multimodal import (
     synth_png_batches,
 )
 from lakehouse_sfc_spark.queries.registry import register
-from lakehouse_sfc_spark.sources.loader import load_table
+from lakehouse_sfc_spark.sources.loader import load_table, materialize_once
 
 # shared normalized tokenization (same as datapipe)
 _SQL_TOKENS = (
@@ -926,32 +926,37 @@ def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from lakehouse_sfc_spark.sources.loader import compute_width
 
     docs = load_table(spark, sf_dir, "documents")
-    tok = (
-        docs.repartition(compute_width(spark))
-        .select(
+    tok = materialize_once(
+        docs.repartition(compute_width(spark)).select(
             "doc_id",
             F.filter(_tokens(F.col("text")), lambda t: t != "").alias("w"),
         )
-        .localCheckpoint(eager=False)
     )
-    dl = tok.select("doc_id", F.size("w").alias("dl")).filter(F.col("dl") > 0)
-    corpus = dl.agg(
+    # Round 13 (§2.3/§2.4): dl rides the tf rows instead of joining back.
+    # Both derive from the SAME token row, so attaching size(w) before the
+    # query-term explode removes the old tf ⋈ dl equi-join — which shuffled
+    # the FULL per-doc length relation by doc_id to reach the few
+    # |terms|·|matching docs| tf rows.  Two exchanges gone (tf side +
+    # all-docs dl side); corpus stats stay a map-side global aggregate.
+    base = tok.select(
+        "doc_id",
+        F.size("w").alias("dl"),
+        F.filter("w", lambda t: t.isin(*_BM25_TERMS)).alias("qt"),
+    ).filter(F.col("dl") > 0)
+    corpus = base.agg(
         F.count(F.lit(1)).alias("n"), F.sum("dl").alias("l")
     )
     tf = (
-        tok.select(
-            "doc_id",
-            F.explode(
-                F.filter("w", lambda t: t.isin(*_BM25_TERMS))
-            ).alias("term"),
-        )
+        base.select("doc_id", "dl", F.explode("qt").alias("term"))
         .groupBy("doc_id", "term")
-        .agg(F.count(F.lit(1)).alias("tf"))
+        .agg(
+            F.count(F.lit(1)).alias("tf"),
+            F.first("dl").alias("dl"),  # constant within the group
+        )
     )
     dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     scored = (
-        tf.join(dfreq, "term")
-        .join(dl, "doc_id")
+        tf.join(F.broadcast(dfreq), "term")
         .crossJoin(F.broadcast(corpus))
         .select(
             "term",

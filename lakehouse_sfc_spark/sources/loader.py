@@ -376,3 +376,35 @@ def compute_width(spark) -> int:
     cores = spark.sparkContext.defaultParallelism
     shuffle_n = int(spark.conf.get("spark.sql.shuffle.partitions"))
     return max(1, min(shuffle_n, cores * 2))
+
+
+def materialize_once(df: DataFrame, width: int | None = None) -> DataFrame:
+    """THE checkpoint policy for shared subtrees (r12 verdict task 7 —
+    one owner for width / eagerness / storage / the scale caveat, replacing
+    ad-hoc ``localCheckpoint(eager=False)`` sites).
+
+    Use when a relation feeds 2+ consumers that would otherwise each
+    re-derive its whole subtree (exchange reuse cannot dedup a broadcast
+    side against a shuffle side), or as the projection barrier that stops
+    CollapseProject from inlining an expensive projection into each
+    consumer.  ``width`` spreads a compute-heavy projection leaving a
+    narrow scan (pass ``compute_width(spark)``); omit it when the input
+    partitioning is already right.
+
+    Policy: ``eager=False`` — the first action materializes it, so a
+    ``count()`` that is needed anyway doubles as the materializer; default
+    storage level (MEMORY_AND_DISK on executor-local storage).
+
+    100 TB caveat (ADVICE r12): localCheckpoint TRUNCATES LINEAGE — the
+    checkpointed partitions live on executor-local storage with NO
+    recompute fallback, so on a multi-executor cluster a lost executor
+    fails the query instead of recomputing, and the materialization is
+    O(relation) executor memory+disk (guide §5).  That is the right local
+    trade for a bench-scale shared subtree; a production pipeline sharing
+    a 100 TB relation should write+read an explicit intermediate (or a
+    replicated storage level) instead.  Iterative algorithms that
+    checkpoint per round to cut unrolled lineage (graph/components) share
+    the same caveat."""
+    if width:
+        df = df.repartition(width)
+    return df.localCheckpoint(eager=False)

@@ -83,9 +83,20 @@ def _capped_state_partitions(spark: SparkSession, cap: int | None = None):
     on the late-drop replay at sf0.01, local[8]: cap 16 → 4.6 s, cap 8 →
     3.2 s, cap 4 → 2.5 s per streaming query — each state partition is an
     open/commit/close per micro-batch).  The cap only lowers, never
-    raises, a user-tuned setting."""
+    raises, a user-tuned setting.
+
+    ``SPARK_GRAFT_STREAM_STATE_CAP`` overrides the formula (r13: a
+    production backfill whose state genuinely needs cluster width sets it
+    high; the bounded local replays measured fastest at 8 on this host —
+    lower caps throttle the foreachBatch MERGE jobs, which share the
+    shuffle-partition setting, so 4 is already too low for those)."""
     if cap is None:
-        cap = max(4, min(16, spark.sparkContext.defaultParallelism))
+        env = os.environ.get("SPARK_GRAFT_STREAM_STATE_CAP")
+        cap = (
+            int(env)
+            if env
+            else max(4, min(16, spark.sparkContext.defaultParallelism))
+        )
     key = "spark.sql.shuffle.partitions"
     prev = spark.conf.get(key)
     try:

@@ -42,11 +42,35 @@ class SfcTable:
         # census entries read 4+ table states per run.  The cache key
         # includes every file's (size, mtime_ns), so a rewritten layout can
         # never serve a stale relation (see pruning._survivors_relation).
+        #
+        # Two ADVICE-r12 guards before trusting the sidecar as a manifest:
+        # (a) a hive-partitioned layout (cell=N/ dirs) must go through the
+        # directory read or the partition columns silently vanish from the
+        # schema; (b) files present in the directory but NOT listed in the
+        # sidecar (an external writer, an append without stats) must not be
+        # silently excluded.  Both fall back to spark.read.parquet(path).
         sc = self.sidecar
         if sc and sc.get("files"):
-            from lakehouse_sfc_spark.table.pruning import _survivors_relation
+            import os
+            from urllib.parse import urlparse
 
-            return _survivors_relation(self.spark, sorted(sc["files"]))
+            listed: set[str] = set()
+            partitioned = False
+            for root, dirs, fnames in os.walk(self.path):
+                dirs[:] = [d for d in dirs if not d.startswith(("_", "."))]
+                if any("=" in d for d in dirs):
+                    partitioned = True
+                    break
+                for f in fnames:
+                    if f.endswith(".parquet") and not f.startswith(("_", ".")):
+                        listed.add(os.path.join(root, f))
+            side = {urlparse(u).path or u for u in sc["files"]}
+            if not partitioned and side == listed:
+                from lakehouse_sfc_spark.table.pruning import (
+                    _survivors_relation,
+                )
+
+                return _survivors_relation(self.spark, sorted(sc["files"]))
         return self.spark.read.parquet(self.path)
 
     def scan(self, predicates: list[Pred]) -> DataFrame:
