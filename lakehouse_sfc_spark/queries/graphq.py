@@ -19,7 +19,11 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from lakehouse_sfc_spark.queries.registry import register
-from lakehouse_sfc_spark.sources.loader import compute_width, load_table
+from lakehouse_sfc_spark.sources.loader import (
+    compute_width,
+    load_table,
+    materialize_once,
+)
 
 _SQL_EDGES = """
     SELECT DISTINCT a.l_partkey AS p1, b.l_partkey AS p2
@@ -118,13 +122,14 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     O(sqrt(|E|)) and is the same plan shape with one extra tiny join
     against the degree table."""
     # hash-cluster the edge list on p1 ONCE (core-count width, not the
-    # session's shuffle width) and cache: the wedge self-join e1⋈e2 is then
-    # co-partitioned — zero exchanges — and every other consumer reuses the
-    # cached layout
-    edges = (
-        _edges(spark, sf_dir)
-        .repartition(compute_width(spark), "p1")
-        .cache()
+    # session's shuffle width) and materialize: the wedge self-join e1⋈e2
+    # is then co-partitioned — zero exchanges — and every other consumer
+    # reuses the layout.  materialize_once (r13) instead of .cache(): the
+    # checkpoint blocks are released by the ContextCleaner when the frame
+    # is garbage-collected, where .cache() leaked until the caller's
+    # clearCache() (r12 verdict item 4); partitioning survives either way.
+    edges = materialize_once(
+        _edges(spark, sf_dir).repartition(compute_width(spark), "p1")
     )
     e1 = edges.alias("e1")
     e2 = edges.alias("e2")

@@ -14,7 +14,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from lakehouse_sfc_spark.queries.registry import register
-from lakehouse_sfc_spark.sources.loader import load_table
+from lakehouse_sfc_spark.sources.loader import load_table, materialize_once
 
 _EVENT_TYPES = ("click", "view", "purchase", "signup", "error")
 
@@ -621,13 +621,19 @@ def dq_ks_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("blk", F.floor("value"))
     )
     w_blk = Window.partitionBy("blk").orderBy("value")
-    within = pv.select(
-        "blk",
-        "value",
-        F.sum("a").over(w_blk).alias("ca_in"),
-        F.sum("b").over(w_blk).alias("cb_in"),
-        "a",
-        "b",
+    # r13: 'within' feeds BOTH per_blk (via the broadcast carry side) and
+    # the final gap join; a BroadcastExchange side cannot reuse a shuffle
+    # side, so without a barrier the groupBy+window subtree ran twice
+    # (guide 2.4).  materialize_once = one evaluation.
+    within = materialize_once(
+        pv.select(
+            "blk",
+            "value",
+            F.sum("a").over(w_blk).alias("ca_in"),
+            F.sum("b").over(w_blk).alias("cb_in"),
+            "a",
+            "b",
+        )
     )
     per_blk = within.groupBy("blk").agg(
         F.sum("a").alias("blk_a"), F.sum("b").alias("blk_b")
