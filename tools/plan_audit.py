@@ -158,12 +158,13 @@ ANNOTATIONS = {
         "anti-join — guarded by test_common_neighbors_broadcast_is_size_gated"
     ),
     "ann_pq_topk": (
-        "the BroadcastNestedLoopJoins are the intended bounded codebook "
-        "broadcasts of the fused PQ chain (seed/centroid relations ≤ "
-        "M×16 = 64 rows joined on the subspace key, plus the 1-row "
-        "query-subvector broadcast) — never relation×relation; round 11 "
-        "fused the 4 per-subspace pipelines into one exploded "
-        "(vec_id, s) relation, ~5 shuffles total"
+        "round 13: assignment + ADC run in vectorized Arrow kernels over "
+        "driver-collected codebooks (the production shape) — the codebook "
+        "broadcast joins, the codes explode, the LUT join and the pivot "
+        "groupBy are gone; 0 parquet scans because the valid-vector "
+        "relation is checkpointed once, and the one remaining "
+        "BroadcastHashJoin attaches the TakeOrdered ADC shortlist for "
+        "the exact re-rank"
     ),
     "dedup_keep_canonical": (
         "plan shown is the steady-state (label-cache-present) variant "
@@ -233,10 +234,9 @@ ANNOTATIONS = {
         "bounded) — never relation×relation"
     ),
     "ann_ivf_partitioned_topk": (
-        "the BroadcastNestedLoopJoin×1 is the INTENDED 1-row broadcast of "
-        "the query vector (no join condition, bounded) — not an all-pairs "
-        "fallback; the no-BNLJ discipline applies to relation×relation "
-        "joins (guarded in test_plan_quality.py)"
+        "round 13: the collected query row is inlined as literals, so the "
+        "former 1-row query-vector broadcast (and its second source scan) "
+        "is gone — the plan is the 9-partition pruned scan + TakeOrdered"
     ),
     "ann_bruteforce_topk": (
         "same intended 1-row query-vector broadcast as "
@@ -245,6 +245,19 @@ ANNOTATIONS = {
     "sample_pps": (
         "the BroadcastNestedLoopJoin×1 is the intended 1-row broadcast of "
         "the stride scalar (condition-less crossJoin, bounded)"
+    ),
+    "j_scd2_pit": (
+        "round 13: the three SCD2 version legs are ONE customer scan + a "
+        "per-row explode of the (version, modulus, delta, valid_from) "
+        "literals (was three filtered scans glued with UNION ALL); the "
+        "as-of-carry union → single exchange → running-window shape is "
+        "unchanged"
+    ),
+    "graph_triangle_count": (
+        "the p1-clustered edge list is materialized once "
+        "(materialize_once, r13 — was .cache() with no unpersist), so the "
+        "wedge self-join stays co-partitioned with zero exchanges and the "
+        "blocks are released when the frame is collected"
     ),
     "j_skew_salted": (
         "shuffle_hash is PINNED on the orders side: at bench SF Catalyst "
@@ -264,7 +277,10 @@ ANNOTATIONS = {
     ),
     "dq_ks_two_sample": (
         "the BroadcastNestedLoopJoin×1 is the intended 1-row broadcast of "
-        "the (N_a, N_b) totals scalar (condition-less crossJoin, bounded)"
+        "the (N_a, N_b) totals scalar (condition-less crossJoin, bounded); "
+        "round 13 materializes the per-value prefix-sum relation once — "
+        "it feeds both the broadcast carry side and the final gap join, "
+        "which a shuffle-reuse cannot dedup (0 scans, exchanges 11→7)"
     ),
     "sample_kcenter": (
         "the BroadcastNestedLoopJoins are the intended 1-row center "
@@ -293,11 +309,11 @@ ANNOTATIONS = {
     ),
     "ann_pq_distortion_eval": (
         "round 12 fused the 4 per-subspace Lloyd pipelines into one "
-        "exploded (vec_id, s, e) relation (the r11 ann_pq_topk rewrite): "
-        "the BroadcastHashJoins are the bounded codebook joins on the "
-        "subspace key (≤ M×16 = 64 rows); 0 parquet scans because the "
-        "exploded relation is localCheckpointed and both assignment "
-        "passes read the one materialization"
+        "exploded (vec_id, s, e) relation; round 13 moved both assignment "
+        "passes into the vectorized Arrow argmin kernel over the "
+        "driver-collected codebook — the codebook joins and the "
+        "groupBy(vec_id, s) min_by exchanges are gone; 0 parquet scans "
+        "because the exploded relation is localCheckpointed"
     ),
     "dedup_minhash_lsh": (
         "0 parquet scans by design (round 12): the n-gram and minhash-"
@@ -317,14 +333,19 @@ ANNOTATIONS = {
         "localCheckpointed (hence 0 scans in this plan); the 67x probe "
         "explosion carries only (a_id, pcell) 16-byte rows and the query "
         "payload is re-attached by one vec_id-keyed join — shuffle keys, "
-        "not payloads"
+        "not payloads.  Round 13: candidates are scored in the "
+        "_cosv_pair_kernel MapInArrow stage (bit-identical fold), which "
+        "is also the barrier that stops Catalyst evaluating the cosine "
+        "twice (tau filter below the scoring projection)"
     ),
     "text_bm25_topk": (
         "the BroadcastNestedLoopJoin×1 is the intended 1-row broadcast of "
         "the corpus (N, L) statistics frame; 0 parquet scans because the "
         "tokenized corpus is localCheckpointed once (round 12) — dl is "
         "size() on the token array (no full-corpus explode shuffle), tf "
-        "explodes only the array_filter'd query terms"
+        "explodes only the array_filter'd query terms.  Round 13: dl "
+        "rides the tf rows (first(dl) per group), so the tf⋈dl join — "
+        "which moved the full per-doc-length relation — is gone"
     ),
     "dedup_minhash_estimate_error": (
         "0 parquet scans: the hg-augmented n-gram relation was already "
